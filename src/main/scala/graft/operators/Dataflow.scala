@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{QueryDef, QueryModule, Tables}
+
+/** The reference's relational "SQL surface": the two verification queries it
+  * runs over sunk data, plus the highwater-mark computation — the only pure
+  * relational algorithm in its codebase.
+  *
+  * Mapping (see SURVEY.md §2.4-2.6): the reference checks Kafka delivery over
+  * `(partition, offset)`; on the driver's `events` table the same shapes run
+  * over `(user_id → partition, event_id → offset)`.
+  *
+  * Reference provenance (studied, not copied):
+  *  - delivery-gap check: /root/reference/README.md:86-99
+  *  - double-write check: /root/reference/README.md:101-113
+  *  - highwater mark max(offset)+1 per key: /root/reference/src/lib.rs:944-978
+  *  - parse projection + JSON wire format: /root/reference/src/main.rs:22-34
+  *  - epoch-seconds timestamp serialization: /root/reference/src/main.rs:18
+  *
+  * Scale notes (100 TB): every query below is a single hash-aggregate or
+  * window over the natural key — Spark plans partial+final aggregation
+  * (map-side combine) automatically, the parquet scan prunes to the 2-3
+  * referenced columns, and there is exactly one shuffle (on the group/window
+  * key). No collect, no UDFs, fully codegen'd.
+  */
+object Dataflow extends QueryModule {
+
+  /** Distinct (user_id, event_id) pairs — the `SELECT DISTINCT *` subquery of
+    * the reference's gap check (README.md:95). */
+  private def distinctPairs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select("user_id", "event_id").distinct()
+
+  /** Flagship: per-key delivery-gap check. offset_diff == occ (delta = 0)
+    * iff the offset range is dense — no message lost. */
+  def deliveryGap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    distinctPairs(s, d)
+      .groupBy($"user_id")
+      .agg(
+        min($"event_id").as("min_off"),
+        max($"event_id").as("max_off"),
+        count($"event_id").as("occ"))
+      .withColumn("offset_diff", $"max_off" - $"min_off" + lit(1L))
+      .withColumn("delta", $"offset_diff" - $"occ")
+      .orderBy($"user_id")
+  }
+
+  /** Double-write check: keys written more than once (README.md:101-113).
+    * Correctly empty on clean data — duplicates would surface here. */
+  def doubleWrite(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id", $"event_id")
+      .agg(count(lit(1)).as("occ"))
+      .where($"occ" > 1)
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Highwater mark: max(offset)+1 per key — the commit-stage fold
+    * (src/lib.rs:956-962) as one relational aggregate. */
+  def highwater(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg((max($"event_id") + lit(1L)).as("hwm"))
+      .orderBy($"user_id")
+  }
+
+  /** Idiomatic-Spark gap check: per-key lag window — finds WHERE the gaps
+    * are, not just that they exist (SURVEY §2.6's showcase variant). */
+  def gapByWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    distinctPairs(s, d)
+      .withColumn("prev", lag($"event_id", 1).over(w))
+      .where($"prev".isNotNull)
+      .withColumn("step", $"event_id" - $"prev")
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_steps"),
+        sum(when($"step" =!= 1L, 1L).otherwise(0L)).as("n_gaps"),
+        max($"step").as("max_step"))
+      .orderBy($"user_id")
+  }
+
+  /** Parse stage: JSON payload → typed columns (`from_json` analogue of the
+    * demo's serde parse, src/main.rs:22-34). Runs from_json to a map and
+    * extracts the key — stays fully codegen'd, no UDF. */
+  def parseProps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(
+        $"event_id",
+        element_at(
+          from_json($"props", MapType(StringType, LongType)), "k").as("k"))
+      .orderBy($"event_id")
+  }
+
+  /** Epoch-seconds round-trip (ts_seconds serialization, src/main.rs:18):
+    * timestamp → epoch seconds → formatted UTC string. */
+  def epochRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(
+        $"event_id",
+        unix_timestamp($"ts").as("epoch_s"),
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+      .orderBy($"event_id")
+  }
+
+  /** JSON wire-format round-trip: struct → to_json → from_json → fields,
+    * the sink serialization path (serde_json::to_vec, src/main.rs:25-30). */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wireSchema = StructType(Seq(
+      StructField("partition", LongType),
+      StructField("offset", LongType)))
+    Tables.events(s, d)
+      .select(
+        $"event_id",
+        to_json(struct($"user_id".as("partition"), $"event_id".as("offset")))
+          .as("wire"))
+      .select($"event_id", from_json($"wire", wireSchema).as("rec"), $"wire")
+      .select(
+        $"event_id",
+        $"rec.partition".as("partition"),
+        $"rec.offset".as("offset"),
+        length($"wire").cast("long").as("wire_len"))
+      .orderBy($"event_id")
+  }
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_delivery_gap", deliveryGap, Some("""
+        SELECT user_id,
+               min(event_id) AS min_off,
+               max(event_id) AS max_off,
+               count(event_id) AS occ,
+               max(event_id) - min(event_id) + 1 AS offset_diff,
+               (max(event_id) - min(event_id) + 1) - count(event_id) AS delta
+        FROM (SELECT DISTINCT user_id, event_id FROM events) t
+        GROUP BY user_id ORDER BY user_id""")),
+    QueryDef(
+      "q_double_write", doubleWrite, Some("""
+        SELECT user_id, event_id, count(*) AS occ
+        FROM events
+        GROUP BY user_id, event_id
+        HAVING count(*) > 1
+        ORDER BY user_id, event_id""")),
+    QueryDef(
+      "q_highwater", highwater, Some("""
+        SELECT user_id, max(event_id) + 1 AS hwm
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+    QueryDef(
+      "q_gap_by_window", gapByWindow, Some("""
+        SELECT user_id,
+               count(*) AS n_steps,
+               CAST(sum(CASE WHEN step <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_gaps,
+               max(step) AS max_step
+        FROM (SELECT user_id,
+                     event_id - lag(event_id)
+                       OVER (PARTITION BY user_id ORDER BY event_id) AS step
+              FROM (SELECT DISTINCT user_id, event_id FROM events) t) s
+        WHERE step IS NOT NULL
+        GROUP BY user_id ORDER BY user_id""")),
+    QueryDef(
+      "q_parse_props", parseProps, Some("""
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        FROM events ORDER BY event_id""")),
+    QueryDef(
+      "q_epoch_roundtrip", epochRoundtrip, Some("""
+        SELECT event_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str
+        FROM events ORDER BY event_id""")),
+    QueryDef(
+      "q_json_roundtrip", jsonRoundtrip, Some("""
+        SELECT event_id,
+               user_id AS partition,
+               event_id AS offset,
+               length('{"partition":' || user_id || ',"offset":' || event_id
+                      || '}') AS wire_len
+        FROM events ORDER BY event_id"""))
+  )
+}
