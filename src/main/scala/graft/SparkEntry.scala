@@ -12,7 +12,8 @@ object SparkEntry {
   /** All capability modules. Order matters only for map merge (later wins);
     * names are globally unique by convention (`q_<area>_*`). */
   def modules: Seq[QueryModule] = Seq(
-    operators.Dataflow
+    operators.Dataflow,
+    operators.TextOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{QueryDef, QueryModule, Tables}
+
+/** Text-analysis + deduplication operators over the `documents` table — the
+  * LLM-training-data-pipeline extension (north star; absent from the
+  * reference, which only moves opaque payloads — /root/reference/src/main.rs:22-34).
+  *
+  * Every operator here is a narrow projection or a single hash-aggregate:
+  * embarrassingly parallel, zero shuffles except the dedup groupBys (which
+  * shuffle once on the dedup key). All expressions are Catalyst built-ins —
+  * whole-stage codegen'd, no UDFs, so the same plan scales to 100 TB by
+  * adding executors.
+  *
+  * Cross-engine determinism: all counts are derived with the
+  * occurrence-count identity `(len(s) - len(replace(s, m, ''))) / len(m)`
+  * and regexp character classes that mean the same thing in Java regex
+  * (Spark) and RE2 (DuckDB); ratios are single double divisions of exact
+  * integers, reproducible bit-for-bit on both engines.
+  */
+object TextOps extends QueryModule {
+
+  /** #occurrences of literal `m` in `s` — exact integer arithmetic. */
+  private def occurrences(s: Column, m: String): Column =
+    ((length(s) - length(regexp_replace(s, java.util.regex.Pattern.quote(m), "")))
+      / m.length).cast("long")
+
+  /** Whitespace token count for single-space-separated text:
+    * #spaces + 1 (0 for empty/blank). */
+  private def tokenCount(s: Column): Column =
+    when(length(trim(s)) === 0, 0L)
+      .otherwise(occurrences(s, " ") + lit(1L))
+
+  /** Normalization for fingerprinting: lowercase, strip non-alphanumerics
+    * (keeping spaces), collapse runs of whitespace. */
+  private def normalize(s: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Exact deduplication: hash-groupBy on the full text. At scale this is
+    * one shuffle on the dedup key with map-side partial aggregation; the
+    * usual 100 TB variant groups on a fingerprint hash instead of the raw
+    * text to bound shuffle width — see [[fingerprint]]. */
+  def dedupExact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies")
+      .orderBy($"keep_id")
+  }
+
+  /** Fingerprint dedup: md5 over normalized text — the constant-width dedup
+    * key used at scale (group/shuffle on 16 bytes, not document bodies). */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", md5(normalize($"text")).as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies")
+      .orderBy($"keep_id")
+  }
+
+  /** Per-document quality statistics: token/char counts, punctuation and
+    * stopword ratios, and a composite quality score (the length/punct/
+    * stopword heuristic used to filter LLM training text). */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = $"text"
+    val padded = concat(lit(" "), t, lit(" "))
+    val nTokens = tokenCount(t)
+    val nStop = (occurrences(padded, " the ") + occurrences(padded, " a ")
+      + occurrences(padded, " of ") + occurrences(padded, " and "))
+    val nPunct = length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
+    Tables.documents(s, d)
+      .select(
+        $"doc_id",
+        length(t).cast("long").as("n_chars"),
+        nTokens.as("n_tokens"),
+        nStop.as("n_stopwords"),
+        nPunct.cast("long").as("n_punct"),
+        (length(regexp_replace(t, " ", "")).cast("double") / nTokens)
+          .as("avg_token_len"),
+        (nStop.cast("double") / nTokens).as("stopword_ratio"))
+      .withColumn(
+        "quality_score",
+        when($"n_tokens" === 0, 0.0).otherwise(
+          $"stopword_ratio" * 2.0
+            + when($"n_tokens" >= 20 && $"n_tokens" <= 1000, 1.0)
+              .otherwise(0.0)))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID: marker-word n-gram heuristic (argmax of per-language
+    * marker counts, deterministic tie-break by fixed priority). */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val padded = concat(lit(" "), lower($"text"), lit(" "))
+    val cEn = occurrences(padded, " the ")
+    val cDe = occurrences(padded, " der ") + occurrences(padded, " und ")
+    val cFr = occurrences(padded, " le ") + occurrences(padded, " et ")
+    val cEs = occurrences(padded, " el ") + occurrences(padded, " y ")
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        cEn.as("c_en"), cDe.as("c_de"), cFr.as("c_fr"), cEs.as("c_es"))
+      .withColumn(
+        "pred_lang",
+        when($"c_en" >= greatest($"c_de", $"c_fr", $"c_es"), "en")
+          .when($"c_de" >= greatest($"c_fr", $"c_es"), "de")
+          .when($"c_fr" >= $"c_es", "fr")
+          .otherwise("es"))
+      .orderBy($"doc_id")
+  }
+
+  /** Token count with a BPE-ish regex (letter runs / digit runs / single
+    * other non-space chars), alongside the whitespace count. */
+  def tokenCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        $"doc_id",
+        tokenCount($"text").as("n_ws_tokens"),
+        size(expr(
+          "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_dedup_exact", dedupExact, Some("""
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY text ORDER BY keep_id""")),
+    QueryDef(
+      "q_fingerprint", fingerprint, Some("""
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM (SELECT doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+              FROM documents) t
+        GROUP BY fp ORDER BY keep_id""")),
+    QueryDef(
+      "q_text_stats", textStats, Some("""
+        WITH b AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                   length(text) - length(replace(text, ' ', '')) + 1 END
+                   AS BIGINT) AS n_tokens,
+                 CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', '')))/5
+                    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', '')))/3
+                    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', '')))/4
+                    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', '')))/5
+                   AS BIGINT) AS n_stopwords,
+                 CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))
+                   AS BIGINT) AS n_punct,
+                 CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                      length(text) - length(replace(text, ' ', '')) + 1 END)
+                   AS avg_token_len
+          FROM documents)
+        SELECT doc_id, n_chars, n_tokens, n_stopwords, n_punct, avg_token_len,
+               CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+               CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                 (CAST(n_stopwords AS DOUBLE) / n_tokens) * 2.0
+                 + (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+                    THEN 1.0 ELSE 0.0 END) END AS quality_score
+        FROM b ORDER BY doc_id""")),
+    QueryDef(
+      "q_lang_id", langId, Some("""
+        WITH c AS (
+          SELECT doc_id, lang AS labeled_lang,
+            CAST((length(p) - length(replace(p, ' the ', '')))/5 AS BIGINT) AS c_en,
+            CAST((length(p) - length(replace(p, ' der ', '')))/5
+               + (length(p) - length(replace(p, ' und ', '')))/5 AS BIGINT) AS c_de,
+            CAST((length(p) - length(replace(p, ' le ', '')))/4
+               + (length(p) - length(replace(p, ' et ', '')))/4 AS BIGINT) AS c_fr,
+            CAST((length(p) - length(replace(p, ' el ', '')))/4
+               + (length(p) - length(replace(p, ' y ', '')))/3 AS BIGINT) AS c_es
+          FROM (SELECT doc_id, lang, ' '||lower(text)||' ' AS p FROM documents) t)
+        SELECT doc_id, labeled_lang, c_en, c_de, c_fr, c_es,
+               CASE WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
+                    WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
+                    WHEN c_fr >= c_es THEN 'fr'
+                    ELSE 'es' END AS pred_lang
+        FROM c ORDER BY doc_id""")),
+    QueryDef(
+      "q_token_count", tokenCounts, Some("""
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                 length(text) - length(replace(text, ' ', '')) + 1 END
+                 AS BIGINT) AS n_ws_tokens,
+               CAST(length(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM documents ORDER BY doc_id"""))
+  )
+}

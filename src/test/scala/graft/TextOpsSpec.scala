@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSpecBase {
+
+  test("dedup keeps one row per distinct text") {
+    val df = TextOps.dedupExact(spark, sfDir)
+    val total = df.count()
+    assert(total > 0)
+    // keep_id unique
+    assert(df.select("keep_id").distinct().count() === total)
+  }
+
+  test("text stats are internally consistent") {
+    import spark.implicits._
+    val df = TextOps.textStats(spark, sfDir).cache()
+    assert(df.where($"n_tokens" <= 0).count() === 0)
+    assert(df.where($"n_stopwords" > $"n_tokens").count() === 0)
+    assert(df.where($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() === 0)
+    df.unpersist()
+  }
+
+  test("bpe token count >= whitespace token count on space-free punct text") {
+    import spark.implicits._
+    val df = TextOps.tokenCounts(spark, sfDir)
+    assert(df.where($"n_bpe_tokens" < $"n_ws_tokens").count() === 0)
+  }
+
+  test("lang id predicts a language for every doc") {
+    import spark.implicits._
+    val df = TextOps.langId(spark, sfDir)
+    assert(df.where($"pred_lang".isNull).count() === 0)
+  }
+}
