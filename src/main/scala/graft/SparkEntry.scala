@@ -13,7 +13,8 @@ object SparkEntry {
     * names are globally unique by convention (`q_<area>_*`). */
   def modules: Seq[QueryModule] = Seq(
     operators.Dataflow,
-    operators.TextOps
+    operators.TextOps,
+    operators.Similarity
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.ops.{QueryDef, QueryModule, Tables}
+
+/** Similarity search over the `embeddings` table (north-star extension;
+  * the reference has no vector surface).
+  *
+  * Three scale postures, all without a CartesianProduct node:
+  *  - [[cosineTopK]]: batch-probe ANN baseline — a small probe set is
+  *    broadcast against the corpus (BroadcastNestedLoopJoin). This is the
+  *    100 TB shape for "find neighbors of these N new items": the corpus
+  *    streams once per executor, no shuffle of the big side.
+  *  - [[labelBucketTopK]]: IVF-style bucketed self-similarity — candidates
+  *    only within a coarse partition (here the `label` column standing in
+  *    for a cluster assignment), a shuffle-hash equi-join on the bucket key.
+  *  - [[nearDupLsh]]: random-hyperplane LSH banding for near-duplicate
+  *    pairs — signatures via [[graft.functions.VectorFunctions.lshBucket]],
+  *    candidates from an equi-join on (table, bucket), then exact cosine
+  *    verification. The only self-join is on the LSH key, so the plan
+  *    scales as the bucket sizes, not n².
+  */
+object Similarity extends QueryModule {
+
+  private val Dim = 64
+  /** LSH banding: 8 tables x 16 bits targets cosine >= 0.9 near-dup pairs
+    * (p_bit = 1 - acos(0.9)/pi ≈ 0.856, band hit ≈ 0.856^16 ≈ 0.08,
+    * miss ≈ (1-0.08)^8 — tuned for *near-duplicate* recall; lower
+    * thresholds need more tables, not wider buckets). */
+  private val LshTables = 8
+  private val LshBits = 16
+  private val NearDupTau = 0.9
+
+  /** Embeddings with double-cast vector and precomputed norm. */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", l2Norm($"v"))
+  }
+
+  /** Brute-force-exact top-5 neighbors for a small probe set (vec_id < 20),
+    * probe side broadcast. */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val probes = broadcast(
+      e.where($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn")))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id")
+    e.join(probes, $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 5)
+      .select($"q_id", $"rank", $"neighbor_id", $"cosine")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** IVF-style: top-3 most similar pairs within each coarse bucket
+    * (`label`); candidates come from an equi-join on the bucket key. */
+  def labelBucketTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", toDouble($"embedding").as("v"))
+      .withColumn("nrm", l2Norm($"v"))
+    val a = e.select($"label", $"vec_id".as("id_a"), $"v".as("va"),
+      $"nrm".as("na"))
+    val b = e.select($"label", $"vec_id".as("id_b"), $"v".as("vb"),
+      $"nrm".as("nb"))
+    val w = Window.partitionBy($"label").orderBy($"cosine".desc, $"id_a", $"id_b")
+    a.join(b, Seq("label"))
+      .where($"id_a" < $"id_b")
+      .select($"label", $"id_a", $"id_b",
+        cosineWithNorms($"va", $"vb", $"na", $"nb").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 3)
+      .select($"label", $"rank", $"id_a", $"id_b", $"cosine")
+      .orderBy($"label", $"rank")
+  }
+
+  /** Near-duplicate pairs (cosine >= 0.9) via LSH banding + exact verify.
+    * Correctly empty when no near-dups exist — the oracle is the
+    * brute-force definition, so any LSH recall loss would surface as a
+    * mismatch. */
+  def nearDupLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    // one row per (vec, table) with that table's bucket signature
+    val sigs = e.select($"vec_id", $"v", $"nrm",
+      explode(array((0 until LshTables).map { t =>
+        struct(lit(t).as("t"), lshBucket($"v", t, LshBits, Dim).as("bucket"))
+      }: _*)).as("sig"))
+      .select($"vec_id", $"v", $"nrm", $"sig.t".as("t"),
+        $"sig.bucket".as("bucket"))
+    val a = sigs.select($"t", $"bucket", $"vec_id".as("id_a"),
+      $"v".as("va"), $"nrm".as("na"))
+    val b = sigs.select($"t", $"bucket", $"vec_id".as("id_b"),
+      $"v".as("vb"), $"nrm".as("nb"))
+    a.join(b, Seq("t", "bucket"))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"va", $"vb", $"na", $"nb")
+      .distinct() // candidate pair may collide in several tables
+      .select($"id_a", $"id_b",
+        cosineWithNorms($"va", $"vb", $"na", $"nb").as("cosine"))
+      .where($"cosine" >= NearDupTau)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Shared oracle scaffolding: per-vector double vector + norm. */
+  private val oracleVecs = """
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+               k -> CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE))))
+               AS nrm
+      FROM embeddings)"""
+
+  private def oracleDot(a: String, b: String) =
+    s"""list_sum(list_transform(generate_series(1, len($a.embedding)),
+        k -> CAST($a.embedding[k] AS DOUBLE) * CAST($b.embedding[k] AS DOUBLE)))"""
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_cosine_topk", cosineTopK, Some(s"""
+        $oracleVecs,
+        p AS (
+          SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+                 ${oracleDot("a", "b")} / (a.nrm * b.nrm) AS cosine
+          FROM e a JOIN e b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < 20),
+        r AS (
+          SELECT q_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM p)
+        SELECT q_id, rank, neighbor_id, cosine
+        FROM r WHERE rank <= 5 ORDER BY q_id, rank""")),
+    QueryDef(
+      "q_sim_label_topk", labelBucketTopK, Some(s"""
+        $oracleVecs,
+        p AS (
+          SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+                 ${oracleDot("a", "b")} / (a.nrm * b.nrm) AS cosine
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        r AS (
+          SELECT label, id_a, id_b, cosine,
+                 row_number() OVER (PARTITION BY label
+                   ORDER BY cosine DESC, id_a, id_b) AS rank
+          FROM p)
+        SELECT label, rank, id_a, id_b, cosine
+        FROM r WHERE rank <= 3 ORDER BY label, rank""")),
+    QueryDef(
+      "q_embed_neardup", nearDupLsh, Some(s"""
+        $oracleVecs
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ${oracleDot("a", "b")} / (a.nrm * b.nrm) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ${oracleDot("a", "b")} / (a.nrm * b.nrm) >= 0.9
+        ORDER BY id_a, id_b"""))
+  )
+}
