@@ -14,7 +14,8 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     operators.Dataflow,
     operators.TextOps,
-    operators.Similarity
+    operators.Similarity,
+    operators.NearDup
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

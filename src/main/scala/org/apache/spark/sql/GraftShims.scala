@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ClassicConversions.ColumnConstructorExt
+import org.apache.spark.sql.classic.ColumnConversions.expression
+
+/** Minimal bridge to Spark's `private[sql]` Column⇄Expression constructors,
+  * the standard pattern for libraries that ship native Catalyst expressions
+  * (Spark 4 hides `Column(expr)`/`col.expr` behind the classic converters).
+  */
+object GraftShims {
+  def column(e: Expression): Column = ColumnConstructorExt(Column).apply(e)
+  def toExpression(c: Column): Expression = expression(c)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.SimHash
+import graft.operators.NearDup
+
+class NearDupSpec extends SparkSpecBase {
+
+  test("simhash64 is deterministic and tokenization-sensitive") {
+    val a = SimHash.simhash64("the quick brown fox")
+    assert(a === SimHash.simhash64("the quick brown fox"))
+    assert(a !== SimHash.simhash64("the quick brown cat"))
+    // near-identical docs land within small Hamming distance
+    val b = SimHash.simhash64("the quick brown fox jumps")
+    val dist = java.lang.Long.bitCount(a ^ b)
+    assert(dist < 24, s"hamming=$dist")
+    // far documents differ a lot
+    val c = SimHash.simhash64("completely unrelated words entirely different")
+    assert(java.lang.Long.bitCount(a ^ c) > dist)
+  }
+
+  test("simhash native expression matches the Scala implementation") {
+    import spark.implicits._
+    import graft.functions.SimHash64.simhash64
+    val df = Seq("alpha beta gamma", "one two three four").toDF("text")
+    val got = df.select(simhash64($"text")).as[Long].collect().toSeq
+    assert(got === Seq(SimHash.simhash64("alpha beta gamma"),
+      SimHash.simhash64("one two three four")))
+  }
+
+  test("minhash near-dup finds only genuinely similar pairs") {
+    import spark.implicits._
+    val df = NearDup.minhashNearDup(spark, sfDir)
+    assert(df.where($"jaccard" < 0.8).count() === 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ngram jaccard top-k is bucketed by source") {
+    import spark.implicits._
+    val df = NearDup.ngramJaccardTopK(spark, sfDir)
+    val perSource = df.groupBy($"source").count()
+    assert(perSource.where($"count" > 3).count() === 0)
+  }
+
+  test("simhash clusters cover every document exactly once") {
+    import spark.implicits._
+    val df = NearDup.simhashClusters(spark, sfDir)
+    val total = df.agg(org.apache.spark.sql.functions.sum($"n_docs"))
+      .as[Long].head()
+    val docs = graft.ops.Tables.documents(spark, sfDir).count()
+    assert(total === docs)
+  }
+}
