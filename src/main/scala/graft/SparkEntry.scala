@@ -15,7 +15,9 @@ object SparkEntry {
     operators.Dataflow,
     operators.TextOps,
     operators.Similarity,
-    operators.NearDup
+    operators.NearDup,
+    operators.Sessionize,
+    operators.Multimodal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{QueryDef, QueryModule, Tables}
+
+/** One decoded media record (the per-batch output row of the decode
+  * stage). */
+final case class MediaFeatures(
+    doc_id: Long,
+    mime: String,
+    n_bytes: Long,
+    width: Long,
+    height: Long,
+    phash: String)
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded/feature-extracted in partition-sized batches.
+  *
+  * The container has no image/audio codecs, so [[MediaDecoder.decodeStub]]
+  * is a clearly-marked deterministic fake; everything around it — the
+  * binary payload column, metadata struct, `mapPartitions` batch shape
+  * (the Scala analogue of a pandas-batch UDF: one iterator per partition,
+  * codec state initialized once per partition, streaming through rows
+  * without materializing the partition), and the typed output schema — is
+  * the real production plumbing.
+  *
+  * Scale: decode is embarrassingly parallel per partition; payload bytes
+  * never shuffle (features are extracted before any wide operation, so the
+  * shuffle carries ~50 bytes/row, not megabyte blobs). That ordering —
+  * project-then-shuffle — is the whole game for multimodal at 100 TB.
+  */
+object Multimodal extends QueryModule {
+
+  object MediaDecoder {
+    /** STUB — a real build would decode image bytes here (e.g. via a JNI
+      * codec). Deterministic fake: dimensions derived from byte length,
+      * perceptual hash from md5. Chosen to be reproducible in plain SQL so
+      * the DuckDB oracle can check the surrounding plumbing end-to-end. */
+    def decodeStub(payload: Array[Byte]): (Long, Long) = {
+      val n = payload.length.toLong
+      (n % 640L, (n * 7L) % 480L)
+    }
+  }
+
+  /** Documents-as-media: text bytes standing in for an image payload, with
+    * a typed metadata struct alongside. */
+  def mediaTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        $"doc_id",
+        encode($"text", "UTF-8").as("payload"),
+        struct(
+          lit("image/fake").as("mime"),
+          $"source".as("origin"),
+          $"n_chars".as("content_hint")).as("meta"))
+  }
+
+  /** The decode stage: partition-batched feature extraction over the
+    * binary column (Dataset[MediaFeatures] out). */
+  def decodeFeatures(s: SparkSession, d: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    mediaTable(s, d)
+      .select($"doc_id", $"payload", $"meta.mime".as("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        // per-partition init happens here (codec handles, model weights…)
+        rows.map { case (id, payload, mime) =>
+          val (w, h) = MediaDecoder.decodeStub(payload)
+          MediaFeatures(id, mime, payload.length.toLong, w, h,
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(payload))
+        }
+      }
+  }
+
+  /** Registered query: decoded features, oracle-reproducible because the
+    * stub is pure integer arithmetic + md5. */
+  def mediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeFeatures(s, d).toDF().orderBy($"doc_id")
+  }
+
+  /** Rollup a real pipeline would emit: per-origin media volume. */
+  def mediaStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .select($"doc_id", $"meta.origin".as("origin"),
+        length($"payload").cast("long").as("n_bytes"))
+      .groupBy($"origin")
+      .agg(count(lit(1)).as("n_media"), sum($"n_bytes").as("total_bytes"),
+        max($"n_bytes").as("max_bytes"))
+      .orderBy($"origin")
+  }
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_media_features", mediaFeatures, Some("""
+        SELECT doc_id,
+               'image/fake' AS mime,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(strlen(text) % 640 AS BIGINT) AS width,
+               CAST((strlen(text) * 7) % 480 AS BIGINT) AS height,
+               md5(text) AS phash
+        FROM documents ORDER BY doc_id""")),
+    QueryDef(
+      "q_media_stats", mediaStats, Some("""
+        SELECT source AS origin,
+               count(*) AS n_media,
+               CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+               CAST(max(strlen(text)) AS BIGINT) AS max_bytes
+        FROM documents GROUP BY source ORDER BY origin"""))
+  )
+}

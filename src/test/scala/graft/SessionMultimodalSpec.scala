@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.{Multimodal, Sessionize}
+
+class SessionMultimodalSpec extends SparkSpecBase {
+
+  test("sessionize: ids start at 1 and sessions don't overlap in time") {
+    import spark.implicits._
+    val df = Sessionize.sessionize(spark, sfDir).cache()
+    assert(df.where($"session_id" < 1).count() === 0)
+    assert(df.where($"end_s" < $"start_s").count() === 0)
+    // consecutive sessions of a user are separated by more than the gap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"session_id")
+    val overlaps = df
+      .withColumn("prev_end", org.apache.spark.sql.functions.lag($"end_s", 1).over(w))
+      .where($"prev_end".isNotNull && $"start_s" - $"prev_end" <= 1800)
+    assert(overlaps.count() === 0)
+    df.unpersist()
+  }
+
+  test("multimodal decode: stub features consistent with payload bytes") {
+    import spark.implicits._
+    val ds = Multimodal.decodeFeatures(spark, sfDir)
+    val bad = ds.filter(m =>
+      m.width != m.n_bytes % 640 || m.height != (m.n_bytes * 7) % 480
+        || m.phash.length != 32)
+    assert(bad.count() === 0)
+  }
+
+  test("multimodal plumbing: payload bytes don't reach the aggregate shuffle") {
+    val plan = Multimodal.mediaStats(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the payload column must be projected away before the exchange
+    assert(!plan.contains("payload#") ||
+      plan.indexOf("Exchange") < plan.indexOf("payload#"), plan)
+  }
+}
