@@ -17,7 +17,8 @@ object SparkEntry {
     operators.Similarity,
     operators.NearDup,
     operators.Sessionize,
-    operators.Multimodal
+    operators.Multimodal,
+    operators.PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

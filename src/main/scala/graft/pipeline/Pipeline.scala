@@ -1,0 +1,197 @@
+package graft.pipeline
+
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Kafka-shaped record every pipeline stage sees — the Spark row form
+  * of the reference's `OwnedMessage` (field inventory: SURVEY §1.1;
+  * reference `src/lib.rs:464-478`). `key` is carried for parity but unused
+  * by every reference test (`src/lib.rs:1206`). */
+final case class Record(
+    topic: String,
+    partition: Int,
+    offset: Long,
+    timestampMs: Long,
+    key: Option[Array[Byte]],
+    value: Array[Byte])
+
+object Record {
+  /** Catalyst encoder, session-independent (companion implicit so user
+    * code never has to summon it). */
+  implicit val encoder: Encoder[Record] = Encoders.product[Record]
+}
+
+/** 1→1 stage with failure routing — the `Mapper` trait analogue
+  * (reference `src/lib.rs:562-571`): a failure sends the ORIGINAL record
+  * to the DLQ while later records keep flowing (per-record skip-on-error,
+  * `src/lib.rs:526-540`). Must be deterministic (it is evaluated on both
+  * branches of the ok/DLQ split). */
+trait Mapper[I, O] extends Serializable {
+  def map(in: I): Try[O]
+}
+
+/** N→1 batch stage — the `Reducer` trait analogue (reference
+  * `src/lib.rs:703-713`). In batch execution a `reduce` sees one whole
+  * partition; in streaming, one micro-batch (the reference's flush
+  * interval / size knobs map to triggers — SURVEY §2.2). */
+trait Reducer[I, O] extends Serializable {
+  def reduce(batch: Seq[I]): Try[O]
+}
+
+/** Identity stages for topology tests (reference `src/noop.rs:11-91`). */
+object Noop {
+  def mapper[T]: Mapper[T, T] = new Mapper[T, T] {
+    def map(in: T): Try[T] = Try(in)
+  }
+}
+
+/** Where acked offsets go after a successful sink write — the commit stage
+  * (D6, reference `src/lib.rs:980-994`). Production = streaming
+  * checkpoints; tests = an in-memory mock identical in spirit to the
+  * reference's `MockCommitClient` (`src/lib.rs:1028-1037`). */
+trait CommitClient {
+  def storeOffsets(highwater: Seq[((String, Int), Long)]): Unit
+}
+
+/** Highwater-mark computation (D7, reference `src/lib.rs:944-978`):
+  * max(offset)+1 per (topic, partition) — pure relational, one
+  * hash-aggregate. */
+object HighwaterMark {
+  def of(acked: DataFrame): DataFrame =
+    acked
+      .groupBy(col("topic"), col("partition"))
+      .agg((max(col("offset")) + lit(1L)).as("next_offset"))
+}
+
+/** Result of running a pipeline: sink output, dead-letter records
+  * (originals, as in the reference), and the offsets that were stored. */
+final case class PipelineResult[T](
+    ok: Dataset[(Record, T)],
+    dlq: Dataset[Record],
+    committed: Seq[((String, Int), Long)])
+
+/** One reduced batch: the records that fed it (provenance, the reference's
+  * `(Vec<OwnedMessage>, T)` channel payload — `src/lib.rs:751-754`) and the
+  * reduced value. */
+final case class ReducedBatch[O](
+    topic: String,
+    partition: Int,
+    offsets: Seq[Long],
+    value: O)
+
+/** Declarative dataflow pipeline over a `Dataset[Record]` — the
+  * `processing_strategy!` analogue (D8, reference `src/lib.rs:235-383`).
+  *
+  * The reference hand-schedules Tokio actors joined by bounded channels;
+  * here each stage appends to a lazily-composed Spark plan, so "pipeline
+  * construction" is logical-plan construction and Catalyst/Tungsten own
+  * scheduling (SURVEY §3.1). The semantic mapping:
+  *   - per-partition parallel ingest (D2) → one Spark task per partition;
+  *   - bounded concurrency (D3 `MapConfig`) → the task-slot model;
+  *   - channel backpressure → pull-based iterators;
+  *   - rebalance handling (D9/D12) → deliberate no-op: Spark assigns
+  *     partitions to tasks itself, there is no consumer-group rebalance
+  *     protocol to mirror;
+  *   - shutdown/drain (D10-D13) → batch jobs run to completion; the
+  *     streaming path uses `Trigger.AvailableNow` / `query.stop()`
+  *     (see graft.streaming).
+  *
+  * Records that fail any stage land on the DLQ as ORIGINALS and never
+  * reach commit; later records still flow (at-least-once with per-record
+  * skip, pinned by the ported `test_fail_on_*` cases —
+  * reference `src/lib.rs:1384-1391`).
+  */
+final class Pipeline[T] private (
+    val spark: SparkSession,
+    private val okDs: Dataset[(Record, T)],
+    private val dlqDs: Dataset[Record]) {
+
+  import Pipeline._
+
+  /** 1→1 transform with DLQ split (par_map / map stages, D2/D3). */
+  def via[O: Encoder](stage: Mapper[T, O]): Pipeline[O] = {
+    implicit val rEnc: Encoder[Record] = recordEncoder(spark)
+    implicit val roEnc: Encoder[(Record, O)] =
+      Encoders.tuple(rEnc, implicitly[Encoder[O]])
+    val src = okDs.persist()
+    val ok = src.flatMap { case (rec, v) =>
+      stage.map(v).toOption.map(o => (rec, o))
+    }
+    val failed = src.flatMap { case (rec, v) =>
+      if (stage.map(v).isFailure) Some(rec) else None
+    }
+    new Pipeline(spark, ok, dlqDs.union(failed))
+  }
+
+  def viaFn[O: Encoder](f: T => Try[O]): Pipeline[O] =
+    via(new Mapper[T, O] { def map(in: T): Try[O] = f(in) })
+
+  /** N→1 per-partition reduce (D4): each (topic, partition) group reduces
+    * to one value; a failed reduce routes the whole in-flight batch to the
+    * DLQ and the pipeline continues with other groups — exactly
+    * `handle_reducer_failure` (reference `src/lib.rs:715-726`). */
+  def reduceBatches[O: Encoder](reducer: Reducer[T, O])(
+      implicit tt: scala.reflect.runtime.universe.TypeTag[ReducedBatch[O]])
+      : (Dataset[ReducedBatch[O]], Dataset[Record]) = {
+    import spark.implicits._
+    implicit val rEnc: Encoder[Record] = recordEncoder(spark)
+    val grouped = okDs.groupByKey { case (rec, _) => (rec.topic, rec.partition) }
+    val reduced = grouped.flatMapGroups { (key, it) =>
+      val rows = it.toSeq.sortBy(_._1.offset)
+      reducer.reduce(rows.map(_._2)).toOption.map { o =>
+        ReducedBatch(key._1, key._2, rows.map(_._1.offset), o)
+      }.iterator
+    }
+    val failed = okDs
+      .groupByKey { case (rec, _) => (rec.topic, rec.partition) }
+      .flatMapGroups { (_, it) =>
+        val rows = it.toSeq.sortBy(_._1.offset)
+        if (reducer.reduce(rows.map(_._2)).isFailure) rows.map(_._1).iterator
+        else Iterator.empty
+      }
+    (reduced, dlqDs.union(failed))
+  }
+
+  /** Current ok branch (record + value). */
+  def dataset: Dataset[(Record, T)] = okDs
+
+  /** Current DLQ branch (original failed records). */
+  def dlq: Dataset[Record] = dlqDs
+
+  /** Run: sink the ok branch, then commit highwater marks of the acked
+    * records (commit-after-durable-write ordering, D6; reference macro
+    * ordering `src/lib.rs:283-287`). The sink is any callback — parquet
+    * writer, console, test buffer (S2/S4 analogues). */
+  def run(sink: Dataset[(Record, T)] => Unit,
+      commit: CommitClient): PipelineResult[T] = {
+    val ok = okDs.persist()
+    sink(ok)
+    implicit val e: Encoder[(String, Int, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaInt, Encoders.scalaLong)
+    val hw = HighwaterMark.of(
+      ok.map(p => (p._1.topic, p._1.partition, p._1.offset))
+        .toDF("topic", "partition", "offset"))
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+      .sortBy(_._1)
+      .toSeq
+    commit.storeOffsets(hw)
+    PipelineResult(ok, dlqDs, hw)
+  }
+}
+
+object Pipeline {
+  def recordEncoder(spark: SparkSession): Encoder[Record] = Record.encoder
+
+  /** Entry point (D1 analogue): start from any record source — in tests a
+    * memory Dataset standing in for the Kafka scan, mirroring the
+    * reference's broadcast-channel mock queue (`src/lib.rs:1806-1833`). */
+  def from(spark: SparkSession, source: Dataset[Record]): Pipeline[Record] = {
+    implicit val rEnc: Encoder[Record] = recordEncoder(spark)
+    implicit val rrEnc: Encoder[(Record, Record)] =
+      Encoders.tuple(rEnc, rEnc)
+    new Pipeline(spark, source.map(r => (r, r)), spark.emptyDataset[Record])
+  }
+}

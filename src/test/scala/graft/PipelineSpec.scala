@@ -1,0 +1,128 @@
+package graft
+
+import scala.collection.mutable
+import scala.util.{Failure, Success, Try}
+
+import graft.pipeline._
+
+/** Ports of the reference's actor-level unit tests (SURVEY §5;
+  * /root/reference/src/lib.rs:996-1973) onto the Spark pipeline. */
+class PipelineSpec extends SparkSpecBase {
+
+  private def rec(p: Int, o: Long, v: String = "x"): Record =
+    Record("topic", p, o, 1700000000000L + o,
+      None, v.getBytes("UTF-8"))
+
+  private class MockCommit extends CommitClient {
+    val stored = mutable.Buffer[Seq[((String, Int), Long)]]()
+    def storeOffsets(hw: Seq[((String, Int), Long)]): Unit = stored += hw
+  }
+
+  private def source(rs: Record*) = {
+    implicit val e = Pipeline.recordEncoder(spark)
+    spark.createDataset(rs)
+  }
+
+  test("test_commit port: offsets {1,0} on partitions {0,1} -> stored {2,1}") {
+    val commit = new MockCommit
+    val result = Pipeline.from(spark, source(rec(0, 1), rec(1, 0)))
+      .via(Noop.mapper[Record])
+      .run(_.count(), commit)
+    assert(commit.stored.toSeq ===
+      Seq(Seq(("topic", 0) -> 2L, ("topic", 1) -> 1L)))
+    assert(result.dlq.count() === 0)
+  }
+
+  test("test_fail_on_map port: failed record to DLQ as original, rest flow") {
+    val parse = new Mapper[Record, String] {
+      def map(in: Record): Try[String] = {
+        val s = new String(in.value, "UTF-8")
+        if (s == "poison") Failure(new RuntimeException("bad"))
+        else Success(s.toUpperCase)
+      }
+    }
+    val commit = new MockCommit
+    import spark.implicits._
+    val p = Pipeline
+      .from(spark, source(rec(0, 0, "a"), rec(0, 1, "poison"), rec(0, 2, "c")))
+      .via(parse)
+    val result = p.run(_.count(), commit)
+    // original record (not the transformed value) lands on the DLQ
+    assert(result.dlq.collect().map(r => (r.partition, r.offset)).toSeq
+      === Seq((0, 1)))
+    // later records were still processed and committed (offset skip)
+    assert(result.ok.collect().map(_._2).sorted.toSeq === Seq("A", "C"))
+    assert(commit.stored.head === Seq(("topic", 0) -> 3L))
+  }
+
+  test("test_sequential_reducers port: stages compose") {
+    import spark.implicits._
+    val upper = new Mapper[Record, String] {
+      def map(in: Record): Try[String] =
+        Success(new String(in.value, "UTF-8").toUpperCase)
+    }
+    val exclaim = new Mapper[String, String] {
+      def map(in: String): Try[String] = Success(in + "!")
+    }
+    val out = Pipeline.from(spark, source(rec(0, 0, "a"), rec(1, 0, "b")))
+      .via(upper)
+      .via(exclaim)
+      .dataset.collect().map(_._2).sorted.toSeq
+    assert(out === Seq("A!", "B!"))
+  }
+
+  test("test_reduce port: per-partition batch reduce with provenance") {
+    import spark.implicits._
+    val concat = new Reducer[String, String] {
+      def reduce(batch: Seq[String]): Try[String] = Success(batch.mkString(","))
+    }
+    val toStr = new Mapper[Record, String] {
+      def map(in: Record): Try[String] = Success(new String(in.value, "UTF-8"))
+    }
+    val (batches, dlq) = Pipeline
+      .from(spark, source(rec(0, 0, "a"), rec(0, 1, "b"), rec(1, 0, "z")))
+      .via(toStr)
+      .reduceBatches(concat)
+    val got = batches.collect().map(b => (b.partition, b.offsets, b.value))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((0, Seq(0L, 1L), "a,b"), (1, Seq(0L), "z")))
+    assert(dlq.count() === 0)
+  }
+
+  test("test_fail_on_reduce port: failed batch dumped to DLQ, others continue") {
+    import spark.implicits._
+    val picky = new Reducer[String, String] {
+      def reduce(batch: Seq[String]): Try[String] =
+        if (batch.contains("poison")) Failure(new RuntimeException("bad batch"))
+        else Success(batch.mkString(","))
+    }
+    val toStr = new Mapper[Record, String] {
+      def map(in: Record): Try[String] = Success(new String(in.value, "UTF-8"))
+    }
+    val (batches, dlq) = Pipeline
+      .from(spark,
+        source(rec(0, 0, "a"), rec(0, 1, "poison"), rec(1, 0, "z")))
+      .via(toStr)
+      .reduceBatches(picky)
+    // partition 0's whole in-flight batch lands on the DLQ (the reference's
+    // handle_reducer_failure dumps all inflight messages, lib.rs:715-726)
+    assert(dlq.collect().map(r => (r.partition, r.offset)).sorted.toSeq
+      === Seq((0, 0L), (0, 1L)))
+    // partition 1 still reduced
+    assert(batches.collect().map(b => (b.partition, b.value)).toSeq
+      === Seq((1, "z")))
+  }
+
+  test("highwater mark of empty ack set commits nothing") {
+    val commit = new MockCommit
+    val failAll = new Mapper[Record, String] {
+      def map(in: Record): Try[String] = Failure(new RuntimeException("no"))
+    }
+    import spark.implicits._
+    val result = Pipeline.from(spark, source(rec(0, 0), rec(0, 1)))
+      .via(failAll)
+      .run(_.count(), commit)
+    assert(commit.stored.toSeq === Seq(Seq()))
+    assert(result.dlq.count() === 2)
+  }
+}
