@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming execution of the reference's consumer topology (SURVEY
+  * §2.1/2.3/2.8/2.9) on Structured Streaming.
+  *
+  * Semantic mapping, stage by stage:
+  *  - Kafka source / per-partition split queues (D1, S1) → `readStream`
+  *    (tests use `MemoryStream[Record]`, mirroring the reference's own
+  *    broadcast-channel mock — `src/lib.rs:1829-1833`);
+  *  - flush interval (`ReduceConfig.flush_interval`, 2 s in the demo,
+  *    `src/main.rs:116`) → `Trigger.ProcessingTime`;
+  *  - drain-on-end-of-input (`ShutdownCondition::Drain`,
+  *    `src/lib.rs:685-689`) → `Trigger.AvailableNow`;
+  *  - batching sink + ack (S2/S3, `src/clickhouse.rs:65-184`) →
+  *    `foreachBatch`: the batch write IS the ack — if it throws, the batch
+  *    is retried, offsets are not committed;
+  *  - DLQ split (E1) → dual-write inside the same `foreachBatch`, so the
+  *    error branch sees the ORIGINAL records of the same micro-batch
+  *    (exactly the reference's "err sees original messages");
+  *  - offset store + periodic commit (D6, C1, `src/lib.rs:980-994`) →
+  *    the checkpoint directory: offsets are recorded per micro-batch
+  *    after the sink callback returns — same at-least-once contract.
+  *
+  * Deliberate difference (SURVEY §7.3): the reference errs per-MESSAGE
+  * mid-batch; `foreachBatch` errs per-BATCH. Capability parity is kept by
+  * doing the per-record Try-split BEFORE the sink (the `valid` predicate),
+  * so a poison record lands on the DLQ without failing its batch.
+  */
+object StreamingPipeline {
+
+  /** A declarative parse/validate stage: `valid` decides ok-vs-DLQ,
+    * `parsed` is the projected payload for the ok branch. Both are Column
+    * expressions — codegen'd, no UDF in the hot path. */
+  final case class ParseStage(valid: Column, parsed: Seq[Column])
+
+  /** Source → parse → dual-write (ok parquet + DLQ parquet) → checkpoint
+    * commit. Returns the running query; callers own its lifecycle
+    * (`processAllAvailable`/`stop` — D10/D13's drain and stop). */
+  def dualWrite(
+      records: DataFrame,
+      stage: ParseStage,
+      okDir: String,
+      dlqDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val staged = batch.withColumn("_ok", stage.valid).persist()
+        try {
+          staged.where(col("_ok"))
+            .select(stage.parsed: _*)
+            .write.mode("append").parquet(okDir)
+          staged.where(!col("_ok"))
+            .drop("_ok")
+            .write.mode("append").parquet(dlqDir)
+        } finally staged.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Event-time windowed aggregation with watermark (the event-time
+    * capability the reference lacks — SURVEY §2.6): counts per tumbling
+    * window per key, late data bounded by the watermark. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowLen: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows per key (streaming sessionization; batch equivalent
+    * is graft.operators.Sessionize). */
+  def sessionCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "60 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+}

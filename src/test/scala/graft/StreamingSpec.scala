@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.pipeline.Record
+import graft.streaming.StreamingPipeline
+import graft.streaming.StreamingPipeline.ParseStage
+
+/** Streaming-path ports of the reference lifecycle tests (SURVEY §5):
+  * drain semantics, DLQ dual-write, checkpoint commit / no-reprocessing. */
+class StreamingSpec extends SparkSpecBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-stream").toString
+
+  private def rec(p: Int, o: Long, v: String): Record =
+    Record("topic", p, o, 1700000000000L + o, None, v.getBytes("UTF-8"))
+
+  private val stage = ParseStage(
+    valid = !decode(col("value"), "UTF-8").contains("poison"),
+    parsed = Seq(col("partition"), col("offset"),
+      decode(col("value"), "UTF-8").as("payload")))
+
+  test("dual-write: ok and DLQ branches from the same micro-batch; drain on AvailableNow") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (okDir, dlqDir, ckpt) = (tmp(), tmp(), tmp())
+    val stream = MemoryStream[Record]
+    stream.addData(rec(0, 0, "a"), rec(0, 1, "poison"), rec(1, 0, "b"))
+    val q = StreamingPipeline.dualWrite(
+      stream.toDF(), stage, okDir, dlqDir, ckpt)
+    q.awaitTermination() // AvailableNow = drain pending input, then stop
+    val ok = spark.read.parquet(okDir)
+    assert(ok.select("payload").as[String].collect().sorted.toSeq
+      === Seq("a", "b"))
+    val dlq = spark.read.parquet(dlqDir)
+    // DLQ carries the ORIGINAL record (full schema, original value bytes)
+    assert(dlq.count() === 1)
+    assert(new String(dlq.select("value").head().getAs[Array[Byte]](0),
+      "UTF-8") === "poison")
+  }
+
+  test("checkpoint commit: restart does not reprocess acked offsets") {
+    implicit val sqlCtx = spark.sqlContext
+    val (okDir, dlqDir, ckpt) = (tmp(), tmp(), tmp())
+    val stream = MemoryStream[Record]
+    stream.addData(rec(0, 0, "a"), rec(0, 1, "b"))
+    val q1 = StreamingPipeline.dualWrite(
+      stream.toDF(), stage, okDir, dlqDir, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(okDir).count() === 2)
+    // restart against the SAME checkpoint with new data appended
+    stream.addData(rec(0, 2, "c"))
+    val q2 = StreamingPipeline.dualWrite(
+      stream.toDF(), stage, okDir, dlqDir, ckpt)
+    q2.awaitTermination()
+    // only the new record was processed — old offsets stay committed
+    assert(spark.read.parquet(okDir).count() === 3)
+  }
+
+  test("processing-time trigger: micro-batch flush loop with graceful stop") {
+    implicit val sqlCtx = spark.sqlContext
+    val (okDir, dlqDir, ckpt) = (tmp(), tmp(), tmp())
+    val stream = MemoryStream[Record]
+    stream.addData(rec(0, 0, "x"))
+    val q = StreamingPipeline.dualWrite(stream.toDF(), stage, okDir, dlqDir,
+      ckpt, Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      q.processAllAvailable() // reference: flush-interval tick
+      stream.addData(rec(0, 1, "y"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(okDir).count() === 2)
+    } finally q.stop() // D13: graceful stop drains the running batch
+  }
+
+  test("event-time windowed counts with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val df = stream.toDF().toDF("ts", "kind")
+    val agg = StreamingPipeline.windowedCounts(df, "ts", "kind", "10 minutes")
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("win_counts").start()
+    try {
+      stream.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "click"),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "click"),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:15:00"), "view"))
+      q.processAllAvailable()
+      val got = spark.table("win_counts")
+        .select($"kind", $"n").as[(String, Long)].collect().toMap
+      assert(got === Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization: session_window groups by gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val df = stream.toDF().toDF("ts", "user")
+    val agg = StreamingPipeline.sessionCounts(df, "ts", "user", "30 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_counts").start()
+    try {
+      stream.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "u1"),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "u1"),
+        // > 30 min silence -> new session
+        (java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), "u1"))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_counts")
+        .select($"n").as[Long].collect().sorted.toSeq
+      assert(sessions === Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
