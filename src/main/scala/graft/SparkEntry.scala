@@ -18,7 +18,8 @@ object SparkEntry {
     operators.NearDup,
     operators.Sessionize,
     operators.Multimodal,
-    operators.PipelineQueries
+    operators.PipelineQueries,
+    operators.Relational
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

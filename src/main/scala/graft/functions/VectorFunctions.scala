@@ -18,9 +18,11 @@ object VectorFunctions {
   /** Cast a float array to double for precision-stable arithmetic. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product (float or double arrays). Delegates to
+    * the native [[ArrayDot]] expression: same left-to-right double fold as
+    * the higher-order `aggregate` form (bit-identical results), but a
+    * codegen'd tight loop instead of per-element interpretation. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.array_dot(a, b)
 
   /** L2 norm. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
@@ -42,16 +44,4 @@ object VectorFunctions {
     if (((x >> 15) & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** Random-hyperplane LSH bucket for one hash table: an `nBits`-bit
-    * signature where bit r = [dot(v, h_r) >= 0] and h_r is a ±1
-    * hyperplane drawn from [[signAt]]. */
-  def lshBucket(v: Column, table: Int, nBits: Int, dim: Int): Column = {
-    val bits = (0 until nBits).map { r =>
-      val signs = (0 until dim)
-        .map(k => signAt((table.toLong * nBits + r) * dim + k))
-      val d = dot(v, typedlit(signs))
-      when(d >= 0.0, lit(1L << r)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
 }

@@ -20,69 +20,56 @@ import graft.ops.{QueryDef, QueryModule, Tables}
   */
 object NearDup extends QueryModule {
 
-  /** 32 bands x 4 rows = 128 permutations: for J >= 0.9 the per-band hit
-    * rate is 0.9^4 ≈ 0.656, so the miss probability is (1-0.656)^32 ≈ 1e-15
-    * — effectively perfect recall at the verification threshold. */
-  private val Bands = 32
+  /** 16 bands x 4 rows = 64 permutations: for J >= 0.9 the per-band hit
+    * rate is 0.9^4 ≈ 0.656, so the miss probability is (1-0.656)^16 ≈ 4e-8
+    * — effectively perfect recall at the verification threshold, at half
+    * the signature cost of 128 permutations. */
+  private val Bands = 16
   private val Rows = 4
   private val Perms = Bands * Rows
   private val Tau = 0.8
-  private val MersennePrime = 2305843009213693951L // 2^61 - 1
 
-  /** Distinct word 3-gram shingles. */
-  private def shingleCol(text: Column): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2)))))
-      .otherwise(array(text))
-  }
-
-  private def shingles(s: SparkSession, d: String): DataFrame = {
+  /** Shingle sets as sorted distinct 64-bit hashes (native
+    * [[graft.functions.TextShinglesExpr]], one pass per document):
+    * Jaccard arithmetic over hashes is identical to string shingles
+    * (collision odds ~n²/2^64 ≈ 1e-9) but the pair join shuffles 8-byte
+    * elements instead of ~25-char strings and the per-pair intersection
+    * is a primitive merge — shuffle volume and verify cost are what
+    * dominate any pairwise stage at scale. */
+  private def hashedShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select($"doc_id", shingleCol($"text").as("sh"))
+    Tables.documents(s, d)
+      .select($"doc_id",
+        graft.functions.VectorExpressions.text_shingles($"text", 3).as("sh"))
   }
 
-  /** Universal-hash parameters for permutation p (deterministic; engine
-    * internal — the oracle never sees MinHash values, only verified pairs).
-    * Kept to 31 bits so a*h+b never overflows a long under ANSI mode. */
-  private def hashA(p: Int): Long =
-    ((1103515245L * (p + 1) + 12345L) % 1073741823L) * 2L + 1L
-  private def hashB(p: Int): Long =
-    (1103515245L * (2L * p + 7L) + 54321L) % 2147483647L
-
-  /** MinHash signatures: explode shingles, hash once with xxhash64, then
-    * take 128 permutation minima in one hash-aggregate (map-side partial
-    * aggregation keeps the shuffle at 128 longs per document). */
+  /** MinHash signatures: the whole 64-permutation signature comes from one
+    * native-expression pass over the hashed shingle array (no explode, no
+    * 64-column aggregate — see [[graft.functions.MinHashSigExpr]]). */
   private def signatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val mins = (0 until Perms).map { p =>
-      min(pmod(lit(hashA(p)) * $"h" + lit(hashB(p)), lit(MersennePrime)))
-        .as(s"mh$p")
-    }
-    shingles(s, d)
-      .select($"doc_id", explode($"sh").as("shingle"))
-      .withColumn("h", pmod(xxhash64($"shingle"), lit(2147483647L)))
-      .groupBy($"doc_id")
-      .agg(mins.head, mins.tail: _*)
+    hashedShingles(s, d)
+      .select($"doc_id",
+        graft.functions.VectorExpressions.minhash_sig($"sh", Perms).as("mh"))
   }
 
-  /** Candidate pairs from LSH banding: one row per (doc, band) keyed by the
-    * band's Rows-wide signature slice, self-joined on (band, key). */
+  /** Candidate pairs from LSH banding. Each band's Rows-wide signature
+    * slice is collapsed to ONE 64-bit key (xxhash64 of band index + slice
+    * values): identical slices always produce identical keys, so recall is
+    * unaffected; a hash collision can only add a false candidate, which
+    * the exact-Jaccard verify then discards. The self-join therefore
+    * shuffles a single long per (doc, band). */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bandStructs = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        struct((0 until Rows).map(r =>
-          col(s"mh${b * Rows + r}").as(s"k$r")): _*).as("key"))
+    val bandKeys = (0 until Bands).map { b =>
+      xxhash64(lit(b) +:
+        (0 until Rows).map(r => element_at($"mh", b * Rows + r + 1)): _*)
     }
     val banded = signatures(s, d)
-      .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
-    val a = banded.select($"band", $"key", $"doc_id".as("id_a"))
-    val b = banded.select($"band", $"key", $"doc_id".as("id_b"))
-    a.join(b, Seq("band", "key"))
+      .select($"doc_id", explode(array(bandKeys: _*)).as("bkey"))
+    val a = banded.select($"bkey", $"doc_id".as("id_a"))
+    val b = banded.select($"bkey", $"doc_id".as("id_b"))
+    a.join(b, Seq("bkey"))
       .where($"id_a" < $"id_b")
       .select($"id_a", $"id_b")
       .distinct()
@@ -92,12 +79,12 @@ object NearDup extends QueryModule {
     * Jaccard >= tau. */
   def minhashNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, d)
+    val sh = hashedShingles(s, d)
     candidatePairs(s, d)
       .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
       .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
       .withColumn("n_common",
-        size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+        graft.functions.VectorExpressions.intersect_count($"sh_a", $"sh_b"))
       .withColumn("jaccard",
         $"n_common".cast("double") /
           (size($"sh_a") + size($"sh_b") - $"n_common"))
@@ -112,7 +99,8 @@ object NearDup extends QueryModule {
   def ngramJaccardTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = Tables.documents(s, d)
-      .select($"doc_id", $"source", shingleCol($"text").as("sh"))
+      .select($"doc_id", $"source",
+        graft.functions.VectorExpressions.text_shingles($"text", 3).as("sh"))
     val a = sh.select($"source", $"doc_id".as("id_a"), $"sh".as("sh_a"))
     val b = sh.select($"source", $"doc_id".as("id_b"), $"sh".as("sh_b"))
     val w = Window.partitionBy($"source")
@@ -120,7 +108,7 @@ object NearDup extends QueryModule {
     a.join(b, Seq("source"))
       .where($"id_a" < $"id_b")
       .withColumn("n_common",
-        size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+        graft.functions.VectorExpressions.intersect_count($"sh_a", $"sh_b"))
       .withColumn("jaccard",
         $"n_common".cast("double") /
           (size($"sh_a") + size($"sh_b") - $"n_common"))

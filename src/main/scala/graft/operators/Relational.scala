@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{QueryDef, QueryModule, Tables}
+
+/** Relational breadth beyond the reference's SQL surface (SURVEY §2.5-2.6
+  * lists joins/limits/set-ops as absent from the reference; they are table
+  * stakes for the engine, so they ship here with oracles).
+  *
+  * Scale notes baked into each query:
+  *  - sums over doubles route through DECIMAL (exact, order-independent —
+  *    a straight double sum would be nondeterministic under parallelism);
+  *  - dimension joins broadcast (nation/customer side), so the fact scan
+  *    never shuffles for the join;
+  *  - filters sit directly on the scan so Parquet gets them as
+  *    PushedFilters (PlanAuditSpec pins this).
+  */
+object Relational extends QueryModule {
+
+  /** TPC-H Q1-shaped pricing summary: one hash-aggregate, partial+final. */
+  def lineitemAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Predicate-pushdown showcase: date-range + quantity filter reach the
+    * parquet scan. */
+  def shipdateFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .where($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+        && $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+        && $"l_quantity" > 45.0)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Revenue per nation: fact-side aggregate first (shrinks the join
+    * input), then broadcast dimension joins — no fact shuffle beyond the
+    * groupBy key. */
+  def revenueByNation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("cust_rev"))
+    perCust
+      .join(broadcast(Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)
+        .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"cust_rev").cast("double").as("revenue"),
+        count(lit(1)).as("n_customers"))
+      .orderBy($"n_name")
+  }
+
+  /** Semi-join (EXISTS) + anti-join (NOT EXISTS): orders that do / don't
+    * have any heavy lineitem. */
+  def orderLineitemSemiAnti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val heavy = Tables.lineitem(s, d)
+      .where($"l_quantity" > 49.0)
+      .select($"l_orderkey")
+    val o = Tables.orders(s, d)
+    val withHeavy = o.join(heavy, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n_with_heavy"))
+    val withoutHeavy = o.join(heavy, $"o_orderkey" === $"l_orderkey", "left_anti")
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n_without_heavy"))
+    withHeavy.join(withoutHeavy, Seq("o_orderpriority"), "full_outer")
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Top-3 orders per customer: ranking window after one shuffle on the
+    * window key. */
+  def topOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 3)
+      .select($"o_custkey", $"rank", $"o_orderkey",
+        $"o_totalprice".cast("decimal(18,2)").cast("double").as("price"))
+      .orderBy($"o_custkey", $"rank")
+  }
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_lineitem_agg", lineitemAgg, Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+    QueryDef(
+      "q_shipdate_filter", shipdateFilter, Some("""
+        SELECT l_returnflag, count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+          AND l_quantity > 45.0
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    QueryDef(
+      "q_revenue_by_nation", revenueByNation, Some("""
+        WITH pc AS (
+          SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_rev
+          FROM orders GROUP BY o_custkey)
+        SELECT n_name,
+               CAST(sum(cust_rev) AS DOUBLE) AS revenue,
+               count(*) AS n_customers
+        FROM pc
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+    QueryDef(
+      "q_semi_anti_join", orderLineitemSemiAnti, Some("""
+        WITH heavy AS (
+          SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 49.0),
+        wh AS (
+          SELECT o_orderpriority, count(*) AS n_with_heavy FROM orders
+          WHERE o_orderkey IN (SELECT l_orderkey FROM heavy)
+          GROUP BY o_orderpriority),
+        wo AS (
+          SELECT o_orderpriority, count(*) AS n_without_heavy FROM orders
+          WHERE o_orderkey NOT IN (SELECT l_orderkey FROM heavy)
+          GROUP BY o_orderpriority)
+        SELECT COALESCE(wh.o_orderpriority, wo.o_orderpriority)
+                 AS o_orderpriority,
+               n_with_heavy, n_without_heavy
+        FROM wh FULL OUTER JOIN wo ON wh.o_orderpriority = wo.o_orderpriority
+        ORDER BY o_orderpriority""")),
+    QueryDef(
+      "q_top_orders_per_cust", topOrdersPerCustomer, Some("""
+        SELECT o_custkey, rank, o_orderkey, price FROM (
+          SELECT o_custkey, o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          FROM orders) t
+        WHERE rank <= 3 ORDER BY o_custkey, rank"""))
+  )
+}

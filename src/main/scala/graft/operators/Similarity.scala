@@ -26,20 +26,23 @@ import graft.ops.{QueryDef, QueryModule, Tables}
   */
 object Similarity extends QueryModule {
 
-  private val Dim = 64
-  /** LSH banding: 8 tables x 16 bits targets cosine >= 0.9 near-dup pairs
-    * (p_bit = 1 - acos(0.9)/pi ≈ 0.856, band hit ≈ 0.856^16 ≈ 0.08,
-    * miss ≈ (1-0.08)^8 — tuned for *near-duplicate* recall; lower
-    * thresholds need more tables, not wider buckets). */
-  private val LshTables = 8
-  private val LshBits = 16
+  /** LSH banding: 48 tables x 14 bits for cosine >= 0.9 near-dup pairs.
+    * p_bit = 1 - acos(0.9)/pi ≈ 0.856; per-band hit 0.856^14 ≈ 0.113;
+    * miss (1-0.113)^48 ≈ 0.3% at the threshold (lower for truer dups),
+    * while a random pair collides in ~0.5^14 * 48 ≈ 0.3% of bands, so
+    * candidate volume stays ~linear. Signature cost is native-loop cheap
+    * (LshBucketsExpr), not interpreted per element. */
+  private val LshTables = 48
+  private val LshBits = 14
   private val NearDupTau = 0.9
 
-  /** Embeddings with double-cast vector and precomputed norm. */
+  /** Embeddings with raw float vector and precomputed double norm (the
+    * native dot accumulates in double either way — bit-identical to
+    * casting first). */
   private def vecs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, d)
-      .select($"vec_id", toDouble($"embedding").as("v"))
+      .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", l2Norm($"v"))
   }
 
@@ -67,7 +70,7 @@ object Similarity extends QueryModule {
   def labelBucketTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
-      .select($"vec_id", $"label", toDouble($"embedding").as("v"))
+      .select($"vec_id", $"label", $"embedding".as("v"))
       .withColumn("nrm", l2Norm($"v"))
     val a = e.select($"label", $"vec_id".as("id_a"), $"v".as("va"),
       $"nrm".as("na"))
@@ -91,13 +94,12 @@ object Similarity extends QueryModule {
   def nearDupLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, d)
-    // one row per (vec, table) with that table's bucket signature
+    // one row per (vec, table) with that table's bucket signature — all
+    // 48 signatures come from one native-expression evaluation per vector
     val sigs = e.select($"vec_id", $"v", $"nrm",
-      explode(array((0 until LshTables).map { t =>
-        struct(lit(t).as("t"), lshBucket($"v", t, LshBits, Dim).as("bucket"))
-      }: _*)).as("sig"))
-      .select($"vec_id", $"v", $"nrm", $"sig.t".as("t"),
-        $"sig.bucket".as("bucket"))
+      posexplode(graft.functions.VectorExpressions
+        .lsh_buckets($"v", LshTables, LshBits)))
+      .withColumnsRenamed(Map("pos" -> "t", "col" -> "bucket"))
     val a = sigs.select($"t", $"bucket", $"vec_id".as("id_a"),
       $"v".as("va"), $"nrm".as("na"))
     val b = sigs.select($"t", $"bucket", $"vec_id".as("id_b"),

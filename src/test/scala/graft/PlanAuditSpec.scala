@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{Dataflow, Relational, TextOps}
+
+/** Pins the physical-plan properties the 100 TB design depends on:
+  * column pruning into the scan, predicate pushdown, broadcast joins for
+  * dimensions, and no cartesian products anywhere in the registry. */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("delivery gap prunes the events scan to its two columns") {
+    val p = plan(Dataflow.deliveryGap(spark, sfDir))
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.contains("user_id") && readSchema.contains("event_id"),
+      readSchema)
+    assert(!readSchema.contains("props") && !readSchema.contains("ts"),
+      readSchema)
+  }
+
+  test("shipdate filter is pushed to the parquet scan") {
+    val p = plan(Relational.shipdateFilter(spark, sfDir))
+    assert(p.contains("PushedFilters:"), p)
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined
+      || "PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("revenue-by-nation joins dimensions via broadcast, no sort-merge") {
+    val p = plan(Relational.revenueByNation(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("semi/anti joins plan as semi/anti, not inner+distinct") {
+    val p = plan(Relational.orderLineitemSemiAnti(spark, sfDir))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("no registered query plans a CartesianProduct") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = plan(fn(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+    }
+  }
+
+  test("text stats stay in one whole-stage codegen span (no UDFs)") {
+    val df = TextOps.textStats(spark, sfDir)
+    df.collect() // finalize THIS df's adaptive plan (count() would plan anew)
+    val p = plan(df)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    // "*(n)" node prefixes mark WholeStageCodegen spans in plan strings
+    assert(p.contains("*("), p)
+  }
+}
