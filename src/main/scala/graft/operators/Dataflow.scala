@@ -71,6 +71,20 @@ object Dataflow extends QueryModule {
       .orderBy($"user_id")
   }
 
+  /** Highwater mark through the typed `Aggregator` surface (A4 — the
+    * Reducer-trait analogue; same answer as [[highwater]], but the fold
+    * runs as a user-defined typed aggregation with map-side partials). */
+  def highwaterTyped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id", $"event_id").as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.pipeline.Aggregators.HighwaterAgg.toColumn.name("hwm"))
+      .toDF("user_id", "hwm")
+      .orderBy($"user_id")
+  }
+
   /** Idiomatic-Spark gap check: per-key lag window — finds WHERE the gaps
     * are, not just that they exist (SURVEY §2.6's showcase variant). */
   def gapByWindow(s: SparkSession, d: String): DataFrame = {
@@ -154,6 +168,10 @@ object Dataflow extends QueryModule {
         ORDER BY user_id, event_id""")),
     QueryDef(
       "q_highwater", highwater, Some("""
+        SELECT user_id, max(event_id) + 1 AS hwm
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+    QueryDef(
+      "q_highwater_typed", highwaterTyped, Some("""
         SELECT user_id, max(event_id) + 1 AS hwm
         FROM events GROUP BY user_id ORDER BY user_id""")),
     QueryDef(

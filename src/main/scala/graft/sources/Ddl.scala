@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Table DDL + physical layout (S6): the Spark analogue of the
+  * reference's sink table `CREATE TABLE ... ENGINE = MergeTree PRIMARY KEY
+  * (partition, offset, timestamp)` (/root/reference/README.md:73-82).
+  *
+  * MergeTree's primary key is a clustered sort order, not a constraint;
+  * the parquet equivalent is hash-distributing on the leading key and
+  * sorting within files, which gives the same two scale properties:
+  * range-predicate row-group skipping (parquet min/max stats on the sort
+  * columns) and cheap merge-style reads per partition.
+  */
+object Ddl {
+
+  /** Write `df` as a sorted parquet table and register it in the catalog.
+    * `sortCols.head` doubles as the distribution key. */
+  def createSortedTable(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      path: String,
+      sortCols: Seq[String],
+      numFiles: Int = 4): Unit = {
+    df.repartition(numFiles, col(sortCols.head))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"CREATE TABLE $table USING parquet LOCATION '$path'")
+  }
+}

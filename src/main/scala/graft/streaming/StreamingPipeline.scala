@@ -65,6 +65,33 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Console/debug sink (S4 — the reference's `OsStreamWriter`,
+    * `src/os_stream.rs:12-70`): latest rows to stdout per micro-batch,
+    * rate-limited by the trigger interval (the analogue of its
+    * `print_duration`). */
+  def debugSink(
+      df: DataFrame,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      maxRows: Int = 20): StreamingQuery =
+    df.writeStream
+      .format("console")
+      .option("numRows", maxRows)
+      .option("truncate", value = true)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** DLQ consumer (D5 — `reduce_err`, reference `src/lib.rs:842-932`):
+    * drains a dead-letter directory written by [[dualWrite]] and reduces
+    * it to per-partition failure counts, output discarded semantics =
+    * a metrics-style sink. */
+  def dlqSummary(spark: SparkSession, dlqDir: String): DataFrame =
+    spark.read.parquet(dlqDir)
+      .groupBy(col("topic"), col("partition"))
+      .agg(count(lit(1)).as("n_failed"),
+        min(col("offset")).as("first_offset"),
+        max(col("offset")).as("last_offset"))
+
   /** Event-time windowed aggregation with watermark (the event-time
     * capability the reference lacks — SURVEY §2.6): counts per tumbling
     * window per key, late data bounded by the watermark. */

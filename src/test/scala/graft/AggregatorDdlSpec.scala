@@ -1,0 +1,63 @@
+package graft
+
+import graft.pipeline.Aggregators
+import graft.sources.Ddl
+
+class AggregatorDdlSpec extends SparkSpecBase {
+
+  test("HighwaterAgg reproduces test_commit expectations through typed agg") {
+    import spark.implicits._
+    val got = Seq((0L, 1L), (1L, 0L)).toDS()
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(Aggregators.HighwaterAgg.toColumn.name("hwm"))
+      .collect().toMap
+    assert(got === Map(0L -> 2L, 1L -> 1L))
+  }
+
+  test("ConcatAgg accumulates then flushes like BatchingReducer") {
+    import spark.implicits._
+    val got = Seq(("a", "x"), ("a", "y"), ("b", "z")).toDS()
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(Aggregators.ConcatAgg.toColumn.name("batch"))
+      .collect().toMap
+    // arrival order within a partition; sort members for stability here
+    assert(got("a").split(",").sorted.toSeq === Seq("x", "y"))
+    assert(got("b") === "z")
+  }
+
+  test("sorted parquet table: catalog-visible, files sorted on the key") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ddl").toString
+    val df = graft.ops.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts")
+    Ddl.createSortedTable(spark, df, "events_sorted", s"$dir/events_sorted",
+      Seq("user_id", "event_id"))
+    val t = spark.table("events_sorted")
+    assert(t.count() === df.count())
+    // within every file, (user_id, event_id) is non-decreasing
+    val disorder = t
+      .withColumn("file", org.apache.spark.sql.functions.input_file_name())
+      .withColumn("prev", org.apache.spark.sql.functions.lag($"event_id", 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"file", $"user_id").orderBy(
+            org.apache.spark.sql.functions.monotonically_increasing_id())))
+      .where($"prev".isNotNull && $"event_id" < $"prev")
+    assert(disorder.count() === 0)
+    spark.sql("DROP TABLE IF EXISTS events_sorted")
+  }
+
+  test("dlq summary reduces a dead-letter directory (reduce_err analogue)") {
+    import spark.implicits._
+    import graft.pipeline.Record
+    val dlqDir = java.nio.file.Files.createTempDirectory("graft-dlq").toString
+    Seq(Record("t", 0, 5L, 0L, None, Array[Byte](1)),
+      Record("t", 0, 7L, 0L, None, Array[Byte](2)),
+      Record("t", 1, 3L, 0L, None, Array[Byte](3)))
+      .toDS().write.mode("overwrite").parquet(dlqDir)
+    val got = graft.streaming.StreamingPipeline.dlqSummary(spark, dlqDir)
+      .orderBy($"partition")
+      .select($"partition", $"n_failed", $"first_offset", $"last_offset")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0, 2L, 5L, 7L), (1, 1L, 3L, 3L)))
+  }
+}
