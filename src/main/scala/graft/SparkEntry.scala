@@ -19,7 +19,8 @@ object SparkEntry {
     operators.Sessionize,
     operators.Multimodal,
     operators.PipelineQueries,
-    operators.Relational
+    operators.Relational,
+    operators.Breadth
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * 2 columns must read 2 columns.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  // private so callers go through the named loaders (fixed table set)
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read

@@ -54,8 +54,9 @@ def main(sfdir, outdir):
                 if str(g.dtype) != str(w.dtype):
                     print(f"WARN {name}.{c}: dtype {g.dtype} vs {w.dtype}")
                 try:
-                    eq = (g.astype(object).where(pd.notna(g), None)
-                          == w.astype(object).where(pd.notna(w), None))
+                    both_na = pd.isna(g).values & pd.isna(w).values
+                    eq = (g.astype(object) == w.astype(object)).values | both_na
+                    eq = pd.Series(eq)
                     if not eq.all():
                         bad = (~eq).idxmax()
                         print(f"FAIL {name}.{c}: first diff row {bad}: "
