@@ -15,9 +15,6 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Cast a float array to double for precision-stable arithmetic. */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
-
   /** Sequential-fold dot product (float or double arrays). Delegates to
     * the native [[ArrayDot]] expression: same left-to-right double fold as
     * the higher-order `aggregate` form (bit-identical results), but a
