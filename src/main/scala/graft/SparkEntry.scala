@@ -20,7 +20,8 @@ object SparkEntry {
     operators.Multimodal,
     operators.PipelineQueries,
     operators.Relational,
-    operators.Breadth
+    operators.Breadth,
+    operators.Corpus
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{QueryDef, QueryModule, Tables}
+
+/** Corpus-level operators a training-data pipeline runs before/while
+  * building datasets: reproducible sampling and vocabulary statistics.
+  */
+object Corpus extends QueryModule {
+
+  /** Deterministic hash-bucket sampling: a ~10% sample selected by an
+    * md5 prefix of the key — reproducible across engines, runs, and
+    * cluster sizes (unlike `TABLESAMPLE`/`rand()`), and composable: the
+    * same bucketing yields disjoint train/eval splits. At scale this is a
+    * pushdown-friendly filter on a scan, no shuffle. */
+  def deterministicSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string")), 1, 2), 16, 10)
+          .cast("long"))
+      .where($"bucket" < 26) // 26/256 ≈ 10%
+      .select($"doc_id", $"lang", $"n_chars", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus vocabulary: term frequency and document frequency per token,
+    * top 50 by tf. Explode + two-level aggregate; the shuffle key is the
+    * token, partials are map-side combined. */
+  def tokenFrequencies(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("tf"),
+        countDistinct($"doc_id").as("df"))
+      .orderBy($"tf".desc, $"token")
+      .limit(50)
+  }
+
+  /** Exact distribution statistics per group: min / max / exact median
+    * (percentile with linear interpolation) of the event value. */
+  def valueQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"value").as("v_min"),
+        expr("percentile(value, 0.5D)").as("v_median"),
+        max($"value").as("v_max"))
+      .orderBy($"event_type")
+  }
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_sample_deterministic", deterministicSample, Some("""
+        SELECT doc_id, lang, n_chars, bucket FROM (
+          SELECT doc_id, lang, n_chars,
+                 CAST((strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                   AS BIGINT) AS bucket
+          FROM documents) t
+        WHERE bucket < 26 ORDER BY doc_id""")),
+    QueryDef(
+      "q_token_freq", tokenFrequencies, Some("""
+        SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents) t
+        GROUP BY token ORDER BY tf DESC, token LIMIT 50""")),
+    QueryDef(
+      "q_value_quantiles", valueQuantiles, Some("""
+        SELECT event_type, count(*) AS n,
+               min(value) AS v_min,
+               quantile_cont(value, 0.5) AS v_median,
+               max(value) AS v_max
+        FROM events GROUP BY event_type ORDER BY event_type"""))
+  )
+}

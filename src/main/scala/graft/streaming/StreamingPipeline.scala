@@ -92,6 +92,20 @@ object StreamingPipeline {
         min(col("offset")).as("first_offset"),
         max(col("offset")).as("last_offset"))
 
+  /** Streaming exact dedup: drop records whose key was already seen
+    * within the watermark horizon — dedup state is bounded by event time,
+    * and duplicates with drifted timestamps still collapse (the streaming
+    * form of the batch dedup operators: at-least-once upstream delivery
+    * becomes exactly-once content downstream). */
+  def dedupStream(
+      records: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    records
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Event-time windowed aggregation with watermark (the event-time
     * capability the reference lacks — SURVEY §2.6): counts per tumbling
     * window per key, late data bounded by the watermark. */

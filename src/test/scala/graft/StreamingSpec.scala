@@ -77,6 +77,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop() // D13: graceful stop drains the running batch
   }
 
+  test("streaming dedup: duplicate keys across micro-batches emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "id", "payload")
+    val deduped = StreamingPipeline.dedupStream(df, Seq("id"), "ts")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      stream.addData((t, 1L, "a"), (t, 1L, "a-dup"), (t, 2L, "b"))
+      q.processAllAvailable()
+      stream.addData((t, 1L, "a-replay"), (t, 3L, "c")) // replay in later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select($"id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L)) // each key exactly once
+    } finally q.stop()
+  }
+
   test("event-time windowed counts with watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
