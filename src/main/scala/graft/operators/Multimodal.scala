@@ -82,6 +82,61 @@ object Multimodal extends QueryModule {
     decodeFeatures(s, d).toDF().orderBy($"doc_id")
   }
 
+  /** Frame sampling over a "video" payload: fixed-width frames on a
+    * stride (every other frame skipped), all inside codegen'd byte-slice
+    * expressions — the payload is never exploded before sampling, so a
+    * 100 GB video column only materializes the sampled frames. Frame
+    * extraction itself is the STUB (real builds substitute a keyframe
+    * decoder); the slicing/stride/summary plumbing is the real thing. */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frameLen = 64
+    val stride = 128
+    Tables.documents(s, d)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .withColumn("frames",
+        transform(
+          sequence(lit(1), octet_length($"payload").cast("int"), lit(stride)),
+          p => $"payload".substr(p, lit(frameLen))))
+      .select(
+        $"doc_id",
+        size($"frames").cast("long").as("n_frames"),
+        md5(element_at($"frames", 1)).as("first_md5"),
+        md5(element_at($"frames", -1)).as("last_md5"))
+      .orderBy($"doc_id")
+  }
+
+  object MediaResizer {
+    /** STUB — a real build would decode + bilinear-resample here.
+      * Deterministic fake: truncate/cycle payload bytes to the target
+      * "pixel" count so output size is shape-correct. */
+    def resizeStub(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+      val out = new Array[Byte](outW * outH)
+      var i = 0
+      while (i < out.length) {
+        out(i) = payload(i % math.max(payload.length, 1))
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Resize stage: partition-batched like [[decodeFeatures]], emitting
+    * fixed-shape thumbnails (binary) + dims. */
+  def resizeThumbnails(s: SparkSession, d: String, w: Int = 8, h: Int = 8)
+      : DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          (id, MediaResizer.resizeStub(payload, w, h), w, h)
+        }
+      }
+      .toDF("doc_id", "thumb", "width", "height")
+  }
+
   /** Rollup a real pipeline would emit: per-origin media volume. */
   def mediaStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -103,6 +158,14 @@ object Multimodal extends QueryModule {
                CAST(strlen(text) % 640 AS BIGINT) AS width,
                CAST((strlen(text) * 7) % 480 AS BIGINT) AS height,
                md5(text) AS phash
+        FROM documents ORDER BY doc_id""")),
+    QueryDef(
+      "q_frame_sample", frameSample, Some("""
+        SELECT doc_id,
+               CAST((strlen(text) - 1) // 128 + 1 AS BIGINT) AS n_frames,
+               md5(substr(text, 1, 64)) AS first_md5,
+               md5(substr(text, ((strlen(text) - 1) // 128) * 128 + 1, 64))
+                 AS last_md5
         FROM documents ORDER BY doc_id""")),
     QueryDef(
       "q_media_stats", mediaStats, Some("""

@@ -28,6 +28,15 @@ class SessionMultimodalSpec extends SparkSpecBase {
     assert(bad.count() === 0)
   }
 
+  test("resize stub emits fixed-shape thumbnails") {
+    import spark.implicits._
+    val df = Multimodal.resizeThumbnails(spark, sfDir, 8, 8)
+    val bad = df.where(org.apache.spark.sql.functions
+      .octet_length($"thumb") =!= 64)
+    assert(bad.count() === 0)
+    assert(df.count() === graft.ops.Tables.documents(spark, sfDir).count())
+  }
+
   test("multimodal plumbing: payload bytes don't reach the aggregate shuffle") {
     val plan = Multimodal.mediaStats(spark, sfDir)
       .queryExecution.executedPlan.toString
