@@ -118,6 +118,38 @@ object NearDup extends QueryModule {
       .orderBy($"source", $"rank")
   }
 
+  /** SimHash near-dup pairs within Hamming distance <= 6: the 64-bit
+    * fingerprint splits into 4 16-bit chunks; by pigeonhole any pair
+    * within distance 6 agrees on at least one chunk... only guaranteed
+    * for distance <= 3 with 4 chunks, so 8 8-bit chunks are used
+    * (distance <= 7 ⇒ some chunk equal). Candidates come from an
+    * equi-join on (chunk index, chunk value) — constant-width keys, no
+    * all-pairs — then exact popcount verification. (Rows-only gate:
+    * DuckDB has no compatible token hash; pinned by NearDupSpec.) */
+  def simhashNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val maxDist = 6
+    val chunks = 8 // 8-bit chunks: pigeonhole covers distance <= 7
+    val sigs = Tables.documents(s, d)
+      .select($"doc_id", simhash64($"text").as("simhash"))
+    val chunked = sigs.select($"doc_id", $"simhash",
+      posexplode(array((0 until chunks).map(c =>
+        shiftright($"simhash", c * 8).bitwiseAND(lit(0xffL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "cval"))
+    val a = chunked.select($"chunk", $"cval", $"doc_id".as("id_a"),
+      $"simhash".as("sh_a"))
+    val b = chunked.select($"chunk", $"cval", $"doc_id".as("id_b"),
+      $"simhash".as("sh_b"))
+    a.join(b, Seq("chunk", "cval"))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"sh_a", $"sh_b")
+      .distinct()
+      .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")).cast("long"))
+      .where($"hamming" <= maxDist)
+      .select($"id_a", $"id_b", $"hamming")
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** SimHash fingerprints via the native [[graft.functions.SimHash64]]
     * expression, grouped to dedup clusters on the exact fingerprint.
     * (No oracle: DuckDB has no compatible 64-bit token hash; pinned by
@@ -174,6 +206,7 @@ object NearDup extends QueryModule {
           FROM p)
         SELECT source, rank, id_a, id_b, jaccard
         FROM r WHERE rank <= 3 ORDER BY source, rank""")),
-    QueryDef("q_simhash", simhashClusters, None)
+    QueryDef("q_simhash", simhashClusters, None),
+    QueryDef("q_simhash_neardup", simhashNearDup, None)
   )
 }

@@ -42,6 +42,22 @@ class NearDupSpec extends SparkSpecBase {
     assert(perSource.where($"count" > 3).count() === 0)
   }
 
+  test("simhash hamming near-dup finds the known near-duplicate pairs at sf0.01") {
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.01"
+    val got = NearDup.simhashNearDup(spark, sf01)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // the corpus' strongest shingle-Jaccard near-dups (J >= 0.97) must
+    // land within the hamming ball
+    assert(got.contains((285L, 301L)), got.take(10))
+    assert(got.contains((98L, 290L)))
+    assert(got.contains((70L, 447L)))
+    // and every reported pair is within the advertised distance
+    val over = NearDup.simhashNearDup(spark, sf01)
+      .where($"hamming" > 6).count()
+    assert(over === 0)
+  }
+
   test("simhash clusters cover every document exactly once") {
     import spark.implicits._
     val df = NearDup.simhashClusters(spark, sfDir)
