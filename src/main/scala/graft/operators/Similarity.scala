@@ -87,6 +87,49 @@ object Similarity extends QueryModule {
       .orderBy($"label", $"rank")
   }
 
+  /** IVF index build: assign every vector to its nearest coarse centroid
+    * (deterministic seed centroids: vec_id < 8). The centroid table is
+    * broadcast, so assignment is a narrow pass over the corpus — the
+    * index-build shape that scales to any corpus size. */
+  def ivfAssign(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val cents = broadcast(e.where($"vec_id" < 8)
+      .select($"vec_id".as("centroid_id"), $"v".as("cv"), $"nrm".as("cn")))
+    val w = Window.partitionBy($"vec_id")
+      .orderBy($"cos".desc, $"centroid_id")
+    e.crossJoin(cents) // 8 broadcast rows: BroadcastNestedLoopJoin, narrow
+      .select($"vec_id", $"centroid_id",
+        cosineWithNorms($"v", $"cv", $"nrm", $"cn").as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"vec_id", $"centroid_id", $"cos")
+      .orderBy($"vec_id")
+  }
+
+  /** IVF-probed search: probes (vec_id 8..17) only scan their own
+    * cluster's inverted list — the candidate set shrinks by ~k versus a
+    * full scan, the essential ANN-index trade. */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val assign = ivfAssign(s, d).select($"vec_id", $"centroid_id")
+    val indexed = e.join(assign, "vec_id")
+    val probes = indexed
+      .where($"vec_id" >= 8 && $"vec_id" < 18)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"centroid_id")
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"neighbor_id")
+    indexed.join(probes, Seq("centroid_id"))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 3)
+      .select($"q_id", $"rank", $"neighbor_id", $"cosine")
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Near-duplicate pairs (cosine >= 0.9) via LSH banding + exact verify.
     * Correctly empty when no near-dups exist — the oracle is the
     * brute-force definition, so any LSH recall loss would surface as a
@@ -157,6 +200,51 @@ object Similarity extends QueryModule {
           FROM p)
         SELECT label, rank, id_a, id_b, cosine
         FROM r WHERE rank <= 3 ORDER BY label, rank""")),
+    QueryDef(
+      "q_ivf_assign", ivfAssign, Some(s"""
+        $oracleVecs,
+        c AS (SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cn
+              FROM e WHERE vec_id < 8),
+        a AS (
+          SELECT e.vec_id, c.centroid_id,
+                 list_sum(list_transform(generate_series(1, len(e.embedding)),
+                   k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
+                   / (e.nrm * c.cn) AS cos
+          FROM e CROSS JOIN c),
+        r AS (SELECT vec_id, centroid_id, cos,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, centroid_id) AS rn
+              FROM a)
+        SELECT vec_id, centroid_id, cos FROM r WHERE rn = 1
+        ORDER BY vec_id""")),
+    QueryDef(
+      "q_ivf_topk", ivfTopK, Some(s"""
+        $oracleVecs,
+        c AS (SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cn
+              FROM e WHERE vec_id < 8),
+        a AS (
+          SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
+                     / (e.nrm * c.cn) DESC, c.centroid_id) AS rn
+          FROM e CROSS JOIN c),
+        asg AS (SELECT vec_id, centroid_id FROM a WHERE rn = 1),
+        p AS (
+          SELECT pa.vec_id AS q_id, ea.vec_id AS neighbor_id,
+                 ${oracleDot("pe", "ee")} / (pe.nrm * ee.nrm) AS cosine
+          FROM asg pa
+          JOIN e pe ON pe.vec_id = pa.vec_id
+          JOIN asg ea ON ea.centroid_id = pa.centroid_id
+                     AND ea.vec_id <> pa.vec_id
+          JOIN e ee ON ee.vec_id = ea.vec_id
+          WHERE pa.vec_id >= 8 AND pa.vec_id < 18),
+        r AS (SELECT q_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT q_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3
+        ORDER BY q_id, rank""")),
     QueryDef(
       "q_embed_neardup", nearDupLsh, Some(s"""
         $oracleVecs
