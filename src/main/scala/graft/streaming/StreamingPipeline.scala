@@ -39,7 +39,16 @@ object StreamingPipeline {
 
   /** Source → parse → dual-write (ok parquet + DLQ parquet) → checkpoint
     * commit. Returns the running query; callers own its lifecycle
-    * (`processAllAvailable`/`stop` — D10/D13's drain and stop). */
+    * (`processAllAvailable`/`stop` — D10/D13's drain and stop).
+    *
+    * Writes are IDEMPOTENT per micro-batch: each batch lands in its own
+    * `batch=<id>/` partition directory (partition discovery exposes a
+    * `batch` lineage column on read) and a batch whose `_SUCCESS` marker
+    * already exists is skipped. A batch that crashed mid-write (no marker) is
+    * overwritten cleanly on replay — so the at-least-once replay of
+    * foreachBatch becomes exactly-once CONTENT on disk (the
+    * `test_fail_on_flush` concern, reference `src/lib.rs:1498-1665`,
+    * resolved the storage-level way). */
   def dualWrite(
       records: DataFrame,
       stage: ParseStage,
@@ -48,21 +57,26 @@ object StreamingPipeline {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     records.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         val staged = batch.withColumn("_ok", stage.valid).persist()
         try {
-          staged.where(col("_ok"))
-            .select(stage.parsed: _*)
-            .write.mode("append").parquet(okDir)
-          staged.where(!col("_ok"))
-            .drop("_ok")
-            .write.mode("append").parquet(dlqDir)
+          writeBatchOnce(staged.where(col("_ok")).select(stage.parsed: _*),
+            s"$okDir/batch=$id")
+          writeBatchOnce(staged.where(!col("_ok")).drop("_ok"),
+            s"$dlqDir/batch=$id")
         } finally staged.unpersist()
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
+
+  /** Write `df` to `dir` unless a completed write (`_SUCCESS`) is already
+    * there; a partial dir from a crashed attempt is overwritten. */
+  private[streaming] def writeBatchOnce(df: DataFrame, dir: String): Unit = {
+    val success = new java.io.File(dir, "_SUCCESS")
+    if (!success.isFile) df.write.mode("overwrite").parquet(dir)
   }
 
   /** Console/debug sink (S4 — the reference's `OsStreamWriter`,

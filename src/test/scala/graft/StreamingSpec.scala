@@ -77,6 +77,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop() // D13: graceful stop drains the running batch
   }
 
+  test("test_fail_on_flush port: batch replay after sink crash does not duplicate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (okDir, dlqDir, ckpt) = (tmp(), tmp(), tmp())
+    // simulate batch 0 committed by a previous (crashed-after-write)
+    // attempt: completed dir with _SUCCESS present
+    val preDir = new java.io.File(s"$okDir/batch=0")
+    Seq((0, 0L, "already-written")).toDF("partition", "offset", "payload")
+      .coalesce(1).write.parquet(preDir.toString)
+    assert(new java.io.File(preDir, "_SUCCESS").isFile)
+    val stream = MemoryStream[Record]
+    stream.addData(rec(0, 0, "fresh"))
+    val q = StreamingPipeline.dualWrite(stream.toDF(), stage, okDir, dlqDir, ckpt)
+    q.awaitTermination()
+    // replayed batch 0 was skipped: the committed content survives
+    val payloads = spark.read.parquet(okDir).select("payload")
+      .as[String].collect().toSeq
+    assert(payloads === Seq("already-written"))
+    // whereas a PARTIAL dir (no _SUCCESS) is overwritten on replay
+    val (okDir2, dlqDir2, ckpt2) = (tmp(), tmp(), tmp())
+    val partial = new java.io.File(s"$okDir2/batch=0")
+    partial.mkdirs() // crashed attempt: directory but no _SUCCESS
+    val stream2 = MemoryStream[Record]
+    stream2.addData(rec(0, 0, "retried"))
+    val q2 = StreamingPipeline.dualWrite(stream2.toDF(), stage, okDir2,
+      dlqDir2, ckpt2)
+    q2.awaitTermination()
+    assert(spark.read.parquet(okDir2).select("payload")
+      .as[String].collect().toSeq === Seq("retried"))
+  }
+
   test("streaming dedup: duplicate keys across micro-batches emit once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
