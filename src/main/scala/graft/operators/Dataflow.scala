@@ -36,15 +36,27 @@ object Dataflow extends QueryModule {
     Tables.events(s, d).select("user_id", "event_id").distinct()
 
   /** Flagship: per-key delivery-gap check. offset_diff == occ (delta = 0)
-    * iff the offset range is dense — no message lost. */
+    * iff the offset range is dense — no message lost.
+    *
+    * The reference phrases this as `SELECT DISTINCT` then GROUP BY (two
+    * shuffles); expressing the dedup as count(DISTINCT event_id) keeps
+    * identical semantics (min/max are distinct-invariant) in ONE shuffle
+    * on user_id — the plan that matters at 100 TB. */
   def deliveryGap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    distinctPairs(s, d)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id")
+      // hash(user_id) co-locates (user_id, event_id) too, so BOTH agg
+      // phases of the distinct aggregation reuse this one exchange.
+      // Tradeoff: no map-side pre-dedup — right when duplicates are rare
+      // (the delivery-check regime); heavy-duplication inputs should drop
+      // the repartition and take the extra exchange.
+      .repartition($"user_id")
       .groupBy($"user_id")
       .agg(
         min($"event_id").as("min_off"),
         max($"event_id").as("max_off"),
-        count($"event_id").as("occ"))
+        countDistinct($"event_id").as("occ"))
       .withColumn("offset_diff", $"max_off" - $"min_off" + lit(1L))
       .withColumn("delta", $"offset_diff" - $"occ")
       .orderBy($"user_id")
