@@ -113,6 +113,62 @@ object VecOps {
     n
   }
 
+  /** 256-entry random table for the Gear rolling hash (deterministic
+    * LCG — same generator family as [[VectorFunctions.signAt]]). */
+  private val gearTable: Array[Long] = {
+    val t = new Array[Long](256)
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 256) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      t(i) = x
+      i += 1
+    }
+    t
+  }
+
+  /** Content-defined chunking via a Gear rolling hash (the FastCDC
+    * family): `hash = (hash << 1) + gear(byte)`, so a byte's influence
+    * ages out after 64 shifts and a boundary (low `maskBits` bits zero)
+    * depends only on the trailing ~64 bytes. An insertion early in a
+    * document shifts bytes but NOT later chunk identities — the property
+    * fixed-width chunking lacks and the reason CDC powers chunk-level
+    * dedup. Returns sorted distinct FNV hashes of the chunks (set form
+    * for dedup joins). */
+  def contentChunks(text: org.apache.spark.unsafe.types.UTF8String,
+      maskBits: Int): ArrayData = {
+    val bytes = text.getBytes
+    val mask = (1L << maskBits) - 1L
+    val minChunk = 8
+    var hash = 0L
+    val boundaries = scala.collection.mutable.ArrayBuffer[Int](0)
+    var i = 0
+    while (i < bytes.length) {
+      hash = (hash << 1) + gearTable(bytes(i) & 0xff)
+      if ((hash & mask) == 0L && (i + 1 - boundaries.last) >= minChunk) {
+        boundaries += (i + 1)
+      }
+      i += 1
+    }
+    if (boundaries.last != bytes.length) boundaries += bytes.length
+    val out = new Array[Long](boundaries.length - 1)
+    var c = 0
+    while (c < out.length) {
+      out(c) = SimHash.fnv1a64(
+        new String(bytes, boundaries(c), boundaries(c + 1) - boundaries(c),
+          java.nio.charset.StandardCharsets.UTF_8))
+      c += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var j = 0
+    while (j < out.length) {
+      if (w == 0 || out(j) != out(w - 1)) { out(w) = out(j); w += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
   /** Word n-gram shingle set of a single-space-tokenized text, each
     * shingle hashed with FNV-1a/64, deduplicated and SORTED (the contract
     * [[intersectCount]] relies on). Texts shorter than n tokens hash
@@ -209,6 +265,20 @@ case class IntersectCountExpr(left: Expression, right: Expression)
       l: Expression, r: Expression): IntersectCountExpr = copy(l, r)
 }
 
+/** Content-defined chunk hashes of a text column (see
+  * [[VecOps.contentChunks]]). */
+case class ContentChunksExpr(child: Expression, mask: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecOps.contentChunks(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mask)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.contentChunks($c, $mask)")
+  override protected def withNewChildInternal(c: Expression): ContentChunksExpr =
+    copy(c)
+}
+
 /** Sorted-distinct hashed word n-gram shingles of a text column. */
 case class TextShinglesExpr(child: Expression, n: Int)
     extends UnaryExpression {
@@ -235,4 +305,6 @@ object VectorExpressions {
       GraftShims.toExpression(b)))
   def text_shingles(text: Column, n: Int): Column =
     GraftShims.column(TextShinglesExpr(GraftShims.toExpression(text), n))
+  def content_chunks(text: Column, maskBits: Int): Column =
+    GraftShims.column(ContentChunksExpr(GraftShims.toExpression(text), maskBits))
 }

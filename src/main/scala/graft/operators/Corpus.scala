@@ -40,6 +40,43 @@ object Corpus extends QueryModule {
       .limit(50)
   }
 
+  /** Decontamination: drop training documents whose normalized
+    * fingerprint matches a held-out benchmark set (here: every 25th doc
+    * stands in for the eval set). The held-out side is tiny → broadcast
+    * anti-join on a constant-width md5 key; the corpus never shuffles. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def fp(c: org.apache.spark.sql.Column) =
+      md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""),
+        " +", " ")))
+    val docs = Tables.documents(s, d)
+    val benchmark = broadcast(
+      docs.where($"doc_id" % 25 === 0).select(fp($"text").as("bfp")))
+    docs.select($"doc_id", $"lang", fp($"text").as("fp"))
+      .join(benchmark, $"fp" === $"bfp", "left_anti")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy($"lang")
+  }
+
+  /** Chunk-level duplication profile via content-defined chunking
+    * ([[graft.functions.ContentChunksExpr]], Gear rolling hash): how many
+    * distinct chunks appear in more than one document — the signal
+    * chunk-level dedup acts on. (Rows-only gate: the rolling hash has no
+    * SQL form; CorpusSpec pins the chunker's CDC property.) */
+  def chunkDupProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        explode(graft.functions.VectorExpressions
+          .content_chunks($"text", 5)).as("chunk"))
+      .groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+      .groupBy($"n_docs")
+      .agg(count(lit(1)).as("n_chunks"))
+      .orderBy($"n_docs")
+  }
+
   /** Exact distribution statistics per group: min / max / exact median
     * (percentile with linear interpolation) of the event value. */
   def valueQuantiles(s: SparkSession, d: String): DataFrame = {
@@ -72,6 +109,18 @@ object Corpus extends QueryModule {
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
               FROM documents) t
         GROUP BY token ORDER BY tf DESC, token LIMIT 50""")),
+    QueryDef(
+      "q_decontaminate", decontaminate, Some("""
+        WITH fps AS (
+          SELECT doc_id, lang,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+          FROM documents),
+        bench AS (SELECT fp AS bfp FROM fps WHERE doc_id % 25 = 0)
+        SELECT lang, count(*) AS n_kept
+        FROM fps WHERE fp NOT IN (SELECT bfp FROM bench)
+        GROUP BY lang ORDER BY lang""")),
+    QueryDef("q_chunk_dedup", chunkDupProfile, None),
     QueryDef(
       "q_value_quantiles", valueQuantiles, Some("""
         SELECT event_type, count(*) AS n,

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.VecOps
+import graft.operators.Corpus
+
+class CorpusSpec extends SparkSpecBase {
+
+  private def chunks(s: String): Seq[Long] = {
+    val a = VecOps.contentChunks(UTF8String.fromString(s), 5)
+      .asInstanceOf[ArrayData]
+    (0 until a.numElements()).map(a.getLong)
+  }
+
+  test("content-defined chunking: early edits don't shift later chunks") {
+    // non-repeating body: periodic text would let even fixed-width
+    // chunks accidentally realign after the edit
+    val base = (0 until 300).map(i => s"w${i * 2654435761L % 99991}")
+      .mkString(" ")
+    val edited = "INSERTED PREFIX " + base
+    val a = chunks(base).toSet
+    val b = chunks(edited).toSet
+    // the edit perturbs at most the first chunk(s); the tail chunks keep
+    // their identities, so the overlap stays high
+    val overlap = a.intersect(b).size.toDouble / a.size
+    assert(overlap > 0.5, s"overlap=$overlap a=${a.size} b=${b.size}")
+    // whereas fixed-width chunking at the same granularity would share ~0
+    val fixedA = base.getBytes.grouped(32).map(new String(_)).toSet
+    val fixedB = edited.getBytes.grouped(32).map(new String(_)).toSet
+    assert(fixedA.intersect(fixedB).size < a.intersect(b).size)
+  }
+
+  test("chunker is deterministic and covers the document") {
+    val s = "some document body with enough bytes to chunk repeatedly " * 5
+    assert(chunks(s) === chunks(s))
+    assert(chunks(s).nonEmpty)
+  }
+
+  test("decontamination removes exactly the benchmark fingerprints") {
+    import spark.implicits._
+    val total = graft.ops.Tables.documents(spark, sfDir).count()
+    val bench = graft.ops.Tables.documents(spark, sfDir)
+      .where($"doc_id" % 25 === 0).count()
+    val kept = Corpus.decontaminate(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum($"n_kept")).as[Long].head()
+    // all texts are distinct in the fixture, so kept = total - benchmark
+    assert(kept === total - bench)
+  }
+
+  test("chunk dedup profile is a partition of distinct chunks") {
+    import spark.implicits._
+    val prof = Corpus.chunkDupProfile(spark, sfDir).cache()
+    assert(prof.where($"n_docs" < 1).count() === 0)
+    assert(prof.agg(org.apache.spark.sql.functions.sum($"n_chunks"))
+      .as[Long].head() > 0)
+    prof.unpersist()
+  }
+}
