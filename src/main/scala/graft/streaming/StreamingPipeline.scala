@@ -106,6 +106,34 @@ object StreamingPipeline {
         min(col("offset")).as("first_offset"),
         max(col("offset")).as("last_offset"))
 
+  /** Per-key custom state via `flatMapGroupsWithState` — the streaming
+    * form of the reference's stateful commit tracking (`HighwaterMark`
+    * folded one message at a time, `src/lib.rs:956-962`): each key keeps
+    * a running (highwater, seen-count) across micro-batches and emits the
+    * updated value whenever the key appears. The state store is
+    * checkpoint-backed, so restarts resume the fold exactly where the
+    * last commit left it. */
+  def statefulHighwater(records: org.apache.spark.sql.Dataset[graft.pipeline.Record])
+      : org.apache.spark.sql.Dataset[(String, Int, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import records.sparkSession.implicits._
+    records
+      .groupByKey(r => (r.topic, r.partition))
+      .flatMapGroupsWithState[(Long, Long), (String, Int, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Long)]) =>
+          val (hwm0, n0) = state.getOption.getOrElse((Long.MinValue, 0L))
+          var hwm = hwm0
+          var n = n0
+          rows.foreach { r =>
+            if (r.offset + 1 > hwm) hwm = r.offset + 1
+            n += 1
+          }
+          state.update((hwm, n))
+          Iterator((key._1, key._2, hwm, n))
+      }
+  }
+
   /** Streaming exact dedup: drop records whose key was already seen
     * within the watermark horizon — dedup state is bounded by event time,
     * and duplicates with drifted timestamps still collapse (the streaming

@@ -128,6 +128,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: per-key highwater state persists across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Record]
+    val out = StreamingPipeline.statefulHighwater(stream.toDS())
+      .toDF("topic", "partition", "hwm", "n_seen")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hw_state").start()
+    try {
+      stream.addData(rec(0, 1, "a"), rec(1, 0, "b"))
+      q.processAllAvailable()
+      stream.addData(rec(0, 5, "c")) // same key, later batch
+      q.processAllAvailable()
+      val rows = spark.table("hw_state")
+        .select($"partition", $"hwm", $"n_seen")
+        .as[(Int, Long, Long)].collect().toSeq
+      // reference test_commit expectations for batch 1 ...
+      assert(rows.contains((0, 2L, 1L)) && rows.contains((1, 1L, 1L)))
+      // ... and the fold RESUMED (not restarted) in batch 2
+      assert(rows.contains((0, 6L, 2L)))
+    } finally q.stop()
+  }
+
   test("event-time windowed counts with watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
