@@ -46,6 +46,29 @@ class AggregatorDdlSpec extends SparkSpecBase {
     spark.sql("DROP TABLE IF EXISTS events_sorted")
   }
 
+  test("kafka source wiring: option mapping and record column mapping") {
+    import graft.sources.KafkaRecords
+    val opts = KafkaRecords.options(KafkaRecords.Config(
+      bootstrapServers = "broker:9092",
+      topics = Seq("t1", "t2"),
+      maxOffsetsPerTrigger = Some(128L),
+      groupIdPrefix = Some("graft")))
+    assert(opts("subscribe") === "t1,t2")
+    assert(opts("maxOffsetsPerTrigger") === "128") // reference batch bound
+    assert(opts("startingOffsets") === "earliest")
+    // column mapping over a Kafka-shaped batch frame (no broker needed)
+    import spark.implicits._
+    val kafkaShaped = Seq(
+      ("t1", 0, 7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.250"),
+        null.asInstanceOf[Array[Byte]], "payload".getBytes("UTF-8")))
+      .toDF("topic", "partition", "offset", "timestamp", "key", "value")
+    val rec = KafkaRecords.toRecords(kafkaShaped).head()
+    assert(rec.topic === "t1" && rec.partition === 0 && rec.offset === 7L)
+    assert(rec.timestampMs % 1000 === 250L)
+    assert(rec.key.isEmpty)
+    assert(new String(rec.value, "UTF-8") === "payload")
+  }
+
   test("dlq summary reduces a dead-letter directory (reduce_err analogue)") {
     import spark.implicits._
     import graft.pipeline.Record
