@@ -93,6 +93,50 @@ object NearDup extends QueryModule {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
+    * family): a pair with Jaccard >= t must share at least one token in
+    * the first `|A| - ceil(t*|A|) + 1` tokens of a canonical ordering
+    * (rarest-token-first), so candidates come from an equi-join on
+    * PREFIX tokens only — guaranteed 100% recall with no hashing, the
+    * deterministic counterpart to [[minhashNearDup]]. Rare-first ordering
+    * keeps prefix-token buckets small, which is what bounds the join
+    * fan-out at scale. */
+  def prefixSimJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = 0.3
+    val sh = hashedShingles(s, d) // sorted distinct hashed shingles
+    val tokens = sh.select($"doc_id", explode($"sh").as("tok"))
+    val freq = tokens.groupBy($"tok").agg(count(lit(1)).as("freq"))
+    // canonical rarest-first order; prefix keeps the first
+    // n - ceil(t*n) + 1 tokens
+    val ordered = tokens.join(freq, "tok")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"freq", $"tok"))).as("by_rarity"),
+        count(lit(1)).as("n"))
+      .select($"doc_id",
+        slice($"by_rarity", lit(1),
+          ($"n" - ceil(lit(t) * $"n") + 1).cast("int")).as("prefix"))
+    val pa = ordered.select($"doc_id".as("id_a"),
+      explode($"prefix.tok").as("tok"))
+    val pb = ordered.select($"doc_id".as("id_b"),
+      explode($"prefix.tok").as("tok"))
+    val candidates = pa.join(pb, Seq("tok"))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
+      .distinct()
+    candidates
+      .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
+      .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
+      .withColumn("n_common",
+        graft.functions.VectorExpressions.intersect_count($"sh_a", $"sh_b"))
+      .withColumn("jaccard",
+        $"n_common".cast("double") /
+          (size($"sh_a") + size($"sh_b") - $"n_common"))
+      .where($"jaccard" >= t)
+      .select($"id_a", $"id_b", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** N-gram Jaccard similarity, bucketed by `source` (pre-partitioned
     * corpus blocks): top-3 most similar pairs per block. The generic
     * unblocked form at scale is [[minhashNearDup]]. */
@@ -206,6 +250,17 @@ object NearDup extends QueryModule {
           FROM p)
         SELECT source, rank, id_a, id_b, jaccard
         FROM r WHERE rank <= 3 ORDER BY source, rank""")),
+    QueryDef(
+      "q_simjoin_prefix", prefixSimJoin, Some(s"""
+        $oracleShingles,
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                   AS jaccard
+          FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b, jaccard
+        FROM p WHERE jaccard >= 0.3 ORDER BY id_a, id_b""")),
     QueryDef("q_simhash", simhashClusters, None),
     QueryDef("q_simhash_neardup", simhashNearDup, None)
   )
