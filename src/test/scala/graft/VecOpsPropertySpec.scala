@@ -1,0 +1,77 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.VecOps
+
+/** ScalaCheck properties over the native kernels (pure JVM — no Spark
+  * session needed, so these run in milliseconds). */
+class VecOpsPropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private def arr(xs: Seq[Long]) = new GenericArrayData(xs.toArray)
+
+  private val sortedDistinct: Gen[Seq[Long]] =
+    Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted)
+
+  test("intersectCount: commutative, bounded, exact vs sets") {
+    check(Prop.forAll(sortedDistinct, sortedDistinct) { (a, b) =>
+      val n = VecOps.intersectCount(arr(a), arr(b))
+      n == VecOps.intersectCount(arr(b), arr(a)) &&
+        n == a.toSet.intersect(b.toSet).size.toLong &&
+        n <= math.min(a.size, b.size)
+    })
+  }
+
+  test("minhashSig: signature agreement grows with set overlap") {
+    check(Prop.forAll(sortedDistinct.suchThat(_.size >= 4)) { a =>
+      val sig = VecOps.minhashSig(arr(a), 64)
+      val same = VecOps.minhashSig(arr(a), 64)
+      (0 until 64).forall(i => sig.getLong(i) == same.getLong(i)) && {
+        // a subset's minima are >= the superset's (min over fewer values)
+        val sub = a.drop(a.size / 2)
+        val subSig = VecOps.minhashSig(arr(sub), 64)
+        (0 until 64).forall(i => subSig.getLong(i) >= sig.getLong(i))
+      }
+    })
+  }
+
+  test("textShingles: sorted, distinct, count bounded by token count") {
+    val words = Gen.nonEmptyListOf(Gen.identifier.map(_.take(6)))
+    check(Prop.forAll(words) { ws =>
+      val out = VecOps.textShingles(UTF8String.fromString(ws.mkString(" ")), 3)
+      val xs = (0 until out.numElements()).map(out.getLong)
+      xs == xs.sorted && xs.distinct.size == xs.size &&
+        xs.size <= math.max(ws.size - 2, 1)
+    })
+  }
+
+  test("dot: linear in a scalar (exactness of the double fold)") {
+    val vecs = Gen.nonEmptyListOf(Gen.chooseNum(-10.0, 10.0))
+    check(Prop.forAll(vecs) { v =>
+      val a = new GenericArrayData(v.toArray)
+      val zeros = new GenericArrayData(Array.fill(v.size)(0.0))
+      VecOps.dot(a, false, zeros, false) == 0.0 &&
+        VecOps.dot(a, false, a, false) >= 0.0
+    })
+  }
+
+  test("contentChunks: deterministic and chunk set non-empty on non-empty input") {
+    val texts = Gen.nonEmptyListOf(Gen.identifier).map(_.mkString(" "))
+    check(Prop.forAll(texts) { t =>
+      val u = UTF8String.fromString(t)
+      val a = VecOps.contentChunks(u, 5)
+      val b = VecOps.contentChunks(u, 5)
+      a.numElements() > 0 && a.numElements() == b.numElements() &&
+        (0 until a.numElements()).forall(i => a.getLong(i) == b.getLong(i))
+    })
+  }
+}
