@@ -96,7 +96,12 @@ object Multimodal extends QueryModule {
       .select($"doc_id", encode($"text", "UTF-8").as("payload"))
       .withColumn("frames",
         transform(
-          sequence(lit(1), octet_length($"payload").cast("int"), lit(stride)),
+          // greatest(..,1): an empty payload still yields one (empty)
+          // frame instead of sequence(1,0) throwing; the oracle mirrors
+          // this with greatest((strlen-1)//128, 0)+1
+          sequence(lit(1),
+            greatest(octet_length($"payload").cast("int"), lit(1)),
+            lit(stride)),
           p => $"payload".substr(p, lit(frameLen))))
       .select(
         $"doc_id",
@@ -112,10 +117,12 @@ object Multimodal extends QueryModule {
       * "pixel" count so output size is shape-correct. */
     def resizeStub(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
       val out = new Array[Byte](outW * outH)
-      var i = 0
-      while (i < out.length) {
-        out(i) = payload(i % math.max(payload.length, 1))
-        i += 1
+      if (payload.nonEmpty) {
+        var i = 0
+        while (i < out.length) {
+          out(i) = payload(i % payload.length)
+          i += 1
+        }
       }
       out
     }
@@ -162,10 +169,11 @@ object Multimodal extends QueryModule {
     QueryDef(
       "q_frame_sample", frameSample, Some("""
         SELECT doc_id,
-               CAST((strlen(text) - 1) // 128 + 1 AS BIGINT) AS n_frames,
+               CAST(greatest((strlen(text) - 1) // 128, 0) + 1 AS BIGINT)
+                 AS n_frames,
                md5(substr(text, 1, 64)) AS first_md5,
-               md5(substr(text, ((strlen(text) - 1) // 128) * 128 + 1, 64))
-                 AS last_md5
+               md5(substr(text, greatest((strlen(text) - 1) // 128, 0) * 128 + 1,
+                   64)) AS last_md5
         FROM documents ORDER BY doc_id""")),
     QueryDef(
       "q_media_stats", mediaStats, Some("""

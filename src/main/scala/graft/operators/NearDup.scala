@@ -20,11 +20,12 @@ import graft.ops.{QueryDef, QueryModule, Tables}
   */
 object NearDup extends QueryModule {
 
-  /** 16 bands x 4 rows = 64 permutations: for J >= 0.9 the per-band hit
-    * rate is 0.9^4 ≈ 0.656, so the miss probability is (1-0.656)^16 ≈ 4e-8
-    * — effectively perfect recall at the verification threshold, at half
-    * the signature cost of 128 permutations. */
-  private val Bands = 16
+  /** 32 bands x 4 rows = 128 permutations, sized for the ACTUAL
+    * verification threshold Tau=0.8: per-band hit rate 0.8^4 ≈ 0.41,
+    * miss probability (1-0.41)^32 ≈ 5e-8 for a pair at exactly J=0.8
+    * (and far lower above it). The oracle is the brute-force definition
+    * at Tau, so banding must be near-perfect AT Tau, not just at 0.9. */
+  private val Bands = 32
   private val Rows = 4
   private val Perms = Bands * Rows
   private val Tau = 0.8

@@ -23,10 +23,19 @@ import graft.ops.{QueryDef, QueryModule, Tables}
   */
 object TextOps extends QueryModule {
 
-  /** #occurrences of literal `m` in `s` — exact integer arithmetic. */
+  /** #occurrences of literal `m` in `s` — exact integer arithmetic.
+    * Non-overlapping (both engines' replace), used only for substring
+    * counts where overlap cannot occur (the single-space count). */
   private def occurrences(s: Column, m: String): Column =
     ((length(s) - length(regexp_replace(s, java.util.regex.Pattern.quote(m), "")))
       / m.length).cast("long")
+
+  /** #tokens equal to `w` — token-exact, immune to the adjacent-marker
+    * undercount that padded-substring counting has ("a a a" counts 3, not
+    * 2): filter over the split array, identical in DuckDB as
+    * len(list_filter(string_split(text,' '), t -> t = w)). */
+  private def tokenOccurrences(s: Column, w: String): Column =
+    size(filter(split(s, " "), t => t === w)).cast("long")
 
   /** Whitespace token count for single-space-separated text:
     * #spaces + 1 (0 for empty/blank). */
@@ -70,10 +79,9 @@ object TextOps extends QueryModule {
   def textStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val t = $"text"
-    val padded = concat(lit(" "), t, lit(" "))
     val nTokens = tokenCount(t)
-    val nStop = (occurrences(padded, " the ") + occurrences(padded, " a ")
-      + occurrences(padded, " of ") + occurrences(padded, " and "))
+    val nStop = (tokenOccurrences(t, "the") + tokenOccurrences(t, "a")
+      + tokenOccurrences(t, "of") + tokenOccurrences(t, "and"))
     val nPunct = length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
     Tables.documents(s, d)
       .select(
@@ -98,11 +106,11 @@ object TextOps extends QueryModule {
     * marker counts, deterministic tie-break by fixed priority). */
   def langId(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val padded = concat(lit(" "), lower($"text"), lit(" "))
-    val cEn = occurrences(padded, " the ")
-    val cDe = occurrences(padded, " der ") + occurrences(padded, " und ")
-    val cFr = occurrences(padded, " le ") + occurrences(padded, " et ")
-    val cEs = occurrences(padded, " el ") + occurrences(padded, " y ")
+    val lowered = lower($"text")
+    val cEn = tokenOccurrences(lowered, "the")
+    val cDe = tokenOccurrences(lowered, "der") + tokenOccurrences(lowered, "und")
+    val cFr = tokenOccurrences(lowered, "le") + tokenOccurrences(lowered, "et")
+    val cEs = tokenOccurrences(lowered, "el") + tokenOccurrences(lowered, "y")
     Tables.documents(s, d)
       .select($"doc_id", $"lang".as("labeled_lang"),
         cEn.as("c_en"), cDe.as("c_de"), cFr.as("c_fr"), cEs.as("c_es"))
@@ -150,10 +158,10 @@ object TextOps extends QueryModule {
                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
                    length(text) - length(replace(text, ' ', '')) + 1 END
                    AS BIGINT) AS n_tokens,
-                 CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', '')))/5
-                    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', '')))/3
-                    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', '')))/4
-                    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', '')))/5
+                 CAST(len(list_filter(string_split(text, ' '), t -> t = 'the'))
+                    + len(list_filter(string_split(text, ' '), t -> t = 'a'))
+                    + len(list_filter(string_split(text, ' '), t -> t = 'of'))
+                    + len(list_filter(string_split(text, ' '), t -> t = 'and'))
                    AS BIGINT) AS n_stopwords,
                  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))
                    AS BIGINT) AS n_punct,
@@ -173,14 +181,15 @@ object TextOps extends QueryModule {
       "q_lang_id", langId, Some("""
         WITH c AS (
           SELECT doc_id, lang AS labeled_lang,
-            CAST((length(p) - length(replace(p, ' the ', '')))/5 AS BIGINT) AS c_en,
-            CAST((length(p) - length(replace(p, ' der ', '')))/5
-               + (length(p) - length(replace(p, ' und ', '')))/5 AS BIGINT) AS c_de,
-            CAST((length(p) - length(replace(p, ' le ', '')))/4
-               + (length(p) - length(replace(p, ' et ', '')))/4 AS BIGINT) AS c_fr,
-            CAST((length(p) - length(replace(p, ' el ', '')))/4
-               + (length(p) - length(replace(p, ' y ', '')))/3 AS BIGINT) AS c_es
-          FROM (SELECT doc_id, lang, ' '||lower(text)||' ' AS p FROM documents) t)
+            CAST(len(list_filter(toks, t -> t = 'the')) AS BIGINT) AS c_en,
+            CAST(len(list_filter(toks, t -> t = 'der'))
+               + len(list_filter(toks, t -> t = 'und')) AS BIGINT) AS c_de,
+            CAST(len(list_filter(toks, t -> t = 'le'))
+               + len(list_filter(toks, t -> t = 'et')) AS BIGINT) AS c_fr,
+            CAST(len(list_filter(toks, t -> t = 'el'))
+               + len(list_filter(toks, t -> t = 'y')) AS BIGINT) AS c_es
+          FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+                FROM documents) t)
         SELECT doc_id, labeled_lang, c_en, c_de, c_fr, c_es,
                CASE WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
                     WHEN c_de >= greatest(c_fr, c_es) THEN 'de'

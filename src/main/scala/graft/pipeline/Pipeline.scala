@@ -81,6 +81,12 @@ final case class ReducedBatch[O](
     offsets: Seq[Long],
     value: O)
 
+/** Tagged outcome of reducing one group: a batch on success, the failed
+  * originals otherwise (lets the reduce run in a single shuffle). */
+final case class ReduceStep[O](
+    batch: Option[ReducedBatch[O]],
+    failed: Seq[Record])
+
 /** Declarative dataflow pipeline over a `Dataset[Record]` — the
   * `processing_strategy!` analogue (D8, reference `src/lib.rs:235-383`).
   *
@@ -106,23 +112,27 @@ final case class ReducedBatch[O](
 final class Pipeline[T] private (
     val spark: SparkSession,
     private val okDs: Dataset[(Record, T)],
-    private val dlqDs: Dataset[Record]) {
+    private val dlqDs: Dataset[Record],
+    private val cached: List[Dataset[_]]) {
 
   import Pipeline._
 
-  /** 1→1 transform with DLQ split (par_map / map stages, D2/D3). */
+  /** 1→1 transform with DLQ split (par_map / map stages, D2/D3). The
+    * stage must be deterministic: it is evaluated on both branches of
+    * the split (upstream is cached, so only the stage itself re-runs;
+    * run() releases the cache). */
   def via[O: Encoder](stage: Mapper[T, O]): Pipeline[O] = {
     implicit val rEnc: Encoder[Record] = recordEncoder(spark)
     implicit val roEnc: Encoder[(Record, O)] =
       Encoders.tuple(rEnc, implicitly[Encoder[O]])
     val src = okDs.persist()
     val ok = src.flatMap { case (rec, v) =>
-      stage.map(v).toOption.map(o => (rec, o))
+      safely(stage, v).toOption.map(o => (rec, o))
     }
     val failed = src.flatMap { case (rec, v) =>
-      if (stage.map(v).isFailure) Some(rec) else None
+      if (safely(stage, v).isFailure) Some(rec) else None
     }
-    new Pipeline(spark, ok, dlqDs.union(failed))
+    new Pipeline(spark, ok, dlqDs.union(failed), src :: cached)
   }
 
   def viaFn[O: Encoder](f: T => Try[O]): Pipeline[O] =
@@ -133,25 +143,31 @@ final class Pipeline[T] private (
     * DLQ and the pipeline continues with other groups — exactly
     * `handle_reducer_failure` (reference `src/lib.rs:715-726`). */
   def reduceBatches[O: Encoder](reducer: Reducer[T, O])(
-      implicit tt: scala.reflect.runtime.universe.TypeTag[ReducedBatch[O]])
+      implicit st: scala.reflect.runtime.universe.TypeTag[ReduceStep[O]],
+      bt: scala.reflect.runtime.universe.TypeTag[ReducedBatch[O]])
       : (Dataset[ReducedBatch[O]], Dataset[Record]) = {
     import spark.implicits._
     implicit val rEnc: Encoder[Record] = recordEncoder(spark)
-    val grouped = okDs.groupByKey { case (rec, _) => (rec.topic, rec.partition) }
-    val reduced = grouped.flatMapGroups { (key, it) =>
-      val rows = it.toSeq.sortBy(_._1.offset)
-      reducer.reduce(rows.map(_._2)).toOption.map { o =>
-        ReducedBatch(key._1, key._2, rows.map(_._1.offset), o)
-      }.iterator
-    }
-    val failed = okDs
+    // ONE shuffle: each group reduces once into a tagged step (either a
+    // reduced batch or the failed originals); the cached step dataset is
+    // then split into the two output branches. A throwing reducer is
+    // treated as a Failure (batch to DLQ), like `safely` for mappers.
+    val steps = okDs
       .groupByKey { case (rec, _) => (rec.topic, rec.partition) }
-      .flatMapGroups { (_, it) =>
+      .mapGroups[ReduceStep[O]] {
+        (key: (String, Int), it: Iterator[(Record, T)]) =>
         val rows = it.toSeq.sortBy(_._1.offset)
-        if (reducer.reduce(rows.map(_._2)).isFailure) rows.map(_._1).iterator
-        else Iterator.empty
+        Try(reducer.reduce(rows.map(_._2))).flatten match {
+          case scala.util.Success(o) =>
+            ReduceStep[O](Some(ReducedBatch(key._1, key._2,
+              rows.map(_._1.offset), o)), Nil)
+          case scala.util.Failure(_) =>
+            ReduceStep[O](None, rows.map(_._1))
+        }
       }
-    (reduced, dlqDs.union(failed))
+      .persist()
+    val reduced = steps.flatMap(_.batch.iterator)
+    (reduced, dlqDs.union(steps.flatMap(_.failed.iterator)))
   }
 
   /** Current ok branch (record + value). */
@@ -178,12 +194,22 @@ final class Pipeline[T] private (
       .sortBy(_._1)
       .toSeq
     commit.storeOffsets(hw)
+    // release the per-stage caches now that ok/dlq are materialized
+    // (the returned `ok` stays cached for the caller)
+    cached.foreach(_.unpersist())
     PipelineResult(ok, dlqDs, hw)
   }
 }
 
 object Pipeline {
   def recordEncoder(spark: SparkSession): Encoder[Record] = Record.encoder
+
+  /** Evaluate a stage defensively: an exception THROWN by the stage is
+    * the same contract-wise as a returned Failure — the record goes to
+    * the DLQ instead of killing the task (per-record skip-on-error).
+    * Lives on the companion so task closures capture only the stage. */
+  private[pipeline] def safely[A, B](stage: Mapper[A, B], v: A): Try[B] =
+    Try(stage.map(v)).flatten
 
   /** Entry point (D1 analogue): start from any record source — in tests a
     * memory Dataset standing in for the Kafka scan, mirroring the
@@ -192,6 +218,7 @@ object Pipeline {
     implicit val rEnc: Encoder[Record] = recordEncoder(spark)
     implicit val rrEnc: Encoder[(Record, Record)] =
       Encoders.tuple(rEnc, rEnc)
-    new Pipeline(spark, source.map(r => (r, r)), spark.emptyDataset[Record])
+    new Pipeline(spark, source.map(r => (r, r)), spark.emptyDataset[Record],
+      Nil)
   }
 }

@@ -58,7 +58,11 @@ object StreamingPipeline {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     records.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val staged = batch.withColumn("_ok", stage.valid).persist()
+        // NULL valid (e.g. tombstone payloads) must mean INVALID, not
+        // "dropped from both branches": both where() filters reject NULL
+        val staged = batch
+          .withColumn("_ok", coalesce(stage.valid, lit(false)))
+          .persist()
         try {
           writeBatchOnce(staged.where(col("_ok")).select(stage.parsed: _*),
             s"$okDir/batch=$id")
@@ -73,10 +77,14 @@ object StreamingPipeline {
   }
 
   /** Write `df` to `dir` unless a completed write (`_SUCCESS`) is already
-    * there; a partial dir from a crashed attempt is overwritten. */
+    * there; a partial dir from a crashed attempt is overwritten. Uses the
+    * Hadoop FileSystem resolved from the path so the check works on any
+    * scheme (hdfs://, s3a://, ...), not just local disk. */
   private[streaming] def writeBatchOnce(df: DataFrame, dir: String): Unit = {
-    val success = new java.io.File(dir, "_SUCCESS")
-    if (!success.isFile) df.write.mode("overwrite").parquet(dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = marker.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) df.write.mode("overwrite").parquet(dir)
   }
 
   /** Console/debug sink (S4 — the reference's `OsStreamWriter`,

@@ -113,6 +113,43 @@ class PipelineSpec extends SparkSpecBase {
       === Seq((1, "z")))
   }
 
+  test("a THROWING mapper routes the record to the DLQ instead of killing the job") {
+    import spark.implicits._
+    val explosive = new Mapper[Record, String] {
+      def map(in: Record): Try[String] = {
+        // NPE-style failure BEFORE any Try is constructed
+        val s = new String(in.value, "UTF-8")
+        if (s == "boom") throw new IllegalStateException("stage blew up")
+        Success(s)
+      }
+    }
+    val result = Pipeline
+      .from(spark, source(rec(0, 0, "ok"), rec(0, 1, "boom")))
+      .via(explosive)
+      .run(_.count(), new MockCommit)
+    assert(result.dlq.collect().map(_.offset).toSeq === Seq(1L))
+    assert(result.ok.collect().map(_._2).toSeq === Seq("ok"))
+  }
+
+  test("a throwing reducer dumps its batch to the DLQ, other groups continue") {
+    import spark.implicits._
+    val toStr = new Mapper[Record, String] {
+      def map(in: Record): Try[String] = Success(new String(in.value, "UTF-8"))
+    }
+    val explosive = new Reducer[String, String] {
+      def reduce(batch: Seq[String]): Try[String] = {
+        if (batch.contains("boom")) throw new IllegalStateException("bad")
+        Success(batch.mkString(","))
+      }
+    }
+    val (batches, dlq) = Pipeline
+      .from(spark, source(rec(0, 0, "boom"), rec(1, 0, "fine")))
+      .via(toStr)
+      .reduceBatches(explosive)
+    assert(dlq.collect().map(r => (r.partition, r.offset)).toSeq === Seq((0, 0L)))
+    assert(batches.collect().map(_.value).toSeq === Seq("fine"))
+  }
+
   test("highwater mark of empty ack set commits nothing") {
     val commit = new MockCommit
     val failAll = new Mapper[Record, String] {

@@ -28,6 +28,12 @@ class SessionMultimodalSpec extends SparkSpecBase {
     assert(bad.count() === 0)
   }
 
+  test("media stubs survive empty payloads") {
+    assert(Multimodal.MediaDecoder.decodeStub(Array.emptyByteArray) === ((0L, 0L)))
+    assert(Multimodal.MediaResizer.resizeStub(Array.emptyByteArray, 4, 4)
+      .length === 16)
+  }
+
   test("resize stub emits fixed-shape thumbnails") {
     import spark.implicits._
     val df = Multimodal.resizeThumbnails(spark, sfDir, 8, 8)

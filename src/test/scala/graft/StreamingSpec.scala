@@ -44,6 +44,26 @@ class StreamingSpec extends SparkSpecBase {
       "UTF-8") === "poison")
   }
 
+  test("NULL validity lands on the DLQ, not dropped from both branches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (okDir, dlqDir, ckpt) = (tmp(), tmp(), tmp())
+    // a stage whose validity is NULL for the marker payload
+    val nullableStage = ParseStage(
+      valid = when(decode(col("value"), "UTF-8") === "weird", lit(null))
+        .otherwise(lit(true)),
+      parsed = Seq(col("partition"), col("offset")))
+    val stream = MemoryStream[Record]
+    stream.addData(rec(0, 0, "fine"), rec(0, 1, "weird"))
+    val q = StreamingPipeline.dualWrite(
+      stream.toDF(), nullableStage, okDir, dlqDir, ckpt)
+    q.awaitTermination()
+    assert(spark.read.parquet(okDir).count() === 1)
+    // the NULL-validity record is DEAD-LETTERED, not lost
+    assert(spark.read.parquet(dlqDir).select("offset")
+      .as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("checkpoint commit: restart does not reprocess acked offsets") {
     implicit val sqlCtx = spark.sqlContext
     val (okDir, dlqDir, ckpt) = (tmp(), tmp(), tmp())
