@@ -104,7 +104,9 @@ object NearDup extends QueryModule {
     * fan-out at scale. */
   def prefixSimJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val t = 0.3
+    // t also bounds the prefix length (= n - ceil(t*n) + 1): higher
+    // thresholds mean shorter prefixes and fewer candidates
+    val t = 0.5
     val sh = hashedShingles(s, d) // sorted distinct hashed shingles
     val tokens = sh.select($"doc_id", explode($"sh").as("tok"))
     val freq = tokens.groupBy($"tok").agg(count(lit(1)).as("freq"))
@@ -261,7 +263,7 @@ object NearDup extends QueryModule {
                    AS jaccard
           FROM s a JOIN s b ON a.doc_id < b.doc_id)
         SELECT id_a, id_b, jaccard
-        FROM p WHERE jaccard >= 0.3 ORDER BY id_a, id_b""")),
+        FROM p WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
     QueryDef("q_simhash", simhashClusters, None),
     QueryDef("q_simhash_neardup", simhashNearDup, None)
   )

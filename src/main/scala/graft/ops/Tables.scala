@@ -17,8 +17,15 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
     * natively; read it as raw nanos (legacy long) and truncate to a µs
     * TimestampType with exact integer arithmetic (`div`, not `/` — ns since
-    * epoch overflows double precision). This matches DuckDB's
-    * `CAST(ts AS TIMESTAMP)` ns→µs truncation, keeping the oracle aligned. */
+    * epoch overflows double precision; post-epoch data, where div ==
+    * floor). This matches DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs
+    * truncation, keeping the oracle aligned.
+    *
+    * The runtime conf set is a DELIBERATE session-level side effect: the
+    * driver's smoke check calls `SparkEntry.entry` on a session we do not
+    * build, so the flag cannot be a builder option. It only changes how
+    * TIMESTAMP(NANOS) parquet columns read (as raw longs), and `events`
+    * is the only such table in the fixture set. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
