@@ -84,6 +84,33 @@ object Relational extends QueryModule {
       .orderBy($"o_orderpriority")
   }
 
+  /** As-of join: for every order, the customer's most recent event at or
+    * before the order date. Composed from built-ins per the
+    * custom-operator ladder's first rung (SURVEY §4.3): union both sides
+    * tagged, one shuffle on the key, and a carry-forward
+    * `last(ignoreNulls)` window — sort-merge-style with NO range-condition
+    * join explosion, the shape that survives 100 TB (a theta-join
+    * `ts <= date` would explode to all prior events per order). */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      $"user_id".as("k"), $"ts".as("t"), lit(0).as("kind"),
+      $"event_id", lit(null).cast("long").as("o_orderkey"))
+    val ord = Tables.orders(s, d).select(
+      $"o_custkey".as("k"), $"o_orderdate".as("t"), lit(1).as("kind"),
+      lit(null).cast("long").as("event_id"), $"o_orderkey")
+    // events sort before orders at equal timestamps (kind 0 < 1), so an
+    // event at exactly the order date is visible to the order
+    val w = Window.partitionBy($"k")
+      .orderBy($"t", $"kind", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("last_event_id", last($"event_id", ignoreNulls = true).over(w))
+      .where($"kind" === 1)
+      .select($"o_orderkey", $"k".as("user_id"), $"last_event_id")
+      .orderBy($"o_orderkey")
+  }
+
   /** Top-3 orders per customer: ranking window after one shuffle on the
     * window key. */
   def topOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
@@ -146,6 +173,25 @@ object Relational extends QueryModule {
                n_with_heavy, n_without_heavy
         FROM wh FULL OUTER JOIN wo ON wh.o_orderpriority = wo.o_orderpriority
         ORDER BY o_orderpriority""")),
+    QueryDef(
+      "q_asof_join", asofJoin, Some("""
+        WITH u AS (
+          SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, 0 AS kind,
+                 event_id, CAST(NULL AS BIGINT) AS o_orderkey
+          FROM events
+          UNION ALL
+          SELECT o_custkey AS k, o_orderdate AS t, 1 AS kind,
+                 CAST(NULL AS BIGINT) AS event_id, o_orderkey
+          FROM orders),
+        c AS (
+          SELECT *,
+                 last_value(event_id IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY t, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_event_id
+          FROM u)
+        SELECT o_orderkey, k AS user_id, last_event_id
+        FROM c WHERE kind = 1 ORDER BY o_orderkey""")),
     QueryDef(
       "q_top_orders_per_cust", topOrdersPerCustomer, Some("""
         SELECT o_custkey, rank, o_orderkey, price FROM (

@@ -39,6 +39,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("as-of join: picked event is at or before the order date") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val asof = Relational.asofJoin(spark, sfDir).where($"last_event_id".isNotNull)
+    val ev = graft.ops.Tables.events(spark, sfDir)
+      .select($"event_id".as("last_event_id"), $"ts", $"user_id".as("eu"))
+    val ord = graft.ops.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderdate")
+    val joined = asof.join(ev, Seq("last_event_id")).join(ord, Seq("o_orderkey"))
+    assert(joined.where($"ts" > $"o_orderdate").count() === 0)
+    assert(joined.where($"eu" =!= col("user_id")).count() === 0)
+    assert(asof.count() > 0)
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))
