@@ -84,31 +84,33 @@ object Relational extends QueryModule {
       .orderBy($"o_orderpriority")
   }
 
-  /** As-of join: for every order, the customer's most recent event at or
-    * before the order date. Composed from built-ins per the
-    * custom-operator ladder's first rung (SURVEY §4.3): union both sides
-    * tagged, one shuffle on the key, and a carry-forward
-    * `last(ignoreNulls)` window — sort-merge-style with NO range-condition
-    * join explosion, the shape that survives 100 TB (a theta-join
-    * `ts <= date` would explode to all prior events per order). */
+  /** As-of join: attribute every event to the user's most recent
+    * purchase at or before it (marketing-attribution shape). Composed
+    * from built-ins per the custom-operator ladder's first rung (SURVEY
+    * §4.3): union markers and probes tagged, one shuffle on the key, and
+    * a carry-forward `last(ignoreNulls)` window — sort-merge-style with
+    * NO range-condition join explosion, the shape that survives 100 TB
+    * (a theta-join `purchase.ts <= event.ts` would explode to all prior
+    * purchases per event). A purchase attributes to itself (markers sort
+    * before probes at equal timestamps). */
   def asofJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, d).select(
+    val e = Tables.events(s, d)
+    val markers = e.where($"event_type" === "purchase").select(
       $"user_id".as("k"), $"ts".as("t"), lit(0).as("kind"),
-      $"event_id", lit(null).cast("long").as("o_orderkey"))
-    val ord = Tables.orders(s, d).select(
-      $"o_custkey".as("k"), $"o_orderdate".as("t"), lit(1).as("kind"),
-      lit(null).cast("long").as("event_id"), $"o_orderkey")
-    // events sort before orders at equal timestamps (kind 0 < 1), so an
-    // event at exactly the order date is visible to the order
+      $"event_id".as("purchase_id"), lit(null).cast("long").as("event_id"))
+    val probes = e.select(
+      $"user_id".as("k"), $"ts".as("t"), lit(1).as("kind"),
+      lit(null).cast("long").as("purchase_id"), $"event_id")
     val w = Window.partitionBy($"k")
-      .orderBy($"t", $"kind", $"event_id")
+      .orderBy($"t", $"kind", $"purchase_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.unionByName(ord)
-      .withColumn("last_event_id", last($"event_id", ignoreNulls = true).over(w))
+    markers.unionByName(probes)
+      .withColumn("last_purchase_id",
+        last($"purchase_id", ignoreNulls = true).over(w))
       .where($"kind" === 1)
-      .select($"o_orderkey", $"k".as("user_id"), $"last_event_id")
-      .orderBy($"o_orderkey")
+      .select($"event_id", $"k".as("user_id"), $"last_purchase_id")
+      .orderBy($"event_id")
   }
 
   /** Top-3 orders per customer: ranking window after one shuffle on the
@@ -177,21 +179,21 @@ object Relational extends QueryModule {
       "q_asof_join", asofJoin, Some("""
         WITH u AS (
           SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, 0 AS kind,
-                 event_id, CAST(NULL AS BIGINT) AS o_orderkey
-          FROM events
+                 event_id AS purchase_id, CAST(NULL AS BIGINT) AS event_id
+          FROM events WHERE event_type = 'purchase'
           UNION ALL
-          SELECT o_custkey AS k, o_orderdate AS t, 1 AS kind,
-                 CAST(NULL AS BIGINT) AS event_id, o_orderkey
-          FROM orders),
+          SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, 1 AS kind,
+                 CAST(NULL AS BIGINT) AS purchase_id, event_id
+          FROM events),
         c AS (
           SELECT *,
-                 last_value(event_id IGNORE NULLS) OVER (
-                   PARTITION BY k ORDER BY t, kind, event_id
+                 last_value(purchase_id IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY t, kind, purchase_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS last_event_id
+                   AS last_purchase_id
           FROM u)
-        SELECT o_orderkey, k AS user_id, last_event_id
-        FROM c WHERE kind = 1 ORDER BY o_orderkey""")),
+        SELECT event_id, k AS user_id, last_purchase_id
+        FROM c WHERE kind = 1 ORDER BY event_id""")),
     QueryDef(
       "q_top_orders_per_cust", topOrdersPerCustomer, Some("""
         SELECT o_custkey, rank, o_orderkey, price FROM (

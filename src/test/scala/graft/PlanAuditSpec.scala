@@ -39,18 +39,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("LeftAnti"), p)
   }
 
-  test("as-of join: picked event is at or before the order date") {
+  test("as-of join: attributed purchase is same-user, at-or-before, and is a purchase") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    val asof = Relational.asofJoin(spark, sfDir).where($"last_event_id".isNotNull)
+    val asof = Relational.asofJoin(spark, sfDir)
+      .where($"last_purchase_id".isNotNull).cache()
     val ev = graft.ops.Tables.events(spark, sfDir)
-      .select($"event_id".as("last_event_id"), $"ts", $"user_id".as("eu"))
-    val ord = graft.ops.Tables.orders(spark, sfDir)
-      .select($"o_orderkey", $"o_orderdate")
-    val joined = asof.join(ev, Seq("last_event_id")).join(ord, Seq("o_orderkey"))
-    assert(joined.where($"ts" > $"o_orderdate").count() === 0)
-    assert(joined.where($"eu" =!= col("user_id")).count() === 0)
+    val probes = ev.select($"event_id", $"ts".as("e_ts"))
+    val markers = ev.select($"event_id".as("last_purchase_id"),
+      $"ts".as("p_ts"), $"user_id".as("p_user"), $"event_type")
+    val joined = asof.join(probes, Seq("event_id"))
+      .join(markers, Seq("last_purchase_id"))
+    assert(joined.where($"p_ts" > $"e_ts").count() === 0)
+    assert(joined.where($"p_user" =!= $"user_id").count() === 0)
+    assert(joined.where($"event_type" =!= "purchase").count() === 0)
     assert(asof.count() > 0)
+    asof.unpersist()
   }
 
   test("no registered query plans a CartesianProduct") {
