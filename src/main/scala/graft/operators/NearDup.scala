@@ -44,9 +44,9 @@ object NearDup extends QueryModule {
         graft.functions.VectorExpressions.text_shingles($"text", 3).as("sh"))
   }
 
-  /** MinHash signatures: the whole 64-permutation signature comes from one
-    * native-expression pass over the hashed shingle array (no explode, no
-    * 64-column aggregate — see [[graft.functions.MinHashSigExpr]]). */
+  /** MinHash signatures: the whole Perms-wide (128) signature comes from
+    * one native-expression pass over the hashed shingle array (no explode,
+    * no per-permutation aggregate — see [[graft.functions.MinHashSigExpr]]). */
   private def signatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     hashedShingles(s, d)

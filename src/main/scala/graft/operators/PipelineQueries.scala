@@ -43,7 +43,10 @@ object PipelineQueries extends QueryModule {
 
   private def parsed(s: SparkSession, d: String) = {
     import s.implicits._
-    Pipeline.from(s, eventRecords(s, d)).via(ParseProps)
+    // cache=false: each registered query materializes one branch once,
+    // so intermediate persisting would only pin memory in the driver's
+    // long-lived gate/bench session
+    Pipeline.from(s, eventRecords(s, d), cache = false).via(ParseProps)
   }
 
   /** Ok branch of the pipeline: accepted records with parsed value. */

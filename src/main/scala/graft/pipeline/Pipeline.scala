@@ -26,8 +26,8 @@ object Record {
 /** 1→1 stage with failure routing — the `Mapper` trait analogue
   * (reference `src/lib.rs:562-571`): a failure sends the ORIGINAL record
   * to the DLQ while later records keep flowing (per-record skip-on-error,
-  * `src/lib.rs:526-540`). Must be deterministic (it is evaluated on both
-  * branches of the ok/DLQ split). */
+  * `src/lib.rs:526-540`). Evaluated once per record (tagged MapStep
+  * split), so non-deterministic stages are safe. */
 trait Mapper[I, O] extends Serializable {
   def map(in: I): Try[O]
 }
@@ -87,6 +87,11 @@ final case class ReduceStep[O](
     batch: Option[ReducedBatch[O]],
     failed: Seq[Record])
 
+/** Tagged outcome of one mapped record: value on success, None = the
+  * original goes to the DLQ (lets a map stage run in ONE evaluation per
+  * record — no determinism requirement on the stage). */
+final case class MapStep[O](rec: Record, value: Option[O])
+
 /** Declarative dataflow pipeline over a `Dataset[Record]` — the
   * `processing_strategy!` analogue (D8, reference `src/lib.rs:235-383`).
   *
@@ -113,30 +118,45 @@ final class Pipeline[T] private (
     val spark: SparkSession,
     private val okDs: Dataset[(Record, T)],
     private val dlqDs: Dataset[Record],
-    private val cached: List[Dataset[_]]) {
+    private val caches: scala.collection.mutable.ListBuffer[Dataset[_]],
+    private val useCache: Boolean) {
 
   import Pipeline._
 
   /** 1→1 transform with DLQ split (par_map / map stages, D2/D3). The
-    * stage must be deterministic: it is evaluated on both branches of
-    * the split (upstream is cached, so only the stage itself re-runs;
-    * run() releases the cache). */
-  def via[O: Encoder](stage: Mapper[T, O]): Pipeline[O] = {
+    * stage runs ONCE per record into a tagged [[MapStep]]; the ok/DLQ
+    * branches are projections of that staged dataset (cached unless the
+    * pipeline was built with cache=false), so stages need not be
+    * deterministic and expensive stages aren't re-evaluated. */
+  def via[O: Encoder](stage: Mapper[T, O])(
+      implicit mt: scala.reflect.runtime.universe.TypeTag[MapStep[O]])
+      : Pipeline[O] = {
+    import spark.implicits._
     implicit val rEnc: Encoder[Record] = recordEncoder(spark)
     implicit val roEnc: Encoder[(Record, O)] =
       Encoders.tuple(rEnc, implicitly[Encoder[O]])
-    val src = okDs.persist()
-    val ok = src.flatMap { case (rec, v) =>
-      safely(stage, v).toOption.map(o => (rec, o))
+    val stagedRaw = okDs.map { case (rec, v) =>
+      MapStep[O](rec, safely(stage, v).toOption)
     }
-    val failed = src.flatMap { case (rec, v) =>
-      if (safely(stage, v).isFailure) Some(rec) else None
-    }
-    new Pipeline(spark, ok, dlqDs.union(failed), src :: cached)
+    val staged = if (useCache) { val c = stagedRaw.persist(); caches += c; c }
+      else stagedRaw
+    val ok = staged.flatMap(s => s.value.map(o => (s.rec, o)))
+    val failed = staged.flatMap(s => if (s.value.isEmpty) Some(s.rec) else None)
+    new Pipeline(spark, ok, dlqDs.union(failed), caches, useCache)
   }
 
-  def viaFn[O: Encoder](f: T => Try[O]): Pipeline[O] =
+  def viaFn[O: Encoder](f: T => Try[O])(
+      implicit mt: scala.reflect.runtime.universe.TypeTag[MapStep[O]])
+      : Pipeline[O] =
     via(new Mapper[T, O] { def map(in: T): Try[O] = f(in) })
+
+  /** Release every intermediate cache this pipeline pinned. Called by
+    * [[run]] after both branches are materialized; callers that consume
+    * [[dataset]]/[[dlq]]/[[reduceBatches]] directly own this call. */
+  def releaseCache(): Unit = {
+    caches.foreach(_.unpersist())
+    caches.clear()
+  }
 
   /** N→1 per-partition reduce (D4): each (topic, partition) group reduces
     * to one value; a failed reduce routes the whole in-flight batch to the
@@ -165,9 +185,10 @@ final class Pipeline[T] private (
             ReduceStep[O](None, rows.map(_._1))
         }
       }
-      .persist()
-    val reduced = steps.flatMap(_.batch.iterator)
-    (reduced, dlqDs.union(steps.flatMap(_.failed.iterator)))
+    val steps2 = if (useCache) { val c = steps.persist(); caches += c; c }
+      else steps
+    val reduced = steps2.flatMap(_.batch.iterator)
+    (reduced, dlqDs.union(steps2.flatMap(_.failed.iterator)))
   }
 
   /** Current ok branch (record + value). */
@@ -183,6 +204,7 @@ final class Pipeline[T] private (
   def run(sink: Dataset[(Record, T)] => Unit,
       commit: CommitClient): PipelineResult[T] = {
     val ok = okDs.persist()
+    val dlqOut = dlqDs.persist()
     sink(ok)
     implicit val e: Encoder[(String, Int, Long)] =
       Encoders.tuple(Encoders.STRING, Encoders.scalaInt, Encoders.scalaLong)
@@ -194,10 +216,11 @@ final class Pipeline[T] private (
       .sortBy(_._1)
       .toSeq
     commit.storeOffsets(hw)
-    // release the per-stage caches now that ok/dlq are materialized
-    // (the returned `ok` stays cached for the caller)
-    cached.foreach(_.unpersist())
-    PipelineResult(ok, dlqDs, hw)
+    // materialize the DLQ branch too, then release the per-stage caches
+    // (the returned ok/dlq stay cached for the caller)
+    dlqOut.count()
+    releaseCache()
+    PipelineResult(ok, dlqOut, hw)
   }
 }
 
@@ -214,11 +237,16 @@ object Pipeline {
   /** Entry point (D1 analogue): start from any record source — in tests a
     * memory Dataset standing in for the Kafka scan, mirroring the
     * reference's broadcast-channel mock queue (`src/lib.rs:1806-1833`). */
-  def from(spark: SparkSession, source: Dataset[Record]): Pipeline[Record] = {
+  /** Entry point. `cache = false` skips intermediate persisting — right
+    * for one-shot registered queries that materialize a single branch
+    * (no leak, at the cost of re-running stages if BOTH branches of the
+    * same pipeline are consumed). */
+  def from(spark: SparkSession, source: Dataset[Record],
+      cache: Boolean = true): Pipeline[Record] = {
     implicit val rEnc: Encoder[Record] = recordEncoder(spark)
     implicit val rrEnc: Encoder[(Record, Record)] =
       Encoders.tuple(rEnc, rEnc)
     new Pipeline(spark, source.map(r => (r, r)), spark.emptyDataset[Record],
-      Nil)
+      scala.collection.mutable.ListBuffer.empty, cache)
   }
 }
