@@ -116,15 +116,21 @@ object NearDup extends QueryModule {
       .groupBy($"doc_id")
       .agg(sort_array(collect_list(struct($"freq", $"tok"))).as("by_rarity"),
         count(lit(1)).as("n"))
-      .select($"doc_id",
+      .select($"doc_id", $"n",
         slice($"by_rarity", lit(1),
           ($"n" - ceil(lit(t) * $"n") + 1).cast("int")).as("prefix"))
-    val pa = ordered.select($"doc_id".as("id_a"),
+    val pa = ordered.select($"doc_id".as("id_a"), $"n".as("n_a"),
       explode($"prefix.tok").as("tok"))
-    val pb = ordered.select($"doc_id".as("id_b"),
+    val pb = ordered.select($"doc_id".as("id_b"), $"n".as("n_b"),
       explode($"prefix.tok").as("tok"))
+    // PPJoin length filter in the join condition: J >= t forces
+    // min(|A|,|B|) >= t * max(|A|,|B|), so both inequalities are necessary
+    // — they discard most low-overlap candidates BEFORE the distinct +
+    // verify stages ever see them (the prefix filter alone admits any
+    // pair sharing one prefix token regardless of size mismatch).
     val candidates = pa.join(pb, Seq("tok"))
-      .where($"id_a" < $"id_b")
+      .where($"id_a" < $"id_b" &&
+        $"n_b" >= lit(t) * $"n_a" && $"n_a" >= lit(t) * $"n_b")
       .select($"id_a", $"id_b")
       .distinct()
     candidates
@@ -141,24 +147,43 @@ object NearDup extends QueryModule {
   }
 
   /** N-gram Jaccard similarity, bucketed by `source` (pre-partitioned
-    * corpus blocks): top-3 most similar pairs per block. The generic
-    * unblocked form at scale is [[minhashNearDup]]. */
+    * corpus blocks): top-3 most similar OVERLAPPING pairs per block —
+    * pairs sharing at least one shingle, which is every pair a shingle
+    * inverted index can see (a zero-overlap pair has similarity 0 and is
+    * not a "similar pair" under any ranking that matters).
+    *
+    * Scale shape: an inverted-index count join, NOT a block self-join.
+    * Shingle postings self-join on (source, shingle-hash) — an 8-byte
+    * key — and `n_common` falls out of a count aggregate, exact because
+    * shingle arrays are distinct. Per-shingle fan-out is df², so total
+    * pair volume is Σ df² ≤ max_df · Σ df: linear-ish in corpus size for
+    * 3-gram shingles (df concentrates at 1-2), versus n² per block for
+    * the naive form — and no shingle array ever rides a shuffle; the
+    * per-doc set SIZES join in afterward on the (already small)
+    * candidate-pair table. The generic unblocked form at scale is
+    * [[minhashNearDup]]. */
   def ngramJaccardTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = Tables.documents(s, d)
       .select($"doc_id", $"source",
         graft.functions.VectorExpressions.text_shingles($"text", 3).as("sh"))
-    val a = sh.select($"source", $"doc_id".as("id_a"), $"sh".as("sh_a"))
-    val b = sh.select($"source", $"doc_id".as("id_b"), $"sh".as("sh_b"))
+    val sizes = sh.select($"source", $"doc_id", size($"sh").as("n"))
+    val toks = sh.select($"source", $"doc_id", explode($"sh").as("tok"))
+    val a = toks.select($"source", $"tok", $"doc_id".as("id_a"))
+    val b = toks.select($"source", $"tok", $"doc_id".as("id_b"))
+    val common = a.join(b, Seq("source", "tok"))
+      .where($"id_a" < $"id_b")
+      .groupBy($"source", $"id_a", $"id_b")
+      .agg(count(lit(1)).as("n_common"))
     val w = Window.partitionBy($"source")
       .orderBy($"jaccard".desc, $"id_a", $"id_b")
-    a.join(b, Seq("source"))
-      .where($"id_a" < $"id_b")
-      .withColumn("n_common",
-        graft.functions.VectorExpressions.intersect_count($"sh_a", $"sh_b"))
+    common
+      .join(sizes.select($"source", $"doc_id".as("id_a"), $"n".as("n_a")),
+        Seq("source", "id_a"))
+      .join(sizes.select($"source", $"doc_id".as("id_b"), $"n".as("n_b")),
+        Seq("source", "id_b"))
       .withColumn("jaccard",
-        $"n_common".cast("double") /
-          (size($"sh_a") + size($"sh_b") - $"n_common"))
+        $"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where($"rank" <= 3)
       .select($"source", $"rank", $"id_a", $"id_b", $"jaccard")
@@ -245,7 +270,8 @@ object NearDup extends QueryModule {
                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                    AS jaccard
-          FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id),
+          FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh)) >= 1),
         r AS (
           SELECT source, id_a, id_b, jaccard,
                  row_number() OVER (PARTITION BY source

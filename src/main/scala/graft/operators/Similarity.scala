@@ -65,60 +65,93 @@ object Similarity extends QueryModule {
       .orderBy($"q_id", $"rank")
   }
 
-  /** IVF-style: top-3 most similar pairs within each coarse bucket
-    * (`label`); candidates come from an equi-join on the bucket key. */
+  /** Deterministic seed centroids (vec_id < 8), broadcast: 8 rows ride to
+    * every executor, so assignment is a narrow pass over whatever vector
+    * set it is applied to. */
+  private def centroids(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    broadcast(e.where($"vec_id" < 8)
+      .select($"vec_id".as("centroid_id"), $"v".as("cv"), $"nrm".as("cn")))
+  }
+
+  /** Nearest-centroid assignment of every row of `vectors` (must carry
+    * `vec_id`, `v`, `nrm`; extra columns pass through). One
+    * BroadcastNestedLoopJoin against the 8 broadcast centroids + a
+    * row_number top-1 per vector — the only full-corpus pass any IVF
+    * query needs, shared by [[ivfAssign]], [[ivfTopK]] and
+    * [[labelBucketTopK]] so no caller pays it twice. */
+  private def assignTo(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    import vectors.sparkSession.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"centroid_id")
+    vectors.crossJoin(cents) // 8 broadcast rows: BNLJ, narrow
+      .withColumn("cos", cosineWithNorms($"v", $"cv", $"nrm", $"cn"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .drop("cv", "cn", "rn")
+  }
+
+  /** IVF-style bucketed self-similarity: top-3 most similar pairs within
+    * each (label, centroid) CELL. The label alone is an unbounded bucket
+    * (it grows linearly with the corpus, so within-bucket pairs grow
+    * quadratically); sub-partitioning every label by the IVF coarse
+    * assignment bounds the cell — at deployment scale the centroid count
+    * K is the lever (K ∝ corpus/target_cell_size keeps cells, and hence
+    * per-cell pair counts, constant), exactly how IVF indexes keep
+    * "within-cell" work flat as the corpus grows. */
   def labelBucketTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
       .select($"vec_id", $"label", $"embedding".as("v"))
       .withColumn("nrm", l2Norm($"v"))
-    val a = e.select($"label", $"vec_id".as("id_a"), $"v".as("va"),
-      $"nrm".as("na"))
-    val b = e.select($"label", $"vec_id".as("id_b"), $"v".as("vb"),
-      $"nrm".as("nb"))
-    val w = Window.partitionBy($"label").orderBy($"cosine".desc, $"id_a", $"id_b")
-    a.join(b, Seq("label"))
+    val cells = assignTo(e, centroids(e))
+      .select($"label", $"centroid_id", $"vec_id", $"v", $"nrm")
+    val a = cells.select($"label", $"centroid_id", $"vec_id".as("id_a"),
+      $"v".as("va"), $"nrm".as("na"))
+    val b = cells.select($"label", $"centroid_id", $"vec_id".as("id_b"),
+      $"v".as("vb"), $"nrm".as("nb"))
+    val w = Window.partitionBy($"label", $"centroid_id")
+      .orderBy($"cosine".desc, $"id_a", $"id_b")
+    a.join(b, Seq("label", "centroid_id"))
       .where($"id_a" < $"id_b")
-      .select($"label", $"id_a", $"id_b",
+      .select($"label", $"centroid_id", $"id_a", $"id_b",
         cosineWithNorms($"va", $"vb", $"na", $"nb").as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where($"rank" <= 3)
-      .select($"label", $"rank", $"id_a", $"id_b", $"cosine")
-      .orderBy($"label", $"rank")
+      .select($"label", $"centroid_id", $"rank", $"id_a", $"id_b", $"cosine")
+      .orderBy($"label", $"centroid_id", $"rank")
   }
 
-  /** IVF index build: assign every vector to its nearest coarse centroid
-    * (deterministic seed centroids: vec_id < 8). The centroid table is
-    * broadcast, so assignment is a narrow pass over the corpus — the
-    * index-build shape that scales to any corpus size. */
+  /** IVF index build: assign every vector to its nearest coarse centroid.
+    * The centroid table is broadcast, so assignment is a narrow pass over
+    * the corpus — the index-build shape that scales to any corpus size. */
   def ivfAssign(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, d)
-    val cents = broadcast(e.where($"vec_id" < 8)
-      .select($"vec_id".as("centroid_id"), $"v".as("cv"), $"nrm".as("cn")))
-    val w = Window.partitionBy($"vec_id")
-      .orderBy($"cos".desc, $"centroid_id")
-    e.crossJoin(cents) // 8 broadcast rows: BroadcastNestedLoopJoin, narrow
-      .select($"vec_id", $"centroid_id",
-        cosineWithNorms($"v", $"cv", $"nrm", $"cn").as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .where($"rn" === 1)
+    assignTo(e, centroids(e))
       .select($"vec_id", $"centroid_id", $"cos")
       .orderBy($"vec_id")
   }
 
   /** IVF-probed search: probes (vec_id 8..17) only scan their own
     * cluster's inverted list — the candidate set shrinks by ~k versus a
-    * full scan, the essential ANN-index trade. */
+    * full scan, the essential ANN-index trade.
+    *
+    * The corpus×centroids assignment runs ONCE: the probe side is
+    * assigned separately from a `vec_id`-filtered scan (the predicate
+    * pushes into the parquet read, so that second BNLJ touches the 10
+    * probe rows, not the corpus — Catalyst does not CSE the two subtrees,
+    * and re-deriving probes from the corpus assignment would plan the
+    * full pass twice). */
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, d)
-    val assign = ivfAssign(s, d).select($"vec_id", $"centroid_id")
-    val indexed = e.join(assign, "vec_id")
-    val probes = indexed
-      .where($"vec_id" >= 8 && $"vec_id" < 18)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
-        $"centroid_id")
+    val cents = centroids(e)
+    val indexed = assignTo(e, cents) // the one full corpus×centroids pass
+      .select($"vec_id", $"v", $"nrm", $"centroid_id")
+    val probes = broadcast(
+      assignTo(e.where($"vec_id" >= 8 && $"vec_id" < 18), cents)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+          $"centroid_id"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"neighbor_id")
     indexed.join(probes, Seq("centroid_id"))
       .where($"vec_id" =!= $"q_id")
@@ -189,17 +222,33 @@ object Similarity extends QueryModule {
     QueryDef(
       "q_sim_label_topk", labelBucketTopK, Some(s"""
         $oracleVecs,
+        c AS (SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cn
+              FROM e WHERE vec_id < 8),
+        asg0 AS (
+          SELECT e.vec_id, e.label, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
+                     / (e.nrm * c.cn) DESC, c.centroid_id) AS rn
+          FROM e CROSS JOIN c),
+        cells AS (SELECT vec_id, label, centroid_id FROM asg0 WHERE rn = 1),
         p AS (
-          SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+          SELECT ca.label, ca.centroid_id, ca.vec_id AS id_a,
+                 cb.vec_id AS id_b,
                  ${oracleDot("a", "b")} / (a.nrm * b.nrm) AS cosine
-          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+          FROM cells ca
+          JOIN cells cb ON ca.label = cb.label
+                       AND ca.centroid_id = cb.centroid_id
+                       AND ca.vec_id < cb.vec_id
+          JOIN e a ON a.vec_id = ca.vec_id
+          JOIN e b ON b.vec_id = cb.vec_id),
         r AS (
-          SELECT label, id_a, id_b, cosine,
-                 row_number() OVER (PARTITION BY label
+          SELECT label, centroid_id, id_a, id_b, cosine,
+                 row_number() OVER (PARTITION BY label, centroid_id
                    ORDER BY cosine DESC, id_a, id_b) AS rank
           FROM p)
-        SELECT label, rank, id_a, id_b, cosine
-        FROM r WHERE rank <= 3 ORDER BY label, rank""")),
+        SELECT label, centroid_id, rank, id_a, id_b, cosine
+        FROM r WHERE rank <= 3 ORDER BY label, centroid_id, rank""")),
     QueryDef(
       "q_ivf_assign", ivfAssign, Some(s"""
         $oracleVecs,
