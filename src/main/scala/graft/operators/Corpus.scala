@@ -62,8 +62,9 @@ object Corpus extends QueryModule {
   /** Chunk-level duplication profile via content-defined chunking
     * ([[graft.functions.ContentChunksExpr]], Gear rolling hash): how many
     * distinct chunks appear in more than one document — the signal
-    * chunk-level dedup acts on. (Rows-only gate: the rolling hash has no
-    * SQL form; CorpusSpec pins the chunker's CDC property.) */
+    * chunk-level dedup acts on. Oracle: the Gear walk + FNV chunk hash
+    * reproduced as a recursive CTE ([[graft.ops.HashOracleSql.chunksCte]]);
+    * CorpusSpec additionally pins the chunker's CDC edit-stability. */
   def chunkDupProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
@@ -120,7 +121,14 @@ object Corpus extends QueryModule {
         SELECT lang, count(*) AS n_kept
         FROM fps WHERE fp NOT IN (SELECT bfp FROM bench)
         GROUP BY lang ORDER BY lang""")),
-    QueryDef("q_chunk_dedup", chunkDupProfile, None),
+    QueryDef(
+      "q_chunk_dedup", chunkDupProfile, Some(s"""
+        ${graft.ops.HashOracleSql.chunksCte},
+        per_chunk AS (
+          SELECT chunk, count(DISTINCT doc_id) AS n_docs
+          FROM chunks GROUP BY chunk)
+        SELECT n_docs, count(*) AS n_chunks
+        FROM per_chunk GROUP BY n_docs ORDER BY n_docs""")),
     QueryDef(
       "q_value_quantiles", valueQuantiles, Some("""
         SELECT event_type, count(*) AS n,

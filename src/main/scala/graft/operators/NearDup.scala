@@ -196,8 +196,10 @@ object NearDup extends QueryModule {
     * for distance <= 3 with 4 chunks, so 8 8-bit chunks are used
     * (distance <= 7 ⇒ some chunk equal). Candidates come from an
     * equi-join on (chunk index, chunk value) — constant-width keys, no
-    * all-pairs — then exact popcount verification. (Rows-only gate:
-    * DuckDB has no compatible token hash; pinned by NearDupSpec.) */
+    * all-pairs — then exact popcount verification. Oracle: brute-force
+    * pairs over the SQL-reproduced SimHash ([[graft.ops.HashOracleSql]]),
+    * so the gate also proves the pigeonhole candidate stage loses no
+    * pair. */
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val maxDist = 6
@@ -224,8 +226,8 @@ object NearDup extends QueryModule {
 
   /** SimHash fingerprints via the native [[graft.functions.SimHash64]]
     * expression, grouped to dedup clusters on the exact fingerprint.
-    * (No oracle: DuckDB has no compatible 64-bit token hash; pinned by
-    * NearDupSpec instead.) */
+    * Oracle: the same FNV-1a64 + bit-voting fold reproduced in DuckDB
+    * SQL ([[graft.ops.HashOracleSql.simhashCte]]), bit-exact. */
   def simhashClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
@@ -290,7 +292,19 @@ object NearDup extends QueryModule {
           FROM s a JOIN s b ON a.doc_id < b.doc_id)
         SELECT id_a, id_b, jaccard
         FROM p WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
-    QueryDef("q_simhash", simhashClusters, None),
-    QueryDef("q_simhash_neardup", simhashNearDup, None)
+    QueryDef(
+      "q_simhash", simhashClusters, Some(s"""
+        ${graft.ops.HashOracleSql.simhashCte}
+        SELECT min(doc_id) AS keep_id, simhash,
+               count(*) AS n_docs
+        FROM sh GROUP BY simhash ORDER BY keep_id""")),
+    QueryDef(
+      "q_simhash_neardup", simhashNearDup, Some(s"""
+        ${graft.ops.HashOracleSql.simhashCte}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        ORDER BY id_a, id_b"""))
   )
 }
