@@ -41,8 +41,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total = successful queries only; failures are COUNTED, not summed —
+    // a -1 marker must not silently shrink the total it sits inside
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failures = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -177,7 +177,23 @@ object VecOps {
     * functions. */
   def textShingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
     val s = text.toString
-    val toks = s.split(' ')
+    // split on EVERY space, keeping empty tokens — the exact semantics of
+    // Spark's split(col, " ") and DuckDB's string_split (Scala's
+    // String.split drops trailing empties, which would silently diverge
+    // from the SQL oracle on texts with consecutive/trailing spaces)
+    val toks: Array[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var start = 0
+      var i = 0
+      while (i <= s.length) {
+        if (i == s.length || s.charAt(i) == ' ') {
+          buf += s.substring(start, i)
+          start = i + 1
+        }
+        i += 1
+      }
+      buf.toArray
+    }
     val out: Array[Long] =
       if (toks.length < n) Array(SimHash.fnv1a64(s))
       else {

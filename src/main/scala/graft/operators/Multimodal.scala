@@ -167,6 +167,12 @@ object Multimodal extends QueryModule {
                md5(text) AS phash
         FROM documents ORDER BY doc_id""")),
     QueryDef(
+      // Oracle parity note: the Spark side slices BYTES of the UTF-8
+      // payload while DuckDB substr/strlen count CHARACTERS — identical
+      // only because the driver corpus is ASCII-only (verified:
+      // octet_length(encode(text)) = strlen(text) on every row; see
+      // graft.ops.HashOracleSql). A non-ASCII corpus would need
+      // blob-based slicing on the oracle side.
       "q_frame_sample", frameSample, Some("""
         SELECT doc_id,
                CAST(greatest((strlen(text) - 1) // 128, 0) + 1 AS BIGINT)

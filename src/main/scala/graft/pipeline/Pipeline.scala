@@ -70,7 +70,18 @@ object HighwaterMark {
 final case class PipelineResult[T](
     ok: Dataset[(Record, T)],
     dlq: Dataset[Record],
-    committed: Seq[((String, Int), Long)])
+    committed: Seq[((String, Int), Long)]) {
+
+  /** Release the cached `ok`/`dlq` branches pinned by [[Pipeline.run]].
+    * Call when done consuming the result — long-lived sessions that run
+    * many pipelines (tests, the gate driver) otherwise accumulate cached
+    * blocks without bound. */
+  def unpersist(): Unit = {
+    ok.unpersist()
+    dlq.unpersist()
+    ()
+  }
+}
 
 /** One reduced batch: the records that fed it (provenance, the reference's
   * `(Vec<OwnedMessage>, T)` channel payload — `src/lib.rs:751-754`) and the
@@ -150,6 +161,66 @@ final class Pipeline[T] private (
       : Pipeline[O] =
     via(new Mapper[T, O] { def map(in: T): Try[O] = f(in) })
 
+  /** [[via]] with bounded IN-TASK async concurrency — the
+    * `MapConfig.concurrency` knob (reference `src/lib.rs:549-554`,
+    * enforced at `src/lib.rs:660`, concurrency=16 in `src/noop.rs:40`).
+    *
+    * The task-slot model already parallelizes ACROSS partitions; this
+    * adds parallelism WITHIN one task for IO-bound stages (the
+    * reference's HTTP-ack path), where one request per task would leave
+    * executor cores idle behind network latency. Each task keeps at most
+    * `concurrency` stage invocations in flight on a private pool and
+    * yields results in INPUT ORDER (the reference's FuturesOrdered:
+    * completion may be out of order, emission is not), so downstream
+    * offset/provenance semantics are identical to [[via]] — as is DLQ
+    * routing, pinned by the async `test_map`/`test_fail_on_map` ports. */
+  def viaAsync[O: Encoder](stage: Mapper[T, O], concurrency: Int)(
+      implicit mt: scala.reflect.runtime.universe.TypeTag[MapStep[O]])
+      : Pipeline[O] = {
+    require(concurrency >= 1, "concurrency must be >= 1")
+    import spark.implicits._
+    implicit val rEnc: Encoder[Record] = recordEncoder(spark)
+    implicit val roEnc: Encoder[(Record, O)] =
+      Encoders.tuple(rEnc, implicitly[Encoder[O]])
+    val stagedRaw = okDs.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pool =
+          java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        // a killed/failed task must not leak its pool
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
+        new Iterator[MapStep[O]] {
+          private val inflight = scala.collection.mutable.Queue
+            .empty[(Record, scala.concurrent.Future[Option[O]])]
+          private def fill(): Unit =
+            while (inflight.size < concurrency && it.hasNext) {
+              val (r, v) = it.next()
+              inflight.enqueue(
+                (r, scala.concurrent.Future(safely(stage, v).toOption)))
+            }
+          def hasNext: Boolean = {
+            fill()
+            if (inflight.isEmpty) { pool.shutdown(); false } else true
+          }
+          def next(): MapStep[O] = {
+            fill()
+            val (r, f) = inflight.dequeue()
+            MapStep(r, scala.concurrent.Await.result(f,
+              scala.concurrent.duration.Duration.Inf))
+          }
+        }
+      }
+    }
+    val staged = if (useCache) { val c = stagedRaw.persist(); caches += c; c }
+      else stagedRaw
+    val ok = staged.flatMap(s => s.value.map(o => (s.rec, o)))
+    val failed = staged.flatMap(s => if (s.value.isEmpty) Some(s.rec) else None)
+    new Pipeline(spark, ok, dlqDs.union(failed), caches, useCache)
+  }
+
   /** Release every intermediate cache this pipeline pinned. Called by
     * [[run]] after both branches are materialized; callers that consume
     * [[dataset]]/[[dlq]]/[[reduceBatches]] directly own this call. */
@@ -161,7 +232,15 @@ final class Pipeline[T] private (
   /** N→1 per-partition reduce (D4): each (topic, partition) group reduces
     * to one value; a failed reduce routes the whole in-flight batch to the
     * DLQ and the pipeline continues with other groups — exactly
-    * `handle_reducer_failure` (reference `src/lib.rs:715-726`). */
+    * `handle_reducer_failure` (reference `src/lib.rs:715-726`).
+    *
+    * Memory contract: one GROUP (not one table) is buffered per task to
+    * order it by offset and hand the reducer its whole batch — the same
+    * in-memory batch the reference accumulates before flush, and in
+    * streaming use it is bounded by the micro-batch size knobs
+    * ([[graft.sources.KafkaRecords.Config.maxOffsetsPerTrigger]]). For
+    * unbounded batch groups, pre-sort with `sortWithinPartitions` and a
+    * streaming-fold reducer instead of this whole-batch contract. */
   def reduceBatches[O: Encoder](reducer: Reducer[T, O])(
       implicit st: scala.reflect.runtime.universe.TypeTag[ReduceStep[O]],
       bt: scala.reflect.runtime.universe.TypeTag[ReducedBatch[O]])

@@ -29,6 +29,27 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * mid-batch; `foreachBatch` errs per-BATCH. Capability parity is kept by
   * doing the per-record Try-split BEFORE the sink (the `valid` predicate),
   * so a poison record lands on the DLQ without failing its batch.
+  *
+  * Policy-knob mapping (reference `src/lib.rs:556-560,691-701`,
+  * `src/clickhouse.rs:60-63,130-134`):
+  *  - size-bound flush (`is_full`, the 128-row batch cap) → source
+  *    ADMISSION CONTROL caps the micro-batch: `maxOffsetsPerTrigger` on
+  *    the Kafka source ([[graft.sources.KafkaRecords.Config]]),
+  *    `maxFilesPerTrigger` on file sources — each trigger flushes at most
+  *    the cap, pinned by StreamingSpec's size-bound test;
+  *  - `ReducerWhenFullBehaviour::Flush` vs `::Backpressure` → both
+  *    collapse into the same mechanism: a full batch flushes (writes) at
+  *    the trigger, and the PULL-based source reads no further input until
+  *    the write returns — backpressure is structural in micro-batching,
+  *    not a policy choice that can drop or overrun;
+  *  - `MapShutdownBehaviour::Drop` / `ReduceShutdownBehaviour::Drop` →
+  *    `query.stop()` with input still pending: in-flight work is
+  *    abandoned and pending records are NOT processed — but their offsets
+  *    were never committed, so a restart from the same checkpoint
+  *    redelivers them (drop-without-loss, the at-least-once form of the
+  *    reference's drop-on-shutdown);
+  *  - `::Drain` → `Trigger.AvailableNow` / `processAllAvailable()`:
+  *    pending input is flushed before the query stops.
   */
 object StreamingPipeline {
 

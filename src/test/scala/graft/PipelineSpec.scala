@@ -5,6 +5,21 @@ import scala.util.{Failure, Success, Try}
 
 import graft.pipeline._
 
+/** Shared concurrency probe for the viaAsync specs: task closures must
+  * reach the SAME counters from executor threads — a top-level object is
+  * one JVM-wide instance under local[*]. */
+object AsyncProbe {
+  val current = new java.util.concurrent.atomic.AtomicInteger(0)
+  val observedMax = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { current.set(0); observedMax.set(0) }
+  def enter(): Unit = {
+    val c = current.incrementAndGet()
+    observedMax.updateAndGet(m => math.max(m, c))
+    ()
+  }
+  def exit(): Unit = { current.decrementAndGet(); () }
+}
+
 /** Ports of the reference's actor-level unit tests (SURVEY §5;
   * /root/reference/src/lib.rs:996-1973) onto the Spark pipeline. */
 class PipelineSpec extends SparkSpecBase {
@@ -148,6 +163,91 @@ class PipelineSpec extends SparkSpecBase {
       .reduceBatches(explosive)
     assert(dlq.collect().map(r => (r.partition, r.offset)).toSeq === Seq((0, 0L)))
     assert(batches.collect().map(_.value).toSeq === Seq("fine"))
+  }
+
+  test("viaAsync test_map port: out-of-order completion, in-order emission") {
+    import spark.implicits._
+    // later records sleep LESS, so they complete first — FuturesOrdered
+    // semantics require emission in input order anyway (the reference's
+    // async test_map assertion, src/lib.rs:1835-1900)
+    val slowFirst = new Mapper[Record, String] {
+      def map(in: Record): Try[String] = {
+        Thread.sleep(math.max(0L, 60L - in.offset * 5L))
+        Success(new String(in.value, "UTF-8").toUpperCase)
+      }
+    }
+    val recs = (0 until 12).map(o => rec(0, o.toLong, s"v$o"))
+    val out = Pipeline.from(spark, source(recs: _*))
+      .viaAsync(slowFirst, concurrency = 8)
+      .dataset.collect()
+    // input order preserved end-to-end despite reversed completion order
+    assert(out.map(_._1.offset).toSeq === (0L until 12L))
+    assert(out.map(_._2).toSeq === (0 until 12).map(o => s"V$o"))
+  }
+
+  test("viaAsync bounds in-flight concurrency and actually overlaps work") {
+    import spark.implicits._
+    AsyncProbe.reset()
+    val probed = new Mapper[Record, String] {
+      def map(in: Record): Try[String] = {
+        AsyncProbe.enter()
+        try { Thread.sleep(100); Success(new String(in.value, "UTF-8")) }
+        finally AsyncProbe.exit()
+      }
+    }
+    val recs = (0 until 16).map(o => rec(0, o.toLong, s"v$o"))
+    // single partition so the bound under test is the IN-TASK pool, not
+    // the task-slot model
+    implicit val e = Pipeline.recordEncoder(spark)
+    val onePart = spark.createDataset(recs).repartition(1)
+    val result = Pipeline.from(spark, onePart)
+      .viaAsync(probed, concurrency = 4)
+      .run(_.count(), new MockCommit)
+    assert(result.dlq.count() === 0)
+    assert(AsyncProbe.observedMax.get() <= 4,
+      s"pool overran its bound: ${AsyncProbe.observedMax.get()}")
+    assert(AsyncProbe.observedMax.get() >= 2,
+      "no overlap observed - stage ran serially")
+    result.unpersist()
+  }
+
+  test("viaAsync test_fail_on_map port: DLQ gets the original, order kept") {
+    import spark.implicits._
+    val parse = new Mapper[Record, String] {
+      def map(in: Record): Try[String] = {
+        val s = new String(in.value, "UTF-8")
+        if (s == "poison") Failure(new RuntimeException("bad"))
+        else Success(s.toUpperCase)
+      }
+    }
+    val commit = new MockCommit
+    val result = Pipeline
+      .from(spark, source(rec(0, 0, "a"), rec(0, 1, "poison"), rec(0, 2, "c")))
+      .viaAsync(parse, concurrency = 3)
+      .run(_.count(), commit)
+    assert(result.dlq.collect().map(r => (r.partition, r.offset)).toSeq
+      === Seq((0, 1)))
+    assert(result.ok.collect().map(_._2).toSeq === Seq("A", "C"))
+    assert(commit.stored.head === Seq(("topic", 0) -> 3L))
+    result.unpersist()
+  }
+
+  test("a THROWING async mapper dead-letters instead of killing the task") {
+    import spark.implicits._
+    val explosive = new Mapper[Record, String] {
+      def map(in: Record): Try[String] = {
+        val s = new String(in.value, "UTF-8")
+        if (s == "boom") throw new IllegalStateException("stage blew up")
+        Success(s)
+      }
+    }
+    val result = Pipeline
+      .from(spark, source(rec(0, 0, "ok"), rec(0, 1, "boom")))
+      .viaAsync(explosive, concurrency = 2)
+      .run(_.count(), new MockCommit)
+    assert(result.dlq.collect().map(_.offset).toSeq === Seq(1L))
+    assert(result.ok.collect().map(_._2).toSeq === Seq("ok"))
+    result.unpersist()
   }
 
   test("highwater mark of empty ack set commits nothing") {

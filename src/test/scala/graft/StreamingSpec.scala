@@ -128,6 +128,71 @@ class StreamingSpec extends SparkSpecBase {
       .as[String].collect().toSeq === Seq("retried"))
   }
 
+  test("size-bound flush: source admission control caps every micro-batch") {
+    // the reference's is_full / 128-row batch cap (src/clickhouse.rs:60-63,
+    // ReducerWhenFullBehaviour src/lib.rs:697-701): a full buffer flushes
+    // and the source stops feeding until it has. Spark form: admission
+    // control (maxFilesPerTrigger here; maxOffsetsPerTrigger on Kafka via
+    // KafkaRecords.Config) bounds what each trigger may pull, so one
+    // "full" flush becomes several capped micro-batches.
+    import spark.implicits._
+    val (inDir, okDir, dlqDir, ckpt) = (tmp(), tmp(), tmp(), tmp())
+    (0 until 3).foreach { f =>
+      Seq((0, f * 2L, s"a$f".getBytes("UTF-8")),
+        (0, f * 2 + 1L, s"b$f".getBytes("UTF-8")))
+        .toDF("partition", "offset", "value")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val src = spark.readStream
+      .schema("partition INT, offset BIGINT, value BINARY")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = StreamingPipeline.dualWrite(src, stage, okDir, dlqDir, ckpt)
+    q.awaitTermination()
+    val batchDirs = new java.io.File(okDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).toSeq
+    // 6 rows arrived as (at least) 3 capped flushes, none above the cap
+    assert(batchDirs.size >= 3)
+    batchDirs.foreach { d =>
+      assert(spark.read.parquet(d.toString).count() <= 2,
+        s"batch ${d.getName} overran the flush cap")
+    }
+    assert(spark.read.parquet(okDir).count() === 6)
+  }
+
+  test("Drop shutdown: a stopped topology pulls nothing more; restart redelivers") {
+    // MapShutdownBehaviour::Drop / ReduceShutdownBehaviour::Drop
+    // (src/lib.rs:556-560,691-695): shutdown discards not-yet-processed
+    // work instead of draining it. Spark form: after stop(), input the
+    // query never pulled is simply NOT processed — but since its offsets
+    // were never committed either, the same checkpoint redelivers it on
+    // restart (drop-without-loss, vs. Drain = AvailableNow which flushes
+    // everything before stopping).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (okDir, dlqDir, ckpt) = (tmp(), tmp(), tmp())
+    val stream = MemoryStream[Record]
+    stream.addData(rec(0, 0, "a"), rec(0, 1, "b"))
+    val q = StreamingPipeline.dualWrite(stream.toDF(), stage, okDir, dlqDir,
+      ckpt, Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      q.processAllAvailable() // first flush: a, b
+      assert(spark.read.parquet(okDir).count() === 2)
+    } finally q.stop() // shutdown signal
+    // input arriving around/after shutdown is dropped from processing:
+    // several trigger intervals pass and the record stays unprocessed
+    stream.addData(rec(0, 2, "dropped-for-now"))
+    Thread.sleep(500)
+    assert(spark.read.parquet(okDir).count() === 2)
+    // Drain restart from the same checkpoint: the dropped record arrives
+    stream.addData(rec(0, 3, "late"))
+    val q2 = StreamingPipeline.dualWrite(stream.toDF(), stage, okDir, dlqDir,
+      ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(okDir).select("payload").as[String]
+      .collect().sorted.toSeq === Seq("a", "b", "dropped-for-now", "late"))
+  }
+
   test("streaming dedup: duplicate keys across micro-batches emit once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
