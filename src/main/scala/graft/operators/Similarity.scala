@@ -103,8 +103,16 @@ object Similarity extends QueryModule {
     val e = Tables.embeddings(s, d)
       .select($"vec_id", $"label", $"embedding".as("v"))
       .withColumn("nrm", l2Norm($"v"))
+    // the pair join consumes the assignment TWICE (both sides); persist
+    // materializes the index-build pass once instead of letting Catalyst
+    // plan two corpus scans (no CSE across self-join subtrees). The cached
+    // table is the (small) id+vector assignment, reclaimed by the
+    // ContextCleaner when the query's DataFrames go out of scope; a real
+    // deployment materializes the IVF assignment as a stored table and
+    // joins against that, exactly like [[ivfTopK]] probes [[ivfAssign]].
     val cells = assignTo(e, centroids(e))
       .select($"label", $"centroid_id", $"vec_id", $"v", $"nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = cells.select($"label", $"centroid_id", $"vec_id".as("id_a"),
       $"v".as("va"), $"nrm".as("na"))
     val b = cells.select($"label", $"centroid_id", $"vec_id".as("id_b"),
