@@ -71,6 +71,35 @@ object Breadth extends QueryModule {
       .orderBy($"user_id")
   }
 
+  /** Skew-safe SALTED JOIN: the big (fact) side gets a random-free,
+    * deterministic salt; the small (dimension) side is replicated once
+    * per salt value, and the join key becomes (key, salt) — one hot key's
+    * rows spread over N reducer partitions instead of one straggler.
+    * Exact same rows as the plain join (every fact row meets exactly one
+    * replica of its dimension row), which is what the oracle checks.
+    * At 100 TB this is the manual fallback when AQE's skew-join split
+    * cannot apply (e.g. pre-shuffle bucketing or non-AQE engines); the
+    * deterministic salt (pmod of the fact's unique id) keeps the query
+    * reproducible across runs and engines. */
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val salts = 8
+    val orders = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .withColumn("salt", pmod($"o_orderkey", lit(salts.toLong)))
+    val customers = Tables.customer(s, d)
+      .select($"c_custkey", $"c_mktsegment")
+      .crossJoin(s.range(0, salts).select($"id".as("salt")))
+    orders
+      .join(customers,
+        $"o_custkey" === $"c_custkey" && orders("salt") === customers("salt"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy($"c_mktsegment")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_count_distinct", distinctUsers, Some("""
@@ -100,6 +129,14 @@ object Breadth extends QueryModule {
       "q_salted_agg", saltedAgg, Some("""
         SELECT user_id, count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        FROM events GROUP BY user_id ORDER BY user_id"""))
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+    QueryDef(
+      // oracle = the PLAIN join: salting must be result-invisible
+      "q_salted_join", saltedJoin, Some("""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

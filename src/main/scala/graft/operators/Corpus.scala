@@ -59,6 +59,34 @@ object Corpus extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** Decontamination, bloom-accelerated: the benchmark fingerprint set is
+    * sketched into a bloom filter ([[graft.functions.BloomSketch]]) and
+    * the corpus tests membership AT THE SCAN — definite-negatives (the
+    * overwhelming majority) never enter any join; only might-contain
+    * candidates reach the exact anti-join that resolves false positives.
+    * Results are identical to [[decontaminate]] by construction (bloom
+    * filters have no false negatives), so this query shares its
+    * brute-force oracle — the gate proves the sketch loses nothing.
+    * This is the decontamination shape for benchmark sets too large to
+    * broadcast raw: ~10 bits/key instead of the full key bytes. */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def fp(c: org.apache.spark.sql.Column) =
+      md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""),
+        " +", " ")))
+    val docs = Tables.documents(s, d)
+    val benchmark = docs.where($"doc_id" % 25 === 0).select(fp($"text").as("bfp"))
+    val sketch = graft.functions.BloomSketch.build(benchmark, $"bfp", 100000L)
+    val fps = docs.select($"doc_id", $"lang", fp($"text").as("fp"))
+    val clean = fps.where(!graft.functions.BloomSketch.mightContain(sketch, $"fp"))
+    val candidates = fps.where(graft.functions.BloomSketch.mightContain(sketch, $"fp"))
+      .join(broadcast(benchmark), $"fp" === $"bfp", "left_anti")
+    clean.unionByName(candidates)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy($"lang")
+  }
+
   /** Chunk-level duplication profile via content-defined chunking
     * ([[graft.functions.ContentChunksExpr]], Gear rolling hash): how many
     * distinct chunks appear in more than one document — the signal
@@ -112,6 +140,19 @@ object Corpus extends QueryModule {
         GROUP BY token ORDER BY tf DESC, token LIMIT 50""")),
     QueryDef(
       "q_decontaminate", decontaminate, Some("""
+        WITH fps AS (
+          SELECT doc_id, lang,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+          FROM documents),
+        bench AS (SELECT fp AS bfp FROM fps WHERE doc_id % 25 = 0)
+        SELECT lang, count(*) AS n_kept
+        FROM fps WHERE fp NOT IN (SELECT bfp FROM bench)
+        GROUP BY lang ORDER BY lang""")),
+    QueryDef(
+      // same oracle as q_decontaminate: the bloom pre-filter must be
+      // result-invisible (no false negatives; positives exactly verified)
+      "q_decontaminate_bloom", decontaminateBloom, Some("""
         WITH fps AS (
           SELECT doc_id, lang,
                  md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -177,6 +177,27 @@ object StreamingPipeline {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream INTERVAL join (the enrichment shape the reference
+    * cannot express at all — SURVEY §2.6): both sides are unbounded, so
+    * Spark buffers each in the state store and the join emits as matches
+    * arrive. Bounded state REQUIRES both ingredients the signature forces:
+    * a watermark on each side (how late input may be) and a time-range
+    * term in `condition` (how far apart matches may be) — together they
+    * let the state store evict rows that can no longer match, so state is
+    * O(watermark × rate), not O(stream). Caller contract: `condition`
+    * carries the key equality AND the event-time range (e.g.
+    * `p_ts BETWEEN c_ts AND c_ts + INTERVAL 15 MINUTES`), and the two
+    * sides use distinct column names. */
+  def streamIntervalJoin(
+      left: DataFrame,
+      leftTsCol: String,
+      right: DataFrame,
+      rightTsCol: String,
+      condition: Column,
+      watermark: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTsCol, watermark)
+      .join(right.withWatermark(rightTsCol, watermark), condition)
+
   /** Event-time windowed aggregation with watermark (the event-time
     * capability the reference lacks — SURVEY §2.6): counts per tumbling
     * window per key, late data bounded by the watermark. */

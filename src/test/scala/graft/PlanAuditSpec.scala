@@ -56,6 +56,33 @@ class PlanAuditSpec extends SparkSpecBase {
     asof.unpersist()
   }
 
+  test("ngram jaccard joins on the shingle posting key, never source alone") {
+    // the scale property of the round-3 rewrite: the only self-join key
+    // is (source, tok) — an unfiltered per-source block self-join would
+    // plan a join whose keys are [source] only, quadratic in block size
+    val p = plan(graft.operators.NearDup.ngramJaccardTopK(spark, sfDir))
+    assert(p.contains("tok"), p.take(2000))
+    // and no shingle ARRAY column survives into any exchange: the
+    // posting key is the exploded 8-byte hash, sizes join in later
+    assert(!"Exchange [^\\n]*sh#".r.findFirstIn(p).isDefined, p.take(2000))
+  }
+
+  test("ivf probe assignment reads a filter-pushed probe scan, not the corpus") {
+    val p = plan(graft.operators.Similarity.ivfTopK(spark, sfDir))
+    // the probe-side parquet scan must carry the vec_id range pushdown —
+    // that is what keeps the SECOND centroid pass at |probes|, not |corpus|
+    assert(
+      "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(vec_id,8\\)[^\\]]*LessThan\\(vec_id,18\\)".r
+        .findFirstIn(p).isDefined, p.take(3000))
+  }
+
+  test("label-bucket cells reuse ONE materialized assignment pass") {
+    val p = plan(graft.operators.Similarity.labelBucketTopK(spark, sfDir))
+    // both sides of the pair join scan the cached assignment; without the
+    // persist the plan contains two independent corpus×centroid subtrees
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))

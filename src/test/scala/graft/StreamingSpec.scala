@@ -236,6 +236,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchase attributed to click within window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val purchases = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val c = clicks.toDF().toDF("c_ts", "c_user", "click_id")
+    val p = purchases.toDF().toDF("p_ts", "p_user", "amount")
+    val joined = StreamingPipeline.streamIntervalJoin(
+      c, "c_ts", p, "p_ts",
+      expr("c_user = p_user AND p_ts >= c_ts AND " +
+        "p_ts <= c_ts + INTERVAL 15 MINUTES"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attributed").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      clicks.addData(
+        (ts("2024-01-01 00:00:00"), "u1", 1L),
+        (ts("2024-01-01 00:00:00"), "u2", 2L))
+      purchases.addData(
+        (ts("2024-01-01 00:10:00"), "u1", 9.5), // within 15 min of click 1
+        (ts("2024-01-01 01:00:00"), "u1", 3.0)) // outside every window
+      q.processAllAvailable()
+      val got = spark.table("attributed")
+        .select($"click_id", $"amount").as[(Long, Double)].collect().toSeq
+      // exactly one attribution: u1's in-window purchase; u2 unmatched
+      assert(got === Seq((1L, 9.5)))
+    } finally q.stop()
+  }
+
   test("event-time windowed counts with watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
