@@ -190,31 +190,36 @@ object NearDup extends QueryModule {
       .orderBy($"source", $"rank")
   }
 
-  /** SimHash near-dup pairs within Hamming distance <= 6: the 64-bit
-    * fingerprint splits into 4 16-bit chunks; by pigeonhole any pair
-    * within distance 6 agrees on at least one chunk... only guaranteed
-    * for distance <= 3 with 4 chunks, so 8 8-bit chunks are used
-    * (distance <= 7 ⇒ some chunk equal). Candidates come from an
-    * equi-join on (chunk index, chunk value) — constant-width keys, no
-    * all-pairs — then exact popcount verification. Oracle: brute-force
-    * pairs over the SQL-reproduced SimHash ([[graft.ops.HashOracleSql]]),
-    * so the gate also proves the pigeonhole candidate stage loses no
-    * pair. */
+  /** SimHash near-dup pairs within Hamming distance <= 6, via TWO-CHUNK
+    * combination keys (the multi-block candidate scheme of Manku et al.'s
+    * simhash dedup): the 64-bit fingerprint splits into 8 8-bit chunks;
+    * <= 6 differing bits touch at most 6 chunks, so at least 2 chunks are
+    * untouched and the pair agrees on SOME 16-bit two-chunk combination —
+    * one equi-join on C(8,2)=28 packed combo keys, then exact popcount
+    * verification. The key space per combo is 2^16 (vs 2^8 for a single
+    * chunk), so bucket sizes — and the quadratic within-bucket candidate
+    * count — shrink by ~256x at any corpus size; that is what keeps this
+    * candidate stage sub-quadratic as n grows. Oracle: brute-force pairs
+    * over the SQL-reproduced SimHash ([[graft.ops.HashOracleSql]]), so
+    * the gate also proves the pigeonhole candidate stage loses no pair. */
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val maxDist = 6
-    val chunks = 8 // 8-bit chunks: pigeonhole covers distance <= 7
+    val chunks = 8
     val sigs = Tables.documents(s, d)
       .select($"doc_id", simhash64($"text").as("simhash"))
-    val chunked = sigs.select($"doc_id", $"simhash",
-      posexplode(array((0 until chunks).map(c =>
-        shiftright($"simhash", c * 8).bitwiseAND(lit(0xffL))): _*)))
-      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "cval"))
-    val a = chunked.select($"chunk", $"cval", $"doc_id".as("id_a"),
-      $"simhash".as("sh_a"))
-    val b = chunked.select($"chunk", $"cval", $"doc_id".as("id_b"),
-      $"simhash".as("sh_b"))
-    a.join(b, Seq("chunk", "cval"))
+    val chunkCols = (0 until chunks).map(c =>
+      shiftright($"simhash", c * 8).bitwiseAND(lit(0xffL)))
+    // packed long key per combo: comboIdx*2^16 + ci*2^8 + cj (< 2^21)
+    val comboKeys = for {
+      i <- 0 until chunks; j <- (i + 1) until chunks
+    } yield lit(((i * chunks + j).toLong) << 16) +
+      chunkCols(i) * lit(256L) + chunkCols(j)
+    val keyed = sigs.select($"doc_id", $"simhash",
+      explode(array(comboKeys: _*)).as("bkey"))
+    val a = keyed.select($"bkey", $"doc_id".as("id_a"), $"simhash".as("sh_a"))
+    val b = keyed.select($"bkey", $"doc_id".as("id_b"), $"simhash".as("sh_b"))
+    a.join(b, Seq("bkey"))
       .where($"id_a" < $"id_b")
       .select($"id_a", $"id_b", $"sh_a", $"sh_b")
       .distinct()
