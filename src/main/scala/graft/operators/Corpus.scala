@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{QueryDef, QueryModule, Tables}
@@ -24,6 +25,52 @@ object Corpus extends QueryModule {
       .where($"bucket" < 26) // 26/256 ≈ 10%
       .select($"doc_id", $"lang", $"n_chars", $"bucket")
       .orderBy($"doc_id")
+  }
+
+  /** EXACT stratified sampling: precisely ceil(10%) of each language,
+    * selected by a deterministic hash order within the group — the
+    * train/eval-split shape where per-stratum fractions must be exact
+    * (hash-threshold sampling like [[deterministicSample]] is stratified
+    * only in expectation). One shuffle on the stratum key; the window
+    * rank and group count share its partitioning. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val order = Window.partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val grp = Window.partitionBy($"lang")
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang")
+      .withColumn("rn", row_number().over(order).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(grp))
+      .where($"rn" <= ceil(lit(0.1) * $"n_lang"))
+      .select($"doc_id", $"lang", $"rn")
+      .orderBy($"doc_id")
+  }
+
+  /** TF-IDF top terms per document (feature extraction for quality
+    * scoring / dedup weighting): tf from one (doc, token) aggregate, df
+    * from a token aggregate over it, corpus size broadcast as a 1-row
+    * join. The idf is the RATIONAL surrogate (N - df + 0.5)/(df + 0.5)
+    * (the BM25 idf core without the log): monotone in df, so rankings
+    * match log-idf rankings, while staying bit-reproducible across
+    * engines — ln() implementations may differ in the last ulp, which a
+    * hash-comparing oracle would catch. */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"token")
+    tf.join(df, "token")
+      .crossJoin(broadcast(n)) // 1 row
+      .withColumn("score",
+        $"tf" * ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 3 && $"doc_id" < 50)
+      .select($"doc_id", $"rank", $"token", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rank")
   }
 
   /** Corpus vocabulary: term frequency and document frequency per token,
@@ -132,6 +179,37 @@ object Corpus extends QueryModule {
                    AS BIGINT) AS bucket
           FROM documents) t
         WHERE bucket < 26 ORDER BY doc_id""")),
+    QueryDef(
+      "q_stratified_sample", stratifiedSample, Some("""
+        WITH r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n_lang
+          FROM documents)
+        SELECT doc_id, lang, rn FROM r
+        WHERE rn <= ceil(0.1 * n_lang) ORDER BY doc_id""")),
+    QueryDef(
+      "q_tfidf", tfidfTopTerms, Some("""
+        WITH tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents) t
+          GROUP BY doc_id, token),
+        df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                 tf.tf * (n.n_docs - df.df + 0.5) / (df.df + 0.5) AS score
+          FROM tf JOIN df USING (token) CROSS JOIN n),
+        r AS (
+          SELECT doc_id, token, tf, df, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, token) AS rank
+          FROM scored)
+        SELECT doc_id, rank, token, tf, df, score
+        FROM r WHERE rank <= 3 AND doc_id < 50
+        ORDER BY doc_id, rank""")),
     QueryDef(
       "q_token_freq", tokenFrequencies, Some("""
         SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
