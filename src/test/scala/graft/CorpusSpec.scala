@@ -49,6 +49,37 @@ class CorpusSpec extends SparkSpecBase {
     assert(kept === total - bench)
   }
 
+  test("stratified sample takes exactly ceil(10%) of every stratum") {
+    import spark.implicits._
+    val perLang = graft.ops.Tables.documents(spark, sfDir)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val sampled = Corpus.stratifiedSample(spark, sfDir)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    // exact per-group fraction — including SKEWED strata: every language
+    // present, each at exactly ceil(0.1 * n), never the in-expectation
+    // approximation hash-threshold sampling gives
+    perLang.foreach { case (lang, n) =>
+      assert(sampled.getOrElse(lang, 0L) === math.ceil(0.1 * n).toLong,
+        s"$lang: n=$n sampled=${sampled.get(lang)}")
+    }
+  }
+
+  test("bloom sketch: no false negatives, and decontaminateBloom == exact") {
+    import spark.implicits._
+    val keys = (0 until 2000).map(i => s"key-$i")
+    val df = keys.toDF("k")
+    val sketch = graft.functions.BloomSketch.build(df, $"k", 2000L)
+    // every inserted key MUST test positive (bloom guarantees no false
+    // negatives — what makes the pre-filter result-invisible)
+    val hits = df.where(graft.functions.BloomSketch.mightContain(sketch, $"k"))
+      .count()
+    assert(hits === 2000L)
+    // and the composed query equals the exact anti-join, row for row
+    val exact = Corpus.decontaminate(spark, sfDir).collect().toSeq
+    val bloom = Corpus.decontaminateBloom(spark, sfDir).collect().toSeq
+    assert(bloom === exact)
+  }
+
   test("chunk dedup profile is a partition of distinct chunks") {
     import spark.implicits._
     val prof = Corpus.chunkDupProfile(spark, sfDir).cache()
