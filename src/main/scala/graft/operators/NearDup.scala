@@ -120,17 +120,25 @@ object NearDup extends QueryModule {
         slice($"by_rarity", lit(1),
           ($"n" - ceil(lit(t) * $"n") + 1).cast("int")).as("prefix"))
     val pa = ordered.select($"doc_id".as("id_a"), $"n".as("n_a"),
-      explode($"prefix.tok").as("tok"))
+      posexplode($"prefix.tok"))
+      .withColumnsRenamed(Map("pos" -> "pos_a", "col" -> "tok"))
     val pb = ordered.select($"doc_id".as("id_b"), $"n".as("n_b"),
-      explode($"prefix.tok").as("tok"))
-    // PPJoin length filter in the join condition: J >= t forces
-    // min(|A|,|B|) >= t * max(|A|,|B|), so both inequalities are necessary
-    // — they discard most low-overlap candidates BEFORE the distinct +
-    // verify stages ever see them (the prefix filter alone admits any
-    // pair sharing one prefix token regardless of size mismatch).
+      posexplode($"prefix.tok"))
+      .withColumnsRenamed(Map("pos" -> "pos_b", "col" -> "tok"))
+    // PPJoin filters in the join condition, both necessary for J >= t:
+    //  - length: min(|A|,|B|) >= t * max(|A|,|B|);
+    //  - positional: a match at (0-based) prefix positions (pa, pb) caps
+    //    the achievable overlap at min(|A|-pa-1, |B|-pb-1) + 1 (only the
+    //    suffixes after the matching token can still contribute), while
+    //    J >= t needs overlap >= t/(1+t) * (|A|+|B|).
+    // Both discard candidates BEFORE the distinct + verify stages ever
+    // see them (the prefix filter alone admits any pair sharing one
+    // prefix token regardless of size or match position).
     val candidates = pa.join(pb, Seq("tok"))
       .where($"id_a" < $"id_b" &&
-        $"n_b" >= lit(t) * $"n_a" && $"n_a" >= lit(t) * $"n_b")
+        $"n_b" >= lit(t) * $"n_a" && $"n_a" >= lit(t) * $"n_b" &&
+        least($"n_a" - $"pos_a" - 1, $"n_b" - $"pos_b" - 1) + 1 >=
+          lit(t / (1 + t)) * ($"n_a" + $"n_b"))
       .select($"id_a", $"id_b")
       .distinct()
     candidates
