@@ -167,6 +167,38 @@ object Corpus extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** The 100 TB form of [[valueQuantiles]]: a mergeable t-digest-style
+    * sketch (`approx_percentile`) instead of the exact sort-based
+    * percentile — constant memory per group at any scale, tunable
+    * accuracy. Not a gate query (approx output cannot hash-match an
+    * exact oracle); CorpusSpec pins it within tolerance of the exact
+    * result instead. */
+  def valueQuantilesApprox(s: SparkSession, d: String,
+      accuracy: Int = 10000): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"value").as("v_min"),
+        expr(s"approx_percentile(value, 0.5D, $accuracy)").as("v_median"),
+        max($"value").as("v_max"))
+      .orderBy($"event_type")
+  }
+
+  /** The 100 TB form of count(DISTINCT): HyperLogLog++ with a bounded
+    * relative error — fixed sketch size per group versus the exact
+    * form's expand+aggregate over every distinct value. Spec-pinned
+    * within its rsd of the exact counts. */
+  def distinctUsersApprox(s: SparkSession, d: String,
+      rsd: Double = 0.02): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", rsd).as("n_users_approx"))
+      .orderBy($"event_type")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_sample_deterministic", deterministicSample, Some("""

@@ -31,4 +31,25 @@ object Ddl {
     spark.sql(
       s"CREATE TABLE $table USING parquet LOCATION '$path'")
   }
+
+  /** Write `df` as a BUCKETED catalog table: rows are hash-distributed
+    * into `buckets` files by `bucketCol` and sorted within each bucket.
+    * Two tables bucketed the same way join WITHOUT any shuffle — Spark
+    * proves both sides already share the required hash distribution, so
+    * the sort-merge join reads co-located buckets directly. At 100 TB
+    * this is the difference between re-shuffling the fact table on every
+    * join and paying the distribution cost ONCE at write time (the same
+    * trade the reference's MergeTree primary key makes for reads);
+    * pinned by AggregatorDdlSpec's exchange-free-join plan assertion. */
+  def createBucketedTable(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      buckets: Int = 8): Unit = {
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

@@ -46,6 +46,37 @@ class AggregatorDdlSpec extends SparkSpecBase {
     spark.sql("DROP TABLE IF EXISTS events_sorted")
   }
 
+  test("bucketed tables join with NO exchange on either side") {
+    import spark.implicits._
+    val orders = graft.ops.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val customers = graft.ops.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment")
+    Ddl.createBucketedTable(orders.withColumnRenamed("o_custkey", "custkey"),
+      "orders_b", "custkey")
+    Ddl.createBucketedTable(customers.withColumnRenamed("c_custkey", "custkey"),
+      "customer_b", "custkey")
+    // force a shuffle-based join (no broadcast) to expose the property
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), "custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides already carry the bucket hash distribution: the join
+      // plans with ZERO Exchange operators — the write-once,
+      // join-many-times co-location that kills the per-join fact shuffle
+      assert(!plan.contains("Exchange"), plan)
+      // and it is still the correct join
+      assert(joined.count() ===
+        orders.join(customers, $"o_custkey" === $"c_custkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("kafka source wiring: option mapping and record column mapping") {
     import graft.sources.KafkaRecords
     val opts = KafkaRecords.options(KafkaRecords.Config(

@@ -80,6 +80,29 @@ class CorpusSpec extends SparkSpecBase {
     assert(bloom === exact)
   }
 
+  test("approx quantiles and approx distinct stay within their error bounds") {
+    import spark.implicits._
+    val exactQ = Corpus.valueQuantiles(spark, sfDir)
+      .select($"event_type", $"v_median").as[(String, Double)].collect().toMap
+    val approxQ = Corpus.valueQuantilesApprox(spark, sfDir)
+      .select($"event_type", $"v_median").as[(String, Double)].collect().toMap
+    exactQ.foreach { case (k, exact) =>
+      val spread = math.max(1e-9, math.abs(exact) * 0.05)
+      assert(math.abs(approxQ(k) - exact) <= spread,
+        s"$k: exact=$exact approx=${approxQ(k)}")
+    }
+    val exactD = graft.operators.Breadth.distinctUsers(spark, sfDir)
+      .select($"event_type", $"n_users").as[(String, Long)].collect().toMap
+    val approxD = Corpus.distinctUsersApprox(spark, sfDir)
+      .select($"event_type", $"n_users_approx").as[(String, Long)]
+      .collect().toMap
+    exactD.foreach { case (k, exact) =>
+      // rsd 0.02 → allow 3 sigma ≈ 6% (plus slack for tiny groups)
+      assert(math.abs(approxD(k) - exact) <= math.max(2.0, exact * 0.06),
+        s"$k: exact=$exact approx=${approxD(k)}")
+    }
+  }
+
   test("chunk dedup profile is a partition of distinct chunks") {
     import spark.implicits._
     val prof = Corpus.chunkDupProfile(spark, sfDir).cache()
