@@ -113,6 +113,36 @@ object Relational extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** RANGE JOIN without a range-explosion plan: every purchase opens a
+    * 30-minute attribution window and the join finds ALL events inside
+    * it (many-to-many interval containment — the as-of join's sibling,
+    * which keeps only the latest marker). A naive theta-join on
+    * `ts BETWEEN start AND end` plans a nested-loop product; instead
+    * both sides are keyed into fixed-width time BUCKETS sized to the
+    * window, so a window covers exactly 2 buckets and an event exactly 1
+    * — the candidate join is a plain equi-join on (user_id, bucket) with
+    * the exact range predicate verifying candidates. Shuffle volume is
+    * 2x the windows + 1x the events, at any scale. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val windowUs = 30L * 60 * 1000000 // 30 min, in epoch micros
+    val e = Tables.events(s, d)
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        unix_micros($"ts").as("p_us"))
+      .withColumn("b0", floor($"p_us" / windowUs))
+      .withColumn("bucket", explode(array($"b0", $"b0" + 1)))
+      .drop("b0")
+    val events = e.select($"user_id", $"event_id", unix_micros($"ts").as("e_us"))
+      .withColumn("bucket", floor($"e_us" / windowUs))
+    purchases.join(events, Seq("user_id", "bucket"))
+      .where($"e_us" >= $"p_us" && $"e_us" <= $"p_us" + windowUs &&
+        $"event_id" =!= $"purchase_id")
+      .groupBy($"purchase_id")
+      .agg(count(lit(1)).as("n_in_window"))
+      .orderBy($"purchase_id")
+  }
+
   /** Top-3 orders per customer: ranking window after one shuffle on the
     * window key. */
   def topOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
@@ -194,6 +224,22 @@ object Relational extends QueryModule {
           FROM u)
         SELECT event_id, k AS user_id, last_purchase_id
         FROM c WHERE kind = 1 ORDER BY event_id""")),
+    QueryDef(
+      // oracle = the naive theta join: bucketing must be result-invisible
+      "q_range_join", rangeJoin, Some("""
+        WITH p AS (
+          SELECT user_id, event_id AS purchase_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+          FROM events WHERE event_type = 'purchase'),
+        ev AS (
+          SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
+          FROM events)
+        SELECT purchase_id, count(*) AS n_in_window
+        FROM p JOIN ev ON p.user_id = ev.user_id
+                      AND ev.e_us >= p.p_us
+                      AND ev.e_us <= p.p_us + 1800000000
+                      AND ev.event_id <> p.purchase_id
+        GROUP BY purchase_id ORDER BY purchase_id""")),
     QueryDef(
       "q_top_orders_per_cust", topOrdersPerCustomer, Some("""
         SELECT o_custkey, rank, o_orderkey, price FROM (
