@@ -27,13 +27,21 @@ import org.apache.spark.sql.functions._
 object BloomSketch {
 
   /** Aggregate `keys` of `df` into a serialized bloom filter (runs a
-    * driver job NOW; the result is a few MB even for huge key sets). */
+    * driver job NOW; the result is a few MB even for huge key sets).
+    * An EMPTY key set yields an empty filter — `mightContain` false for
+    * everything — matching the exact-join semantics of "no benchmark
+    * matches anything" (Spark's aggregate itself evals to NULL on zero
+    * rows, which would otherwise poison every downstream predicate). */
   def build(df: DataFrame, key: Column, estimatedItems: Long): Array[Byte] = {
     val agg = GraftShims.column(
       new BloomFilterAggregate(
         GraftShims.toExpression(xxhash64(key)), estimatedItems)
         .toAggregateExpression())
-    df.select(agg.as("bf")).head().getAs[Array[Byte]](0)
+    Option(df.select(agg.as("bf")).head().getAs[Array[Byte]](0)).getOrElse {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter.create(1).writeTo(out)
+      out.toByteArray
+    }
   }
 
   /** Predicate: may `key` be in the sketch? No false negatives; false

@@ -52,13 +52,19 @@ object HashOracleSql {
 
   /** CTE chain ending in `sh(doc_id, simhash BIGINT)`: the per-document
     * 64-bit SimHash over whitespace tokens, matching
-    * [[graft.functions.SimHash.simhash64]] exactly (empty tokens skipped;
-    * vote >= 0 sets the bit; result reinterpreted as signed). */
+    * [[graft.functions.SimHash.simhash64]] exactly: tokens split on the
+    * ASCII whitespace class Java's `Character.isWhitespace` accepts
+    * (space, \t, \n, \x0B, \f, \r, \x1C-\x1F — the full Unicode classes
+    * would need ICU, but the corpus is ASCII, see class doc), empty
+    * tokens skipped, vote >= 0 sets the bit, result reinterpreted as
+    * signed — and a TOKEN-LESS document keeps the all-votes-zero
+    * fingerprint (every bit set = -1), not a dropped row. */
   val simhashCte: String = s"""
     WITH p2t AS (SELECT CAST($pow2Lit AS HUGEINT[]) AS p2),
     toks AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split(text, ' '), t -> strlen(t) > 0)) AS t
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(text, '[ \\t\\n\\x0b\\f\\r\\x1c-\\x1f]'),
+               t -> strlen(t) > 0)) AS t
       FROM documents),
     th AS (SELECT doc_id, ${fnv1a64("t")} AS h FROM toks),
     bits AS (
@@ -68,12 +74,15 @@ object HashOracleSql {
                   THEN p2[b.b+1] ELSE 0::HUGEINT END AS bitval
       FROM th, generate_series(0, 63) AS b(b), p2t
       GROUP BY doc_id, b.b, p2[b.b+1]),
-    sh AS (
+    sh0 AS (
       SELECT doc_id,
              CAST(CASE WHEN sum(bitval)::HUGEINT >= 9223372036854775808::HUGEINT
                        THEN sum(bitval)::HUGEINT - 18446744073709551616::HUGEINT
                        ELSE sum(bitval)::HUGEINT END AS BIGINT) AS simhash
-      FROM bits GROUP BY doc_id)"""
+      FROM bits GROUP BY doc_id),
+    sh AS (
+      SELECT d.doc_id, coalesce(sh0.simhash, CAST(-1 AS BIGINT)) AS simhash
+      FROM documents d LEFT JOIN sh0 ON d.doc_id = sh0.doc_id)"""
 
   /** CTE chain ending in `chunks(doc_id, chunk HUGEINT)`: the distinct
     * FNV hashes of each document's Gear/FastCDC chunks (maskBits=5,

@@ -78,6 +78,13 @@ class CorpusSpec extends SparkSpecBase {
     val exact = Corpus.decontaminate(spark, sfDir).collect().toSeq
     val bloom = Corpus.decontaminateBloom(spark, sfDir).collect().toSeq
     assert(bloom === exact)
+    // an EMPTY key set builds an empty sketch (nothing might-contains),
+    // not a NULL that would poison every downstream predicate
+    val empty = graft.functions.BloomSketch.build(
+      df.where($"k" === "absent"), $"k", 10L)
+    assert(empty != null)
+    assert(df.where(graft.functions.BloomSketch.mightContain(empty, $"k"))
+      .count() === 0L)
   }
 
   test("approx quantiles and approx distinct stay within their error bounds") {
