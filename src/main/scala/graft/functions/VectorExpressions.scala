@@ -40,8 +40,8 @@ object VecOps {
   }
 
   /** Random-hyperplane LSH bucket signatures: one `bits`-wide bucket per
-    * table, hyperplanes drawn from [[VectorFunctions.signAt]] (the
-    * LCG shared with the DuckDB oracle contract). */
+    * table, hyperplane components drawn from [[VectorFunctions.signAt]]
+    * (deterministic avalanche-mixed ±1, reproducible across runs). */
   def lshBuckets(v: ArrayData, isFloat: Boolean, tables: Int, bits: Int): ArrayData = {
     val dim = v.numElements()
     val out = new Array[Long](tables)

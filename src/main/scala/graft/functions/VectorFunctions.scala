@@ -33,12 +33,20 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     cosineWithNorms(a, b, l2Norm(a), l2Norm(b))
 
-  /** Deterministic pseudo-random ±1.0 sequence shared with the oracle:
-    * LCG over the flat index, bit 15 as the sign bit (low LCG bits are
-    * not random). Exact integer arithmetic — reproducible anywhere. */
-  def signAt(flatIndex: Long): Double = {
-    val x = (flatIndex * 1103515245L + 12345L) % 2147483648L
-    if (((x >> 15) & 1L) == 0L) 1.0 else -1.0
-  }
+  /** Deterministic pseudo-random ±1.0 hyperplane components: the murmur3
+    * finalizer of the flat index (avalanche mix, exact integer
+    * arithmetic — reproducible anywhere).
+    *
+    * NOT an affine LCG of the index: bit b of `a*i + c mod 2^31` is a
+    * quasi-periodic rotation sequence (`a·i mod 2^(b+1)` vs a threshold),
+    * and hyperplanes drawn from it are SHIFTED copies of one structured
+    * sequence — at lags where the rotation nearly closes, "different"
+    * hyperplanes become near-identical and the LSH tables collapse onto
+    * each other (the same defect class as the affine MinHash permutations,
+    * [[graft.functions.VecOps.minhashSig]]). */
+  def signAt(flatIndex: Long): Double =
+    if ((graft.functions.VecOps.fmix64(
+      flatIndex * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL) & 1L) == 0L)
+      1.0 else -1.0
 
 }

@@ -175,9 +175,15 @@ object Similarity extends QueryModule {
     * Correctly empty when no near-dups exist — the oracle is the
     * brute-force definition, so any LSH recall loss would surface as a
     * mismatch. */
-  def nearDupLsh(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e = vecs(s, d)
+  def nearDupLsh(s: SparkSession, d: String): DataFrame =
+    lshNearDupPairs(vecs(s, d), NearDupTau)
+
+  /** The LSH near-dup pair stage over any (vec_id, v, nrm) frame —
+    * factored out so specs can pin RECALL on synthetic corpora with
+    * known planted near-dups (the driver fixture has none above tau, so
+    * its gate proves only precision/emptiness). */
+  private[graft] def lshNearDupPairs(e: DataFrame, tau: Double): DataFrame = {
+    import e.sparkSession.implicits._
     // one row per (vec, table) with that table's bucket signature — all
     // 48 signatures come from one native-expression evaluation per vector
     val sigs = e.select($"vec_id", $"v", $"nrm",
@@ -194,7 +200,7 @@ object Similarity extends QueryModule {
       .distinct() // candidate pair may collide in several tables
       .select($"id_a", $"id_b",
         cosineWithNorms($"va", $"vb", $"na", $"nb").as("cosine"))
-      .where($"cosine" >= NearDupTau)
+      .where($"cosine" >= tau)
       .orderBy($"id_a", $"id_b")
   }
 

@@ -38,11 +38,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(df.where($"cosine" < 0.9).count() === 0)
   }
 
-  test("sign sequence is stable (oracle contract)") {
+  test("sign sequence is stable and balanced") {
     import graft.functions.VectorFunctions.signAt
-    // pin a few values; any change breaks Spark/DuckDB agreement
     val head = (0L until 8L).map(signAt)
     assert(head.forall(v => v == 1.0 || v == -1.0))
     assert(head === (0L until 8L).map(signAt)) // deterministic
+    // avalanche sanity: over a long stretch the signs are near-balanced
+    // (an affine-LCG bit here was a quasi-periodic rotation sequence)
+    val mean = (0L until 4096L).map(signAt).sum / 4096.0
+    assert(math.abs(mean) < 0.1, s"biased sign sequence: mean=$mean")
+  }
+
+  test("LSH recall: planted near-dup twins are all recovered") {
+    import spark.implicits._
+    // 100 deterministic ±1 vectors in 64 dims; ids 0..9 get a twin
+    // (id+1000) with ONE flipped coordinate -> cosine 62/64 ≈ 0.969,
+    // while unrelated pairs concentrate near 0 (±~0.125) — recall at
+    // tau=0.9 must be perfect (designed miss odds ~1e-13 per twin)
+    def vec(id: Long): Array[Float] = Array.tabulate(64) { k =>
+      if ((graft.functions.VecOps.fmix64(id * 64 + k) & 1L) == 0L) 1.0f
+      else -1.0f
+    }
+    val base = (0L until 100L).map(i => (i, vec(i)))
+    val twins = (0L until 10L).map { i =>
+      val v = vec(i).clone(); v(7) = -v(7); (i + 1000L, v)
+    }
+    val e = (base ++ twins).toDF("vec_id", "v")
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm($"v"))
+    val pairs = graft.operators.Similarity.lshNearDupPairs(e, 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val expected = (0L until 10L).map(i => (i, i + 1000L)).toSet
+    assert(pairs === expected,
+      s"missing=${expected -- pairs} spurious=${pairs -- expected}")
   }
 }
