@@ -60,14 +60,23 @@ object NearDup extends QueryModule {
     * unaffected; a hash collision can only add a false candidate, which
     * the exact-Jaccard verify then discards. The self-join therefore
     * shuffles a single long per (doc, band). */
+  /** One 64-bit LSH band key per band: xxhash64 of (band index, the
+    * band's Rows signature slice). Shared by the batch pair join and the
+    * streaming near-dup dedup state key. */
+  private[graft] def bandKeyColumns(sig: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] =
+    (0 until Bands).map { b =>
+      xxhash64(lit(b) +:
+        (0 until Rows).map(r => element_at(sig, b * Rows + r + 1)): _*)
+    }
+
+  /** Signature width shared with the streaming dedup. */
+  private[graft] def permCount: Int = Perms
+
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bandKeys = (0 until Bands).map { b =>
-      xxhash64(lit(b) +:
-        (0 until Rows).map(r => element_at($"mh", b * Rows + r + 1)): _*)
-    }
     val banded = signatures(s, d)
-      .select($"doc_id", explode(array(bandKeys: _*)).as("bkey"))
+      .select($"doc_id", explode(array(bandKeyColumns($"mh"): _*)).as("bkey"))
     val a = banded.select($"bkey", $"doc_id".as("id_a"))
     val b = banded.select($"bkey", $"doc_id".as("id_b"))
     a.join(b, Seq("bkey"))

@@ -198,6 +198,68 @@ object StreamingPipeline {
     left.withWatermark(leftTsCol, watermark)
       .join(right.withWatermark(rightTsCol, watermark), condition)
 
+  /** Streaming NEAR-duplicate detection — the fuzzy sibling of
+    * [[dedupStream]], which only collapses exact keys. Each incoming
+    * document is MinHash-signed (native expression, before any state),
+    * exploded to its LSH band keys, and each band bucket keeps the FIRST
+    * document's full signature in `flatMapGroupsWithState` state. A later
+    * arrival whose estimated Jaccard against the stored signature (the
+    * fraction of agreeing components — the standard unbiased MinHash
+    * estimator, sigma ~ sqrt(J(1-J)/128) ~ 0.035 at J=0.8) reaches `tau`
+    * emits a hit (doc_id, dup_of, est_jaccard); multiple band collisions
+    * of one doc dedupe downstream.
+    *
+    * State is ONE signature per occupied band bucket — the same bounded
+    * index a batch LSH join builds, held incrementally; production
+    * deployments expire idle buckets via a state timeout. Exact shingle
+    * verification would require storing shingle sets in state (unbounded
+    * per-doc payload); the signature estimate is the streaming-budget
+    * trade, and its banding prefilter is identical to the batch
+    * [[graft.operators.NearDup.minhashNearDup]]. */
+  def nearDupHits(
+      docs: DataFrame, // columns: doc_id LONG, text STRING
+      tau: Double = 0.8): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    val perms = graft.operators.NearDup.permCount
+    val sig = graft.functions.VectorExpressions
+      .minhash_sig(graft.functions.VectorExpressions
+        .text_shingles(col("text"), 3), perms)
+    val banded = docs
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(array(graft.operators.NearDup.bandKeyColumns(col("sig")): _*))
+          .as("bkey"))
+      .as[(Long, Array[Long], Long)]
+    banded
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[(Long, Array[Long]), (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[(Long, Array[Long])]) =>
+          // deterministic intra-batch order: earliest doc claims the bucket
+          val sorted = rows.toSeq.sortBy(_._1)
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double)]
+          var cur = state.getOption
+          sorted.foreach { case (id, s, _) =>
+            cur match {
+              case None => cur = Some((id, s))
+              case Some((firstId, firstSig)) if firstId != id =>
+                var eq = 0
+                var i = 0
+                while (i < perms) {
+                  if (s(i) == firstSig(i)) eq += 1
+                  i += 1
+                }
+                val est = eq.toDouble / perms
+                if (est >= tau) out += ((id, firstId, est))
+              case _ => ()
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Event-time windowed aggregation with watermark (the event-time
     * capability the reference lacks — SURVEY §2.6): counts per tumbling
     * window per key, late data bounded by the watermark. */

@@ -213,6 +213,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup: a cross-batch fuzzy twin is flagged, others pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val twin = (1 to 40).map(i => if (i == 20) "EDITED" else s"token$i")
+      .mkString(" ") // one of 38 shingles' tokens changed: J well above 0.8
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val stream = MemoryStream[(Long, String)]
+    val hits = StreamingPipeline.nearDupHits(
+      stream.toDF().toDF("doc_id", "text"))
+    val q = hits.toDF("doc_id", "dup_of", "est_jaccard")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_hits").start()
+    try {
+      stream.addData((1L, base), (2L, other))
+      q.processAllAvailable()
+      assert(spark.table("neardup_hits").count() === 0) // no dups yet
+      stream.addData((3L, twin)) // LATER BATCH: fuzzy twin of doc 1
+      q.processAllAvailable()
+      val got = spark.table("neardup_hits")
+        .select($"doc_id", $"dup_of").as[(Long, Long)].collect().toSet
+      assert(got === Set((3L, 1L)), got)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: per-key highwater state persists across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
