@@ -32,6 +32,36 @@ object Ddl {
       s"CREATE TABLE $table USING parquet LOCATION '$path'")
   }
 
+  /** Compact a parquet directory's small files into ~`targetBytes`
+    * outputs (the maintenance pass every long-lived ingest needs:
+    * micro-batch sinks and parallel writers accrete files far below the
+    * row-group sweet spot, and at 100 TB the scan's task count — and the
+    * namenode/liststatus pressure — is the FILE count, not the byte
+    * count). Rewrites into a temp dir first, then swaps, so a crashed
+    * compaction never leaves the table half-rewritten. */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hadoopPath).getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    spark.read.parquet(path).coalesce(files)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    fs.delete(bak, true)
+    if (!fs.rename(hadoopPath, bak))
+      throw new java.io.IOException(s"compact: cannot move $path aside")
+    if (!fs.rename(tmp, hadoopPath)) {
+      fs.rename(bak, hadoopPath) // roll back
+      throw new java.io.IOException(s"compact: cannot swap in $tmp")
+    }
+    fs.delete(bak, true)
+    ()
+  }
+
   /** Write `df` as a BUCKETED catalog table: rows are hash-distributed
     * into `buckets` files by `bucketCol` and sorted within each bucket.
     * Two tables bucketed the same way join WITHOUT any shuffle — Spark

@@ -77,6 +77,24 @@ class AggregatorDdlSpec extends SparkSpecBase {
     }
   }
 
+  test("compaction: many small files -> few, same rows, crash-safe swap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val data = (0 until 1000).map(i => (i.toLong, s"row$i"))
+    data.toDF("id", "payload").repartition(50)
+      .write.mode("overwrite").parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles >= 50)
+    Ddl.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(parquetFiles <= 2, s"still $parquetFiles files")
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(back === data.toSet)
+    // no leftover temp/backup dirs
+    assert(!new java.io.File(dir + "._compact_tmp").exists())
+    assert(!new java.io.File(dir + "._compact_old").exists())
+  }
+
   test("kafka source wiring: option mapping and record column mapping") {
     import graft.sources.KafkaRecords
     val opts = KafkaRecords.options(KafkaRecords.Config(
