@@ -130,7 +130,9 @@ object VecOps {
   }
 
   /** 256-entry random table for the Gear rolling hash (deterministic
-    * LCG — same generator family as [[VectorFunctions.signAt]]). */
+    * LCG, iterated full-state — unlike an indexed affine map this is
+    * just a table of fixed random constants, and it must stay as-is:
+    * [[graft.ops.HashOracleSql]] reproduces exactly this sequence). */
   private val gearTable: Array[Long] = {
     val t = new Array[Long](256)
     var x = 0x9E3779B97F4A7C15L

@@ -54,14 +54,11 @@ object NearDup extends QueryModule {
         graft.functions.VectorExpressions.minhash_sig($"sh", Perms).as("mh"))
   }
 
-  /** Candidate pairs from LSH banding. Each band's Rows-wide signature
-    * slice is collapsed to ONE 64-bit key (xxhash64 of band index + slice
-    * values): identical slices always produce identical keys, so recall is
-    * unaffected; a hash collision can only add a false candidate, which
-    * the exact-Jaccard verify then discards. The self-join therefore
-    * shuffles a single long per (doc, band). */
-  /** One 64-bit LSH band key per band: xxhash64 of (band index, the
-    * band's Rows signature slice). Shared by the batch pair join and the
+  /** One 64-bit LSH band key per band: each band's Rows-wide signature
+    * slice collapsed to xxhash64(band index, slice values). Identical
+    * slices always produce identical keys, so recall is unaffected; a
+    * hash collision can only add a false candidate, which the
+    * exact-verify stage discards. Shared by the batch pair join and the
     * streaming near-dup dedup state key. */
   private[graft] def bandKeyColumns(sig: org.apache.spark.sql.Column)
       : Seq[org.apache.spark.sql.Column] =
@@ -73,6 +70,8 @@ object NearDup extends QueryModule {
   /** Signature width shared with the streaming dedup. */
   private[graft] def permCount: Int = Perms
 
+  /** Candidate pairs from LSH banding: a self-join on the single-long
+    * band keys — the shuffle carries one long per (doc, band). */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val banded = signatures(s, d)

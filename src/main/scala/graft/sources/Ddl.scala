@@ -37,28 +37,57 @@ object Ddl {
     * micro-batch sinks and parallel writers accrete files far below the
     * row-group sweet spot, and at 100 TB the scan's task count — and the
     * namenode/liststatus pressure — is the FILE count, not the byte
-    * count). Rewrites into a temp dir first, then swaps, so a crashed
-    * compaction never leaves the table half-rewritten. */
+    * count).
+    *
+    * Contract: the table must be QUIESCED — raw parquet has no commit
+    * protocol, so a file written concurrently with the rewrite would be
+    * swapped away with the old directory (table formats with a
+    * transaction log are the tool for compact-under-ingest). Also not
+    * for [[graft.streaming.StreamingPipeline.dualWrite]] sink dirs,
+    * whose `batch=<id>/_SUCCESS` markers carry replay-idempotency state
+    * a rewrite would erase.
+    *
+    * Crash safety: data is NEVER deleted before the swap completes. The
+    * swap is two renames; a crash between them leaves the full data in
+    * `<path>._compact_old`, and the next compact() call (or reader of
+    * this doc) restores it — no state loses rows. */
   def compact(
       spark: SparkSession,
       path: String,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(hadoopPath).getLength
+    // siblings of the (normalized) table dir, trailing-slash-proof
+    val norm = fs.makeQualified(hadoopPath)
+    val tmp = new org.apache.hadoop.fs.Path(norm.getParent,
+      norm.getName + "._compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(norm.getParent,
+      norm.getName + "._compact_old")
+    // recover from a crash that died between the two swap renames
+    if (!fs.exists(norm) && fs.exists(bak)) {
+      if (!fs.rename(bak, norm))
+        throw new java.io.IOException(s"compact: cannot restore $bak")
+    }
+    val bytes = fs.getContentSummary(norm).getLength
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
-    spark.read.parquet(path).coalesce(files)
+    fs.delete(tmp, true)
+    spark.read.parquet(norm.toString).coalesce(files)
       .write.mode("overwrite").parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(path + "._compact_old")
     fs.delete(bak, true)
-    if (!fs.rename(hadoopPath, bak))
-      throw new java.io.IOException(s"compact: cannot move $path aside")
-    if (!fs.rename(tmp, hadoopPath)) {
-      fs.rename(bak, hadoopPath) // roll back
+    if (!fs.rename(norm, bak))
+      throw new java.io.IOException(s"compact: cannot move $norm aside")
+    if (!fs.rename(tmp, norm)) {
+      if (!fs.rename(bak, norm))
+        throw new java.io.IOException(
+          s"compact: swap AND rollback failed; data intact at $bak")
       throw new java.io.IOException(s"compact: cannot swap in $tmp")
     }
     fs.delete(bak, true)
+    // drop cached plans AND the catalog's cached table relations (file
+    // listings) — refreshByPath alone leaves the relation cache stale
+    spark.catalog.refreshByPath(norm.toString)
+    org.apache.spark.sql.GraftShims.invalidateCachedTables(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     ()
   }
 

@@ -203,22 +203,27 @@ object StreamingPipeline {
     * document is MinHash-signed (native expression, before any state),
     * exploded to its LSH band keys, and each band bucket keeps the FIRST
     * document's full signature in `flatMapGroupsWithState` state. A later
-    * arrival whose estimated Jaccard against the stored signature (the
+    * arrival whose estimated Jaccard against a stored signature (the
     * fraction of agreeing components — the standard unbiased MinHash
     * estimator, sigma ~ sqrt(J(1-J)/128) ~ 0.035 at J=0.8) reaches `tau`
-    * emits a hit (doc_id, dup_of, est_jaccard); multiple band collisions
-    * of one doc dedupe downstream.
+    * emits a hit (doc_id, dup_of, est_jaccard) against the EARLIEST such
+    * match; multiple band collisions of one doc dedupe downstream.
     *
-    * State is ONE signature per occupied band bucket — the same bounded
-    * index a batch LSH join builds, held incrementally; production
-    * deployments expire idle buckets via a state timeout. Exact shingle
-    * verification would require storing shingle sets in state (unbounded
-    * per-doc payload); the signature estimate is the streaming-budget
-    * trade, and its banding prefilter is identical to the batch
-    * [[graft.operators.NearDup.minhashNearDup]]. */
+    * Every document is indexed into its buckets (capped at
+    * `maxPerBucket`, oldest kept — an index that stored only each
+    * bucket's first claimant would miss chained near-dups: B below tau
+    * of A never indexed where A sits, then C ~ B finds only A), so state
+    * is at most `maxPerBucket` signatures per occupied bucket — the
+    * batch LSH join's index, held incrementally with a bound; production
+    * deployments also expire idle buckets via a state timeout. Exact
+    * shingle verification would require storing shingle sets in state
+    * (unbounded per-doc payload); the signature estimate is the
+    * streaming-budget trade, and its banding prefilter is identical to
+    * the batch [[graft.operators.NearDup.minhashNearDup]]. */
   def nearDupHits(
       docs: DataFrame, // columns: doc_id LONG, text STRING
-      tau: Double = 0.8): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+      tau: Double = 0.8,
+      maxPerBucket: Int = 32): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import docs.sparkSession.implicits._
     val perms = graft.operators.NearDup.permCount
@@ -233,29 +238,31 @@ object StreamingPipeline {
       .as[(Long, Array[Long], Long)]
     banded
       .groupByKey(_._3)
-      .flatMapGroupsWithState[(Long, Array[Long]), (Long, Long, Double)](
+      .flatMapGroupsWithState[List[(Long, Array[Long])], (Long, Long, Double)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, state: GroupState[(Long, Array[Long])]) =>
-          // deterministic intra-batch order: earliest doc claims the bucket
+        case (_, rows, state: GroupState[List[(Long, Array[Long])]]) =>
+          // deterministic intra-batch order: docs probe/index by id order
           val sorted = rows.toSeq.sortBy(_._1)
           val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double)]
-          var cur = state.getOption
+          var index = state.getOption.getOrElse(Nil) // oldest first
           sorted.foreach { case (id, s, _) =>
-            cur match {
-              case None => cur = Some((id, s))
-              case Some((firstId, firstSig)) if firstId != id =>
+            val hit = index.iterator
+              .filter(_._1 != id)
+              .map { case (storedId, storedSig) =>
                 var eq = 0
                 var i = 0
                 while (i < perms) {
-                  if (s(i) == firstSig(i)) eq += 1
+                  if (s(i) == storedSig(i)) eq += 1
                   i += 1
                 }
-                val est = eq.toDouble / perms
-                if (est >= tau) out += ((id, firstId, est))
-              case _ => ()
-            }
+                (storedId, eq.toDouble / perms)
+              }
+              .find(_._2 >= tau)
+            hit.foreach { case (dupOf, est) => out += ((id, dupOf, est)) }
+            if (index.size < maxPerBucket && !index.exists(_._1 == id))
+              index = index :+ ((id, s))
           }
-          cur.foreach(state.update)
+          state.update(index)
           out.iterator
       }
   }

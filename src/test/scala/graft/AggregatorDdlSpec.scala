@@ -93,6 +93,14 @@ class AggregatorDdlSpec extends SparkSpecBase {
     // no leftover temp/backup dirs
     assert(!new java.io.File(dir + "._compact_tmp").exists())
     assert(!new java.io.File(dir + "._compact_old").exists())
+    // a CATALOG table over the same path keeps working after compaction
+    // (compact refreshes the cached file listing)
+    spark.sql("DROP TABLE IF EXISTS compact_t")
+    spark.sql(s"CREATE TABLE compact_t USING parquet LOCATION '$dir'")
+    assert(spark.table("compact_t").count() === 1000)
+    Ddl.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(spark.table("compact_t").count() === 1000)
+    spark.sql("DROP TABLE IF EXISTS compact_t")
   }
 
   test("kafka source wiring: option mapping and record column mapping") {

@@ -235,6 +235,16 @@ class StreamingSpec extends SparkSpecBase {
       val got = spark.table("neardup_hits")
         .select($"doc_id", $"dup_of").as[(Long, Long)].collect().toSet
       assert(got === Set((3L, 1L)), got)
+      // CHAINED near-dups: doc 4 is a twin of doc 2 (which never matched
+      // anything) — every doc is indexed into its buckets, so the chain
+      // B -> C is found even though B was no one's duplicate
+      val otherTwin = (100 to 140)
+        .map(i => if (i == 120) "EDITED" else s"word$i").mkString(" ")
+      stream.addData((4L, otherTwin))
+      q.processAllAvailable()
+      val got2 = spark.table("neardup_hits")
+        .select($"doc_id", $"dup_of").as[(Long, Long)].collect().toSet
+      assert(got2 === Set((3L, 1L), (4L, 2L)), got2)
     } finally q.stop()
   }
 
