@@ -91,6 +91,42 @@ object Ddl {
     ()
   }
 
+  /** Write `df` Z-ORDERED on two long columns: rows are range-partitioned
+    * and sorted by the Morton interleave of the two keys, so every file's
+    * bounding box in (colA, colB) space is small — parquet min/max stats
+    * then prune files for range predicates on EITHER column, where a
+    * linear sort only serves its leading column (the multi-dimensional
+    * clustering trade behind Z-ordered table layouts). Domains are taken
+    * from one min/max scan (at deployment scale, from footer stats). */
+  def createZOrderedTable(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      numFiles: Int = 8,
+      bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(
+      min(col(colA)), max(col(colA)), min(col(colB)), max(col(colB))).head()
+    def scaled(c: String, lo: Long, hi: Long) = {
+      val span = math.max(1L, hi - lo)
+      // (v - lo) * (2^bits - 1) / span, in long arithmetic
+      ((col(c) - lit(lo)) * lit((1L << bits) - 1) / lit(span)).cast("long")
+    }
+    val sa = scaled(colA, r.getLong(0), r.getLong(1))
+    val sb = scaled(colB, r.getLong(2), r.getLong(3))
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(sa, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(sb, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write `df` as a BUCKETED catalog table: rows are hash-distributed
     * into `buckets` files by `bucketCol` and sorted within each bucket.
     * Two tables bucketed the same way join WITHOUT any shuffle — Spark

@@ -103,6 +103,32 @@ class AggregatorDdlSpec extends SparkSpecBase {
     spark.sql("DROP TABLE IF EXISTS compact_t")
   }
 
+  test("z-ordered layout bounds per-file ranges on BOTH columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    // uniform 128x128 grid: any single-column sort leaves the OTHER
+    // column's per-file range at the full domain
+    val grid = for { x <- 0L until 128L; y <- 0L until 128L } yield (x, y)
+    val df = grid.toDF("x", "y")
+    Ddl.createZOrderedTable(spark, df, s"$dir/z", "x", "y", numFiles = 16)
+    df.orderBy($"x").coalesce(1).repartitionByRange(16, $"x")
+      .write.parquet(s"$dir/linear")
+    def avgYRange(path: String): Double = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(org.apache.spark.sql.functions.input_file_name())
+        .agg((org.apache.spark.sql.functions.max($"y") -
+          org.apache.spark.sql.functions.min($"y")).as("r"))
+        .select($"r").as[Long].collect()
+      perFile.sum.toDouble / perFile.length
+    }
+    val zRange = avgYRange(s"$dir/z")
+    val linRange = avgYRange(s"$dir/linear")
+    // linear-by-x files span essentially all of y (~127); z-order files'
+    // y-bounding-boxes shrink towards domain/sqrt(files)
+    assert(linRange > 100, s"linear y-range $linRange")
+    assert(zRange < linRange / 2, s"z $zRange vs linear $linRange")
+  }
+
   test("kafka source wiring: option mapping and record column mapping") {
     import graft.sources.KafkaRecords
     val opts = KafkaRecords.options(KafkaRecords.Config(
