@@ -39,22 +39,38 @@ object VecOps {
     acc
   }
 
+  /** Hyperplane sign tables, memoized per (tables, bits, dim): the
+    * hyperplanes are CONSTANTS of the expression, so the per-row hot
+    * loop must read a flat double array, not re-derive the avalanche
+    * mix tables×bits×dim times per vector. One JVM-wide entry per
+    * distinct shape (executors each build theirs once). */
+  private val signTables =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  private def signTable(tables: Int, bits: Int, dim: Int): Array[Double] =
+    signTables.computeIfAbsent((tables, bits, dim), { _ =>
+      Array.tabulate(tables * bits * dim)(i =>
+        VectorFunctions.signAt(i.toLong))
+    })
+
   /** Random-hyperplane LSH bucket signatures: one `bits`-wide bucket per
     * table, hyperplane components drawn from [[VectorFunctions.signAt]]
-    * (deterministic avalanche-mixed ±1, reproducible across runs). */
+    * (deterministic avalanche-mixed ±1, reproducible across runs),
+    * pre-tabulated by [[signTable]]. */
   def lshBuckets(v: ArrayData, isFloat: Boolean, tables: Int, bits: Int): ArrayData = {
     val dim = v.numElements()
+    val signs = signTable(tables, bits, dim)
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var bucket = 0L
       var r = 0
       while (r < bits) {
-        val base = (t.toLong * bits + r) * dim
+        val base = (t * bits + r) * dim
         var d = 0.0
         var k = 0
         while (k < dim) {
-          d += elem(v, isFloat, k) * VectorFunctions.signAt(base + k)
+          d += elem(v, isFloat, k) * signs(base + k)
           k += 1
         }
         if (d >= 0.0) bucket |= (1L << r)
