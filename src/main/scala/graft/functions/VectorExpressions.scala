@@ -41,17 +41,25 @@ object VecOps {
 
   /** Hyperplane sign tables, memoized per (tables, bits, dim): the
     * hyperplanes are CONSTANTS of the expression, so the per-row hot
-    * loop must read a flat double array, not re-derive the avalanche
+    * loop should read a flat double array, not re-derive the avalanche
     * mix tables×bits×dim times per vector. One JVM-wide entry per
-    * distinct shape (executors each build theirs once). */
+    * distinct shape; bounded — `lsh_buckets` is SQL-registered with
+    * caller-chosen parameters and dim is per-row, so a ragged or
+    * adversarial workload must not grow the cache without limit (or
+    * overflow the Int table size). Shapes past the cap fall back to
+    * computing signs on the fly (the pre-memoization path). */
+  private val MaxSignTableLen = 1 << 22 // 32 MB of doubles per shape
+  private val MaxSignTables = 64
   private val signTables =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
 
-  private def signTable(tables: Int, bits: Int, dim: Int): Array[Double] =
-    signTables.computeIfAbsent((tables, bits, dim), { _ =>
-      Array.tabulate(tables * bits * dim)(i =>
-        VectorFunctions.signAt(i.toLong))
+  private def signTable(tables: Int, bits: Int, dim: Int): Array[Double] = {
+    val len = tables.toLong * bits * dim
+    if (len > MaxSignTableLen || signTables.size >= MaxSignTables) null
+    else signTables.computeIfAbsent((tables, bits, dim), { _ =>
+      Array.tabulate(len.toInt)(i => VectorFunctions.signAt(i.toLong))
     })
+  }
 
   /** Random-hyperplane LSH bucket signatures: one `bits`-wide bucket per
     * table, hyperplane components drawn from [[VectorFunctions.signAt]]
@@ -59,18 +67,19 @@ object VecOps {
     * pre-tabulated by [[signTable]]. */
   def lshBuckets(v: ArrayData, isFloat: Boolean, tables: Int, bits: Int): ArrayData = {
     val dim = v.numElements()
-    val signs = signTable(tables, bits, dim)
+    val signs = signTable(tables, bits, dim) // null = shape past cache cap
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var bucket = 0L
       var r = 0
       while (r < bits) {
-        val base = (t * bits + r) * dim
+        val base = (t.toLong * bits + r) * dim
         var d = 0.0
         var k = 0
         while (k < dim) {
-          d += elem(v, isFloat, k) * signs(base + k)
+          d += elem(v, isFloat, k) * (if (signs != null) signs((base + k).toInt)
+            else VectorFunctions.signAt(base + k))
           k += 1
         }
         if (d >= 0.0) bucket |= (1L << r)

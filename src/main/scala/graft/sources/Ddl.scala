@@ -84,7 +84,11 @@ object Ddl {
     }
     fs.delete(bak, true)
     // drop cached plans AND the catalog's cached table relations (file
-    // listings) — refreshByPath alone leaves the relation cache stale
+    // listings) — refreshByPath alone leaves the relation cache stale.
+    // The relation-cache drop is session-GLOBAL (the cache offers no
+    // by-path invalidation): acceptable for a rare maintenance op, but
+    // unrelated tables will re-list on next access — scope compactions
+    // accordingly in sessions holding many large cached tables.
     spark.catalog.refreshByPath(norm.toString)
     org.apache.spark.sql.GraftShims.invalidateCachedTables(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
@@ -109,10 +113,18 @@ object Ddl {
     import org.apache.spark.sql.functions._
     val r = df.agg(
       min(col(colA)), max(col(colA)), min(col(colB)), max(col(colB))).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input (or all-null keys): nothing to cluster — write as-is
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def scaled(c: String, lo: Long, hi: Long) = {
       val span = math.max(1L, hi - lo)
-      // (v - lo) * (2^bits - 1) / span, in long arithmetic
-      ((col(c) - lit(lo)) * lit((1L << bits) - 1) / lit(span)).cast("long")
+      // scale in DOUBLE: (v-lo)*(2^bits-1) in long overflows for spans
+      // past ~2^48, and monotonicity (all a z-curve needs) survives the
+      // double rounding; exact bit placement does not matter
+      floor((col(c) - lit(lo)).cast("double") / lit(span.toDouble) *
+        lit(((1L << bits) - 1).toDouble)).cast("long")
     }
     val sa = scaled(colA, r.getLong(0), r.getLong(1))
     val sb = scaled(colB, r.getLong(2), r.getLong(3))

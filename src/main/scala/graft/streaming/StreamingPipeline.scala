@@ -219,7 +219,13 @@ object StreamingPipeline {
     * shingle verification would require storing shingle sets in state
     * (unbounded per-doc payload); the signature estimate is the
     * streaming-budget trade, and its banding prefilter is identical to
-    * the batch [[graft.operators.NearDup.minhashNearDup]]. */
+    * the batch [[graft.operators.NearDup.minhashNearDup]].
+    *
+    * State-schema note: the per-bucket state is a LIST of (id, sig);
+    * checkpoints written by an earlier single-entry revision are not
+    * schema-compatible — restarting on an old checkpoint requires a new
+    * checkpoint dir (re-indexing the stream), as with any stateful
+    * operator schema change. */
   def nearDupHits(
       docs: DataFrame, // columns: doc_id LONG, text STRING
       tau: Double = 0.8,

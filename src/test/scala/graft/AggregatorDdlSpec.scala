@@ -111,8 +111,7 @@ class AggregatorDdlSpec extends SparkSpecBase {
     val grid = for { x <- 0L until 128L; y <- 0L until 128L } yield (x, y)
     val df = grid.toDF("x", "y")
     Ddl.createZOrderedTable(spark, df, s"$dir/z", "x", "y", numFiles = 16)
-    df.orderBy($"x").coalesce(1).repartitionByRange(16, $"x")
-      .write.parquet(s"$dir/linear")
+    df.repartitionByRange(16, $"x").write.parquet(s"$dir/linear")
     def avgYRange(path: String): Double = {
       val perFile = spark.read.parquet(path)
         .groupBy(org.apache.spark.sql.functions.input_file_name())
