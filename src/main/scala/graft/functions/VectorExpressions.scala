@@ -55,8 +55,17 @@ object VecOps {
 
   private def signTable(tables: Int, bits: Int, dim: Int): Array[Double] = {
     val len = tables.toLong * bits * dim
-    if (len > MaxSignTableLen || signTables.size >= MaxSignTables) null
-    else signTables.computeIfAbsent((tables, bits, dim), { _ =>
+    if (len > MaxSignTableLen) return null
+    // Look up before applying the table-count cap: a shape that is already
+    // cached must keep hitting the fast path even when the cache is full.
+    // The cap only gates NEW insertions; computeIfAbsent makes the insert
+    // itself atomic (a concurrent racer can overshoot the cap by at most
+    // the number of racing threads, which is fine for a soft memory bound).
+    val key = (tables, bits, dim)
+    val hit = signTables.get(key)
+    if (hit != null) hit
+    else if (signTables.size >= MaxSignTables) null
+    else signTables.computeIfAbsent(key, { _ =>
       Array.tabulate(len.toInt)(i => VectorFunctions.signAt(i.toLong))
     })
   }
@@ -121,6 +130,77 @@ object VecOps {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Nearest-centroid assignment of one vector against a small codebook:
+    * argmax of cosine over `cents`, ties to the LOWEST centroid id (ids
+    * are sorted ascending and the comparison is strict — identical to
+    * `row_number() OVER (ORDER BY cos DESC, centroid_id)` = 1). The dot
+    * folds left-to-right in double, bit-identical to [[dot]] and the
+    * DuckDB oracle. Returns (centroid_id, cos) as an InternalRow. */
+  def nearestCentroid(v: ArrayData, isFloat: Boolean, nrm: Double,
+      ids: Array[Long], cents: Array[Array[Double]], cnorms: Array[Double])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val dim = v.numElements()
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(dim, c.length)
+      var acc = 0.0
+      var k = 0
+      while (k < n) {
+        acc += elem(v, isFloat, k) * c(k)
+        k += 1
+      }
+      val cos = acc / (nrm * cnorms(j))
+      if (cos > bestCos) { bestCos = cos; best = j }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](ids(best), bestCos))
+  }
+
+  /** Scalar-quantization reconstruction stats for one vector: quantize
+    * each component to `levels` uniform cells over [min, max], midpoint
+    * reconstruction, and report (lo, hi, max_err, mse). One pass for
+    * min/max, one for the errors — the cheap capacity-planning pass run
+    * before committing a corpus to an int8 index (is span/(2·levels)
+    * error tolerable?). All arithmetic in double with left-to-right
+    * folds, mirrored term-for-term by the DuckDB oracle. */
+  def quantErr(v: ArrayData, isFloat: Boolean, levels: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0.0, 0.0, 0.0, 0.0))
+    var lo = Double.PositiveInfinity
+    var hi = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val x = elem(v, isFloat, i)
+      if (x < lo) lo = x
+      if (x > hi) hi = x
+      i += 1
+    }
+    val span = hi - lo
+    var maxErr = 0.0
+    var sq = 0.0
+    if (span != 0.0) {
+      i = 0
+      while (i < n) {
+        val x = elem(v, isFloat, i)
+        val q = math.floor((x - lo) * levels / span)
+        val recon = lo + (q + 0.5) * span / levels
+        val err = math.abs(x - recon)
+        if (err > maxErr) maxErr = err
+        sq += err * err
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lo, hi, maxErr, sq / n))
   }
 
   /** Distinct odd multiplier per permutation (golden-ratio stride). */
@@ -338,6 +418,58 @@ case class ContentChunksExpr(child: Expression, mask: Int)
     copy(c)
 }
 
+/** Nearest-centroid assignment against a driver-resolved codebook — the
+  * IVF coarse-quantization step as a NARROW expression: the centroid
+  * matrix rides to executors as a codegen reference object (the task
+  * binary, not a join side), so assignment needs no crossJoin, no
+  * window, and above all NO shuffle of the corpus. Children are the
+  * vector and its precomputed L2 norm; result is
+  * struct(centroid_id LONG, cos DOUBLE). At deployment scale the
+  * codebook size K is bounded by what a task binary comfortably carries
+  * (64k × 128-d doubles ≈ 64 MB — beyond that, shard the codebook and
+  * take an argmax-of-argmax pass). */
+case class NearestCentroidExpr(left: Expression, right: Expression,
+    ids: Array[Long], cents: Array[Array[Double]], cnorms: Array[Double])
+    extends BinaryExpression {
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = StructType(Seq(
+    StructField("centroid_id", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  override def nullSafeEval(v: Any, n: Any): Any =
+    VecOps.nearestCentroid(v.asInstanceOf[ArrayData], isFloat,
+      n.asInstanceOf[Double], ids, cents, cnorms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centroidIds", ids, "long[]")
+    val cRef = ctx.addReferenceObj("centroids", cents, "double[][]")
+    val nRef = ctx.addReferenceObj("centroidNorms", cnorms, "double[]")
+    defineCodeGen(ctx, ev, (v, n) =>
+      s"graft.functions.VecOps.nearestCentroid($v, $isFloat, $n, $idsRef, $cRef, $nRef)")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): NearestCentroidExpr = copy(left = l, right = r)
+}
+
+/** Scalar-quantization reconstruction stats of a vector column →
+  * struct(lo, hi, max_err, mse), all double (see [[VecOps.quantErr]]). */
+case class QuantErrExpr(child: Expression, levels: Int)
+    extends UnaryExpression {
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = StructType(Seq(
+    StructField("lo", DoubleType, nullable = false),
+    StructField("hi", DoubleType, nullable = false),
+    StructField("max_err", DoubleType, nullable = false),
+    StructField("mse", DoubleType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    VecOps.quantErr(v.asInstanceOf[ArrayData], isFloat, levels)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecOps.quantErr($c, $isFloat, $levels)")
+  override protected def withNewChildInternal(c: Expression): QuantErrExpr =
+    copy(c)
+}
+
 /** Sorted-distinct hashed word n-gram shingles of a text column. */
 case class TextShinglesExpr(child: Expression, n: Int)
     extends UnaryExpression {
@@ -366,4 +498,10 @@ object VectorExpressions {
     GraftShims.column(TextShinglesExpr(GraftShims.toExpression(text), n))
   def content_chunks(text: Column, maskBits: Int): Column =
     GraftShims.column(ContentChunksExpr(GraftShims.toExpression(text), maskBits))
+  def nearest_centroid(v: Column, nrm: Column, ids: Array[Long],
+      cents: Array[Array[Double]], cnorms: Array[Double]): Column =
+    GraftShims.column(NearestCentroidExpr(GraftShims.toExpression(v),
+      GraftShims.toExpression(nrm), ids, cents, cnorms))
+  def quant_err(v: Column, levels: Int): Column =
+    GraftShims.column(QuantErrExpr(GraftShims.toExpression(v), levels))
 }

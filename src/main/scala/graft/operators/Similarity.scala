@@ -65,29 +65,41 @@ object Similarity extends QueryModule {
       .orderBy($"q_id", $"rank")
   }
 
-  /** Deterministic seed centroids (vec_id < 8), broadcast: 8 rows ride to
-    * every executor, so assignment is a narrow pass over whatever vector
-    * set it is applied to. */
-  private def centroids(e: DataFrame): DataFrame = {
+  /** The IVF coarse codebook: deterministic seed centroids (vec_id < 8)
+    * resolved to driver arrays. A BOUNDED collect — K codebook rows, the
+    * same bounded-metadata class as the reference's TopicPartitionList
+    * commit contract, never a data-volume collect; the codebook then
+    * rides to executors inside [[graft.functions.NearestCentroidExpr]]
+    * as a codegen reference object (the FAISS shape: centroids are index
+    * metadata, not a join side). */
+  private case class Codebook(
+      ids: Array[Long], cents: Array[Array[Double]], norms: Array[Double])
+
+  private def centroids(e: DataFrame): Codebook = {
     import e.sparkSession.implicits._
-    broadcast(e.where($"vec_id" < 8)
-      .select($"vec_id".as("centroid_id"), $"v".as("cv"), $"nrm".as("cn")))
+    // ids ASCENDING: NearestCentroidExpr breaks cosine ties toward the
+    // earliest entry, which must mean the lowest centroid_id
+    val rows = e.where($"vec_id" < 8)
+      .select($"vec_id", $"v", $"nrm").orderBy($"vec_id").collect()
+    Codebook(
+      rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Float](1).toArray.map(_.toDouble)),
+      rows.map(_.getDouble(2)))
   }
 
   /** Nearest-centroid assignment of every row of `vectors` (must carry
-    * `vec_id`, `v`, `nrm`; extra columns pass through). One
-    * BroadcastNestedLoopJoin against the 8 broadcast centroids + a
-    * row_number top-1 per vector — the only full-corpus pass any IVF
-    * query needs, shared by [[ivfAssign]], [[ivfTopK]] and
-    * [[labelBucketTopK]] so no caller pays it twice. */
-  private def assignTo(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    * `v`, `nrm`; all columns pass through). A NARROW codegen'd pass —
+    * no join, no window, no shuffle: the one full-corpus stage of every
+    * IVF query costs exactly one scan, shared by [[ivfAssign]],
+    * [[ivfTopK]] and [[labelBucketTopK]]. */
+  private def assignTo(vectors: DataFrame, cb: Codebook): DataFrame = {
     import vectors.sparkSession.implicits._
-    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"centroid_id")
-    vectors.crossJoin(cents) // 8 broadcast rows: BNLJ, narrow
-      .withColumn("cos", cosineWithNorms($"v", $"cv", $"nrm", $"cn"))
-      .withColumn("rn", row_number().over(w))
-      .where($"rn" === 1)
-      .drop("cv", "cn", "rn")
+    vectors
+      .withColumn("_best", graft.functions.VectorExpressions
+        .nearest_centroid($"v", $"nrm", cb.ids, cb.cents, cb.norms))
+      .withColumn("centroid_id", $"_best.centroid_id")
+      .withColumn("cos", $"_best.cos")
+      .drop("_best")
   }
 
   /** IVF-style bucketed self-similarity: top-3 most similar pairs within
@@ -98,6 +110,16 @@ object Similarity extends QueryModule {
     * K is the lever (K ∝ corpus/target_cell_size keeps cells, and hence
     * per-cell pair counts, constant), exactly how IVF indexes keep
     * "within-cell" work flat as the corpus grows. */
+  /** The previous [[labelBucketTopK]] invocation's cached assignment:
+    * swapped out (and unpersisted) on the next call, so a long-lived
+    * session holds at most ONE cached assignment instead of accumulating
+    * blocks per run, and re-runs never re-persist an already-cached plan
+    * (the 'Asked to cache already cached data' warning). The swap assumes
+    * the gate/bench call pattern — the previous query's result has been
+    * materialized (or abandoned) by the time the operator runs again. */
+  private val lastCells =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   def labelBucketTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
@@ -106,13 +128,13 @@ object Similarity extends QueryModule {
     // the pair join consumes the assignment TWICE (both sides); persist
     // materializes the index-build pass once instead of letting Catalyst
     // plan two corpus scans (no CSE across self-join subtrees). The cached
-    // table is the (small) id+vector assignment, reclaimed by the
-    // ContextCleaner when the query's DataFrames go out of scope; a real
+    // table is the (small) id+vector assignment; a real
     // deployment materializes the IVF assignment as a stored table and
     // joins against that, exactly like [[ivfTopK]] probes [[ivfAssign]].
     val cells = assignTo(e, centroids(e))
       .select($"label", $"centroid_id", $"vec_id", $"v", $"nrm")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastCells.getAndSet(cells)).foreach(_.unpersist(false))
     val a = cells.select($"label", $"centroid_id", $"vec_id".as("id_a"),
       $"v".as("va"), $"nrm".as("na"))
     val b = cells.select($"label", $"centroid_id", $"vec_id".as("id_b"),
@@ -130,8 +152,9 @@ object Similarity extends QueryModule {
   }
 
   /** IVF index build: assign every vector to its nearest coarse centroid.
-    * The centroid table is broadcast, so assignment is a narrow pass over
-    * the corpus — the index-build shape that scales to any corpus size. */
+    * The codebook rides inside the expression, so assignment is one
+    * narrow scan of the corpus with NO exchange anywhere — the
+    * index-build shape that scales to any corpus size. */
   def ivfAssign(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, d)
@@ -144,12 +167,12 @@ object Similarity extends QueryModule {
     * cluster's inverted list — the candidate set shrinks by ~k versus a
     * full scan, the essential ANN-index trade.
     *
-    * The corpus×centroids assignment runs ONCE: the probe side is
-    * assigned separately from a `vec_id`-filtered scan (the predicate
-    * pushes into the parquet read, so that second BNLJ touches the 10
-    * probe rows, not the corpus — Catalyst does not CSE the two subtrees,
-    * and re-deriving probes from the corpus assignment would plan the
-    * full pass twice). */
+    * The corpus assignment runs ONCE (one narrow scan): the probe side
+    * is assigned separately from a `vec_id`-filtered scan (the predicate
+    * pushes into the parquet read, so the probe pass touches the 10
+    * probe rows, not the corpus — Catalyst does not CSE the two
+    * subtrees, and re-deriving probes from the corpus assignment would
+    * plan the full pass twice). */
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, d)
@@ -169,6 +192,22 @@ object Similarity extends QueryModule {
       .where($"rank" <= 3)
       .select($"q_id", $"rank", $"neighbor_id", $"cosine")
       .orderBy($"q_id", $"rank")
+  }
+
+  /** Scalar-quantization audit: per-vector reconstruction error of a
+    * `levels`-cell uniform int8-style quantizer (midpoint reconstruction)
+    * — the capacity check run before committing a corpus to a quantized
+    * ANN index. One NARROW codegen'd pass over the embeddings (the
+    * [[graft.functions.QuantErrExpr]] expression); no joins, no shuffle
+    * except the presentation sort, so it scales as a plain scan. */
+  def quantizeErr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id",
+        graft.functions.VectorExpressions.quant_err($"embedding", 255).as("qe"))
+      .select($"vec_id", $"qe.lo".as("lo"), $"qe.hi".as("hi"),
+        $"qe.max_err".as("max_err"), $"qe.mse".as("mse"))
+      .orderBy($"vec_id")
   }
 
   /** Near-duplicate pairs (cosine >= 0.9) via LSH banding + exact verify.
@@ -308,6 +347,28 @@ object Similarity extends QueryModule {
               FROM p)
         SELECT q_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3
         ORDER BY q_id, rank""")),
+    QueryDef(
+      "q_quantize_err", quantizeErr, Some("""
+        WITH dv AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        mm AS (
+          SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi,
+                 list_max(v) - list_min(v) AS span, len(v) AS n
+          FROM dv),
+        e AS (
+          SELECT vec_id, lo, hi, span, n,
+                 CASE WHEN span = 0 THEN NULL ELSE
+                   list_transform(v, x -> abs(x - (lo +
+                     (floor((x - lo) * 255 / span) + 0.5) * span / 255)))
+                 END AS errs
+          FROM mm)
+        SELECT vec_id, lo, hi,
+               CASE WHEN span = 0 THEN 0.0 ELSE list_max(errs) END AS max_err,
+               CASE WHEN span = 0 THEN 0.0
+                    ELSE list_sum(list_transform(errs, x -> x * x)) / n
+               END AS mse
+        FROM e ORDER BY vec_id""")),
     QueryDef(
       "q_embed_neardup", nearDupLsh, Some(s"""
         $oracleVecs

@@ -102,6 +102,35 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Gopher-style repetition signals: the duplicate-content heuristics
+    * (top-token fraction, distinct-bigram fraction) used to filter
+    * boilerplate/spam from LLM training corpora. Two hash-aggregates
+    * with map-side partial aggregation — per-(doc, token) counts then
+    * per-doc rollup; the distinct-bigram count comes from the native
+    * shingle-set expression ([[graft.functions.TextShinglesExpr]]) in
+    * the scan pass and rides the aggregation as a constant, so no second
+    * scan or join is needed. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perTok = Tables.documents(s, d)
+      .select($"doc_id",
+        size(graft.functions.VectorExpressions.text_shingles($"text", 2))
+          .cast("long").as("ndb"),
+        explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("cnt"), first($"ndb").as("ndb"))
+    perTok.groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_tokens"),
+        max($"cnt").as("top_cnt"),
+        count(lit(1)).as("n_distinct_tokens"),
+        first($"ndb").as("ndb"))
+      .select($"doc_id", $"n_tokens", $"n_distinct_tokens",
+        ($"top_cnt".cast("double") / $"n_tokens").as("top_tok_frac"),
+        ($"ndb".cast("double") / greatest($"n_tokens" - 1, lit(1L)))
+          .as("distinct_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+
   /** Language-ID: marker-word n-gram heuristic (argmax of per-language
     * marker counts, deterministic tie-break by fixed priority). */
   def langId(s: SparkSession, d: String): DataFrame = {
@@ -196,6 +225,33 @@ object TextOps extends QueryModule {
                     WHEN c_fr >= c_es THEN 'fr'
                     ELSE 'es' END AS pred_lang
         FROM c ORDER BY doc_id""")),
+    QueryDef(
+      "q_repetition", repetition, Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        tc AS (
+          SELECT doc_id, tok, count(*) AS cnt
+          FROM toks GROUP BY doc_id, tok),
+        ta AS (
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                 max(cnt) AS top_cnt,
+                 CAST(count(*) AS BIGINT) AS n_distinct_tokens
+          FROM tc GROUP BY doc_id),
+        bg AS (
+          SELECT doc_id,
+                 CASE WHEN len(tl) < 2 THEN 1
+                      ELSE len(list_distinct(list_transform(
+                        generate_series(1, len(tl) - 1),
+                        i -> tl[i] || ' ' || tl[i + 1]))) END AS ndb
+          FROM (SELECT doc_id, string_split(text, ' ') AS tl
+                FROM documents) x)
+        SELECT ta.doc_id, n_tokens, n_distinct_tokens,
+               CAST(top_cnt AS DOUBLE) / n_tokens AS top_tok_frac,
+               CAST(ndb AS DOUBLE) / greatest(n_tokens - 1, 1)
+                 AS distinct_bigram_frac
+        FROM ta JOIN bg ON ta.doc_id = bg.doc_id
+        ORDER BY ta.doc_id""")),
     QueryDef(
       "q_token_count", tokenCounts, Some("""
         SELECT doc_id,

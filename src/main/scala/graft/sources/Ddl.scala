@@ -39,18 +39,22 @@ object Ddl {
     * namenode/liststatus pressure — is the FILE count, not the byte
     * count).
     *
-    * Contract: the table must be QUIESCED — raw parquet has no commit
-    * protocol, so a file written concurrently with the rewrite would be
-    * swapped away with the old directory (table formats with a
-    * transaction log are the tool for compact-under-ingest). Also not
-    * for [[graft.streaming.StreamingPipeline.dualWrite]] sink dirs,
+    * Contract: the table must be QUIESCED — writers AND readers. Raw
+    * parquet has no commit protocol, so a file written concurrently with
+    * the rewrite would be swapped away with the old directory, and a
+    * reader that listed the directory before the swap fails mid-scan (or
+    * sees a nonexistent directory in the instant between the two renames).
+    * Table formats with a transaction log are the tool for
+    * compact-under-traffic. Also not for
+    * [[graft.streaming.StreamingPipeline.dualWrite]] sink dirs,
     * whose `batch=<id>/_SUCCESS` markers carry replay-idempotency state
     * a rewrite would erase.
     *
     * Crash safety: data is NEVER deleted before the swap completes. The
     * swap is two renames; a crash between them leaves the full data in
-    * `<path>._compact_old`, and the next compact() call (or reader of
-    * this doc) restores it — no state loses rows. */
+    * `<path>._compact_old`, and [[recover]] (invoked automatically by the
+    * next compact() and callable from any table-open path) restores it —
+    * no state loses rows. */
   def compact(
       spark: SparkSession,
       path: String,
@@ -63,11 +67,7 @@ object Ddl {
       norm.getName + "._compact_tmp")
     val bak = new org.apache.hadoop.fs.Path(norm.getParent,
       norm.getName + "._compact_old")
-    // recover from a crash that died between the two swap renames
-    if (!fs.exists(norm) && fs.exists(bak)) {
-      if (!fs.rename(bak, norm))
-        throw new java.io.IOException(s"compact: cannot restore $bak")
-    }
+    recover(spark, path)
     val bytes = fs.getContentSummary(norm).getLength
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     fs.delete(tmp, true)
@@ -95,6 +95,24 @@ object Ddl {
     ()
   }
 
+  /** Restore a table directory left invisible by a crash between
+    * [[compact]]'s two swap renames (data parked at
+    * `<path>._compact_old`). Idempotent and cheap when there is nothing
+    * to recover; call it from table-open paths so a crashed swap does not
+    * stay invisible until someone happens to re-run compaction. */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val norm = fs.makeQualified(hadoopPath)
+    val bak = new org.apache.hadoop.fs.Path(norm.getParent,
+      norm.getName + "._compact_old")
+    if (!fs.exists(norm) && fs.exists(bak)) {
+      if (!fs.rename(bak, norm))
+        throw new java.io.IOException(s"recover: cannot restore $bak")
+      spark.catalog.refreshByPath(norm.toString)
+    }
+  }
+
   /** Write `df` Z-ORDERED on two long columns: rows are range-partitioned
     * and sorted by the Morton interleave of the two keys, so every file's
     * bounding box in (colA, colB) space is small — parquet min/max stats
@@ -119,11 +137,13 @@ object Ddl {
       return
     }
     def scaled(c: String, lo: Long, hi: Long) = {
-      val span = math.max(1L, hi - lo)
-      // scale in DOUBLE: (v-lo)*(2^bits-1) in long overflows for spans
-      // past ~2^48, and monotonicity (all a z-curve needs) survives the
-      // double rounding; exact bit placement does not matter
-      floor((col(c) - lit(lo)).cast("double") / lit(span.toDouble) *
+      // ALL arithmetic in double: `hi - lo` (and `v - lo`) in long
+      // overflows when the key domain spans more than Long.MaxValue
+      // (lo near Long.MinValue), silently destroying the clustering.
+      // Monotonicity — all a z-curve needs — survives the double
+      // rounding; exact bit placement does not matter.
+      val span = math.max(1.0, hi.toDouble - lo.toDouble)
+      floor((col(c).cast("double") - lit(lo.toDouble)) / lit(span) *
         lit(((1L << bits) - 1).toDouble)).cast("long")
     }
     val sa = scaled(colA, r.getLong(0), r.getLong(1))

@@ -213,9 +213,16 @@ object StreamingPipeline {
     * `maxPerBucket`, oldest kept — an index that stored only each
     * bucket's first claimant would miss chained near-dups: B below tau
     * of A never indexed where A sits, then C ~ B finds only A), so state
-    * is at most `maxPerBucket` signatures per occupied bucket — the
-    * batch LSH join's index, held incrementally with a bound; production
-    * deployments also expire idle buckets via a state timeout. Exact
+    * is at most `maxPerBucket` signatures per occupied bucket — but the
+    * NUMBER of occupied buckets grows with the number of distinct band
+    * keys, unbounded over the stream's lifetime — production deployments
+    * MUST set `idleStateTimeout` (processing-time) so buckets no
+    * document has touched recently expire. It defaults to None because
+    * an armed processing-time timeout schedules no-data batches forever,
+    * which makes `processAllAvailable()`-style bounded replays (and any
+    * drain-to-quiesce harness) never observe an idle query. Expiry
+    * trades recall the same way the per-bucket cap does: a near-dup of
+    * a document whose buckets have expired is reported as novel. Exact
     * shingle verification would require storing shingle sets in state
     * (unbounded per-doc payload); the signature estimate is the
     * streaming-budget trade, and its banding prefilter is identical to
@@ -229,7 +236,9 @@ object StreamingPipeline {
   def nearDupHits(
       docs: DataFrame, // columns: doc_id LONG, text STRING
       tau: Double = 0.8,
-      maxPerBucket: Int = 32): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+      maxPerBucket: Int = 32,
+      idleStateTimeout: Option[String] = None)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import docs.sparkSession.implicits._
     val perms = graft.operators.NearDup.permCount
@@ -242,10 +251,17 @@ object StreamingPipeline {
         explode(array(graft.operators.NearDup.bandKeyColumns(col("sig")): _*))
           .as("bkey"))
       .as[(Long, Array[Long], Long)]
+    val timeoutConf =
+      if (idleStateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     banded
       .groupByKey(_._3)
       .flatMapGroupsWithState[List[(Long, Array[Long])], (Long, Long, Double)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[List[(Long, Array[Long])]])
+            if state.hasTimedOut =>
+          state.remove() // idle bucket expired: free its signatures
+          Iterator.empty
         case (_, rows, state: GroupState[List[(Long, Array[Long])]]) =>
           // deterministic intra-batch order: docs probe/index by id order
           val sorted = rows.toSeq.sortBy(_._1)
@@ -269,6 +285,9 @@ object StreamingPipeline {
               index = index :+ ((id, s))
           }
           state.update(index)
+          // re-arm the idle clock on every touch: timeout fires only after
+          // the bucket sees no traffic for the full interval
+          idleStateTimeout.foreach(state.setTimeoutDuration)
           out.iterator
       }
   }

@@ -49,6 +49,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(mean) < 0.1, s"biased sign sequence: mean=$mean")
   }
 
+  test("quantize-err: bounded by the quantizer cell half-width") {
+    import spark.implicits._
+    val df = Similarity.quantizeErr(spark, sfDir).cache()
+    val rows = df.as[(Long, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, lo, hi, maxErr, mse) =>
+      assert(hi >= lo, s"vec $id: hi < lo")
+      // midpoint reconstruction of a 255-cell uniform quantizer can't err
+      // more than half a cell (x = hi lands half a cell past the last
+      // midpoint, exactly the bound)
+      val bound = (hi - lo) / 510.0 * (1.0 + 1e-12)
+      assert(maxErr <= bound, s"vec $id: max_err $maxErr > $bound")
+      assert(mse <= maxErr * maxErr + 1e-18, s"vec $id: mse above max^2")
+      assert(mse >= 0.0)
+    }
+    df.unpersist()
+  }
+
+  test("nearest-centroid assignment pass plans no join and no extra exchange") {
+    val df = Similarity.ivfAssign(spark, sfDir)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("Join"), plan) // narrow expression, not a BNLJ
+    // the ONLY exchange is the final presentation sort's range partition
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"assignment pass shuffles: $plan")
+  }
+
   test("LSH recall: planted near-dup twins are all recovered") {
     import spark.implicits._
     // 100 deterministic ±1 vectors in 64 dims; ids 0..9 get a twin

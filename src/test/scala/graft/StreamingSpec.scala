@@ -213,6 +213,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("near-dup idle-state timeout knob: armed timeout on a live query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val twin = (1 to 40).map(i => if (i == 7) "EDITED" else s"tok$i").mkString(" ")
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((1L, base), (3L, twin))
+    // the production knob: ProcessingTimeTimeout armed. An armed timeout
+    // keeps the query scheduling no-data batches (to fire expirations), so
+    // neither processAllAvailable() nor AvailableNow ever observes an idle
+    // query — the knob is for LIVE deployments; poll the sink instead.
+    val hits = StreamingPipeline.nearDupHits(
+      stream.toDF().toDF("doc_id", "text"),
+      idleStateTimeout = Some("1 second"))
+    val q = hits.toDF("doc_id", "dup_of", "est_jaccard")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_timeout")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      def got() = spark.table("neardup_timeout")
+        .select($"doc_id", $"dup_of").as[(Long, Long)].collect().toSet
+      val deadline = System.currentTimeMillis() + 120000
+      while (System.currentTimeMillis() < deadline && got() != Set((3L, 1L))) {
+        assert(q.exception.isEmpty, q.exception)
+        Thread.sleep(200)
+      }
+      assert(got() === Set((3L, 1L)), got())
+    } finally q.stop()
+  }
+
   test("streaming near-dup dedup: a cross-batch fuzzy twin is flagged, others pass") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

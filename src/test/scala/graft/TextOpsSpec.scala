@@ -21,6 +21,22 @@ class TextOpsSpec extends SparkSpecBase {
     df.unpersist()
   }
 
+  test("repetition signals: fractions well-formed, identities hold") {
+    import spark.implicits._
+    val df = graft.operators.TextOps.repetition(spark, sfDir).cache()
+    val rows = df.as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nTok, nDistinct, topFrac, bigramFrac) =>
+      assert(nDistinct >= 1 && nDistinct <= nTok, s"doc $id")
+      // the most frequent token occurs at least the mean count
+      assert(topFrac >= 1.0 / nDistinct - 1e-12, s"doc $id topFrac=$topFrac")
+      assert(topFrac <= 1.0 + 1e-12, s"doc $id")
+      assert(bigramFrac > 0.0 && bigramFrac <= 1.0 + 1e-12,
+        s"doc $id bigramFrac=$bigramFrac")
+    }
+    df.unpersist()
+  }
+
   test("bpe token count >= whitespace token count on space-free punct text") {
     import spark.implicits._
     val df = TextOps.tokenCounts(spark, sfDir)
