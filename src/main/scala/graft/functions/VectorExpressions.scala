@@ -292,6 +292,45 @@ object VecOps {
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
+  /** Split on EVERY space, keeping empty tokens — the exact semantics of
+    * Spark's split(col, " ") and DuckDB's string_split (Scala's
+    * String.split drops trailing empties, which would silently diverge
+    * from the SQL oracle on texts with consecutive/trailing spaces). */
+  private def splitSpaces(s: String): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        buf += s.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    buf.toArray
+  }
+
+  /** Per-document token-repetition stats in ONE row-local pass:
+    * (n_tokens, n_distinct_tokens, top_cnt). The aggregation a
+    * groupBy-per-token would SHUFFLE for is document-local — at corpus
+    * scale the difference between two full-token-stream exchanges and a
+    * plain scan. Token identity is exact string equality, matching the
+    * SQL oracle's GROUP BY tok. */
+  def repetitionStats(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = splitSpaces(text.toString)
+    val counts = new java.util.HashMap[String, Int](toks.length * 2)
+    var top = 0
+    var i = 0
+    while (i < toks.length) {
+      val c = counts.merge(toks(i), 1, Integer.sum)
+      if (c > top) top = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length.toLong, counts.size.toLong, top.toLong))
+  }
+
   /** Word n-gram shingle set of a single-space-tokenized text, each
     * shingle hashed with FNV-1a/64, deduplicated and SORTED (the contract
     * [[intersectCount]] relies on). Texts shorter than n tokens hash
@@ -300,23 +339,7 @@ object VecOps {
     * functions. */
   def textShingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
     val s = text.toString
-    // split on EVERY space, keeping empty tokens — the exact semantics of
-    // Spark's split(col, " ") and DuckDB's string_split (Scala's
-    // String.split drops trailing empties, which would silently diverge
-    // from the SQL oracle on texts with consecutive/trailing spaces)
-    val toks: Array[String] = {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      var start = 0
-      var i = 0
-      while (i <= s.length) {
-        if (i == s.length || s.charAt(i) == ' ') {
-          buf += s.substring(start, i)
-          start = i + 1
-        }
-        i += 1
-      }
-      buf.toArray
-    }
+    val toks: Array[String] = splitSpaces(s)
     val out: Array[Long] =
       if (toks.length < n) Array(SimHash.fnv1a64(s))
       else {
@@ -470,6 +493,23 @@ case class QuantErrExpr(child: Expression, levels: Int)
     copy(c)
 }
 
+/** Per-document token-repetition stats of a text column →
+  * struct(n_tokens, n_distinct_tokens, top_cnt), all long (see
+  * [[VecOps.repetitionStats]]). */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct_tokens", LongType, nullable = false),
+    StructField("top_cnt", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    VecOps.repetitionStats(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.repetitionStats($c)")
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr =
+    copy(c)
+}
+
 /** Sorted-distinct hashed word n-gram shingles of a text column. */
 case class TextShinglesExpr(child: Expression, n: Int)
     extends UnaryExpression {
@@ -504,4 +544,6 @@ object VectorExpressions {
       GraftShims.toExpression(nrm), ids, cents, cnorms))
   def quant_err(v: Column, levels: Int): Column =
     GraftShims.column(QuantErrExpr(GraftShims.toExpression(v), levels))
+  def repetition_stats(text: Column): Column =
+    GraftShims.column(RepetitionStatsExpr(GraftShims.toExpression(text)))
 }

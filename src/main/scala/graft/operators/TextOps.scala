@@ -104,29 +104,24 @@ object TextOps extends QueryModule {
 
   /** Gopher-style repetition signals: the duplicate-content heuristics
     * (top-token fraction, distinct-bigram fraction) used to filter
-    * boilerplate/spam from LLM training corpora. Two hash-aggregates
-    * with map-side partial aggregation — per-(doc, token) counts then
-    * per-doc rollup; the distinct-bigram count comes from the native
-    * shingle-set expression ([[graft.functions.TextShinglesExpr]]) in
-    * the scan pass and rides the aggregation as a constant, so no second
-    * scan or join is needed. */
+    * boilerplate/spam from LLM training corpora. Every signal is
+    * document-LOCAL, so the whole query is one narrow codegen'd scan —
+    * per-doc token counts from [[graft.functions.RepetitionStatsExpr]],
+    * the distinct-bigram count from the native shingle-set expression —
+    * where the naive explode + groupBy(doc, token) form would shuffle
+    * the corpus's entire token stream twice. */
   def repetition(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val perTok = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select($"doc_id",
+        graft.functions.VectorExpressions.repetition_stats($"text").as("rep"),
         size(graft.functions.VectorExpressions.text_shingles($"text", 2))
-          .cast("long").as("ndb"),
-        explode(split($"text", " ")).as("tok"))
-      .groupBy($"doc_id", $"tok")
-      .agg(count(lit(1)).as("cnt"), first($"ndb").as("ndb"))
-    perTok.groupBy($"doc_id")
-      .agg(sum($"cnt").as("n_tokens"),
-        max($"cnt").as("top_cnt"),
-        count(lit(1)).as("n_distinct_tokens"),
-        first($"ndb").as("ndb"))
-      .select($"doc_id", $"n_tokens", $"n_distinct_tokens",
-        ($"top_cnt".cast("double") / $"n_tokens").as("top_tok_frac"),
-        ($"ndb".cast("double") / greatest($"n_tokens" - 1, lit(1L)))
+          .cast("long").as("ndb"))
+      .select($"doc_id",
+        $"rep.n_tokens".as("n_tokens"),
+        $"rep.n_distinct_tokens".as("n_distinct_tokens"),
+        ($"rep.top_cnt".cast("double") / $"rep.n_tokens").as("top_tok_frac"),
+        ($"ndb".cast("double") / greatest($"rep.n_tokens" - 1, lit(1L)))
           .as("distinct_bigram_frac"))
       .orderBy($"doc_id")
   }

@@ -83,6 +83,15 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("InMemoryTableScan"), p.take(2000))
   }
 
+  test("repetition signals stay a narrow scan: no token-stream shuffle") {
+    val p = plan(graft.operators.TextOps.repetition(spark, sfDir))
+    // per-doc token stats are row-local native expressions; the only
+    // exchange is the presentation sort — an explode + groupBy form
+    // would shuffle the whole token stream (twice)
+    assert(!p.contains("Generate"), p.take(2000)) // no explode
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))
