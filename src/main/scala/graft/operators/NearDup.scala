@@ -102,6 +102,74 @@ object NearDup extends QueryModule {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Dedup CLUSTERING: connected components over the near-duplicate pair
+    * graph — pair lists alone cannot drive dedup (near-dup is not
+    * transitive: A~B, B~C pairs must still collapse to ONE keeper), so
+    * every document gets the smallest doc_id reachable through near-dup
+    * edges as its canonical `cluster_id`; singletons label themselves.
+    *
+    * Spark shape: iterative min-label propagation — each round, a node
+    * takes the min of its own label and its neighbors' labels; rounds
+    * needed = component diameter (near-dup clusters are shallow chains).
+    * Each round is one equi-join of the edge list against the label
+    * table plus a groupBy(min); labels are localCheckpoint'ed per round
+    * so lineage and plan size stay FLAT across iterations (the classic
+    * iterative-Spark failure mode is an exponentially deepening plan).
+    * The driver-side loop decides only convergence from a count — no
+    * data ever leaves the executors. At deployment scale the same loop
+    * gains the alternating large-star/small-star contraction (O(log n)
+    * rounds on any graph shape); diameter-bounded propagation is the
+    * right form while components are known-shallow.
+    *
+    * The min-label fixpoint is UNIQUE, so the result is deterministic
+    * regardless of execution order; the oracle recomputes it as a
+    * recursive-CTE transitive closure over the brute-force pair
+    * definition. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    connectedComponents(
+      Tables.documents(s, d).select($"doc_id"),
+      minhashNearDup(s, d).select($"id_a", $"id_b"))
+  }
+
+  /** Min-label propagation over an undirected pair list: every `doc_id`
+    * in `nodes` → (doc_id, cluster_id). Factored out so specs can pin
+    * the component semantics on planted graphs (chains, forests)
+    * independent of the near-dup pair stage. */
+  private[graft] def connectedComponents(
+      nodes: DataFrame, // column: doc_id
+      pairs: DataFrame // columns: id_a, id_b
+  ): DataFrame = {
+    import nodes.sparkSession.implicits._
+    val edges = pairs.toDF("id_a", "id_b")
+    val sym = edges.union(edges.select($"id_b", $"id_a"))
+      .toDF("src", "dst")
+      .localCheckpoint(true) // materialized once, reused every round
+    var labels = nodes.select($"doc_id", $"doc_id".as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    val maxRounds = 50
+    while (changed > 0 && rounds < maxRounds) {
+      val nbrMin = sym
+        .join(labels.select($"doc_id".as("dst"), $"comp".as("nbr_comp")),
+          Seq("dst"))
+        .groupBy($"src")
+        .agg(min($"nbr_comp").as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(labels("doc_id"),
+          least($"comp", coalesce($"nbr_min", $"comp")).as("comp"),
+          coalesce($"nbr_min" < $"comp", lit(false)).as("chg"))
+        .localCheckpoint(true)
+      changed = updated.where($"chg").count()
+      labels = updated.select($"doc_id", $"comp")
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxRounds")
+    labels.select($"doc_id", $"comp".as("cluster_id")).orderBy($"doc_id")
+  }
+
   /** EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
     * family): a pair with Jaccard >= t must share at least one token in
     * the first `|A| - ceil(t*|A|) + 1` tokens of a canonical ordering
@@ -302,6 +370,23 @@ object NearDup extends QueryModule {
           FROM p)
         SELECT source, rank, id_a, id_b, jaccard
         FROM r WHERE rank <= 3 ORDER BY source, rank""")),
+    QueryDef(
+      "q_dedup_clusters", dedupClusters, Some(s"""
+        ${oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+        SELECT a AS doc_id, min(b) AS cluster_id
+        FROM reach GROUP BY a ORDER BY doc_id""")),
     QueryDef(
       "q_simjoin_prefix", prefixSimJoin, Some(s"""
         $oracleShingles,

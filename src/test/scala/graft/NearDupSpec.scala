@@ -66,4 +66,34 @@ class NearDupSpec extends SparkSpecBase {
     val docs = graft.ops.Tables.documents(spark, sfDir).count()
     assert(total === docs)
   }
+
+  test("connected components: chains collapse transitively, forests stay apart") {
+    import spark.implicits._
+    // two chains (1-2-3-4, 10-11) and singletons 20, 21: near-dup is not
+    // transitive but dedup clustering must be — the chain's far ends
+    // share a canonical id even though no edge joins them directly
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = NearDup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("dedup clusters: every near-dup pair shares a label, labels are minima") {
+    import spark.implicits._
+    val labels = NearDup.dedupClusters(spark, sfDir)
+    val byDoc = labels.as[(Long, Long)].collect().toMap
+    // canonical id never exceeds the member id (min-label fixpoint)
+    assert(byDoc.forall { case (id, c) => c <= id })
+    // endpoints of every verified near-dup pair collapse to one cluster
+    val pairs = NearDup.minhashNearDup(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) === byDoc(b), s"pair ($a,$b) split across clusters")
+    }
+    // coverage: one label per document
+    assert(byDoc.size === graft.ops.Tables.documents(spark, sfDir).count())
+  }
 }
