@@ -246,6 +246,52 @@ object NearDup extends QueryModule {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Containment (subset) similarity join: DIRECTIONAL C(A→B) =
+    * |A∩B| / |A| >= t — catches a document whose content sits inside a
+    * larger one (quotes, boilerplate-wrapped copies), which symmetric
+    * Jaccard — and therefore every Jaccard-tuned dedup stage — misses:
+    * a 40-shingle doc fully contained in a 400-shingle doc has J ≈ 0.1.
+    *
+    * Candidates via the ASYMMETRIC prefix filter: if C(A→B) >= t, then B
+    * shares at least one of the first |A| - ceil(t·|A|) + 1 tokens of
+    * A's canonical (rarest-first) order, so the contained side joins a
+    * short prefix (10% of its tokens at t=0.9) against the container
+    * side's FULL token postings. Exact — the oracle is the brute-force
+    * definition, so the gate proves the prefix scheme loses no pair.
+    * No length filter exists for containment (that is the point: sizes
+    * may differ arbitrarily); the prefix join IS the candidate bound. */
+  def containmentJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = 0.9
+    val sh = hashedShingles(s, d)
+    val tokens = sh.select($"doc_id", explode($"sh").as("tok"))
+    val freq = tokens.groupBy($"tok").agg(count(lit(1)).as("freq"))
+    val prefixes = tokens.join(freq, "tok")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"freq", $"tok"))).as("by_rarity"),
+        count(lit(1)).as("n"))
+      .select($"doc_id", slice($"by_rarity.tok", lit(1),
+        ($"n" - ceil(lit(t) * $"n") + 1).cast("int")).as("prefix"))
+    val pa = prefixes.select($"doc_id".as("contained_id"),
+      explode($"prefix").as("tok"))
+    val pb = tokens.select($"doc_id".as("container_id"), $"tok")
+    val candidates = pa.join(pb, Seq("tok"))
+      .where($"contained_id" =!= $"container_id")
+      .select($"contained_id", $"container_id")
+      .distinct()
+    candidates
+      .join(sh.select($"doc_id".as("contained_id"), $"sh".as("sh_a")),
+        Seq("contained_id"))
+      .join(sh.select($"doc_id".as("container_id"), $"sh".as("sh_b")),
+        Seq("container_id"))
+      .withColumn("containment",
+        graft.functions.VectorExpressions.intersect_count($"sh_a", $"sh_b")
+          .cast("double") / size($"sh_a"))
+      .where($"containment" >= t)
+      .select($"contained_id", $"container_id", $"containment")
+      .orderBy($"contained_id", $"container_id")
+  }
+
   /** N-gram Jaccard similarity, bucketed by `source` (pre-partitioned
     * corpus blocks): top-3 most similar OVERLAPPING pairs per block —
     * pairs sharing at least one shingle, which is every pair a shingle
@@ -414,6 +460,17 @@ object NearDup extends QueryModule {
           FROM s a JOIN s b ON a.doc_id < b.doc_id)
         SELECT id_a, id_b, jaccard
         FROM p WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
+    QueryDef(
+      "q_containment", containmentJoin, Some(s"""
+        $oracleShingles,
+        p AS (
+          SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+                   AS containment
+          FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+        SELECT contained_id, container_id, containment
+        FROM p WHERE containment >= 0.9
+        ORDER BY contained_id, container_id""")),
     QueryDef(
       "q_simhash", simhashClusters, Some(s"""
         ${graft.ops.HashOracleSql.simhashCte}

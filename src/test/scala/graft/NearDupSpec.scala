@@ -67,6 +67,23 @@ class NearDupSpec extends SparkSpecBase {
     assert(total === docs)
   }
 
+  test("containment join: directional, threshold-respecting, sees near-dups both ways") {
+    import spark.implicits._
+    val rows = NearDup.containmentJoin(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 >= 0.9))
+    val dirs = rows.map(r => (r._1, r._2)).toSet
+    // a symmetric near-dup pair (J >= 0.8 at near-equal sizes) is
+    // contained in BOTH directions
+    val nd = NearDup.minhashNearDup(spark, sfDir)
+      .where($"jaccard" >= 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    nd.foreach { case (a, b) =>
+      assert(dirs.contains((a, b)) && dirs.contains((b, a)), s"($a,$b)")
+    }
+  }
+
   test("connected components: chains collapse transitively, forests stay apart") {
     import spark.implicits._
     // two chains (1-2-3-4, 10-11) and singletons 20, 21: near-dup is not
