@@ -199,6 +199,25 @@ object Corpus extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Heavy-hitter tokens via a Misra–Gries summary
+    * ([[graft.pipeline.Aggregators.MisraGriesAgg]]): a k-entry mergeable
+    * counter map replaces the full token groupBy — bounded memory at any
+    * corpus size, with the MG guarantees (every token above n/k is
+    * present; undercount at most n/k). Estimates depend on merge order,
+    * so this is spec-pinned against exact counts rather than
+    * oracle-gated, like the other sketches. */
+  def heavyHitterTokens(s: SparkSession, d: String, k: Int = 32): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("tok"))
+      .select(xxhash64($"tok").as("th")).as[Long]
+    toks.select(new graft.pipeline.Aggregators.MisraGriesAgg(k).toColumn)
+      .toDF("mg")
+      .select(explode($"mg"))
+      .toDF("token_hash", "est_count")
+      .orderBy(desc("est_count"), $"token_hash")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_sample_deterministic", deterministicSample, Some("""

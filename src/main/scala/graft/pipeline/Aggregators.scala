@@ -37,6 +37,42 @@ object Aggregators {
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
+  /** Misra–Gries heavy-hitters summary over a token stream: a bounded
+    * (k-entry) counter map whose classic guarantees SURVIVE Spark's
+    * partial-aggregate merges (MG summaries are mergeable): after
+    * summarizing n tokens,
+    *  - every token with true count > n/k is present, and
+    *  - every estimate undercounts its true count by at most n/k.
+    * The map-side partial summary is what makes corpus-scale "what
+    * dominates the vocabulary" queries one bounded-memory aggregation
+    * instead of a full token groupBy — the skew-finding companion to
+    * the exact [[graft.operators.Corpus.tokenFrequencies]]. Estimates
+    * (not membership above the bound) depend on merge order, so this is
+    * spec-pinned rather than oracle-gated, like the other sketches. */
+  class MisraGriesAgg(k: Int)
+      extends Aggregator[Long, Map[Long, Long], Map[Long, Long]] {
+    private def compact(m: Map[Long, Long]): Map[Long, Long] =
+      if (m.size <= k) m
+      else {
+        // subtract the (k+1)-th largest count from everything; at most k
+        // strictly-positive counters can survive
+        val d = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        m.flatMap { case (t, c) => if (c - d > 0) Some(t -> (c - d)) else None }
+      }
+    def zero: Map[Long, Long] = Map.empty
+    def reduce(buf: Map[Long, Long], tok: Long): Map[Long, Long] =
+      compact(buf.updated(tok, buf.getOrElse(tok, 0L) + 1L))
+    def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+      compact(b.foldLeft(a) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      })
+    def finish(buf: Map[Long, Long]): Map[Long, Long] = buf
+    def bufferEncoder: Encoder[Map[Long, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+    def outputEncoder: Encoder[Map[Long, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+  }
+
   /** Batch row-count — the sink's `written_rows` ack payload
     * (`src/clickhouse.rs:160-168`). */
   object CountAgg extends Aggregator[Any, Long, Long] {

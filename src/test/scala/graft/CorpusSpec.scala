@@ -110,6 +110,31 @@ class CorpusSpec extends SparkSpecBase {
     }
   }
 
+  test("Misra-Gries heavy hitters: membership and error bounds hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = 32
+    val exact = graft.ops.Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .select(xxhash64($"tok").as("th"))
+      .groupBy($"th").count()
+      .as[(Long, Long)].collect().toMap
+    val n = exact.values.sum
+    val mg = Corpus.heavyHitterTokens(spark, sfDir, k)
+      .as[(Long, Long)].collect().toMap
+    assert(mg.nonEmpty && mg.size <= k)
+    // every true heavy hitter (count > n/k) must be present
+    exact.filter(_._2 > n / k).keys.foreach { t =>
+      assert(mg.contains(t), s"heavy hitter $t missing")
+    }
+    // estimates never overcount and undercount by at most n/k
+    mg.foreach { case (t, est) =>
+      val truth = exact(t)
+      assert(est <= truth, s"$t overcounted: $est > $truth")
+      assert(truth - est <= n / k, s"$t undercount ${truth - est} > ${n / k}")
+    }
+  }
+
   test("chunk dedup profile is a partition of distinct chunks") {
     import spark.implicits._
     val prof = Corpus.chunkDupProfile(spark, sfDir).cache()
