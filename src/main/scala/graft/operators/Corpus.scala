@@ -218,7 +218,147 @@ object Corpus extends QueryModule {
       .orderBy(desc("est_count"), $"token_hash")
   }
 
+  /** Sequence PACKING: greedy in-order bin packing of documents into
+    * fixed token-budget bins per source — the "pack documents into
+    * training sequences" step of an LLM data pipeline (concatenate docs
+    * up to the context length, start a new sequence when the next doc
+    * would overflow). Semantics are inherently sequential WITHIN a
+    * source (bin boundaries depend on every prior doc), so the scalable
+    * shape is: compute each doc's token cost BEFORE the shuffle (3
+    * narrow columns move, never the text), one hash shuffle on
+    * `source`, in-partition sort by (source, doc_id), then a single
+    * streaming pass per partition carrying (bin, running) state across
+    * rows — no per-group materialization, so a source larger than
+    * memory still packs. Parallelism = #sources; at 100 TB you pack per
+    * (source, shard) so group length — not corpus size — bounds the
+    * walk. Oracle = the same greedy walk as a recursive CTE. */
+  def packBins(s: SparkSession, d: String, budget: Long = 256L): DataFrame = {
+    import s.implicits._
+    val cost = when(length(trim($"text")) === 0, 0L)
+      .otherwise(
+        (length($"text") - length(regexp_replace($"text", " ", ""))).cast("long")
+          + lit(1L))
+    val costed = Tables.documents(s, d)
+      .select($"source", $"doc_id", cost.as("n_tokens"))
+      .repartition($"source")
+      .sortWithinPartitions($"source", $"doc_id")
+      .as[(String, Long, Long)]
+    costed.mapPartitions { it =>
+      // one partition may hold several sources (hash partitioning); the
+      // sort makes each source contiguous, so state resets on change
+      var curSrc: String = null
+      var bin = 0L
+      var running = 0L
+      it.map { case (src, id, c) =>
+        if (src != curSrc) { curSrc = src; bin = 0L; running = c }
+        else if (running + c > budget) { bin += 1L; running = c }
+        else running += c
+        (src, id, bin, c)
+      }
+    }.toDF("source", "doc_id", "bin_id", "n_tokens")
+      .orderBy($"source", $"doc_id")
+  }
+
+  /** Deterministic SHARD ASSIGNMENT + within-shard order: the "write the
+    * corpus as N reproducibly-shuffled training shards" step. Shard =
+    * md5 bucket of the key (engine/cluster-size independent, unlike
+    * rand()); position = rank in md5 order within the shard, i.e. a
+    * deterministic global shuffle of the corpus — two different engines
+    * (or two runs on different cluster sizes) produce byte-identical
+    * shard files. One shuffle on `shard`, which IS the shard-write
+    * shuffle; the window rank reuses its partitioning. */
+  def shardAssign(s: SparkSession, d: String, nShards: Int = 8): DataFrame = {
+    import s.implicits._
+    val h = md5($"doc_id".cast("string"))
+    Tables.documents(s, d)
+      .select($"doc_id", h.as("h"),
+        (conv(substring(h, 1, 2), 16, 10).cast("long") % nShards).as("shard"))
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy($"shard").orderBy($"h", $"doc_id")).cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"doc_id")
+  }
+
+  /** Inverted-index build: token → document frequency + a CAPPED posting
+    * list (first `cap` doc_ids) — the index artifact behind exact-match
+    * decontamination and retrieval audits. The cap is applied with a
+    * window rank BEFORE the collect, so no aggregation buffer ever holds
+    * more than `cap` postings per token regardless of how hot the token
+    * is — collect_list over uncapped postings is the classic
+    * stop-word-OOM at corpus scale. Postings serialize as a sorted csv
+    * string (arrays don't hash stably across engines). */
+  def invertedIndex(s: SparkSession, d: String, cap: Int = 8): DataFrame = {
+    import s.implicits._
+    val posting = Tables.documents(s, d)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("token"))
+      .where(length($"token") > 0)
+    val w = Window.partitionBy($"token").orderBy($"doc_id")
+    posting
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"token")
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(
+          transform(
+            sort_array(collect_list(when($"rn" <= cap, $"doc_id"))),
+            _.cast("string")),
+          ",").as("postings"))
+      .orderBy($"token")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_pack_bins", packBins(_, _), Some("""
+        WITH RECURSIVE d AS (
+          SELECT source, doc_id,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                   length(text) - length(replace(text, ' ', '')) + 1 END
+                   AS BIGINT) AS n_tokens,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents),
+        walk AS (
+          SELECT source, doc_id, n_tokens, rn,
+                 CAST(0 AS BIGINT) AS bin_id, n_tokens AS running
+          FROM d WHERE rn = 1
+          UNION ALL
+          SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+                 CASE WHEN w.running + d.n_tokens > 256
+                      THEN w.bin_id + 1 ELSE w.bin_id END,
+                 CASE WHEN w.running + d.n_tokens > 256
+                      THEN d.n_tokens ELSE w.running + d.n_tokens END
+          FROM walk w JOIN d ON d.source = w.source AND d.rn = w.rn + 1)
+        SELECT source, doc_id, bin_id, n_tokens
+        FROM walk ORDER BY source, doc_id""")),
+    QueryDef(
+      "q_shard_assign", shardAssign(_, _), Some("""
+        WITH a AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                 CAST(((strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8
+                   AS BIGINT) AS shard
+          FROM documents)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                 AS BIGINT) AS pos
+        FROM a ORDER BY doc_id""")),
+    QueryDef(
+      "q_inverted_index", invertedIndex(_, _), Some("""
+        WITH p AS (
+          SELECT DISTINCT doc_id, token
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents) t
+          WHERE length(token) > 0),
+        r AS (
+          SELECT doc_id, token,
+                 row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+          FROM p)
+        SELECT token, CAST(count(*) AS BIGINT) AS df,
+               string_agg(CASE WHEN rn <= 8 THEN CAST(doc_id AS VARCHAR) END,
+                          ',' ORDER BY doc_id) AS postings
+        FROM r GROUP BY token ORDER BY token""")),
     QueryDef(
       "q_sample_deterministic", deterministicSample, Some("""
         SELECT doc_id, lang, n_chars, bucket FROM (

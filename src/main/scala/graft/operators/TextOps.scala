@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{QueryDef, QueryModule, Tables}
@@ -161,7 +162,68 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** End-to-end corpus CLEANING composition — the canonical LLM
+    * data-prep chain run as ONE declarative plan: language allowlist +
+    * quality thresholds (token count in range, minimum stopword
+    * density) + fingerprint dedup keeping the lowest doc_id, reported
+    * as kept-docs/kept-tokens per (lang, source). Each stage is exactly
+    * the operator registered standalone ([[langId]]-style filter,
+    * [[textStats]] thresholds, [[fingerprint]] dedup) — composing them
+    * in one DataFrame lets Catalyst fuse all the narrow work into a
+    * single codegen'd scan stage before the one dedup shuffle, instead
+    * of three materialized passes over the corpus. The stopword
+    * threshold is exact integer math (`n_stop * 100 >= n_tokens`), not
+    * a float ratio compare, so the predicate is bit-identical across
+    * engines. */
+  def cleanCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = $"text"
+    val nTokens = tokenCount(t)
+    val nStop = (tokenOccurrences(t, "the") + tokenOccurrences(t, "a")
+      + tokenOccurrences(t, "of") + tokenOccurrences(t, "and"))
+    val keepRank = Window.partitionBy($"fp").orderBy($"doc_id")
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"source",
+        nTokens.as("n_tokens"), nStop.as("n_stop"),
+        md5(normalize(t)).as("fp"))
+      .where($"lang".isin("en", "de", "es", "fr")
+        && $"n_tokens".between(20, 1000)
+        && $"n_stop" * 100L >= $"n_tokens")
+      .withColumn("rn", row_number().over(keepRank))
+      .where($"rn" === 1)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+      .orderBy($"lang", $"source")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_clean_corpus", cleanCorpus, Some("""
+        WITH b AS (
+          SELECT doc_id, lang, source,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                   length(text) - length(replace(text, ' ', '')) + 1 END
+                   AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x = 'the'))
+                    + len(list_filter(string_split(text, ' '), x -> x = 'a'))
+                    + len(list_filter(string_split(text, ' '), x -> x = 'of'))
+                    + len(list_filter(string_split(text, ' '), x -> x = 'and'))
+                   AS BIGINT) AS n_stop,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+          FROM documents),
+        f AS (
+          SELECT * FROM b
+          WHERE lang IN ('en', 'de', 'es', 'fr')
+            AND n_tokens BETWEEN 20 AND 1000
+            AND n_stop * 100 >= n_tokens),
+        k AS (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM f)
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        FROM k WHERE rn = 1
+        GROUP BY lang, source ORDER BY lang, source""")),
     QueryDef(
       "q_dedup_exact", dedupExact, Some("""
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies

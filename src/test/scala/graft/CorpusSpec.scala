@@ -143,4 +143,56 @@ class CorpusSpec extends SparkSpecBase {
       .as[Long].head() > 0)
     prof.unpersist()
   }
+
+  test("packBins: greedy packing is budget-bounded, tight, and total") {
+    import spark.implicits._
+    val budget = 256L
+    val rows = Corpus.packBins(spark, sfDir, budget)
+      .as[(String, Long, Long, Long)].collect()
+    // every document appears exactly once
+    assert(rows.length ===
+      graft.ops.Tables.documents(spark, sfDir).count())
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val inOrder = docs.sortBy(_._2)
+      // bin ids start at 0 and are consecutive within a source
+      assert(inOrder.head._3 === 0L, s"$src first bin")
+      inOrder.sliding(2).foreach {
+        case Array((_, _, b1, _), (_, _, b2, _)) =>
+          assert(b2 === b1 || b2 === b1 + 1, s"$src bin jump $b1->$b2")
+        case _ =>
+      }
+      val bins = inOrder.groupBy(_._3).toSeq.sortBy(_._1)
+      bins.foreach { case (bin, members) =>
+        val tot = members.map(_._4).sum
+        // a bin only exceeds the budget when a single doc does
+        assert(tot <= budget || members.length === 1,
+          s"$src bin $bin total $tot")
+      }
+      // tightness: the first doc of every bin would NOT have fit into
+      // the previous bin (otherwise the greedy walk would have kept it)
+      bins.sliding(2).foreach {
+        case Seq((_, prev), (_, cur)) =>
+          val prevTot = prev.map(_._4).sum
+          val firstCost = cur.minBy(_._2)._4
+          assert(prevTot + firstCost > budget,
+            s"$src: bin not tight ($prevTot + $firstCost <= $budget)")
+        case _ =>
+      }
+    }
+  }
+
+  test("shardAssign: deterministic, total, positions are per-shard ranks") {
+    import spark.implicits._
+    val a = Corpus.shardAssign(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    val b = Corpus.shardAssign(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(a.toSeq === b.toSeq) // reproducible across runs
+    assert(a.map(_._1).distinct.length === a.length)
+    a.groupBy(_._2).foreach { case (shard, docs) =>
+      assert(shard >= 0 && shard < 8)
+      // positions are exactly 1..n within the shard
+      assert(docs.map(_._3).sorted.toSeq === (1L to docs.length).toSeq)
+    }
+  }
 }
