@@ -194,6 +194,86 @@ object Similarity extends QueryModule {
       .orderBy($"q_id", $"rank")
   }
 
+  /** One Lloyd UPDATE step of the IVF codebook, in exact arithmetic —
+    * the trainable half of the index-build story as an oracle-gated
+    * query. Assignment is the same narrow [[assignTo]] pass as
+    * [[ivfAssign]]; the update is the per-(centroid, dimension) mean,
+    * computed over `floor(x * 2^20)` scaled INTEGERS: a float32 times an
+    * exact power of two is exact in double, so the per-cell sums are
+    * order-independent BIGINT arithmetic (a straight double sum would be
+    * partition-order-dependent and could never hash-match an oracle).
+    * Shuffle volume is bounded by partial aggregation: each task emits
+    * at most K×D cells, not its row count. */
+  def codebookUpdate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    assignTo(e, centroids(e))
+      .select($"centroid_id", posexplode($"v"))
+      .select($"centroid_id", $"pos".cast("long").as("dim"),
+        floor($"col".cast("double") * lit(1048576L)).cast("long").as("sv"))
+      .groupBy($"centroid_id", $"dim")
+      .agg(count(lit(1)).as("n"),
+        (sum($"sv").cast("double") / count(lit(1))).as("c_new"))
+      .orderBy($"centroid_id", $"dim")
+  }
+
+  /** Full spherical k-means codebook TRAINING (iterated Lloyd): assign
+    * every vector to its nearest centroid by cosine, re-estimate each
+    * centroid as the mean of its members' UNIT vectors (the
+    * cosine-optimal update — the mean direction maximizes average
+    * cosine, which makes the objective monotone), repeat. Returns the
+    * per-iteration training report (iter, centroid_id, n, avg_cos).
+    *
+    * Scale shape per iteration: one NARROW assignment scan (the codebook
+    * rides inside [[graft.functions.NearestCentroidExpr]]), one
+    * posexplode + hash-aggregate whose shuffle is bounded at K×D cells
+    * per task by partial aggregation, and a K×D driver collect — index
+    * METADATA, the same bounded class as [[centroids]]. Iteration count
+    * is a constant knob, so the whole train is O(iters) corpus scans, no
+    * lineage growth (each round's codebook is plain driver state, not a
+    * growing plan). */
+  def trainCodebook(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cb = centroids(e)
+    val reports = (1 to iters).map { it =>
+      val assigned = assignTo(e, cb)
+      // training report BEFORE the update: quality of the current codebook
+      val report = assigned.groupBy($"centroid_id")
+        .agg(count(lit(1)).as("n"), avg($"cos").as("avg_cos"))
+        .withColumn("iter", lit(it.toLong))
+        .select($"iter", $"centroid_id", $"n", $"avg_cos")
+        .collect() // K rows
+      // spherical update: mean of unit vectors per cell, per dimension
+      val means = assigned
+        .select($"centroid_id", $"nrm", posexplode($"v"))
+        .select($"centroid_id", $"pos",
+          ($"col".cast("double") / $"nrm").as("u"))
+        .groupBy($"centroid_id", $"pos")
+        .agg(avg($"u").as("m"))
+        .collect() // K×D rows, index metadata
+        .groupBy(_.getLong(0))
+      val kept = cb.ids.zipWithIndex.map { case (id, i) =>
+        means.get(id) match {
+          case Some(rows) =>
+            val v = new Array[Double](rows.length)
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+            (id, v)
+          case None => (id, cb.cents(i)) // empty cell keeps its centroid
+        }
+      }
+      cb = Codebook(kept.map(_._1),
+        kept.map(_._2),
+        kept.map(p => math.sqrt(p._2.map(x => x * x).sum)))
+      report
+    }
+    val out = s.createDataFrame(
+      s.sparkContext.parallelize(reports.flatten.toSeq, 1),
+      reports.head.head.schema)
+    e.unpersist(false)
+    out.orderBy($"iter", $"centroid_id")
+  }
+
   /** Scalar-quantization audit: per-vector reconstruction error of a
     * `levels`-cell uniform int8-style quantizer (midpoint reconstruction)
     * — the capacity check run before committing a corpus to a quantized
@@ -347,6 +427,30 @@ object Similarity extends QueryModule {
               FROM p)
         SELECT q_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3
         ORDER BY q_id, rank""")),
+    QueryDef(
+      "q_codebook_update", codebookUpdate, Some(s"""
+        $oracleVecs,
+        c AS (SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cn
+              FROM e WHERE vec_id < 8),
+        a AS (
+          SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
+                     / (e.nrm * c.cn) DESC, c.centroid_id) AS rn
+          FROM e CROSS JOIN c),
+        asg AS (SELECT vec_id, centroid_id FROM a WHERE rn = 1),
+        u AS (
+          -- parallel unnests zip element-wise: (position, value) pairs
+          SELECT asg.centroid_id,
+                 unnest(generate_series(1, len(em.embedding))) - 1 AS dim,
+                 CAST(floor(CAST(unnest(em.embedding) AS DOUBLE) * 1048576)
+                   AS BIGINT) AS sv
+          FROM asg JOIN embeddings em ON em.vec_id = asg.vec_id)
+        SELECT centroid_id, CAST(dim AS BIGINT) AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(sv) AS DOUBLE) / count(*) AS c_new
+        FROM u GROUP BY centroid_id, dim ORDER BY centroid_id, dim""")),
     QueryDef(
       "q_quantize_err", quantizeErr, Some("""
         WITH dv AS (

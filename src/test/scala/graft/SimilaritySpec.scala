@@ -98,4 +98,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(pairs === expected,
       s"missing=${expected -- pairs} spurious=${pairs -- expected}")
   }
+
+  test("codebook training: objective is monotone and cells partition the corpus") {
+    import spark.implicits._
+    val iters = 3
+    val rep = graft.operators.Similarity.trainCodebook(spark, sfDir, iters)
+      .as[(Long, Long, Long, Double)].collect()
+    val total = graft.ops.Tables.embeddings(spark, sfDir).count()
+    val byIter = rep.groupBy(_._1)
+    assert(byIter.keySet === (1L to iters).toSet)
+    // every iteration's cells partition the corpus
+    byIter.values.foreach(rows => assert(rows.map(_._3).sum === total))
+    // spherical k-means objective (mean cosine to assigned centroid,
+    // weighted by cell size) never decreases across Lloyd iterations
+    val obj = (1 to iters).map { it =>
+      val rows = byIter(it.toLong)
+      rows.map(r => r._3 * r._4).sum / total
+    }
+    obj.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a - 1e-12, s"objective fell: $obj")
+      case _ =>
+    }
+    // training must actually improve on the seed codebook
+    assert(obj.last > obj.head, s"no improvement: $obj")
+  }
 }
