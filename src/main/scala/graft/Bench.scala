@@ -27,7 +27,13 @@ object Bench {
     // standard way to report the query's actual cost
     val iters = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name filter for focused local iteration;
+    // the driver leaves it unset and measures everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // min over SUCCESSFUL iterations only; a failing query must report
       // the -1 failure marker, not a fast-throw time
       val times = (0 until iters).flatMap { _ =>

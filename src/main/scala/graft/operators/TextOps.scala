@@ -34,7 +34,15 @@ object TextOps extends QueryModule {
   /** #tokens equal to `w` — token-exact, immune to the adjacent-marker
     * undercount that padded-substring counting has ("a a a" counts 3, not
     * 2): filter over the split array, identical in DuckDB as
-    * len(list_filter(string_split(text,' '), t -> t = w)). */
+    * len(list_filter(string_split(text,' '), t -> t = w)).
+    *
+    * MEASURED: replacing this with codegen'd
+    * `regexp_count("(?<=^| )w(?= |$)")` made q_lang_id 54% and
+    * q_text_stats 30% SLOWER at sf0.1 — Java's variable-length
+    * lookbehind backtracks at every byte, costing more than the
+    * interpreted-HOF overhead it removes. The split array is also
+    * shared across the four stopword counts by Catalyst subexpression
+    * elimination, so the HOF form pays for one split, not four. */
   private def tokenOccurrences(s: Column, w: String): Column =
     size(filter(split(s, " "), t => t === w)).cast("long")
 
