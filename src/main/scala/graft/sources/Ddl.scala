@@ -159,6 +159,31 @@ object Ddl {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Write `df` HIVE-PARTITIONED on a low-cardinality column: one
+    * directory per value (`path/col=value/`), the layout for the
+    * coarsest and cheapest pruning there is — a predicate on the
+    * partition column eliminates whole directories at PLANNING time
+    * (PartitionFilters in the scan node), so a 100 TB corpus filtered to
+    * one language/day/source never lists, opens, or reads the other
+    * partitions' files. Complements [[createSortedTable]] (row-group
+    * skipping WITHIN files) and [[createZOrderedTable]] (two-column
+    * range clustering): partition on the always-filtered low-cardinality
+    * key, sort/cluster within partitions on the range keys.
+    *
+    * The repartition puts each output partition's rows in as few tasks
+    * as possible, so the write produces ~1 file per (task, value) pair
+    * instead of numTasks × numValues small files — the
+    * partitioned-write file explosion [[compact]] otherwise mops up. */
+  def createPartitionedTable(
+      df: DataFrame,
+      path: String,
+      partCol: String): Unit = {
+    df.repartition(col(partCol))
+      .write.mode("overwrite")
+      .partitionBy(partCol)
+      .parquet(path)
+  }
+
   /** Write `df` as a BUCKETED catalog table: rows are hash-distributed
     * into `buckets` files by `bucketCol` and sorted within each bucket.
     * Two tables bucketed the same way join WITHOUT any shuffle — Spark

@@ -46,6 +46,31 @@ class AggregatorDdlSpec extends SparkSpecBase {
     spark.sql("DROP TABLE IF EXISTS events_sorted")
   }
 
+  test("partitioned table: predicate prunes whole partitions at plan time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+    Ddl.createPartitionedTable(docs, s"$dir/docs_by_lang", "lang")
+    val t = spark.read.parquet(s"$dir/docs_by_lang")
+    assert(t.count() === docs.count()) // layout is content-invisible
+    val filtered = t.where($"lang" === "en").select($"doc_id", $"lang")
+    assert(filtered.count() === docs.where($"lang" === "en").count())
+    // pruning happens at PLANNING time: the partition predicate lands in
+    // the scan's PartitionFilters, and the files the plan will touch all
+    // live under the lang=en directory
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty)
+    assert(scan.head.partitionFilters.exists(_.toString.contains("lang")),
+      scan.head.partitionFilters.toString)
+    val files = scan.head.relation.location.listFiles(
+      scan.head.partitionFilters, Nil).flatMap(_.files)
+    assert(files.nonEmpty)
+    assert(files.forall(_.getPath.toString.contains("lang=en")),
+      "pruned listing must only contain the lang=en partition")
+  }
+
   test("bucketed tables join with NO exchange on either side") {
     import spark.implicits._
     val orders = graft.ops.Tables.orders(spark, sfDir)
