@@ -21,7 +21,8 @@ object SparkEntry {
     operators.PipelineQueries,
     operators.Relational,
     operators.Breadth,
-    operators.Corpus
+    operators.Corpus,
+    operators.Curation
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

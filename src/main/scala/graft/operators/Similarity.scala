@@ -151,6 +151,48 @@ object Similarity extends QueryModule {
       .orderBy($"label", $"centroid_id", $"rank")
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023's shape): cluster
+    * the corpus with the coarse codebook, then inside each cluster drop
+    * every vector that has a LOWER-id cell-mate more similar than τ —
+    * keep-the-canonical pairwise rule, order-independent and exactly
+    * SQL-expressible, which lets the brute-force oracle gate the whole
+    * operator. τ is corpus-calibrated (this synthetic corpus tops out
+    * near cosine 0.47 within cells; a real near-dup threshold like 0.95
+    * would make the drop path dead code in the gate).
+    *
+    * Scale shape: the assignment is the one narrow codebook scan shared
+    * with [[ivfAssign]]; the only join is cell-bounded (K is the lever
+    * that keeps cells constant-size as the corpus grows — same argument
+    * as [[labelBucketTopK]]); the drop set rejoins the assignment on
+    * vec_id and is a small broadcast side in practice. */
+  private val SemDedupTau = 0.3
+
+  private val lastSemCells =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val cells = assignTo(e, centroids(e))
+      .select($"vec_id", $"centroid_id", $"v", $"nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastSemCells.getAndSet(cells)).foreach(_.unpersist(false))
+    val a = cells.select($"centroid_id", $"vec_id".as("id_a"),
+      $"v".as("va"), $"nrm".as("na"))
+    val b = cells.select($"centroid_id", $"vec_id".as("id_b"),
+      $"v".as("vb"), $"nrm".as("nb"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .where($"id_a" < $"id_b" &&
+        cosineWithNorms($"va", $"vb", $"na", $"nb") >= lit(SemDedupTau))
+      .select($"id_b".as("vec_id")).distinct()
+      .withColumn("hit", lit(true))
+    cells.select($"vec_id", $"centroid_id")
+      .join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", $"centroid_id",
+        coalesce($"hit", lit(false)).as("is_dup"))
+      .orderBy($"vec_id")
+  }
+
   /** IVF index build: assign every vector to its nearest coarse centroid.
     * The codebook rides inside the expression, so assignment is one
     * narrow scan of the corpus with NO exchange anywhere — the
@@ -399,6 +441,29 @@ object Similarity extends QueryModule {
               FROM a)
         SELECT vec_id, centroid_id, cos FROM r WHERE rn = 1
         ORDER BY vec_id""")),
+    QueryDef(
+      "q_semantic_dedup", semanticDedup, Some(s"""
+        $oracleVecs,
+        c AS (SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cn
+              FROM e WHERE vec_id < 8),
+        asg0 AS (
+          SELECT e.vec_id, e.embedding, e.nrm, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
+                     / (e.nrm * c.cn) DESC, c.centroid_id) AS rn
+          FROM e CROSS JOIN c),
+        cells AS (SELECT vec_id, embedding, nrm, centroid_id
+                  FROM asg0 WHERE rn = 1),
+        dup AS (
+          SELECT DISTINCT b.vec_id
+          FROM cells a JOIN cells b
+            ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+          WHERE ${oracleDot("a", "b")} / (a.nrm * b.nrm) >= 0.3)
+        SELECT c2.vec_id, c2.centroid_id,
+               (d.vec_id IS NOT NULL) AS is_dup
+        FROM cells c2 LEFT JOIN dup d ON c2.vec_id = d.vec_id
+        ORDER BY c2.vec_id""")),
     QueryDef(
       "q_ivf_topk", ivfTopK, Some(s"""
         $oracleVecs,

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpecBase {
+
+  test("redactPii: exact redaction + count pins on crafted strings") {
+    import spark.implicits._
+    val rows = Seq(
+      // email, phone, ip all present
+      ("a", "write bob.smith+x@mail-host.org or 555-0142 from 10.0.0.1 ok"),
+      // nothing to redact, string unchanged
+      ("b", "plain prose with no contact details at all"),
+      // two emails; dots in local parts must not leak into <IP> matches
+      ("c", "cc x.y@z.io and w_q%r@a.b.co now"))
+      .toDF("id", "t")
+    val out = rows
+      .select($"id", Curation.redactPii($"t").as("red"))
+      .orderBy($"id").as[(String, String)].collect()
+    assert(out(0)._2 === "write <EMAIL> or <PHONE> from <IP> ok")
+    assert(out(1)._2 === "plain prose with no contact details at all")
+    assert(out(2)._2 === "cc <EMAIL> and <EMAIL> now")
+  }
+
+  test("piiRedact gate: every planted contact block is found") {
+    import spark.implicits._
+    val df = Curation.piiRedact(spark, sfDir)
+    val bad = df.where($"n_emails" < 1 || $"n_phones" < 1 || $"n_ips" < 1)
+    assert(bad.count() === 0)
+  }
+
+  test("mixtureSample: quotas respected, proportional to weight, exact ints") {
+    import spark.implicits._
+    val df = Curation.mixtureSample(spark, sfDir).cache()
+    val rows = df.as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, w, quota, nDocs, nKept, keptTok) =>
+      assert(keptTok <= quota, s"$src overfilled: $keptTok > $quota")
+      assert(nKept <= nDocs)
+      assert(w >= 1L && w <= 3L)
+    }
+    // quota strictly monotone in weight (same corpus, same budget)
+    val byW = rows.groupBy(_._2).map { case (w, rs) => w -> rs.head._3 }
+    assert(byW(1L) < byW(2L) && byW(2L) < byW(3L))
+    df.unpersist()
+  }
+
+  test("mixtureSample: deterministic across invocations") {
+    val a = Curation.mixtureSample(spark, sfDir).collect().toSeq
+    val b = Curation.mixtureSample(spark, sfDir).collect().toSeq
+    assert(a === b)
+  }
+
+  test("globalShuffle: pos is a permutation, split is exact 80/10/10") {
+    import spark.implicits._
+    val df = Curation.globalShuffle(spark, sfDir).cache()
+    val n = df.count()
+    val pos = df.select($"pos").as[Long].collect().sorted
+    assert(pos.toSeq === (1L to n).toSeq) // dense, unique, 1-based
+    val splits = df.groupBy($"split").count().as[(String, Long)]
+      .collect().toMap
+    assert(splits("train") === n * 8 / 10)
+    assert(splits("train") + splits("val") === n * 9 / 10)
+    assert(splits.values.sum === n)
+    df.unpersist()
+  }
+
+  test("globalShuffle: positions are partitioning-invariant") {
+    // the global rank must not depend on how many range partitions the
+    // cluster happens to use — 3 partitions and 32 must agree exactly
+    val a = Curation.globalShuffle(spark, sfDir, parts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val b = Curation.globalShuffle(spark, sfDir, parts = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(a.toSeq === b.toSeq)
+  }
+}

@@ -29,6 +29,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(df.count() > 0)
   }
 
+  test("semantic dedup: drop rule matches brute force, cell-bounded join") {
+    import spark.implicits._
+    val df = Similarity.semanticDedup(spark, sfDir).cache()
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val out = df.as[(Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    // brute-force re-derivation of the keep-canonical rule on the small SF
+    val cells = out.map { case (id, c, _) => id -> c }.toMap
+    val vecs = graft.ops.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.foreach { case (id, cell, isDup) =>
+      val expected = vecs.keys.exists(o =>
+        o < id && cells(o) == cell && cos(vecs(o), vecs(id)) >= 0.3)
+      assert(expected === isDup, s"vec $id cell $cell")
+    }
+    df.unpersist()
+  }
+
   test("LSH near-dup: equi-join on (table, bucket), exact-verified") {
     val df = Similarity.nearDupLsh(spark, sfDir)
     val plan = physicalPlan(df)
