@@ -203,6 +203,75 @@ object VecOps {
       Array[Any](lo, hi, maxErr, sq / n))
   }
 
+  /** Product-quantization ENCODE of one vector against per-subspace
+    * sub-codebooks: for each of the M subspaces (contiguous dim slices of
+    * width `cents(m)(0).length`), the index of the L2-nearest
+    * sub-centroid — strict less-than, so ties keep the LOWEST index,
+    * identical to `row_number() OVER (ORDER BY dist, code)` = 1. Each
+    * subspace distance folds left-to-right over its dims in double,
+    * mirrored term-for-term by the DuckDB oracle. */
+  def pqEncode(v: ArrayData, isFloat: Boolean,
+      cents: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cents.length
+    val out = new Array[Long](m)
+    var s = 0
+    var base = 0
+    while (s < m) {
+      val sub = cents(s)
+      val subDim = sub(0).length
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < sub.length) {
+        val cent = sub(c)
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val k = base + j
+          val x = if (k < v.numElements()) elem(v, isFloat, k) else 0.0
+          val diff = x - cent(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toLong
+      base += subDim
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance computation (ADC) of a RAW query vector against
+    * a PQ-ENCODED corpus vector: squared L2 between the query and the
+    * code's reconstruction, as ONE left-to-right fold over the full
+    * dimension (not per-subspace partials — FP addition is not
+    * associative, and the DuckDB oracle folds over the full dim in k
+    * order). This is the PQ search kernel: the corpus side is `M` bytes
+    * of codes, the distance reads only codebook entries. */
+  def pqAdc(q: ArrayData, isFloat: Boolean, codes: ArrayData,
+      cents: Array[Array[Array[Double]]]): Double = {
+    var acc = 0.0
+    var s = 0
+    var base = 0
+    while (s < cents.length) {
+      val cent = cents(s)(codes.getLong(s).toInt)
+      val subDim = cent.length
+      var j = 0
+      while (j < subDim) {
+        val k = base + j
+        val x = if (k < q.numElements()) elem(q, isFloat, k) else 0.0
+        val diff = x - cent(j)
+        acc += diff * diff
+        j += 1
+      }
+      base += subDim
+      s += 1
+    }
+    acc
+  }
+
   /** Distinct odd multiplier per permutation (golden-ratio stride). */
   def permSeed(p: Int): Long = 0x9E3779B97F4A7C15L * (p + 1)
 
@@ -473,6 +542,46 @@ case class NearestCentroidExpr(left: Expression, right: Expression,
       l: Expression, r: Expression): NearestCentroidExpr = copy(left = l, right = r)
 }
 
+/** Product-quantization codes of a vector column against driver-resolved
+  * per-subspace sub-codebooks → array<long> of M sub-centroid indices.
+  * Like [[NearestCentroidExpr]], the codebooks ride to executors as a
+  * codegen reference object, so encoding is a NARROW scan — the
+  * index-build pass of a PQ/IVF-PQ ANN index costs one corpus read. */
+case class PqEncodeExpr(child: Expression,
+    cents: Array[Array[Array[Double]]]) extends UnaryExpression {
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecOps.pqEncode(v.asInstanceOf[ArrayData], isFloat, cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCents", cents, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecOps.pqEncode($c, $isFloat, $cRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
+/** ADC squared-L2 distance between a raw query vector column and a PQ
+  * code column (see [[VecOps.pqAdc]]) → double. */
+case class PqAdcExpr(left: Expression, right: Expression,
+    cents: Array[Array[Array[Double]]]) extends BinaryExpression {
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(q: Any, codes: Any): Any =
+    VecOps.pqAdc(q.asInstanceOf[ArrayData], isFloat,
+      codes.asInstanceOf[ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCents", cents, "double[][][]")
+    defineCodeGen(ctx, ev, (q, c) =>
+      s"graft.functions.VecOps.pqAdc($q, $isFloat, $c, $cRef)")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdcExpr = copy(left = l, right = r)
+}
+
 /** Scalar-quantization reconstruction stats of a vector column →
   * struct(lo, hi, max_err, mse), all double (see [[VecOps.quantErr]]). */
 case class QuantErrExpr(child: Expression, levels: Int)
@@ -544,6 +653,12 @@ object VectorExpressions {
       GraftShims.toExpression(nrm), ids, cents, cnorms))
   def quant_err(v: Column, levels: Int): Column =
     GraftShims.column(QuantErrExpr(GraftShims.toExpression(v), levels))
+  def pq_encode(v: Column, cents: Array[Array[Array[Double]]]): Column =
+    GraftShims.column(PqEncodeExpr(GraftShims.toExpression(v), cents))
+  def pq_adc(q: Column, codes: Column,
+      cents: Array[Array[Array[Double]]]): Column =
+    GraftShims.column(PqAdcExpr(GraftShims.toExpression(q),
+      GraftShims.toExpression(codes), cents))
   def repetition_stats(text: Column): Column =
     GraftShims.column(RepetitionStatsExpr(GraftShims.toExpression(text)))
 }

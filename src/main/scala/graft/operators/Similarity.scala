@@ -316,6 +316,76 @@ object Similarity extends QueryModule {
     out.orderBy($"iter", $"centroid_id")
   }
 
+  /** Product-quantization sub-codebooks: M contiguous subspaces of the
+    * 64-d embedding, each with a small deterministic codebook (the
+    * sub-vectors of vec_id < PqK, same data-derived-seed convention as
+    * [[centroids]]). cents(m)(c)(j) = component j of sub-centroid c of
+    * subspace m. A bounded collect — PqK rows of index metadata. */
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 4
+
+  private def pqCodebook(e: DataFrame): Array[Array[Array[Double]]] = {
+    import e.sparkSession.implicits._
+    val rows = e.where($"vec_id" < PqK)
+      .select($"vec_id", $"v").orderBy($"vec_id").collect()
+    // code c must equal source vec_id: the oracle labels codes by vec_id
+    require(rows.map(_.getLong(0)).sameElements(0L until rows.length.toLong),
+      "PQ codebook seed rows must be the dense vec_ids 0..PqK-1")
+    val vs = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    Array.tabulate(PqM)(m =>
+      vs.map(v => java.util.Arrays.copyOfRange(v, m * PqSubDim,
+        (m + 1) * PqSubDim)))
+  }
+
+  /** PQ index build: encode every vector to M sub-centroid codes (a
+    * 16-bit key here; M bytes in general) plus its reconstruction error.
+    * The codebooks ride inside [[graft.functions.PqEncodeExpr]], so the
+    * build is ONE narrow corpus scan with no exchange — at 100 TB the
+    * encoded corpus is ~D_bytes/M× smaller than the raw vectors, which
+    * is the artifact a PQ ANN index actually stores. */
+  def pqEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val cb = pqCodebook(e)
+    val enc = e.withColumn("codes",
+      graft.functions.VectorExpressions.pq_encode($"v", cb))
+    val key = (0 until PqM)
+      .map(m => element_at($"codes", m + 1) * lit(1L << (2 * m)))
+      .reduce(_ + _)
+    enc.select($"vec_id", key.as("code_key"),
+      graft.functions.VectorExpressions.pq_adc($"v", $"codes", cb)
+        .as("recon_err"))
+      .orderBy($"vec_id")
+  }
+
+  /** PQ-probed ANN search via asymmetric distance (ADC): raw query
+    * vectors against the ENCODED corpus — the memory-bound shape of a
+    * production PQ index, where the scan touches M-byte codes instead of
+    * 4·D-byte vectors. Probes broadcast (BNLJ, corpus streams once);
+    * top-k per probe by reconstructed squared L2. The oracle is the
+    * same distance computed from a SQL-reconstructed corpus, so any
+    * encode/ADC disagreement surfaces as a hash mismatch. */
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val cb = pqCodebook(e)
+    val enc = e.select($"vec_id",
+      graft.functions.VectorExpressions.pq_encode($"v", cb).as("codes"))
+    val probes = broadcast(
+      e.where($"vec_id" >= 20 && $"vec_id" < 30)
+        .select($"vec_id".as("q_id"), $"v".as("qv")))
+    val w = Window.partitionBy($"q_id").orderBy($"adist", $"neighbor_id")
+    enc.join(probes, $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        graft.functions.VectorExpressions.pq_adc($"qv", $"codes", cb)
+          .as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 5)
+      .select($"q_id", $"rank", $"neighbor_id", $"adist")
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Scalar-quantization audit: per-vector reconstruction error of a
     * `levels`-cell uniform int8-style quantizer (midpoint reconstruction)
     * — the capacity check run before committing a corpus to a quantized
@@ -377,6 +447,40 @@ object Similarity extends QueryModule {
   private def oracleDot(a: String, b: String) =
     s"""list_sum(list_transform(generate_series(1, len($a.embedding)),
         k -> CAST($a.embedding[k] AS DOUBLE) * CAST($b.embedding[k] AS DOUBLE)))"""
+
+  /** PQ oracle scaffolding: per-vector codes (argmin sub-centroid per
+    * subspace, ties to the lowest code — the same strict-less rule as
+    * [[graft.functions.VecOps.pqEncode]]) and the reconstructed corpus
+    * vector `rv` (per-subspace codebook slices flattened in m order).
+    * Every distance folds left-to-right, matching the native kernels. */
+  private val oraclePq = s"""
+    WITH cb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $PqK),
+    ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+    enc0 AS (
+      SELECT em.vec_id, ms.m, cb.vec_id AS code,
+             row_number() OVER (PARTITION BY em.vec_id, ms.m ORDER BY
+               list_sum(list_transform(generate_series(1, $PqSubDim),
+                 j -> (CAST(em.embedding[ms.m*$PqSubDim+j] AS DOUBLE)
+                     - CAST(cb.embedding[ms.m*$PqSubDim+j] AS DOUBLE))
+                    * (CAST(em.embedding[ms.m*$PqSubDim+j] AS DOUBLE)
+                     - CAST(cb.embedding[ms.m*$PqSubDim+j] AS DOUBLE)))),
+               cb.vec_id) AS rn
+      FROM embeddings em CROSS JOIN ms CROSS JOIN cb),
+    codes AS (SELECT vec_id, m, code FROM enc0 WHERE rn = 1),
+    rsub AS (
+      SELECT cd.vec_id, cd.m,
+             list_transform(generate_series(1, $PqSubDim),
+               j -> CAST(c.embedding[cd.m*$PqSubDim+j] AS DOUBLE)) AS sub
+      FROM codes cd JOIN embeddings c ON c.vec_id = cd.code),
+    recon AS (
+      SELECT vec_id, flatten(list(sub ORDER BY m)) AS rv
+      FROM rsub GROUP BY vec_id)"""
+
+  /** One-fold ADC squared L2 between a raw vector column and `rv`. */
+  private def oracleAdc(qe: String, rv: String) =
+    s"""list_sum(list_transform(generate_series(1, ${PqM * PqSubDim}),
+        kk -> (CAST($qe[kk] AS DOUBLE) - $rv[kk])
+            * (CAST($qe[kk] AS DOUBLE) - $rv[kk])))"""
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -538,6 +642,35 @@ object Similarity extends QueryModule {
                     ELSE list_sum(list_transform(errs, x -> x * x)) / n
                END AS mse
         FROM e ORDER BY vec_id""")),
+    QueryDef(
+      "q_pq_encode", pqEncode, Some(s"""
+        $oraclePq,
+        key AS (SELECT vec_id,
+                  CAST(sum(code * (CAST(1 AS BIGINT) << (2 * m))) AS BIGINT)
+                    AS code_key
+                FROM codes GROUP BY vec_id)
+        SELECT k.vec_id, k.code_key,
+               ${oracleAdc("em.embedding", "r.rv")} AS recon_err
+        FROM key k
+        JOIN recon r ON r.vec_id = k.vec_id
+        JOIN embeddings em ON em.vec_id = k.vec_id
+        ORDER BY k.vec_id""")),
+    QueryDef(
+      "q_pq_topk", pqTopK, Some(s"""
+        $oraclePq,
+        pr AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+               WHERE vec_id >= 20 AND vec_id < 30),
+        p AS (
+          SELECT pr.q_id, r.vec_id AS neighbor_id,
+                 ${oracleAdc("pr.qe", "r.rv")} AS adist
+          FROM pr CROSS JOIN recon r
+          WHERE r.vec_id <> pr.q_id),
+        rk AS (SELECT q_id, neighbor_id, adist,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY adist, neighbor_id) AS BIGINT) AS rank
+               FROM p)
+        SELECT q_id, rank, neighbor_id, adist FROM rk WHERE rank <= 5
+        ORDER BY q_id, rank""")),
     QueryDef(
       "q_embed_neardup", nearDupLsh, Some(s"""
         $oracleVecs

@@ -56,6 +56,57 @@ class SimilaritySpec extends SparkSpecBase {
     df.unpersist()
   }
 
+  test("PQ encode: codes match brute-force argmin; recon_err = ADC self-distance") {
+    import spark.implicits._
+    val out = Similarity.pqEncode(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val vecs = graft.ops.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    val cb = (0L until 4L).map(vecs).toArray
+    out.take(50).foreach { case (id, codeKey, reconErr) =>
+      val v = vecs(id)
+      var expectKey = 0L
+      var expectErr = 0.0
+      for (m <- 0 until 8) {
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        for (c <- 0 until 4) {
+          var dd = 0.0
+          for (j <- 0 until 8) {
+            val diff = v(m * 8 + j) - cb(c)(m * 8 + j)
+            dd += diff * diff
+          }
+          if (dd < bestD) { bestD = dd; best = c }
+        }
+        expectKey += best.toLong << (2 * m)
+        for (j <- 0 until 8) {
+          val diff = v(m * 8 + j) - cb(best)(m * 8 + j)
+          expectErr += diff * diff
+        }
+      }
+      assert(codeKey === expectKey, s"vec $id")
+      assert(math.abs(reconErr - expectErr) < 1e-9, s"vec $id")
+    }
+  }
+
+  test("PQ top-k: ADC ranking matches exact reconstruction distances") {
+    import spark.implicits._
+    val df = Similarity.pqTopK(spark, sfDir)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val rows = df.as[(Long, Long, Long, Double)].collect()
+    assert(rows.length === 50) // 10 probes x top-5
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to 5L).toSeq)
+      // distances non-decreasing in rank
+      sorted.sliding(2).foreach(p => assert(p(0)._4 <= p(1)._4))
+    }
+  }
+
   test("LSH near-dup: equi-join on (table, bucket), exact-verified") {
     val df = Similarity.nearDupLsh(spark, sfDir)
     val plan = physicalPlan(df)
