@@ -27,6 +27,25 @@ object Corpus extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** WEIGHTED deterministic sampling: inclusion probability proportional
+    * to a per-doc weight (here the source's mixing weight, w ∈ {1,2,3}),
+    * decided by an EXACT integer comparison against a 24-bit md5-derived
+    * uniform — keep iff u·30 < w·2^24, i.e. P(keep) = w/30. No rand(),
+    * no pow/ln (transcendentals differ across engines in the last ulp);
+    * the same doc keeps or drops on any engine, run, or cluster size.
+    * Like [[deterministicSample]] this is a narrow scan-level filter —
+    * the 100 TB shape where sampling must not shuffle. */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = substring($"source", 4, 10).cast("long") % 3L + 1L
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+      .cast("long")
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", w.as("w"), u.as("u"))
+      .where($"u" * 30L < $"w" * lit(1L << 24))
+      .orderBy($"doc_id")
+  }
+
   /** EXACT stratified sampling: precisely ceil(10%) of each language,
     * selected by a deterministic hash order within the group — the
     * train/eval-split shape where per-stratum fractions must be exact
@@ -370,6 +389,23 @@ object Corpus extends QueryModule {
                    AS BIGINT) AS bucket
           FROM documents) t
         WHERE bucket < 26 ORDER BY doc_id""")),
+    QueryDef(
+      "q_weighted_sample", weightedSample, Some {
+        // 6-hex-char md5 prefix as BIGINT, digit by digit (DuckDB has no
+        // base-16 conv(); strpos over the digit alphabet is exact)
+        val h = "md5(CAST(doc_id AS VARCHAR))"
+        val hex6 = (1 to 6).map(i =>
+          s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+          .mkString("(", " + ", ")")
+        s"""
+        WITH a AS (
+          SELECT doc_id, source,
+                 CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS w,
+                 CAST($hex6 AS BIGINT) AS u
+          FROM documents)
+        SELECT doc_id, source, w, u FROM a
+        WHERE u * 30 < w * 16777216 ORDER BY doc_id"""
+      }),
     QueryDef(
       "q_stratified_sample", stratifiedSample, Some("""
         WITH r AS (

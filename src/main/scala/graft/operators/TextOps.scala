@@ -204,7 +204,66 @@ object TextOps extends QueryModule {
       .orderBy($"lang", $"source")
   }
 
+  /** Bigram-LM corpus-fit scoring: train bigram/unigram counts on the
+    * corpus, then score each document by how typical its bigrams are —
+    * the n-gram-LM quality-filter shape (KenLM-style perplexity
+    * filtering) with EXACT arithmetic: instead of Σ -log p (ln differs
+    * across engines in the last ulp, which a hash oracle would catch),
+    * the score is the aggregate likelihood ratio Σc(w1,w2) / Σc(w1·) —
+    * order-free BIGINT sums and ONE correctly-rounded double division —
+    * plus a rare-bigram count (c12 ≤ 2), the strongest outlier signal.
+    *
+    * Scale shape: bigram extraction is ROW-LOCAL (slice + arrays_zip,
+    * all codegen'd — no window over token position, so no shuffle before
+    * counting); the count tables shuffle once each on their token keys
+    * with map-side partials; scoring re-joins the bigram stream against
+    * both (broadcastable when the vocabulary is bounded; plain shuffle
+    * equi-joins otherwise) and folds per doc. */
+  def lmFit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id",
+        slice($"toks", lit(1), size($"toks") - 1).as("a1"),
+        slice($"toks", lit(2), size($"toks") - 1).as("a2"))
+      .select($"doc_id", explode(arrays_zip($"a1", $"a2")).as("b"))
+      .select($"doc_id", $"b.a1".as("w1"), $"b.a2".as("w2"))
+    val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum($"c12").as("sum_c12"),
+        sum($"c1").as("sum_c1"),
+        (sum($"c12").cast("double") / sum($"c1").cast("double")).as("fit"),
+        sum(when($"c12" <= 2L, 1L).otherwise(0L)).as("n_rare"))
+      .orderBy($"doc_id")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_lm_fit", lmFit, Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        ks AS (SELECT doc_id, toks,
+                      unnest(generate_series(1, len(toks) - 1)) AS k
+               FROM t),
+        bg AS (SELECT doc_id, toks[k] AS w1, toks[k+1] AS w2 FROM ks),
+        c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+               FROM bg GROUP BY w1)
+        SELECT bg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(c12.c12) AS BIGINT) AS sum_c12,
+               CAST(sum(c1.c1) AS BIGINT) AS sum_c1,
+               CAST(sum(c12.c12) AS DOUBLE) / CAST(sum(c1.c1) AS DOUBLE)
+                 AS fit,
+               CAST(sum(CASE WHEN c12.c12 <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rare
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        GROUP BY bg.doc_id ORDER BY bg.doc_id""")),
     QueryDef(
       "q_clean_corpus", cleanCorpus, Some("""
         WITH b AS (

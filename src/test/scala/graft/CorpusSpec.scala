@@ -181,6 +181,35 @@ class CorpusSpec extends SparkSpecBase {
     }
   }
 
+  test("weightedSample: inclusion rule is exact and proportional to weight") {
+    import spark.implicits._
+    val kept = Corpus.weightedSample(spark, sfDir)
+      .as[(Long, String, Long, Long)].collect()
+    assert(kept.nonEmpty)
+    kept.foreach { case (_, _, w, u) =>
+      assert(w >= 1L && w <= 3L)
+      assert(u >= 0L && u < (1L << 24))
+      assert(u * 30L < w * (1L << 24)) // the exact inclusion rule
+    }
+    // deterministic across invocations
+    val again = Corpus.weightedSample(spark, sfDir)
+      .as[(Long, String, Long, Long)].collect()
+    assert(kept.toSeq === again.toSeq)
+    // the kept set is EXACTLY the rule applied to every doc (w/30
+    // inclusion probability; per-weight rates on a fixed 500-doc corpus
+    // are too noisy to order, so pin the rule, not the rates)
+    val expected = graft.ops.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+      .filter { case (id, src) =>
+        val w = src.drop(3).toLong % 3 + 1
+        val u = java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+            .substring(0, 6), 16)
+        u * 30L < w * (1L << 24)
+      }.map(_._1).toSet
+    assert(kept.map(_._1).toSet === expected)
+  }
+
   test("shardAssign: deterministic, total, positions are per-shard ranks") {
     import spark.implicits._
     val a = Corpus.shardAssign(spark, sfDir)

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{size, split}
+
 import graft.operators.TextOps
 
 class TextOpsSpec extends SparkSpecBase {
@@ -47,5 +49,24 @@ class TextOpsSpec extends SparkSpecBase {
     import spark.implicits._
     val df = TextOps.langId(spark, sfDir)
     assert(df.where($"pred_lang".isNull).count() === 0)
+  }
+
+  test("lmFit: likelihood ratio bounded, bigram totals reconcile") {
+    import spark.implicits._
+    val rows = TextOps.lmFit(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nBg, s12, s1, fit, nRare) =>
+      // c12 <= c1 per bigram, so the aggregate ratio is in (0, 1]
+      assert(s12 >= nBg && s1 >= s12, s"doc $id")
+      assert(fit > 0.0 && fit <= 1.0, s"doc $id fit=$fit")
+      assert(nRare >= 0L && nRare <= nBg, s"doc $id")
+    }
+    // every multi-token doc contributes exactly (n_tokens - 1) bigrams
+    val expected = graft.ops.Tables.documents(spark, sfDir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .where($"n" >= 2L).as[(Long, Long)].collect()
+      .map { case (id, n) => id -> (n - 1L) }.toMap
+    assert(rows.map(r => r._1 -> r._2).toMap === expected)
   }
 }
