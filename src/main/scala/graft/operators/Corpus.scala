@@ -237,6 +237,58 @@ object Corpus extends QueryModule {
       .orderBy(desc("est_count"), $"token_hash")
   }
 
+  /** BM25-shaped SPARSE retrieval: top-5 most relevant documents per
+    * query doc (doc_id < 10), scored by summed BM25 term weights over
+    * shared tokens — the inverted-index counterpart to the dense ANN
+    * queries ([[Similarity]]), i.e. the retrieval side of a
+    * dedup/decontamination audit.
+    *
+    * EXACT arithmetic throughout: with k1 = 1.2 and b = 0.75 the BM25
+    * term weight idf·tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) — using the
+    * rational idf surrogate (N−df+.5)/(df+.5) from [[tfidfTopTerms]] —
+    * reduces to the integer ratio
+    *   (2N−2df+1)·44·S·tf / [(2df+1)·(20S·tf + 6S + 18·dl·N)]
+    * (S = corpus token mass, avgdl = S/N), and each weight is kept as
+    * the micro-scaled integer floor(ratio·10^6), so per-pair scores are
+    * order-free BIGINT sums that hash-match any engine. Operand bound:
+    * 2N·44·S·tf·10^6 must stay under 2^63 (ANSI mode throws, DuckDB
+    * errors — both engines fail loudly past ~sf1; a deployment at that
+    * scale drops the exactness requirement and scores in double).
+    *
+    * Scale shape: tf/dl/df are the standard one-shuffle token
+    * aggregates; the corpus stats are a 1-row broadcast; candidate
+    * generation is the inverted-index equi-join on token (query side is
+    * 10 docs — broadcastable); the score is one aggregate over the
+    * candidate stream. At deployment scale the candidate join adds
+    * impact-ordered pruning (WAND); the exhaustive form is the oracle-
+    * checkable baseline. */
+  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+    val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val st = broadcast(dl.agg(count(lit(1)).as("n"), sum($"dl").as("s")))
+    val wt = tf.join(dl, "doc_id").join(dfreq, "token").crossJoin(st)
+      .select($"doc_id", $"token",
+        expr("""((2*n - 2*df + 1) * 44 * s * tf) * 1000000
+                DIV ((2*df + 1) * (20*s*tf + 6*s + 18*dl*n))""").as("w_micro"))
+    val q = broadcast(
+      tf.where($"doc_id" < 10).select($"doc_id".as("q_id"), $"token"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"score_micro".desc, $"doc_id")
+    q.join(wt, Seq("token"))
+      .where($"doc_id" =!= $"q_id")
+      .groupBy($"q_id", $"doc_id")
+      .agg(sum($"w_micro").as("score_micro"),
+        count(lit(1)).as("n_shared"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 5)
+      .select($"q_id", $"rank", $"doc_id", $"score_micro", $"n_shared")
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Sequence PACKING: greedy in-order bin packing of documents into
     * fixed token-budget bins per source — the "pack documents into
     * training sequences" step of an LLM data pipeline (concatenate docs
@@ -389,6 +441,36 @@ object Corpus extends QueryModule {
                    AS BIGINT) AS bucket
           FROM documents) t
         WHERE bucket < 26 ORDER BY doc_id""")),
+    QueryDef(
+      "q_bm25_topk", bm25TopK, Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY doc_id, token),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM tok GROUP BY doc_id),
+        df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY token),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(dl) AS BIGINT) AS s FROM dl),
+        wt AS (SELECT tf.doc_id, tf.token,
+                 ((2*st.n - 2*df.df + 1) * 44 * st.s * tf.tf) * 1000000
+                   // ((2*df.df + 1) * (20*st.s*tf.tf + 6*st.s
+                      + 18*dl.dl*st.n)) AS w_micro
+               FROM tf JOIN dl USING (doc_id) JOIN df USING (token)
+               CROSS JOIN st),
+        q AS (SELECT doc_id AS q_id, token FROM tf WHERE doc_id < 10),
+        p AS (SELECT q.q_id, wt.doc_id,
+                     CAST(sum(wt.w_micro) AS BIGINT) AS score_micro,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM q JOIN wt ON wt.token = q.token AND wt.doc_id <> q.q_id
+              GROUP BY q.q_id, wt.doc_id),
+        r AS (SELECT q_id, doc_id, score_micro, n_shared,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+              FROM p)
+        SELECT q_id, rank, doc_id, score_micro, n_shared
+        FROM r WHERE rank <= 5 ORDER BY q_id, rank""")),
     QueryDef(
       "q_weighted_sample", weightedSample, Some {
         // 6-hex-char md5 prefix as BIGINT, digit by digit (DuckDB has no

@@ -181,6 +181,23 @@ class CorpusSpec extends SparkSpecBase {
     }
   }
 
+  test("bm25TopK: ranked lists well-formed, scores positive non-increasing") {
+    import spark.implicits._
+    val rows = Corpus.bm25TopK(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to rs.length).toSeq, s"q $q")
+      sorted.sliding(2).filter(_.length == 2).foreach(p =>
+        assert(p(0)._4 >= p(1)._4, s"q $q: scores must be non-increasing"))
+      rs.foreach { r =>
+        assert(r._3 !== q) // never retrieves itself
+        assert(r._4 > 0L && r._5 >= 1L)
+      }
+    }
+  }
+
   test("weightedSample: inclusion rule is exact and proportional to weight") {
     import spark.implicits._
     val kept = Corpus.weightedSample(spark, sfDir)
