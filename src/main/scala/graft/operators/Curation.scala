@@ -149,11 +149,23 @@ object Curation extends QueryModule {
 
   def globalShuffle(s: SparkSession, d: String, parts: Int = 32): DataFrame = {
     import s.implicits._
+    // within-partition rank as a STREAMING walk over the range-sorted
+    // partitions (same shape as [[Corpus.packBins]]) instead of a
+    // Window.partitionBy(pid): Catalyst cannot know pid IS the ambient
+    // partition id, so the window form would re-shuffle the whole corpus
+    // by pid — a second full exchange this operator exists to avoid.
     val keyed = Tables.documents(s, d)
       .select($"doc_id",
         md5(concat(lit("ep1-"), $"doc_id".cast("string"))).as("h"))
       .repartitionByRange(parts, $"h", $"doc_id")
-      .withColumn("pid", spark_partition_id())
+      .sortWithinPartitions($"h", $"doc_id")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var rn = 0L
+        it.map { case (id, _) => rn += 1L; (id, pid, rn) }
+      }
+      .toDF("doc_id", "pid", "rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Option(lastKeyed.getAndSet(keyed)).foreach(_.unpersist(false))
     // bounded collect: one row per non-empty range partition
@@ -166,10 +178,8 @@ object Curation extends QueryModule {
         val o = acc; acc += counts(p); p -> o
       }.toMap
     }
-    val withinPart = Window.partitionBy($"pid").orderBy($"h", $"doc_id")
     keyed
-      .withColumn("pos", row_number().over(withinPart).cast("long")
-        + element_at(typedLit(offsetMap), $"pid"))
+      .withColumn("pos", $"rn" + element_at(typedLit(offsetMap), $"pid"))
       .withColumn("split",
         when($"pos" * 10 <= lit(n) * 8, "train")
           .when($"pos" * 10 <= lit(n) * 9, "val")
