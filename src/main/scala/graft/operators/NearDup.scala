@@ -132,15 +132,75 @@ object NearDup extends QueryModule {
       minhashNearDup(s, d).select($"id_a", $"id_b"))
   }
 
-  /** Min-label propagation over an undirected pair list: every `doc_id`
-    * in `nodes` → (doc_id, cluster_id). Factored out so specs can pin
-    * the component semantics on planted graphs (chains, forests)
-    * independent of the near-dup pair stage. */
+  /** Free the storage blocks behind a `localCheckpoint`'ed Dataset.
+    * `Dataset.unpersist` only clears CacheManager entries (plans cached
+    * via `.persist`), NOT the RDD blocks a local checkpoint lives in —
+    * those sit behind the `LogicalRDD` leaf and must be unpersisted at
+    * the RDD level, else every iteration of a loop leaks a generation
+    * of blocks into storage memory until the ContextCleaner happens to
+    * collect them (the round-4 q_dedup_clusters pathology, which also
+    * polluted the queries benched after it). Only call this once no
+    * live plan references the checkpoint: local checkpoints cannot be
+    * recomputed. */
+  private def freeLocalCheckpoint(ds: DataFrame): Unit =
+    ds.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** The FINAL label checkpoint of the previous [[connectedComponents]]
+    * run: the returned plan still reads it (the caller has not
+    * materialized yet), so it can only be freed on the NEXT invocation —
+    * the same one-slot swap [[graft.operators.Similarity]] uses for its
+    * cached cell assignments, and the same serial call pattern
+    * assumption (gate/bench drivers run queries one at a time). */
+  private val lastLabels =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** Connected components over an undirected pair list: every `doc_id`
+    * in `nodes` → (doc_id, cluster_id = min reachable id). Factored out
+    * so specs can pin the component semantics on planted graphs
+    * (chains, forests) independent of the near-dup pair stage.
+    *
+    * Two strategies, same unique fixpoint:
+    *  - `starContraction = false` (default): min-label propagation,
+    *    rounds = component diameter. Right when components are known
+    *    shallow (near-dup clusters are short chains), because each
+    *    round is ONE job — the convergence count doubles as the lazy
+    *    checkpoint's materialization — and only touched nodes carry
+    *    state.
+    *  - `starContraction = true`: alternating large-star/small-star
+    *    edge contraction (Kiveris et al., "Connected Components in
+    *    MapReduce and Beyond", SoCC'14) — O(log n) rounds on ANY graph
+    *    shape, the form that survives a long-chain or high-diameter
+    *    component at deployment scale where diameter-bounded
+    *    propagation would spin past any round cap. */
   private[graft] def connectedComponents(
       nodes: DataFrame, // column: doc_id
-      pairs: DataFrame // columns: id_a, id_b
+      pairs: DataFrame, // columns: id_a, id_b
+      starContraction: Boolean = false
   ): DataFrame = {
     import nodes.sparkSession.implicits._
+    val labels =
+      if (starContraction) starLabels(pairs) else propagateLabels(pairs)
+    Option(lastLabels.getAndSet(labels)).foreach(freeLocalCheckpoint)
+    nodes.select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"comp", $"doc_id").as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** Min-label propagation: (doc_id, comp) for every node with an edge.
+    * Each round a node takes the min of its own and its neighbors'
+    * labels; labels are localCheckpoint'ed LAZILY each round so the
+    * convergence count is the one and only job per round (it
+    * materializes the checkpoint as a side effect), lineage stays flat,
+    * and the PREVIOUS round's blocks are freed as soon as the new
+    * checkpoint is materialized. The driver sees only the changed
+    * count — no data leaves the executors. */
+  private def propagateLabels(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
     val edges = pairs.toDF("id_a", "id_b")
     val sym = edges.union(edges.select($"id_b", $"id_a"))
       .toDF("src", "dst")
@@ -150,7 +210,7 @@ object NearDup extends QueryModule {
     // no propagation at all — they join back as their own label at the
     // end, so every round's state is the (small) touched-node set
     var labels = sym.select($"src".as("doc_id")).distinct()
-      .select($"doc_id", $"doc_id".as("comp"))
+      .select($"doc_id", $"doc_id".as("comp"), lit(false).as("chg"))
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
@@ -166,16 +226,79 @@ object NearDup extends QueryModule {
         .select(labels("doc_id"),
           least($"comp", coalesce($"nbr_min", $"comp")).as("comp"),
           coalesce($"nbr_min" < $"comp", lit(false)).as("chg"))
-        .localCheckpoint(true)
-      changed = updated.where($"chg").count()
-      labels = updated.select($"doc_id", $"comp")
+        .localCheckpoint(eager = false)
+      changed = updated.where($"chg").count() // materializes the checkpoint
+      freeLocalCheckpoint(labels) // previous round's blocks, now unreferenced
+      labels = updated
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $maxRounds")
-    nodes.select($"doc_id")
-      .join(labels, Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"comp", $"doc_id").as("cluster_id"))
-      .orderBy($"doc_id")
+    freeLocalCheckpoint(sym)
+    labels.select($"doc_id", $"comp")
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.
+    * SoCC'14): (doc_id, comp) for every node with an edge.
+    *
+    * Edges are kept canonical `(lo, hi)`, lo < hi. Per round:
+    *  - LARGE-STAR: every node u links each STRICTLY LARGER neighbor to
+    *    m = min(neighborhood ∪ u). Emitted edges (v, m) keep v > m, so
+    *    they stay canonical as (m, v).
+    *  - SMALL-STAR: every node u links each smaller-or-equal neighbor —
+    *    and itself — to the min of its smaller neighborhood. Over
+    *    canonical edges that is a groupBy(hi): m = min(lo), emit (lo, m)
+    *    for every smaller neighbor plus (hi, m).
+    * Both steps strictly never disconnect anything (every new edge
+    * replaces a path through u), and the pair halves component heights
+    * geometrically — O(log n) rounds to the fixpoint, where every
+    * component is a star centered on its min node.
+    *
+    * Convergence = edge set unchanged (symmetric difference empty); the
+    * check rides the same job that materializes the round's lazy
+    * checkpoint. */
+  private def starLabels(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    var edges = pairs.toDF("a", "b")
+      .where($"a" =!= $"b")
+      .select(least($"a", $"b").as("lo"), greatest($"a", $"b").as("hi"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    val maxRounds = 40 // 2^40 nodes before the log bound is the binder
+    while (!converged && rounds < maxRounds) {
+      // large-star over the symmetric view
+      val sym = edges.union(edges.select($"hi", $"lo")).toDF("u", "v")
+      val mins = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      val large = sym.join(mins, Seq("u"))
+        .where($"v" > $"u")
+        .select($"m".as("lo"), $"v".as("hi")) // m <= u < v: canonical
+        .distinct()
+      // small-star over canonical edges: group the SMALLER neighbors
+      val smins = large.groupBy($"hi").agg(min($"lo").as("m"))
+      val small = large.join(smins, Seq("hi"))
+        .select($"m".as("a"), $"lo".as("b")) // (smaller neighbor -> m)
+        .union(smins.select($"m".as("a"), $"hi".as("b"))) // (u -> m)
+        .where($"a" =!= $"b") // lo == m is the center itself
+        .select($"a".as("lo"), $"b".as("hi")) // m <= lo and m < hi
+        .distinct()
+        .localCheckpoint(eager = false)
+      // one job: materializes the checkpoint AND decides convergence
+      converged = small.exceptAll(edges)
+        .union(edges.exceptAll(small))
+        .isEmpty
+      freeLocalCheckpoint(edges)
+      edges = small
+      rounds += 1
+    }
+    require(converged, s"star contraction did not converge in $maxRounds")
+    // fixpoint is a forest of stars: hi -> its center, centers -> self
+    edges.groupBy($"hi").agg(min($"lo").as("comp"))
+      .select($"hi".as("doc_id"), $"comp")
+      .union(edges.select($"lo", $"lo").distinct()
+        .toDF("doc_id", "comp"))
+      .groupBy($"doc_id").agg(min($"comp").as("comp"))
   }
 
   /** EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
