@@ -53,7 +53,7 @@ object VecOps {
   private val signTables =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
 
-  private def signTable(tables: Int, bits: Int, dim: Int): Array[Double] = {
+  private[graft] def signTable(tables: Int, bits: Int, dim: Int): Array[Double] = {
     val len = tables.toLong * bits * dim
     if (len > MaxSignTableLen) return null
     // Look up before applying the table-count cap: a shape that is already

@@ -31,9 +31,19 @@ import graft.ops.{QueryDef, QueryModule, Tables}
 object Dataflow extends QueryModule {
 
   /** Distinct (user_id, event_id) pairs — the `SELECT DISTINCT *` subquery of
-    * the reference's gap check (README.md:95). */
-  private def distinctPairs(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).select("user_id", "event_id").distinct()
+    * the reference's gap check (README.md:95). Pre-partitioned on user_id:
+    * hash(user_id) co-locates (user_id, event_id) too, so the distinct
+    * aggregation, the per-user window, and the final per-user aggregate in
+    * [[gapByWindow]] all reuse this ONE exchange — the same
+    * single-shuffle formulation [[deliveryGap]] uses. Tradeoff: no
+    * map-side pre-dedup, right when duplicates are rare (the
+    * delivery-check regime). */
+  private def distinctPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d).select("user_id", "event_id")
+      .repartition($"user_id")
+      .distinct()
+  }
 
   /** Flagship: per-key delivery-gap check. offset_diff == occ (delta = 0)
     * iff the offset range is dense — no message lost.

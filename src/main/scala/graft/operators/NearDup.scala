@@ -132,18 +132,22 @@ object NearDup extends QueryModule {
       minhashNearDup(s, d).select($"id_a", $"id_b"))
   }
 
-  /** Free the storage blocks behind a `localCheckpoint`'ed Dataset.
-    * `Dataset.unpersist` only clears CacheManager entries (plans cached
-    * via `.persist`), NOT the RDD blocks a local checkpoint lives in —
-    * those sit behind the `LogicalRDD` leaf and must be unpersisted at
-    * the RDD level, else every iteration of a loop leaks a generation
-    * of blocks into storage memory until the ContextCleaner happens to
-    * collect them (the round-4 q_dedup_clusters pathology, which also
-    * polluted the queries benched after it). Only call this once no
-    * live plan references the checkpoint: local checkpoints cannot be
+  /** Free the storage blocks behind every `localCheckpoint` a Dataset's
+    * plan reads. `Dataset.unpersist` only clears CacheManager entries
+    * (plans cached via `.persist`), NOT the RDD blocks a local
+    * checkpoint lives in — those sit behind `LogicalRDD` leaves and
+    * must be unpersisted at the RDD level, else every iteration of a
+    * loop leaks a generation of blocks into storage memory until the
+    * ContextCleaner happens to collect them (the round-4
+    * q_dedup_clusters pathology, which also polluted the queries
+    * benched after it). The plan is WALKED, not root-matched: the
+    * labels handed across invocations are derived plans (a Project or
+    * Aggregate over the checkpoint leaf), so a root-only match would
+    * silently free nothing. Only call this once no live plan
+    * references the checkpoints: local checkpoints cannot be
     * recomputed. */
   private def freeLocalCheckpoint(ds: DataFrame): Unit =
-    ds.queryExecution.analyzed match {
+    ds.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
       case _ => ()
@@ -169,7 +173,12 @@ object NearDup extends QueryModule {
     *    shallow (near-dup clusters are short chains), because each
     *    round is ONE job — the convergence count doubles as the lazy
     *    checkpoint's materialization — and only touched nodes carry
-    *    state.
+    *    state. If a component's diameter exceeds `propagationRoundCap`
+    *    the strategy AUTO-FALLS-BACK to star contraction instead of
+    *    failing: the cap is a heuristic for "components are shallow",
+    *    not a correctness bound, so a pathological graph (one long
+    *    boilerplate chain in a 100 TB corpus) degrades to the O(log n)
+    *    algorithm, never to an error.
     *  - `starContraction = true`: alternating large-star/small-star
     *    edge contraction (Kiveris et al., "Connected Components in
     *    MapReduce and Beyond", SoCC'14) — O(log n) rounds on ANY graph
@@ -179,11 +188,14 @@ object NearDup extends QueryModule {
   private[graft] def connectedComponents(
       nodes: DataFrame, // column: doc_id
       pairs: DataFrame, // columns: id_a, id_b
-      starContraction: Boolean = false
+      starContraction: Boolean = false,
+      propagationRoundCap: Int = 50
   ): DataFrame = {
     import nodes.sparkSession.implicits._
     val labels =
-      if (starContraction) starLabels(pairs) else propagateLabels(pairs)
+      if (starContraction) starLabels(pairs)
+      else propagateLabels(pairs, propagationRoundCap)
+        .getOrElse(starLabels(pairs))
     Option(lastLabels.getAndSet(labels)).foreach(freeLocalCheckpoint)
     nodes.select($"doc_id")
       .join(labels, Seq("doc_id"), "left")
@@ -198,8 +210,14 @@ object NearDup extends QueryModule {
     * materializes the checkpoint as a side effect), lineage stays flat,
     * and the PREVIOUS round's blocks are freed as soon as the new
     * checkpoint is materialized. The driver sees only the changed
-    * count — no data leaves the executors. */
-  private def propagateLabels(pairs: DataFrame): DataFrame = {
+    * count — no data leaves the executors.
+    *
+    * Returns None when `maxRounds` passes without convergence (after
+    * freeing every checkpoint this attempt materialized) — the caller
+    * falls back to [[starLabels]], whose round count is O(log n)
+    * regardless of diameter. */
+  private def propagateLabels(
+      pairs: DataFrame, maxRounds: Int): Option[DataFrame] = {
     import pairs.sparkSession.implicits._
     val edges = pairs.toDF("id_a", "id_b")
     val sym = edges.union(edges.select($"id_b", $"id_a"))
@@ -210,11 +228,10 @@ object NearDup extends QueryModule {
     // no propagation at all — they join back as their own label at the
     // end, so every round's state is the (small) touched-node set
     var labels = sym.select($"src".as("doc_id")).distinct()
-      .select($"doc_id", $"doc_id".as("comp"), lit(false).as("chg"))
+      .select($"doc_id", $"doc_id".as("comp"))
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    val maxRounds = 50
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = sym
         .join(labels.select($"doc_id".as("dst"), $"comp".as("nbr_comp")),
@@ -232,9 +249,11 @@ object NearDup extends QueryModule {
       labels = updated
       rounds += 1
     }
-    require(changed == 0, s"label propagation did not converge in $maxRounds")
     freeLocalCheckpoint(sym)
-    labels.select($"doc_id", $"comp")
+    if (changed > 0) { // diameter > cap: hand the graph to star contraction
+      freeLocalCheckpoint(labels)
+      None
+    } else Some(labels.select($"doc_id", $"comp"))
   }
 
   /** Alternating large-star/small-star contraction (Kiveris et al.

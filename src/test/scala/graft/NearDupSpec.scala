@@ -98,6 +98,74 @@ class NearDupSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
   }
 
+  test("star contraction: identical labels to propagation on chains, forests, singletons") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val prop = NearDup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    val star = NearDup.connectedComponents(nodes, pairs, starContraction = true)
+      .as[(Long, Long)].collect().toMap
+    assert(star === prop)
+    assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("star contraction: a 200-node chain converges in O(log n) rounds to one component") {
+    import spark.implicits._
+    // ids deliberately NOT in chain order: the min id sits mid-chain, so
+    // a correct result requires labels to cross the whole diameter
+    val n = 200
+    val ids = (0 until n).map(i => ((i * 73) % n).toLong + 1000L)
+    val nodes = ids.toDF("doc_id")
+    val pairs = ids.sliding(2).map(w => (w(0), w(1))).toSeq.toDF("id_a", "id_b")
+    val got = NearDup.connectedComponents(nodes, pairs, starContraction = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === n)
+    assert(got.values.toSet === Set(1000L))
+  }
+
+  test("propagation auto-falls-back to star contraction past its round cap") {
+    import spark.implicits._
+    // diameter 199 >> cap 6: the default strategy cannot converge and
+    // must hand the graph to star contraction instead of failing — the
+    // exact long-chain shape the fallback exists for
+    val n = 200
+    val ids = (0 until n).map(_.toLong)
+    val nodes = ids.toDF("doc_id")
+    val pairs = ids.sliding(2).map(w => (w(0), w(1))).toSeq.toDF("id_a", "id_b")
+    val got = NearDup.connectedComponents(nodes, pairs,
+      propagationRoundCap = 6).as[(Long, Long)].collect().toMap
+    assert(got.size === n)
+    assert(got.values.toSet === Set(0L))
+    // and a shallow-enough graph still converges WITHIN the cap (pure
+    // propagation): diameter 4 < cap 6, same answer either way
+    val shallow = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val sNodes = (0L to 4L).toDF("doc_id")
+    val viaProp = NearDup.connectedComponents(sNodes, shallow,
+      propagationRoundCap = 6).as[(Long, Long)].collect().toMap
+    assert(viaProp.values.toSet === Set(0L))
+  }
+
+  test("star contraction: two cliques bridged by one edge collapse to one component") {
+    import spark.implicits._
+    val c1 = (0L until 6L)
+    val c2 = (100L until 106L)
+    val cliquePairs = (for {
+      g <- Seq(c1, c2); a <- g; b <- g if a < b
+    } yield (a, b)) :+ ((5L, 100L)) // the bridge
+    val nodes = (c1 ++ c2).toDF("doc_id")
+    val pairs = cliquePairs.toDF("id_a", "id_b")
+    val star = NearDup.connectedComponents(nodes, pairs, starContraction = true)
+      .as[(Long, Long)].collect().toMap
+    val prop = NearDup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star === prop)
+    assert(star.values.toSet === Set(0L))
+  }
+
   test("dedup clusters: every near-dup pair shares a label, labels are minima") {
     import spark.implicits._
     val labels = NearDup.dedupClusters(spark, sfDir)

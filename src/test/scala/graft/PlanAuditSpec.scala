@@ -92,6 +92,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("Exchange".r.findAllIn(p).size <= 1, p.take(2000))
   }
 
+  test("gap-by-window plans exactly one exchange: distinct, window, and agg share it") {
+    // hash(user_id) co-locates (user_id, event_id), so the distinct
+    // aggregation, the lag window, and the final groupBy(user_id) all
+    // satisfy their distribution from the ONE repartition — a second
+    // exchange here would re-shuffle the whole deduped corpus at scale
+    val df = Dataflow.gapByWindow(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    // an adaptive plan's toString appends the INITIAL plan after the
+    // final one — count exchanges in the final section only
+    val p = plan(df).split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
+    // (the only other exchange is the rangepartitioning presentation sort)
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(3000))
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))

@@ -54,6 +54,28 @@ class VecOpsPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("signTable: a cached shape keeps its table when the cache cap is reached") {
+    // the cap gates NEW insertions only: fill the cache past its 64-shape
+    // cap with tiny shapes, then confirm (a) an already-cached shape still
+    // returns its table (no silent fallback to per-row signAt — the r4
+    // review bug), (b) a genuinely new shape is refused, (c) refusal does
+    // not corrupt the cached entries. Shapes here use dim >= 10001, far
+    // from any real lsh_buckets call (dim = embedding width, 64), so
+    // filling the JVM-wide cache never degrades the real queries' shape.
+    val first = VecOps.signTable(1, 1, 10001)
+    assert(first != null)
+    var i = 0
+    while (i < 70) { VecOps.signTable(1, 1, 10002 + i); i += 1 }
+    // (a) the first shape, cached before the cap was hit, still serves
+    val again = VecOps.signTable(1, 1, 10001)
+    assert(again != null)
+    assert(again eq first) // the same memoized array, not a recompute
+    // (b) a brand-new shape past the cap is refused (caller falls back)
+    assert(VecOps.signTable(1, 2, 10001) == null)
+    // (c) and the refusal leaves cached entries untouched
+    assert(VecOps.signTable(1, 1, 10001) eq first)
+  }
+
   test("dot: linear in a scalar (exactness of the double fold)") {
     val vecs = Gen.nonEmptyListOf(Gen.chooseNum(-10.0, 10.0))
     check(Prop.forAll(vecs) { v =>
