@@ -237,6 +237,48 @@ object Corpus extends QueryModule {
       .orderBy(desc("est_count"), $"token_hash")
   }
 
+  /** ORACLE-GATED heavy hitters: the deterministic DERIVED property of
+    * the Misra–Gries summary. Raw MG estimates depend on merge order
+    * (partial-aggregate scheduling), so they can never hash-match a
+    * single-threaded oracle — but the GUARANTEES are order-free: after
+    * n tokens with k counters, (a) every token with true count > n/k is
+    * present in the summary, and (b) its estimate undercounts by at
+    * most n/k and never overcounts. This query emits, for exactly the
+    * tokens an exact count puts above the n/k bar, whether the summary
+    * holds both guarantees; the DuckDB oracle computes the same rows
+    * from exact counts with the guarantee columns REQUIRED true — any
+    * sketch violation flips a boolean and fails the hash compare. The
+    * threshold compares n_exact·k > n_total in integers, so no
+    * division-rounding can disagree across engines.
+    *
+    * Scale shape: one exact token aggregate (the same shuffle
+    * [[tokenFrequencies]] pays), the MG summary as one bounded-memory
+    * aggregation whose k-entry result joins back as a 1-row cross of
+    * corpus mass + a broadcast-sized map side. */
+  def heavyHitters(s: SparkSession, d: String, k: Int = 32): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("tok"))
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val summary = toks.select(xxhash64($"tok").as("th")).as[Long]
+      .select(new graft.pipeline.Aggregators.MisraGriesAgg(k).toColumn)
+      .toDF("mg")
+      .select(explode($"mg"))
+      .toDF("th", "est")
+    exact
+      .withColumn("th", xxhash64($"tok"))
+      .join(broadcast(summary), Seq("th"), "left")
+      .crossJoin(broadcast(total)) // 1 row
+      .where($"n_exact" * lit(k.toLong) > $"n_total")
+      .select($"tok", $"n_exact",
+        $"est".isNotNull.as("in_summary"),
+        ($"est".isNotNull && $"est" <= $"n_exact" &&
+          ($"n_exact" - $"est") * lit(k.toLong) <= $"n_total")
+          .as("within_bound"))
+      .orderBy($"tok")
+  }
+
   /** BM25-shaped SPARSE retrieval: top-5 most relevant documents per
     * query doc (doc_id < 10), scored by summed BM25 term weights over
     * shared tokens — the inverted-index counterpart to the dense ANN
@@ -557,6 +599,19 @@ object Corpus extends QueryModule {
           FROM chunks GROUP BY chunk)
         SELECT n_docs, count(*) AS n_chunks
         FROM per_chunk GROUP BY n_docs ORDER BY n_docs""")),
+    QueryDef(
+      // rows = tokens an EXACT count puts above n/k; booleans = the MG
+      // guarantees, required TRUE by the oracle (see heavyHitters doc)
+      "q_heavy_hitters", heavyHitters(_, _), Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        e AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+              FROM toks GROUP BY tok),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+        SELECT tok, n_exact,
+               TRUE AS in_summary, TRUE AS within_bound
+        FROM e, t WHERE n_exact * 32 > n_total
+        ORDER BY tok""")),
     QueryDef(
       "q_value_quantiles", valueQuantiles, Some("""
         SELECT event_type, count(*) AS n,

@@ -182,17 +182,39 @@ class AggregatorDdlSpec extends SparkSpecBase {
     assert(opts("subscribe") === "t1,t2")
     assert(opts("maxOffsetsPerTrigger") === "128") // reference batch bound
     assert(opts("startingOffsets") === "earliest")
-    // column mapping over a Kafka-shaped batch frame (no broker needed)
-    import spark.implicits._
-    val kafkaShaped = Seq(
-      ("t1", 0, 7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.250"),
-        null.asInstanceOf[Array[Byte]], "payload".getBytes("UTF-8")))
-      .toDF("topic", "partition", "offset", "timestamp", "key", "value")
-    val rec = KafkaRecords.toRecords(kafkaShaped).head()
+    // column mapping over the Kafka source's FULL seven-column contract
+    // (SURVEY §1.1: key, value, topic, partition, offset, timestamp,
+    // timestampType — exactly what readStream.format("kafka") emits), in
+    // the source's own column ORDER, so the mapping is pinned to select
+    // by NAME: a positional select would silently transpose. No broker
+    // in the sandbox, so the shape is a batch frame with that schema.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val kafkaSchema = StructType(Seq(
+      StructField("key", BinaryType),
+      StructField("value", BinaryType),
+      StructField("topic", StringType),
+      StructField("partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType)))
+    val kafkaShaped = spark.createDataFrame(
+      java.util.List.of(
+        Row("k1".getBytes("UTF-8"), "payload".getBytes("UTF-8"), "t1", 0, 7L,
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00.250"), 0),
+        Row(null, "tomb".getBytes("UTF-8"), "t2", 3, 9L,
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:01.000"), 1)),
+      kafkaSchema)
+    val recs = KafkaRecords.toRecords(kafkaShaped)
+      .collect().sortBy(_.offset).toSeq
+    val rec = recs.head
     assert(rec.topic === "t1" && rec.partition === 0 && rec.offset === 7L)
     assert(rec.timestampMs % 1000 === 250L)
-    assert(rec.key.isEmpty)
+    assert(rec.key.map(new String(_, "UTF-8")) === Some("k1"))
     assert(new String(rec.value, "UTF-8") === "payload")
+    // null key (every reference test's shape, src/lib.rs:1206) → None
+    assert(recs(1).key.isEmpty && recs(1).topic === "t2"
+      && recs(1).partition === 3)
   }
 
   test("dlq summary reduces a dead-letter directory (reduce_err analogue)") {
