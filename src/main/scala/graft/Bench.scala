@@ -22,11 +22,12 @@ object Bench {
     try SparkEntry.queries("q_delivery_gap")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // two timed iterations, report the min: machine noise on this
-    // shared host swings single runs by 2x, and min-of-2 is the
-    // standard way to report the query's actual cost
+    // three timed iterations, report the min: machine noise on this
+    // shared host swings single runs by 2x (an entire round-5 bench
+    // window was contaminated that way), and min-of-3 gives one more
+    // draw against a noise spike than min-of-2 at ~30s extra cost
     val iters = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     // optional comma-separated name filter for focused local iteration;
     // the driver leaves it unset and measures everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

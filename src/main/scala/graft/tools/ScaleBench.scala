@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-order-of-magnitude scale probe for the dedup/ANN shapes: generates
+  * a DETERMINISTIC synthetic corpus (10^5 documents / 10^5 embeddings —
+  * 20x the sf0.1 fixtures, with planted near-duplicates), writes it as
+  * the standard table layout, and times the three pair-producing
+  * operators whose 100 TB story rests on bucketing:
+  *  - q_minhash_neardup's shape (banded LSH join + exact verify),
+  *  - q_dedup_clusters' shape (pairs -> connected components),
+  *  - q_semantic_dedup's shape (cell-bounded cosine pair join).
+  * Not a gate (no oracle at this size — DuckDB's recursive CTE would be
+  * the bottleneck); the product is the wall-clock-vs-corpus-size note in
+  * COVERAGE.md. Determinism: all content derives from splitmix64 of the
+  * row id — re-runs produce byte-identical corpora.
+  *
+  *   sbt "runMain graft.tools.ScaleBench [nDocs]"
+  */
+object ScaleBench {
+
+  /** splitmix64 finalizer — deterministic per-(id, slot) stream. */
+  private def mix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** ~80 words from a 4k vocabulary; every 47th doc is a near-copy of
+    * its predecessor with 2 words swapped (shingle Jaccard ~ 0.86 > the
+    * operator's tau 0.8), so the planted near-dup rate is ~2%. */
+  private def docText(id: Long): String = {
+    val base = if (id % 47 == 1) id - 1 else id
+    val words = (0 until 80).map { j =>
+      val w = java.lang.Math.floorMod(mix(base * 131 + j), 4096)
+      s"w$w"
+    }
+    val mutated =
+      if (id % 47 == 1)
+        words.zipWithIndex.map { case (w, j) =>
+          if (j == 13 || j == 57) s"m${java.lang.Math.floorMod(mix(id), 4096)}_$j"
+          else w
+        }
+      else words
+    mutated.mkString(" ")
+  }
+
+  /** 64-dim float vector; every 97th is its predecessor perturbed in one
+    * component (cosine ~ 1), planting semantic near-dups. */
+  private def vec(id: Long): Array[Float] = {
+    val base = if (id % 97 == 1) id - 1 else id
+    val v = Array.tabulate(64) { d =>
+      (java.lang.Math.floorMod(mix(base * 257 + d), 2001) - 1000) / 1000.0f
+    }
+    if (id % 97 == 1) v(7) = v(7) + 0.01f
+    v
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scale")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    spark.range(0, n, 1, 32)
+      .map { i => (i, docText(i), "en", s"src${i % 20}", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.range(0, n, 1, 32)
+      .map { i => (i, vec(i), (i % 10).toInt) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    def time(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"shape":"$name","n":$n,"rows":$rows,"sec":$sec%.2f}""")
+    }
+
+    time("minhash_neardup") {
+      graft.operators.NearDup.minhashNearDup(spark, dir).count()
+    }
+    time("dedup_clusters") {
+      graft.operators.NearDup.dedupClusters(spark, dir).count()
+    }
+    time("semantic_dedup") {
+      graft.operators.Similarity.semanticDedup(spark, dir).count()
+    }
+    spark.stop()
+  }
+}
