@@ -279,6 +279,37 @@ object Corpus extends QueryModule {
       .orderBy($"tok")
   }
 
+  /** ORACLE-GATED sketch audit — the [[heavyHitters]] technique applied
+    * to the other two approx sketches: their raw outputs cannot
+    * hash-match an exact oracle, but their accuracy CONTRACTS are
+    * deterministic booleans over exactly-computed rows (both sketches
+    * are merge-order-insensitive where it matters: HLL++ registers
+    * combine by max, and the quantile summary's rank-error bound holds
+    * under any merge order).
+    *  - HLL++: |approx − exact distinct| within max(10% of exact, 3) —
+    *    5x its rsd=0.02, slack for small groups;
+    *  - approx median: the returned element's value lies between the
+    *    exact 0.4 and 0.6 quantiles (rank error 1/accuracy = 1e-4 of
+    *    the group, orders of magnitude inside that band).
+    * Any violation flips a boolean the oracle requires TRUE. */
+  def sketchAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        approx_count_distinct($"user_id", 0.02).as("hll"),
+        expr("approx_percentile(value, 0.5D, 10000)").as("amed"),
+        expr("percentile(value, 0.4D)").as("p40"),
+        expr("percentile(value, 0.6D)").as("p60"))
+      .select($"event_type", $"n", $"n_users",
+        (abs($"hll" - $"n_users") <=
+          greatest(($"n_users" / lit(10L)), lit(3L))).as("hll_within"),
+        ($"amed" >= $"p40" && $"amed" <= $"p60").as("median_within"))
+      .orderBy($"event_type")
+  }
+
   /** BM25-shaped SPARSE retrieval: top-5 most relevant documents per
     * query doc (doc_id < 10), scored by summed BM25 term weights over
     * shared tokens — the inverted-index counterpart to the dense ANN
@@ -612,6 +643,15 @@ object Corpus extends QueryModule {
                TRUE AS in_summary, TRUE AS within_bound
         FROM e, t WHERE n_exact * 32 > n_total
         ORDER BY tok""")),
+    QueryDef(
+      // exact rows + sketch-contract booleans, required TRUE (see
+      // sketchAudit doc): gates HLL++ and the quantile sketch the way
+      // q_heavy_hitters gates Misra-Gries
+      "q_sketch_audit", sketchAudit, Some("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               TRUE AS hll_within, TRUE AS median_within
+        FROM events GROUP BY event_type ORDER BY event_type""")),
     QueryDef(
       "q_value_quantiles", valueQuantiles, Some("""
         SELECT event_type, count(*) AS n,
