@@ -132,6 +132,38 @@ object NearDup extends QueryModule {
       minhashNearDup(s, d).select($"id_a", $"id_b"))
   }
 
+  /** Quality-aware SURVIVOR selection — the step a real dedup pass runs
+    * after clustering: each near-dup cluster keeps its single best copy
+    * (highest [[TextOps.textStats]] quality_score, ties to the smallest
+    * doc_id), everything else is marked for drop. min-doc_id survivor
+    * selection (what [[dedupClusters]]' cluster_id alone gives) throws
+    * away the best-written copy whenever it isn't the oldest; keying the
+    * keeper on a quality signal is how production cleaning pipelines
+    * pick canonicals.
+    *
+    * Scale shape: labels join the (narrow, row-local) quality scan on
+    * doc_id, the per-cluster argmax is ONE max(struct) aggregate —
+    * map-side partial, shuffling one row per cluster, not the
+    * membership — and the survivor table joins back on cluster_id,
+    * re-using the aggregation's hash partitioning. The argmax is
+    * deterministic: max over struct(quality_score, -doc_id) has a unique
+    * maximum per cluster, whatever the merge order. */
+  def dedupSurvivor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labeled = dedupClusters(s, d)
+      .join(TextOps.textStats(s, d).select($"doc_id", $"quality_score"),
+        Seq("doc_id"))
+    val survivors = labeled
+      .groupBy($"cluster_id")
+      .agg(max(struct($"quality_score", (-$"doc_id").as("neg_id"))).as("m"))
+      .select($"cluster_id", (-$"m.neg_id").as("survivor_id"))
+    labeled
+      .join(survivors, Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id", $"survivor_id",
+        ($"doc_id" === $"survivor_id").as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** Free the storage blocks behind every `localCheckpoint` a Dataset's
     * plan reads. `Dataset.unpersist` only clears CacheManager entries
     * (plans cached via `.persist`), NOT the RDD blocks a local
@@ -591,6 +623,51 @@ object NearDup extends QueryModule {
           SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
         SELECT a AS doc_id, min(b) AS cluster_id
         FROM reach GROUP BY a ORDER BY doc_id""")),
+    QueryDef(
+      "q_dedup_survivor", dedupSurvivor, Some(s"""
+        ${oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        cl AS (SELECT a AS doc_id, min(b) AS cluster_id
+               FROM reach GROUP BY a),
+        q AS (
+          SELECT doc_id,
+                 CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                   (CAST(n_stopwords AS DOUBLE) / n_tokens) * 2.0
+                   + (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+                      THEN 1.0 ELSE 0.0 END) END AS quality_score
+          FROM (SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                    length(text) - length(replace(text, ' ', '')) + 1
+                  END AS n_tokens,
+                  len(list_filter(string_split(text, ' '), t -> t = 'the'))
+                  + len(list_filter(string_split(text, ' '), t -> t = 'a'))
+                  + len(list_filter(string_split(text, ' '), t -> t = 'of'))
+                  + len(list_filter(string_split(text, ' '), t -> t = 'and'))
+                    AS n_stopwords
+                FROM documents) b),
+        j AS (SELECT cl.doc_id, cl.cluster_id, q.quality_score
+              FROM cl JOIN q ON cl.doc_id = q.doc_id),
+        rk AS (SELECT doc_id, cluster_id,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY quality_score DESC, doc_id) AS rn
+               FROM j),
+        surv AS (SELECT cluster_id, doc_id AS survivor_id
+                 FROM rk WHERE rn = 1)
+        SELECT j.doc_id, j.cluster_id, surv.survivor_id,
+               j.doc_id = surv.survivor_id AS keep
+        FROM j JOIN surv ON j.cluster_id = surv.cluster_id
+        ORDER BY j.doc_id""")),
     QueryDef(
       "q_simjoin_prefix", prefixSimJoin, Some(s"""
         $oracleShingles,

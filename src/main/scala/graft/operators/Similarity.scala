@@ -265,6 +265,35 @@ object Similarity extends QueryModule {
       .orderBy($"centroid_id", $"dim")
   }
 
+  /** Cluster-BALANCED sampling: keep a fixed fraction of every IVF cell
+    * instead of a fraction of the corpus — the diversity-preserving
+    * subsample (the SemDeDup/SSL-prototypes curation family): uniform
+    * corpus sampling keeps dense regions dense, while per-cell quotas
+    * keep every mode of the distribution represented. Keeps
+    * ceil(0.2 × |cell|) vectors per cell, chosen by the same
+    * md5-over-id deterministic rule the sampling family uses (exact,
+    * seed-stable, engine-independent — no rand()).
+    *
+    * Scale shape: assignment is the narrow no-exchange [[assignTo]]
+    * scan; both window functions (rank within cell, cell size) share
+    * ONE hash exchange on centroid_id, and cells are capacity-bounded
+    * by construction (k scales with corpus size in a real IVF build),
+    * so no single partition outgrows an executor. */
+  def cellSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val cells = assignTo(e, centroids(e)).select($"vec_id", $"centroid_id")
+    val key = md5(concat(lit("cell:"), $"vec_id".cast("string")))
+    val rankW = Window.partitionBy($"centroid_id").orderBy(key, $"vec_id")
+    val sizeW = Window.partitionBy($"centroid_id")
+    cells
+      .withColumn("rn", row_number().over(rankW).cast("long"))
+      .withColumn("cell_n", count(lit(1)).over(sizeW))
+      .where($"rn" <= ceil($"cell_n" * lit(0.2)).cast("long"))
+      .select($"vec_id", $"centroid_id", $"rn".as("sample_rank"))
+      .orderBy($"vec_id")
+  }
+
   /** Full spherical k-means codebook TRAINING (iterated Lloyd): assign
     * every vector to its nearest centroid by cosine, re-estimate each
     * centroid as the mean of its members' UNIT vectors (the
@@ -684,6 +713,32 @@ object Similarity extends QueryModule {
                ${oracleDot("a", "b")} / (a.nrm * b.nrm) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE ${oracleDot("a", "b")} / (a.nrm * b.nrm) >= 0.9
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+    QueryDef(
+      "q_cell_sample", cellSample, Some(s"""
+        $oracleVecs,
+        c AS (SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cn
+              FROM e WHERE vec_id < 8),
+        a AS (
+          SELECT e.vec_id, c.centroid_id,
+                 list_sum(list_transform(generate_series(1, len(e.embedding)),
+                   k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
+                   / (e.nrm * c.cn) AS cos
+          FROM e CROSS JOIN c),
+        r AS (SELECT vec_id, centroid_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, centroid_id) AS rn
+              FROM a),
+        cells AS (SELECT vec_id, centroid_id FROM r WHERE rn = 1),
+        rk AS (
+          SELECT vec_id, centroid_id,
+                 CAST(row_number() OVER (PARTITION BY centroid_id
+                   ORDER BY md5('cell:' || CAST(vec_id AS VARCHAR)), vec_id)
+                   AS BIGINT) AS srn,
+                 count(*) OVER (PARTITION BY centroid_id) AS cell_n
+          FROM cells)
+        SELECT vec_id, centroid_id, srn AS sample_rank
+        FROM rk WHERE srn <= ceil(cell_n * 0.2)
+        ORDER BY vec_id"""))
   )
 }

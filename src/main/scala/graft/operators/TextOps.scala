@@ -241,6 +241,58 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Duplicated-SPAN detection: the corpus-level exact-substring dedup
+    * signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL'22) re-shaped for a distributed engine — their
+    * suffix array is a single-machine structure, so the scalable form is
+    * fixed-width token n-grams (n = 8): a span is "duplicated" when the
+    * same 8-token window appears in ≥ 2 DISTINCT documents (within-doc
+    * repetition is [[repetition]]'s domain). Output is the per-document
+    * span census a cleaning pass keys off: total spans, corpus-duplicated
+    * spans, and their ratio.
+    *
+    * Scale shape: n-gram construction is ROW-LOCAL (sequence + slice +
+    * array_join, all codegen'd) and each span travels as a 16-byte md5,
+    * never the text. The span stream shuffles ONCE on (gram, doc) with
+    * map-side partial counts — the unavoidable corpus-wide exchange any
+    * global frequency needs; the cross-doc count rides a window over the
+    * already-reduced (gram, doc) table (an exchange of the REDUCED set,
+    * not the span stream — and no countDistinct, whose Expand would
+    * double the stream through the aggregation); the final per-doc fold
+    * shuffles rows already collapsed to one per (gram, doc). */
+  def dupSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 8
+    val docs = Tables.documents(s, d)
+    val grams = docs
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id",
+        when(size($"t") >= n,
+          transform(sequence(lit(1), size($"t") - (n - 1)),
+            i => md5(array_join(slice($"t", i, lit(n)), " "))))
+          .otherwise(array().cast("array<string>")).as("ghs"))
+      .select($"doc_id", explode($"ghs").as("gh"))
+    val perDocGram = grams.groupBy($"gh", $"doc_id")
+      .agg(count(lit(1)).as("npos"))
+    val nDocsWithGram = Window.partitionBy($"gh")
+    val perDoc = perDocGram
+      .withColumn("ndocs", count(lit(1)).over(nDocsWithGram))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"npos").as("spans"),
+        sum(when($"ndocs" > 1, $"npos").otherwise(0L)).as("dups"))
+    docs.select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        coalesce($"spans", lit(0L)).as("n_spans"),
+        coalesce($"dups", lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        when($"n_spans" === 0L, 0.0)
+          .otherwise($"n_dup_spans".cast("double") / $"n_spans"))
+      .orderBy($"doc_id")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_lm_fit", lmFit, Some("""
@@ -385,6 +437,34 @@ object TextOps extends QueryModule {
                CAST(length(regexp_extract_all(text,
                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
                  AS n_bpe_tokens
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+    QueryDef(
+      "q_dup_spans", dupSpans, Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        pos AS (
+          SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+          FROM toks WHERE len(t) >= 8),
+        grams AS (
+          SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g FROM pos),
+        pdg AS (
+          SELECT g, doc_id, count(*) AS npos FROM grams GROUP BY g, doc_id),
+        dup AS (
+          SELECT doc_id, npos,
+                 count(*) OVER (PARTITION BY g) AS ndocs
+          FROM pdg),
+        perdoc AS (
+          SELECT doc_id,
+                 sum(npos) AS spans,
+                 sum(CASE WHEN ndocs > 1 THEN npos ELSE 0 END) AS dups
+          FROM dup GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(p.spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(p.dups, 0) AS BIGINT) AS n_dup_spans,
+               CASE WHEN coalesce(p.spans, 0) = 0 THEN 0.0
+                    ELSE CAST(coalesce(p.dups, 0) AS DOUBLE)
+                         / coalesce(p.spans, 0) END AS dup_ratio
+        FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        ORDER BY d.doc_id"""))
   )
 }

@@ -181,4 +181,34 @@ class NearDupSpec extends SparkSpecBase {
     // coverage: one label per document
     assert(byDoc.size === graft.ops.Tables.documents(spark, sfDir).count())
   }
+
+  test("dedup survivor: one keeper per cluster, and it is the best-quality member") {
+    import spark.implicits._
+    val rows = NearDup.dedupSurvivor(spark, sfDir)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.length ===
+      graft.ops.Tables.documents(spark, sfDir).count())
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      // exactly one keep per cluster, and it is the named survivor
+      val keeps = members.filter(_._4)
+      assert(keeps.length === 1, s"cluster $c keeps ${keeps.length}")
+      assert(keeps.head._1 === keeps.head._3)
+      // all members agree on who survives, and the survivor is a member
+      assert(members.map(_._3).distinct.length === 1)
+      assert(members.exists(_._1 === members.head._3))
+    }
+    // the survivor maximizes quality_score (ties to the smallest doc_id)
+    val quality = graft.operators.TextOps.textStats(spark, sfDir)
+      .select($"doc_id", $"quality_score").as[(Long, Double)].collect().toMap
+    byCluster.foreach { case (c, members) =>
+      val want = members.map(_._1).minBy(id => (-quality(id), id))
+      assert(members.head._3 === want,
+        s"cluster $c survivor ${members.head._3} != best-quality $want")
+    }
+    // clusters must agree with dedupClusters' labels
+    val labels = NearDup.dedupClusters(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, c, _, _) => assert(labels(id) === c) }
+  }
 }

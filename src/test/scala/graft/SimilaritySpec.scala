@@ -200,4 +200,28 @@ class SimilaritySpec extends SparkSpecBase {
     // training must actually improve on the seed codebook
     assert(obj.last > obj.head, s"no improvement: $obj")
   }
+
+  test("cell-balanced sample: exact per-cell quota, members only, deterministic") {
+    import spark.implicits._
+    val sample = Similarity.cellSample(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    val cells = Similarity.ivfAssign(spark, sfDir)
+      .select($"vec_id", $"centroid_id").as[(Long, Long)].collect()
+    val cellSizes = cells.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byCell = sample.groupBy(_._2)
+    // every cell is represented with exactly ceil(0.2 * |cell|) picks
+    assert(byCell.keySet === cellSizes.keySet)
+    byCell.foreach { case (c, picks) =>
+      val quota = math.ceil(cellSizes(c) * 0.2).toLong
+      assert(picks.length.toLong === quota, s"cell $c: ${picks.length} != $quota")
+      assert(picks.map(_._3).sorted.toSeq === (1L to quota))
+    }
+    // picks are members of their cell
+    val assign = cells.toMap
+    sample.foreach { case (v, c, _) => assert(assign(v) === c) }
+    // deterministic: a second run returns the identical set
+    val again = Similarity.cellSample(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === sample.sortBy(_._1).toSeq)
+  }
 }

@@ -69,4 +69,41 @@ class TextOpsSpec extends SparkSpecBase {
       .map { case (id, n) => id -> (n - 1L) }.toMap
     assert(rows.map(r => r._1 -> r._2).toMap === expected)
   }
+
+  test("dup spans: census identities hold and match a brute-force recount") {
+    import spark.implicits._
+    val df = TextOps.dupSpans(spark, sfDir).cache()
+    // span count identity: max(0, n_tokens - 7) spans per doc
+    val expected = graft.ops.Tables.documents(spark, sfDir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect()
+      .map { case (id, n) => id -> math.max(0L, n - 7L) }.toMap
+    val rows = df.as[(Long, Long, Long, Double)].collect()
+    assert(rows.map(r => r._1 -> r._2).toMap === expected)
+    rows.foreach { case (id, nSpans, nDup, ratio) =>
+      assert(nDup >= 0L && nDup <= nSpans, s"doc $id")
+      val want = if (nSpans == 0L) 0.0 else nDup.toDouble / nSpans
+      assert(ratio === want, s"doc $id")
+    }
+    // a span duplicated in one doc is by definition in >= 2 docs, and the
+    // fixture's planted near-dups guarantee the signal is non-trivial
+    val withDups = rows.count(_._3 > 0L)
+    assert(withDups >= 2, s"expected shared spans in the fixture, got $withDups")
+    // ground truth for the flagged docs: brute-force recount of cross-doc
+    // span frequencies must agree with the distributed census
+    val gramSets = graft.ops.Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, t) =>
+        id -> t.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toVector
+      }
+    val docsWithGram = gramSets
+      .flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+    val wantDup = gramSets.map { case (id, gs) =>
+      id -> gs.count(g => docsWithGram(g) > 1).toLong
+    }.toMap
+    assert(rows.map(r => r._1 -> r._3).toMap === wantDup)
+    df.unpersist()
+  }
 }
