@@ -142,23 +142,22 @@ object NearDup extends QueryModule {
     * pick canonicals.
     *
     * Scale shape: labels join the (narrow, row-local) quality scan on
-    * doc_id, the per-cluster argmax is ONE max(struct) aggregate —
-    * map-side partial, shuffling one row per cluster, not the
-    * membership — and the survivor table joins back on cluster_id,
-    * re-using the aggregation's hash partitioning. The argmax is
-    * deterministic: max over struct(quality_score, -doc_id) has a unique
-    * maximum per cluster, whatever the merge order. */
+    * doc_id ONCE, and the per-cluster argmax rides a single window over
+    * cluster_id — first(doc_id) under the (quality DESC, doc_id) total
+    * order, so the winner is unique and merge-order-independent. The
+    * obvious aggregate-then-rejoin formulation plans the label/quality
+    * join SUBTREE TWICE (Catalyst does not CSE it) and adds a second
+    * full shuffle of the membership; the window form is one computation
+    * of the join and one exchange on cluster_id. Near-dup clusters are
+    * small by construction, so the per-partition sort is bounded. */
   def dedupSurvivor(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val labeled = dedupClusters(s, d)
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"quality_score".desc, $"doc_id")
+    dedupClusters(s, d)
       .join(TextOps.textStats(s, d).select($"doc_id", $"quality_score"),
         Seq("doc_id"))
-    val survivors = labeled
-      .groupBy($"cluster_id")
-      .agg(max(struct($"quality_score", (-$"doc_id").as("neg_id"))).as("m"))
-      .select($"cluster_id", (-$"m.neg_id").as("survivor_id"))
-    labeled
-      .join(survivors, Seq("cluster_id"))
+      .withColumn("survivor_id", first($"doc_id").over(w))
       .select($"doc_id", $"cluster_id", $"survivor_id",
         ($"doc_id" === $"survivor_id").as("keep"))
       .orderBy($"doc_id")

@@ -107,6 +107,40 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("Exchange".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
+  test("cell sample: rank and cell-size windows share one hash exchange") {
+    val df = graft.operators.Similarity.cellSample(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df).split("== Initial Plan ==").head
+    // one hash exchange on centroid_id feeds BOTH window functions; the
+    // only other exchange is the rangepartitioning presentation sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
+    assert("Window".r.findAllIn(p).size === 2, p.take(3000))
+  }
+
+  test("dup spans: span stream shuffles once, no countDistinct Expand") {
+    val df = TextOps.dupSpans(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // the raw span stream enters exactly one exchange — the (gram, doc)
+    // partial aggregate; the window and per-doc fold run on REDUCED data.
+    // An Expand node would mean a countDistinct doubled the stream.
+    assert(!p.contains("Expand"), p.take(3000))
+    // gram hashes, not text, move: no `text` column in any exchange
+    assert(!"Exchange [^\\n]*text#".r.findFirstIn(p).isDefined, p.take(3000))
+  }
+
+  test("dedup survivor: the label/quality join subtree is planned once") {
+    val df = graft.operators.NearDup.dedupSurvivor(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // the aggregate-then-rejoin form planned TWO copies of the quality
+    // scan; the window argmax form reads documents.text exactly once
+    // (the doc_id-only CC nodes scan is separate and carries no text)
+    val textScans = "Scan parquet [^\\n]*text#".r.findAllIn(p).size
+    assert(textScans === 1, p.take(3000))
+    assert("Window".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))
