@@ -293,6 +293,77 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Duplicated-span REMOVAL — the actionable half of [[dupSpans]]:
+    * scrub every token covered by a corpus-duplicated 8-token span
+    * (boilerplate-style removal: an occurrence in ≥ 2 documents drops
+    * everywhere; survivor-aware removal would additionally key on
+    * [[NearDup.dedupSurvivor]]'s keep flag). Span hits overlap heavily —
+    * a duplicated run of L tokens fires L−7 overlapping windows — so
+    * positions collapse to interval ISLANDS first (gaps-and-islands:
+    * running max of span end, break when a span starts past it), and the
+    * rewrite drops exactly the tokens inside some island.
+    *
+    * Scale shape: everything before the rewrite moves (doc_id, position)
+    * pairs and 16-byte hashes, never text; islands group by doc with
+    * map-side partials (bounded: islands per doc ≤ spans per doc, and a
+    * fully-duplicated doc is ONE island). The rewrite is a row-local
+    * nested higher-order filter (token index ∉ any island) in the scan
+    * stage of the final join — text crosses one join boundary, the
+    * unavoidable cost of emitting rewritten documents. */
+  def spanScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 8
+    val docs = Tables.documents(s, d)
+    val positions = docs
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id",
+        when(size($"t") >= n,
+          transform(sequence(lit(1), size($"t") - (n - 1)),
+            i => struct(i.as("i"),
+              md5(array_join(slice($"t", i, lit(n)), " ")).as("gh"))))
+          .otherwise(array().cast("array<struct<i:int,gh:string>>"))
+          .as("gs"))
+      .select($"doc_id", explode($"gs").as("g"))
+      .select($"doc_id", $"g.i".as("i"), $"g.gh".as("gh"))
+    // positions ride the ONE (gram, doc) shuffle as a packed list, so no
+    // second exchange / join is needed to recover them afterwards
+    val nDocsWithGram = Window.partitionBy($"gh")
+    val dupPositions = positions
+      .groupBy($"gh", $"doc_id")
+      .agg(collect_list($"i").as("pos"))
+      .withColumn("ndocs", count(lit(1)).over(nDocsWithGram))
+      .where($"ndocs" > 1)
+      .select($"doc_id", explode($"pos").as("i"))
+    val byPos = Window.partitionBy($"doc_id").orderBy($"i")
+    val prevEnd = Window.partitionBy($"doc_id").orderBy($"i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val islands = dupPositions
+      .select($"doc_id", $"i", ($"i" + (n - 1)).as("e"))
+      .withColumn("pme", max($"e").over(prevEnd))
+      .withColumn("brk",
+        when($"pme".isNull || $"i" > $"pme" + 1, 1L).otherwise(0L))
+      .withColumn("isl", sum($"brk").over(byPos))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"i").as("s"), max($"e").as("e"))
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"s", $"e")).as("iv"),
+        sum($"e" - $"s" + 1L).as("covered"))
+    docs
+      .join(islands, Seq("doc_id"), "left")
+      .select($"doc_id",
+        split($"text", " ").as("t"),
+        coalesce($"iv", array().cast("array<struct<s:int,e:int>>")).as("iv"),
+        coalesce($"covered", lit(0L)).as("n_covered"))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        $"n_covered",
+        array_join(
+          filter($"t", (x, idx) =>
+            !exists($"iv", v => idx + 1 >= v("s") && idx + 1 <= v("e"))),
+          " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_lm_fit", lmFit, Some("""
@@ -464,6 +535,54 @@ object TextOps extends QueryModule {
                CASE WHEN coalesce(p.spans, 0) = 0 THEN 0.0
                     ELSE CAST(coalesce(p.dups, 0) AS DOUBLE)
                          / coalesce(p.spans, 0) END AS dup_ratio
+        FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        ORDER BY d.doc_id""")),
+    QueryDef(
+      "q_span_scrub", spanScrub, Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        pos AS (
+          SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+          FROM toks WHERE len(t) >= 8),
+        grams AS (
+          SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g FROM pos),
+        pdg AS (
+          SELECT g, doc_id, list(i) AS ps FROM grams GROUP BY g, doc_id),
+        dup AS (
+          SELECT doc_id, unnest(ps) AS i
+          FROM (SELECT doc_id, ps,
+                       count(*) OVER (PARTITION BY g) AS ndocs
+                FROM pdg)
+          WHERE ndocs > 1),
+        spans AS (
+          SELECT doc_id, i, i + 7 AS e,
+                 max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+          FROM dup),
+        brks AS (
+          SELECT doc_id, i, e,
+                 CASE WHEN pme IS NULL OR i > pme + 1 THEN 1 ELSE 0 END AS brk
+          FROM spans),
+        isl AS (
+          SELECT doc_id, i, e,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g
+          FROM brks),
+        islands AS (
+          SELECT doc_id, g, min(i) AS s, max(e) AS e
+          FROM isl GROUP BY doc_id, g),
+        perdoc AS (
+          SELECT doc_id,
+                 list(struct_pack(s := s, e := e)) AS iv,
+                 sum(e - s + 1) AS covered
+          FROM islands GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.covered, 0) AS BIGINT) AS n_covered,
+               coalesce(array_to_string(
+                 list_filter(string_split(d.text, ' '),
+                   (x, ix) -> len(list_filter(coalesce(p.iv, []),
+                     v -> ix >= v.s AND ix <= v.e)) = 0),
+                 ' '), '') AS clean_text
         FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
         ORDER BY d.doc_id"""))
   )

@@ -106,4 +106,32 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rows.map(r => r._1 -> r._3).toMap === wantDup)
     df.unpersist()
   }
+
+  test("span scrub: coverage arithmetic closes and agrees with the census") {
+    import spark.implicits._
+    val scrub = TextOps.spanScrub(spark, sfDir)
+      .as[(Long, Long, Long, String)].collect()
+    val census = TextOps.dupSpans(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(scrub.length === census.size)
+    scrub.foreach { case (id, nTok, nCov, clean) =>
+      assert(nCov >= 0L && nCov <= nTok, s"doc $id")
+      // removing exactly the covered tokens leaves n_tokens - covered
+      val kept =
+        if (clean.isEmpty) 0L else (clean.count(_ == ' ') + 1).toLong
+      assert(kept === nTok - nCov, s"doc $id: $kept != $nTok - $nCov")
+      // scrub fires iff the census saw a duplicated span, and a
+      // duplicated span covers at least its own 8 tokens
+      if (census(id) > 0L) assert(nCov >= 8L, s"doc $id")
+      else assert(nCov === 0L, s"doc $id")
+    }
+    // fully-duplicated docs scrub to nothing; untouched docs keep text
+    val texts = graft.ops.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    scrub.foreach { case (id, nTok, nCov, clean) =>
+      if (nCov === nTok) assert(clean.isEmpty, s"doc $id")
+      if (nCov === 0L) assert(clean === texts(id), s"doc $id")
+    }
+  }
 }
