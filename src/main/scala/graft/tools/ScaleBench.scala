@@ -97,6 +97,17 @@ object ScaleBench {
     time("semantic_dedup") {
       graft.operators.Similarity.semanticDedup(spark, dir).count()
     }
+    // span census + scrub: the planted near-copies share 8-token spans,
+    // so the duplicated-span paths are exercised, not just scanned
+    time("dup_spans") {
+      graft.operators.TextOps.dupSpans(spark, dir).count()
+    }
+    time("span_scrub") {
+      graft.operators.TextOps.spanScrub(spark, dir).count()
+    }
+    time("dedup_survivor") {
+      graft.operators.NearDup.dedupSurvivor(spark, dir).count()
+    }
     spark.stop()
   }
 }
