@@ -259,7 +259,18 @@ object TextOps extends QueryModule {
     * already-reduced (gram, doc) table (an exchange of the REDUCED set,
     * not the span stream — and no countDistinct, whose Expand would
     * double the stream through the aggregation); the final per-doc fold
-    * shuffles rows already collapsed to one per (gram, doc). */
+    * shuffles rows already collapsed to one per (gram, doc).
+    *
+    * Known scale lever — boilerplate-gram skew: the window keys the
+    * (gram, doc) table by gram alone, so a gram present in a large
+    * fraction of the corpus lands in ONE window partition (windows have
+    * no AQE skew mitigation). The swap is persist the (gram, doc)
+    * aggregate and replace the window with a groupBy(gram) count joined
+    * back on gram — sort-merge joins ARE AQE-skew-splittable. It is not
+    * the default because without the persist Catalyst plans the span
+    * stream TWICE (measured: AQE re-plans the count subtree as an
+    * independent scan instead of reusing the exchange), which doubles
+    * the dominant cost for every corpus to hedge a pathological one. */
   def dupSpans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val n = 8
