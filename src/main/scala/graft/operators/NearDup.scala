@@ -351,6 +351,67 @@ object NearDup extends QueryModule {
       .groupBy($"doc_id").agg(min($"comp").as("comp"))
   }
 
+  /** INCREMENTAL near-dup: today's ingest batch against the standing
+    * corpus — the shape a production pipeline actually runs daily. The
+    * batch (`fresh`) is deduped against corpus ∪ batch WITHOUT ever
+    * re-pairing corpus × corpus: band keys are probed one-sided, so the
+    * candidate join is proportional to |batch| × bands, not |corpus|².
+    *
+    * At deployment scale the corpus index `(bkey, doc_id)` and the
+    * shingle table are PERSISTED tables (bucketed by bkey / doc_id via
+    * [[graft.sources.Ddl.createBucketedTable]] so the probe join and the
+    * verify joins shuffle only the batch side); here both sides derive
+    * from the same documents table split on doc_id, which exercises the
+    * identical plan with the index subtree inlined.
+    *
+    * Gate split: corpus = doc_id % 10 < 8, fresh = the remaining 20% —
+    * deterministic, so the DuckDB oracle reproduces it exactly: the
+    * brute-force pair definition restricted to pairs touching the fresh
+    * side. Recall story is [[minhashNearDup]]'s: banding must not lose a
+    * pair at tau, or the hash compare fails. */
+  def incrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = hashedShingles(s, d)
+    val fresh = ($"doc_id" % 10) >= 8
+    incrementalPairs(sh.where(!fresh), sh.where(fresh))
+  }
+
+  /** Verified near-dup pairs touching `fresh`: fresh × (corpus ∪ fresh),
+    * never corpus × corpus. Both inputs are (doc_id, sh) shingle-set
+    * frames ([[hashedShingles]] shape). Factored out so specs can pin
+    * the one-sided-probe semantics on planted splits. */
+  private[graft] def incrementalPairs(
+      corpus: DataFrame, fresh: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    def banded(df: DataFrame): DataFrame = df
+      .select($"doc_id",
+        graft.functions.VectorExpressions.minhash_sig($"sh", Perms).as("mh"))
+      .select($"doc_id", explode(array(bandKeyColumns($"mh"): _*)).as("bkey"))
+    // the index side is what production keeps as a stored table; the
+    // batch's own keys are unioned in so fresh×fresh dups are also seen
+    val index = banded(corpus).union(banded(fresh))
+    val candidates = banded(fresh).select($"bkey", $"doc_id".as("id_p"))
+      .join(index.select($"bkey", $"doc_id".as("id_i")), Seq("bkey"))
+      .where($"id_p" =!= $"id_i")
+      // canonicalize so a fresh×fresh pair (probed from both ends) and a
+      // multi-band hit collapse in one distinct
+      .select(least($"id_p", $"id_i").as("id_a"),
+        greatest($"id_p", $"id_i").as("id_b"))
+      .distinct()
+    val all = corpus.unionByName(fresh)
+    candidates
+      .join(all.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
+      .join(all.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
+      .withColumn("n_common",
+        graft.functions.VectorExpressions.intersect_count($"sh_a", $"sh_b"))
+      .withColumn("jaccard",
+        $"n_common".cast("double") /
+          (size($"sh_a") + size($"sh_b") - $"n_common"))
+      .where($"jaccard" >= Tau)
+      .select($"id_a", $"id_b", $"n_common", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
     * family): a pair with Jaccard >= t must share at least one token in
     * the first `|A| - ceil(t*|A|) + 1` tokens of a canonical ordering,
@@ -667,6 +728,19 @@ object NearDup extends QueryModule {
                j.doc_id = surv.survivor_id AS keep
         FROM j JOIN surv ON j.cluster_id = surv.cluster_id
         ORDER BY j.doc_id""")),
+    QueryDef(
+      "q_incremental_neardup", incrementalNearDup, Some(s"""
+        $oracleShingles,
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                   AS jaccard
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8)
+        SELECT id_a, id_b, n_common, jaccard
+        FROM p WHERE jaccard >= 0.8 ORDER BY id_a, id_b""")),
     QueryDef(
       "q_simjoin_prefix", prefixSimJoin, Some(s"""
         $oracleShingles,

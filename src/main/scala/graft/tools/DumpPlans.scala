@@ -43,7 +43,8 @@ object DumpPlans {
     "q_dup_spans" -> "duplicated-span census: row-local n-gram hashing (spans move as md5, never text), ONE shuffle of the span stream into the (gram, doc) partial agg, window over the reduced table — no countDistinct Expand",
     "q_dedup_survivor" -> "cluster labels join the narrow quality scan; per-cluster argmax is one max(struct) partial agg; survivor join reuses the cluster_id hash partitioning",
     "q_cell_sample" -> "narrow no-join centroid assignment; rank + cell-size windows share ONE exchange on centroid_id",
-    "q_span_scrub" -> "duplicated-span removal: positions packed into the one (gram, doc) shuffle (no rejoin of the span stream), gaps-and-islands interval union, row-local nested-HOF token rewrite at the final doc join")
+    "q_span_scrub" -> "duplicated-span removal: positions packed into the one (gram, doc) shuffle (no rejoin of the span stream), gaps-and-islands interval union, row-local nested-HOF token rewrite at the final doc join",
+    "q_incremental_neardup" -> "incremental ingest dedup: batch-side band keys probe the corpus∪batch index one-sided — candidate volume scales with the BATCH, corpus×corpus never joins; verify joins fetch shingles for candidates only")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

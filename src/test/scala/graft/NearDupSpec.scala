@@ -166,6 +166,38 @@ class NearDupSpec extends SparkSpecBase {
     assert(star.values.toSet === Set(0L))
   }
 
+  test("incremental near-dup: probes one-sided — batch pairs found, corpus-only pairs never") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorExpressions.text_shingles
+    // corpus holds an internal dup pair (1,2) that an incremental pass
+    // must NOT re-report; doc 3 is the corpus twin of fresh doc 10;
+    // fresh docs 10/11 are twins of each other; 12 matches nothing
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+      .select(col("doc_id"), text_shingles(col("text"), 3).as("sh"))
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = mk(Seq(
+      1L -> base, 2L -> base, 3L -> (base + " lambda"),
+      4L -> "one two three four five six seven eight nine ten"))
+    val fresh = mk(Seq(
+      10L -> (base + " lambda"), 11L -> (base + " lambda"),
+      12L -> "red orange yellow green blue indigo violet colors here now"))
+    val got = NearDup.incrementalPairs(corpus, fresh)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((3L, 10L)), got)   // corpus × fresh
+    assert(got.contains((10L, 11L)), got)  // fresh × fresh
+    assert(got.contains((3L, 11L)), got)
+    assert(!got.contains((1L, 2L)), "corpus-internal pair re-reported")
+    assert(got.forall { case (a, b) => b >= 10L }, s"non-fresh pair in $got")
+    // the gate query agrees with the full pass restricted to fresh docs
+    val full = NearDup.minhashNearDup(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => a % 10 >= 8 || b % 10 >= 8 }.toSet
+    val inc = NearDup.incrementalNearDup(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(inc === full)
+  }
+
   test("dedup clusters: every near-dup pair shares a label, labels are minima") {
     import spark.implicits._
     val labels = NearDup.dedupClusters(spark, sfDir)
