@@ -100,7 +100,122 @@ object Breadth extends QueryModule {
       .orderBy($"c_mktsegment")
   }
 
+  /** String rendering for min/max that both engines reproduce exactly:
+    * doubles through DECIMAL(18,2) (straight double→string formatting
+    * diverges between engines), timestamps through an explicit pattern
+    * (Spark drops ".000", DuckDB keeps engine defaults), everything else
+    * through a plain cast. */
+  private def renderValue(
+      dt: org.apache.spark.sql.types.DataType,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = dt match {
+    case org.apache.spark.sql.types.DoubleType =>
+      c.cast("decimal(18,2)").cast("string")
+    case org.apache.spark.sql.types.TimestampType =>
+      date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case _ => c.cast("string")
+  }
+
+  /** Column PROFILING — the data-quality scan every ingest runs before
+    * anything else touches a new drop: per column, row/null counts,
+    * exact distinct cardinality, and rendered min/max.
+    *
+    * Scale shape: one branch per column, each a TWO-LEVEL aggregation —
+    * groupBy(value) with map-side partial counts, then a global
+    * roll-up of the (value, cnt) groups: n_distinct = count of non-null
+    * groups, n_null/n_rows = sums of cnt. No `countDistinct` mixed into
+    * a non-distinct aggregate, so Catalyst never plans the
+    * row-doubling Expand; each branch's scan is pruned to its ONE
+    * column (plan-audited), so at 100 TB this is n_cols cheap columnar
+    * passes — embarrassingly parallel, each shuffling only the distinct
+    * value groups. The union is of 1-row results: free. */
+  def profile(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val branches = df.schema.fields.toSeq.map { f =>
+      df.select(col(f.name).as("v"))
+        .groupBy($"v")
+        .agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum($"cnt").as("n_rows"),
+          coalesce(sum(when($"v".isNull, $"cnt")), lit(0L)).as("n_null"),
+          count($"v").as("n_distinct"), // non-null groups only
+          renderValue(f.dataType, min($"v")).as("min_value"),
+          renderValue(f.dataType, max($"v")).as("max_value"))
+        .select(lit(f.name).as("col_name"), $"n_rows", $"n_null",
+          $"n_distinct", $"min_value", $"max_value")
+    }
+    branches.reduce(_.unionByName(_)).orderBy($"col_name")
+  }
+
+  /** Gate form: profile the `orders` table. */
+  def profileOrders(s: SparkSession, d: String): DataFrame =
+    profile(Tables.orders(s, d))
+
+  /** ONE-PASS approximate profile — the form a 100 TB pipeline actually
+    * schedules when n_cols passes are too many: a single scan computes
+    * every column's counts, HLL++ distinct estimate, and min/max
+    * together (mergeable sketch buffers, no shuffle of value groups at
+    * all — only the final 1-row merge moves). Spec-pinned against the
+    * exact profile within HLL error bounds; the exact union form above
+    * is the oracle-visible gate. */
+  def profileOnePass(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val aggs = df.schema.fields.toSeq.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(c).as(s"${f.name}__n"),
+        approx_count_distinct(c).as(s"${f.name}__nd"),
+        renderValue(f.dataType, min(c)).as(s"${f.name}__min"),
+        renderValue(f.dataType, max(c)).as(s"${f.name}__max"))
+    }
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val cols = df.schema.fields.toSeq.map { f =>
+      struct(lit(f.name).as("col_name"), $"__rows".as("n_rows"),
+        ($"__rows" - col(s"${f.name}__n")).as("n_null"),
+        col(s"${f.name}__nd").as("n_distinct"),
+        col(s"${f.name}__min").as("min_value"),
+        col(s"${f.name}__max").as("max_value"))
+    }
+    wide.select(explode(array(cols: _*)).as("p"))
+      .select($"p.*").orderBy($"col_name")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_profile", profileOrders, Some("""
+        SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+               count(*) - count(o_orderkey) AS n_null,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice),
+               CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+               CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+               count(DISTINCT o_orderdate),
+               strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+               strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+        ORDER BY col_name""")),
     QueryDef(
       "q_count_distinct", distinctUsers, Some("""
         SELECT event_type, count(DISTINCT user_id) AS n_users,

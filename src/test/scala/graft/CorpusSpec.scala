@@ -110,6 +110,49 @@ class CorpusSpec extends SparkSpecBase {
     }
   }
 
+  test("profile: exact per-column stats; one-pass approx within HLL bounds; pruned scans") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val orders = graft.ops.Tables.orders(spark, sfDir)
+    val exact = graft.operators.Breadth.profile(orders)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(exact.keySet === orders.schema.fieldNames.toSet)
+    val nRows = orders.count()
+    exact.values.foreach { case (name, rows, nulls, dist, mn, mx) =>
+      assert(rows === nRows, name)
+      assert(nulls >= 0 && nulls <= rows, name)
+      assert(dist <= rows - nulls, name)
+      assert(mn <= mx || dist === 0L, s"$name: $mn > $mx")
+    }
+    // spot-check one column against a direct computation
+    val wantDist = orders.select(col("o_custkey")).distinct().count()
+    assert(exact("o_custkey")._4 === wantDist)
+    // the one-pass approx profile agrees: exact counts/min/max, HLL
+    // distinct within its default 5% standard error (take 3x slack)
+    val approx = graft.operators.Breadth.profileOnePass(orders)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (name, (_, rows, nulls, dist, mn, mx)) =>
+      val a = approx(name)
+      assert(a._2 === rows, name)
+      assert(a._3 === nulls, name)
+      assert(a._5 === mn && a._6 === mx, name)
+      assert(math.abs(a._4 - dist) <= math.max(1L, (dist * 0.15).toLong),
+        s"$name: approx ${a._4} vs exact $dist")
+    }
+    // plan audit: every branch's scan reads exactly ONE column, and no
+    // Expand (the countDistinct rewrite) appears anywhere
+    val plan = graft.operators.Breadth.profile(orders)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty &&
+      readSchemas.forall(s => s.count(_ == ':') == 1), readSchemas.toString)
+  }
+
   test("Misra-Gries heavy hitters: membership and error bounds hold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
