@@ -108,6 +108,20 @@ object ScaleBench {
     time("dedup_survivor") {
       graft.operators.NearDup.dedupSurvivor(spark, dir).count()
     }
+    // incremental ingest: a 1% batch probed against the other 99% — the
+    // claim under test is that this costs ~one corpus scan (index build)
+    // plus work ∝ the BATCH, far under the full pair pass above
+    time("incremental_neardup_1pct") {
+      graft.operators.NearDup.incrementalPairs(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .where($"doc_id" % 100 =!= 1)
+          .select($"doc_id", graft.functions.VectorExpressions
+            .text_shingles($"text", 3).as("sh")),
+        spark.read.parquet(s"$dir/documents.parquet")
+          .where($"doc_id" % 100 === 1)
+          .select($"doc_id", graft.functions.VectorExpressions
+            .text_shingles($"text", 3).as("sh"))).count()
+    }
     spark.stop()
   }
 }
