@@ -204,6 +204,49 @@ object TextOps extends QueryModule {
       .orderBy($"lang", $"source")
   }
 
+  /** FILTER AUDIT — per-rule drop attribution for the [[cleanCorpus]]
+    * cascade: every document gets the FIRST rule that rejects it (rule
+    * order fixed: lang → too_short → too_long → low_stopword →
+    * exact_dup → kept), aggregated to (reason, n_docs, n_tokens). This
+    * is the artifact a production cascade is tuned with: "how much did
+    * each rule cost me, in documents and tokens" — survivors alone
+    * ([[cleanCorpus]]) can't answer it.
+    *
+    * Scale shape: all rule columns are row-local scan-stage work; the
+    * only wide stage before the final tiny aggregate is the SAME
+    * fingerprint-window shuffle cleanCorpus runs — the dup rank is
+    * computed within (fp, passed-prior-rules), so failing docs can't
+    * displace a survivor's rank, exactly matching the cascade's
+    * semantics (dedup runs on what the filters let through). */
+  def filterAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = $"text"
+    val nTokens = tokenCount(t)
+    val nStop = (tokenOccurrences(t, "the") + tokenOccurrences(t, "a")
+      + tokenOccurrences(t, "of") + tokenOccurrences(t, "and"))
+    val preReason = when(!$"lang".isin("en", "de", "es", "fr"), "lang")
+      .when($"n_tokens" < 20, "too_short")
+      .when($"n_tokens" > 1000, "too_long")
+      .when($"n_stop" * 100L < $"n_tokens", "low_stopword")
+    // rank only among docs that passed every row-local rule: the window
+    // partitions on (fp, passed) so rejected docs sit in a partition a
+    // survivor's rank never sees
+    val w = Window.partitionBy($"fp", $"pre_reason".isNull)
+      .orderBy($"doc_id")
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang",
+        nTokens.as("n_tokens"), nStop.as("n_stop"),
+        md5(normalize(t)).as("fp"))
+      .withColumn("pre_reason", preReason)
+      .withColumn("rn", row_number().over(w))
+      .select($"n_tokens",
+        coalesce($"pre_reason",
+          when($"rn" > 1, "exact_dup").otherwise("kept")).as("reason"))
+      .groupBy($"reason")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      .orderBy($"reason")
+  }
+
   /** Bigram-LM corpus-fit scoring: train bigram/unigram counts on the
     * corpus, then score each document by how typical its bigrams are —
     * the n-gram-LM quality-filter shape (KenLM-style perplexity
@@ -425,6 +468,38 @@ object TextOps extends QueryModule {
                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         FROM k WHERE rn = 1
         GROUP BY lang, source ORDER BY lang, source""")),
+    QueryDef(
+      "q_filter_audit", filterAudit, Some("""
+        WITH b AS (
+          SELECT doc_id, lang,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                   length(text) - length(replace(text, ' ', '')) + 1 END
+                   AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x = 'the'))
+                    + len(list_filter(string_split(text, ' '), x -> x = 'a'))
+                    + len(list_filter(string_split(text, ' '), x -> x = 'of'))
+                    + len(list_filter(string_split(text, ' '), x -> x = 'and'))
+                   AS BIGINT) AS n_stop,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_tokens, fp,
+                 CASE WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 'lang'
+                      WHEN n_tokens < 20 THEN 'too_short'
+                      WHEN n_tokens > 1000 THEN 'too_long'
+                      WHEN n_stop * 100 < n_tokens THEN 'low_stopword'
+                 END AS pre_reason
+          FROM b),
+        rk AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY fp, pre_reason IS NULL ORDER BY doc_id) AS rn
+          FROM r)
+        SELECT coalesce(pre_reason,
+                 CASE WHEN rn > 1 THEN 'exact_dup' ELSE 'kept' END) AS reason,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM rk GROUP BY reason ORDER BY reason""")),
     QueryDef(
       "q_dedup_exact", dedupExact, Some("""
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -70,6 +70,22 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rows.map(r => r._1 -> r._2).toMap === expected)
   }
 
+  test("filter audit: reasons partition the corpus and 'kept' equals cleanCorpus survivors") {
+    import spark.implicits._
+    val audit = TextOps.filterAudit(spark, sfDir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val allowed = Set("lang", "too_short", "too_long", "low_stopword",
+      "exact_dup", "kept")
+    assert(audit.keySet.subsetOf(allowed), audit.keySet.toString)
+    // every document gets exactly one reason
+    val total = graft.ops.Tables.documents(spark, sfDir).count()
+    assert(audit.values.map(_._2).sum === total)
+    // the kept bucket is exactly cleanCorpus's survivor count
+    val survivors = TextOps.cleanCorpus(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum($"n_docs")).as[Long].head()
+    assert(audit.get("kept").map(_._2).getOrElse(0L) === survivors)
+  }
+
   test("dup spans: census identities hold and match a brute-force recount") {
     import spark.implicits._
     val df = TextOps.dupSpans(spark, sfDir).cache()
