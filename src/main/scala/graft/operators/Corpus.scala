@@ -385,6 +385,39 @@ object Corpus extends QueryModule {
     * memory still packs. Parallelism = #sources; at 100 TB you pack per
     * (source, shard) so group length — not corpus size — bounds the
     * walk. Oracle = the same greedy walk as a recursive CTE. */
+  /** CONTEXT-WINDOW CHUNKING — split each document's token stream into
+    * overlapping fixed-width windows (size 64, stride 48 ⇒ 16-token
+    * overlap): the step a training pipeline runs on long documents
+    * BEFORE packing ([[packBins]] assembles the resulting chunks into
+    * sequence bins), so a document longer than the model context is
+    * never silently truncated and boundaries keep local context.
+    *
+    * Scale shape: entirely ROW-LOCAL — per-doc window starts come from
+    * a `sequence` explode and each chunk is a slice of the already-split
+    * token array, so the only exchange in the plan is the presentation
+    * sort. Output amplification is the chosen size/stride ratio (4/3),
+    * a constant — not a join, not a shuffle of the token stream. The
+    * trailing window keeps whatever tokens remain (a short tail beats a
+    * dropped one; dedup of tiny tails is [[TextOps]]' job downstream). */
+  def chunkWindows(
+      s: SparkSession, d: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0),
+          greatest(size($"toks") - 1, lit(0)), lit(stride))).as("start"))
+      .select($"doc_id",
+        ($"start" / stride).cast("long").as("chunk_id"),
+        $"start".cast("long").as("start"),
+        size(slice($"toks", $"start" + 1, lit(window))).cast("long")
+          .as("n_tokens"),
+        array_join(slice($"toks", $"start" + 1, lit(window)), " ")
+          .as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   def packBins(s: SparkSession, d: String, budget: Long = 256L): DataFrame = {
     import s.implicits._
     val cost = when(length(trim($"text")) === 0, 0L)
@@ -461,6 +494,22 @@ object Corpus extends QueryModule {
   }
 
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_chunk_windows", chunkWindows(_, _), Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        w AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0,
+                   greatest(len(toks) - 1, 0), 48)) AS start
+          FROM t)
+        SELECT doc_id,
+               CAST(start // 48 AS BIGINT) AS chunk_id,
+               CAST(start AS BIGINT) AS start,
+               CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS n_tokens,
+               array_to_string(toks[start + 1 : start + 64], ' ')
+                 AS chunk_text
+        FROM w ORDER BY doc_id, chunk_id""")),
     QueryDef(
       "q_pack_bins", packBins(_, _), Some("""
         WITH RECURSIVE d AS (

@@ -187,6 +187,33 @@ class CorpusSpec extends SparkSpecBase {
     prof.unpersist()
   }
 
+  test("chunkWindows: stride arithmetic, overlap, and lossless reconstruction") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val chunks = graft.operators.Corpus.chunkWindows(spark, sfDir)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(chunks.keySet === docs.keySet)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val cs = chunks(id)
+      // window count: one start per stride step within the token stream
+      assert(cs.length === 1 + (math.max(toks.length - 1, 0)) / 48, s"doc $id")
+      cs.foreach { case (_, cid, start, n, body) =>
+        assert(start === cid * 48)
+        val want = toks.slice(start.toInt, start.toInt + 64)
+        assert(n === want.length, s"doc $id chunk $cid")
+        assert(body === want.mkString(" "), s"doc $id chunk $cid")
+      }
+      // lossless: chunk 0 plus each later chunk minus the 16-token
+      // overlap reconstructs the document exactly
+      val rebuilt = cs.head._5.split(" ", -1) ++
+        cs.tail.flatMap(c => c._5.split(" ", -1).drop(16))
+      assert(rebuilt.toSeq === toks.toSeq, s"doc $id reconstruction")
+    }
+  }
+
   test("packBins: greedy packing is budget-bounded, tight, and total") {
     import spark.implicits._
     val budget = 256L
