@@ -199,6 +199,46 @@ object Similarity extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** INCREMENTAL semantic dedup — the embedding-side analogue of
+    * [[graft.operators.NearDup.incrementalNearDup]]: a fresh embedding
+    * batch (vec_id % 10 >= 8) is deduped against corpus ∪ batch through
+    * the SHARED coarse cells, without ever pairing corpus × corpus. A
+    * fresh vector drops when any corpus cell-mate — regardless of id:
+    * the standing corpus is immutable, its members always win — or any
+    * LOWER-id fresh cell-mate is more similar than τ.
+    *
+    * Scale shape: assignment is the same narrow codebook scan as
+    * [[ivfAssign]] (at deployment the corpus half is the STORED IVF
+    * index; here it is recomputed inline, which exercises the same
+    * plan); the pair join is cell-bounded AND one-sided — candidate
+    * volume is |batch-cell| × |cell|, not |cell|². Only fresh rows are
+    * reported: the verdict on the standing corpus cannot change. */
+  def incrementalSemanticDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Option(lastSemCells.getAndSet(null)).foreach(_.unpersist(false))
+    val e = vecs(s, d)
+    val cells = assignTo(e, centroids(e))
+      .select($"vec_id", $"centroid_id", $"v", $"nrm",
+        ($"vec_id" % 10 >= 8).as("fresh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastSemCells.set(cells)
+    val index = cells.select($"centroid_id", $"vec_id".as("id_a"),
+      $"v".as("va"), $"nrm".as("na"), $"fresh".as("fresh_a"))
+    val probe = cells.where($"fresh").select($"centroid_id",
+      $"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
+    val dropped = index.join(probe, Seq("centroid_id"))
+      .where($"id_a" =!= $"id_b" &&
+        (!$"fresh_a" || $"id_a" < $"id_b") &&
+        cosineWithNorms($"va", $"vb", $"na", $"nb") >= lit(SemDedupTau))
+      .select($"id_b".as("vec_id")).distinct()
+      .withColumn("hit", lit(true))
+    cells.where($"fresh").select($"vec_id", $"centroid_id")
+      .join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", $"centroid_id",
+        coalesce($"hit", lit(false)).as("is_dup"))
+      .orderBy($"vec_id")
+  }
+
   /** IVF index build: assign every vector to its nearest coarse centroid.
     * The codebook rides inside the expression, so assignment is one
     * narrow scan of the corpus with NO exchange anywhere — the
@@ -602,6 +642,33 @@ object Similarity extends QueryModule {
         SELECT c2.vec_id, c2.centroid_id,
                (d.vec_id IS NOT NULL) AS is_dup
         FROM cells c2 LEFT JOIN dup d ON c2.vec_id = d.vec_id
+        ORDER BY c2.vec_id""")),
+    QueryDef(
+      "q_incremental_semdedup", incrementalSemanticDedup, Some(s"""
+        $oracleVecs,
+        c AS (SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cn
+              FROM e WHERE vec_id < 8),
+        asg0 AS (
+          SELECT e.vec_id, e.embedding, e.nrm, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
+                     / (e.nrm * c.cn) DESC, c.centroid_id) AS rn
+          FROM e CROSS JOIN c),
+        cells AS (SELECT vec_id, embedding, nrm, centroid_id
+                  FROM asg0 WHERE rn = 1),
+        dup AS (
+          SELECT DISTINCT b.vec_id
+          FROM cells a JOIN cells b
+            ON a.centroid_id = b.centroid_id
+           AND b.vec_id % 10 >= 8
+           AND a.vec_id <> b.vec_id
+           AND (a.vec_id % 10 < 8 OR a.vec_id < b.vec_id)
+          WHERE ${oracleDot("a", "b")} / (a.nrm * b.nrm) >= 0.3)
+        SELECT c2.vec_id, c2.centroid_id,
+               (d.vec_id IS NOT NULL) AS is_dup
+        FROM cells c2 LEFT JOIN dup d ON c2.vec_id = d.vec_id
+        WHERE c2.vec_id % 10 >= 8
         ORDER BY c2.vec_id""")),
     QueryDef(
       "q_ivf_topk", ivfTopK, Some(s"""

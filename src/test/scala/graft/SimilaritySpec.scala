@@ -56,6 +56,38 @@ class SimilaritySpec extends SparkSpecBase {
     df.unpersist()
   }
 
+  test("incremental semantic dedup: fresh-only verdicts, corpus always wins, brute-force agrees") {
+    import spark.implicits._
+    val full = Similarity.semanticDedup(spark, sfDir)
+      .as[(Long, Long, Boolean)].collect()
+    val inc = Similarity.incrementalSemanticDedup(spark, sfDir)
+      .as[(Long, Long, Boolean)].collect()
+    // exactly the fresh split is reported, with the full pass's cells
+    val fullById = full.map(r => r._1 -> r).toMap
+    assert(inc.map(_._1).toSet === fullById.keySet.filter(_ % 10 >= 8))
+    inc.foreach { case (id, cell, _) => assert(cell === fullById(id)._2) }
+    // brute-force re-derivation of the incremental rule: a fresh vector
+    // drops on ANY corpus cell-mate or a lower-id fresh cell-mate
+    val cells = full.map { case (id, c, _) => id -> c }.toMap
+    val vecs = graft.ops.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    inc.foreach { case (id, cell, isDup) =>
+      val expected = vecs.keys.exists(o => o != id && cells(o) == cell &&
+        (o % 10 < 8 || o < id) && cos(vecs(o), vecs(id)) >= 0.3)
+      assert(expected === isDup, s"vec $id cell $cell")
+      // and the full pass's fresh dups are a subset of the incremental's
+      if (fullById(id)._3) assert(isDup, s"vec $id: full dup lost")
+    }
+  }
+
   test("PQ encode: codes match brute-force argmin; recon_err = ADC self-distance") {
     import spark.implicits._
     val out = Similarity.pqEncode(spark, sfDir)
