@@ -314,6 +314,52 @@ object TextOps extends QueryModule {
     * stream TWICE (measured: AQE re-plans the count subtree as an
     * independent scan instead of reusing the exchange), which doubles
     * the dominant cost for every corpus to hedge a pathological one. */
+  /** N-GRAM DECONTAMINATION — the industry-standard eval-overlap rule
+    * (n-gram collision, not whole-document identity, which
+    * [[graft.operators.Corpus.decontaminate]]'s fingerprint form
+    * checks): a training document is contaminated when it shares ANY
+    * 8-token span with a held-out benchmark document (every 25th doc
+    * stands in, as in the fingerprint form). Catches partial inclusion
+    * — an embedded eval question inside an otherwise-novel document —
+    * which no whole-doc hash can see.
+    *
+    * Scale shape: span hashes are the row-local md5 stream
+    * [[dupSpans]] uses (spans move as constant-width hashes, never
+    * text); the benchmark gram set is DISTINCT'd and broadcast (a
+    * benchmark suite is small by construction — and past broadcast
+    * size the [[graft.functions.BloomSketch]] scan-side test from the
+    * fingerprint form composes unchanged); the corpus side then flags
+    * in its scan stage with one semi-join shape and aggregates
+    * per (lang, contaminated). */
+  def decontaminateNgram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 8
+    val docs = Tables.documents(s, d)
+    def grams(df: DataFrame) = df
+      .select($"doc_id", $"lang", split($"text", " ").as("t"))
+      .select($"doc_id", $"lang",
+        when(size($"t") >= n,
+          transform(sequence(lit(1), size($"t") - (n - 1)),
+            i => md5(array_join(slice($"t", i, lit(n)), " "))))
+          .otherwise(array().cast("array<string>")).as("ghs"))
+    val benchGrams = broadcast(
+      grams(docs.where($"doc_id" % 25 === 0))
+        .select(explode($"ghs").as("bg")).distinct())
+    val flagged = grams(docs.where($"doc_id" % 25 =!= 0))
+      .select($"doc_id", explode($"ghs").as("gh"))
+      .join(benchGrams, $"gh" === $"bg")
+      .select($"doc_id").distinct()
+      .withColumn("hit", lit(true))
+    docs.where($"doc_id" % 25 =!= 0)
+      .select($"doc_id", $"lang")
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"hit", 1L).otherwise(0L)).as("n_contaminated"))
+      .orderBy($"lang")
+  }
+
   def dupSpans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val n = 8
@@ -500,6 +546,27 @@ object TextOps extends QueryModule {
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         FROM rk GROUP BY reason ORDER BY reason""")),
+    QueryDef(
+      "q_decontaminate_ngram", decontaminateNgram, Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        pos AS (
+          SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+          FROM toks WHERE len(t) >= 8),
+        grams AS (
+          SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g FROM pos),
+        bg AS (
+          SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0),
+        fl AS (
+          SELECT DISTINCT grams.doc_id
+          FROM grams JOIN bg ON grams.g = bg.g
+          WHERE grams.doc_id % 25 <> 0)
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_contaminated
+        FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id
+        WHERE d.doc_id % 25 <> 0
+        GROUP BY d.lang ORDER BY d.lang""")),
     QueryDef(
       "q_dedup_exact", dedupExact, Some("""
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -86,6 +86,34 @@ class TextOpsSpec extends SparkSpecBase {
     assert(audit.get("kept").map(_._2).getOrElse(0L) === survivors)
   }
 
+  test("n-gram decontamination: counts close, brute-force flags agree") {
+    import spark.implicits._
+    val out = TextOps.decontaminateNgram(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (lang, n, c) =>
+      assert(c >= 0 && c <= n, s"$lang: $c of $n") }
+    // totals cover every non-benchmark doc exactly once
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(out.map(_._2).sum === docs.count(_._1 % 25 != 0))
+    // brute-force: per-lang contaminated counts from raw 8-gram overlap
+    def grams(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 8) Set.empty
+      else toks.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.filter(_._1 % 25 == 0).flatMap(g => grams(g._2)).toSet
+    val langs = graft.ops.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val want = docs.filter(_._1 % 25 != 0)
+      .groupBy(d => langs(d._1))
+      .view.mapValues(ds => (ds.length.toLong,
+        ds.count(d => grams(d._2).exists(bench)).toLong)).toMap
+    out.foreach { case (lang, n, c) =>
+      assert((n, c) === want(lang), s"lang $lang") }
+  }
+
   test("dup spans: census identities hold and match a brute-force recount") {
     import spark.implicits._
     val df = TextOps.dupSpans(spark, sfDir).cache()
