@@ -195,7 +195,68 @@ object Curation extends QueryModule {
     CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
       length(text) - length(replace(text, ' ', '')) + 1 END AS BIGINT)"""
 
+  /** INGEST DRIFT REPORT — distribution shift between the standing
+    * corpus (doc_id % 10 < 8, as in the incremental-dedup split) and a
+    * fresh batch, over the token-length histogram (16-token buckets):
+    * the monitoring check a pipeline runs BEFORE accepting a drop, so a
+    * recrawl that suddenly skews short/long is caught at the door, not
+    * three stages later in training metrics. Per bucket: both counts,
+    * both exact shares, and the absolute share gap (each a single
+    * correctly-rounded division/subtraction — no transcendental
+    * divergence-statistic arithmetic, which ln() implementations would
+    * make engine-dependent; rank buckets by `share_gap` and alert on
+    * the max downstream).
+    *
+    * Scale shape: the histogram is one groupBy on a derived constant
+    * (bucket) with both sides counted in the SAME pass via conditional
+    * sums — one shuffle of (bucket, partial counts); totals ride a
+    * 1-row broadcast. */
+  def ingestDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nTokens = when(length(trim($"text")) === 0, 0L)
+      .otherwise(length($"text") - length(replace($"text", lit(" "), lit(""))) + 1L)
+    val bucketed = Tables.documents(s, d)
+      .select((nTokens.cast("long") / 16L).cast("long").as("bucket"),
+        ($"doc_id" % 10 >= 8).as("fresh"))
+    val hist = bucketed.groupBy($"bucket")
+      .agg(
+        sum(when(!$"fresh", 1L).otherwise(0L)).as("n_corpus"),
+        sum(when($"fresh", 1L).otherwise(0L)).as("n_batch"))
+    val totals = hist.agg(
+      sum($"n_corpus").as("t_corpus"), sum($"n_batch").as("t_batch"))
+    hist.crossJoin(broadcast(totals)) // 1 row
+      .select($"bucket", $"n_corpus", $"n_batch",
+        ($"n_corpus".cast("double") / $"t_corpus").as("share_corpus"),
+        ($"n_batch".cast("double") / $"t_batch").as("share_batch"))
+      .withColumn("share_gap",
+        abs($"share_corpus" - $"share_batch"))
+      .orderBy($"bucket")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_ingest_drift", ingestDrift, Some("""
+        WITH b AS (
+          SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                   length(text) - length(replace(text, ' ', '')) + 1 END
+                   // 16 AS BIGINT) AS bucket,
+                 doc_id % 10 >= 8 AS fresh
+          FROM documents),
+        h AS (
+          SELECT bucket,
+                 CAST(sum(CASE WHEN fresh THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_corpus,
+                 CAST(sum(CASE WHEN fresh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_batch
+          FROM b GROUP BY bucket),
+        t AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS t_corpus,
+                     CAST(sum(n_batch) AS BIGINT) AS t_batch FROM h)
+        SELECT bucket, n_corpus, n_batch,
+               CAST(n_corpus AS DOUBLE) / t_corpus AS share_corpus,
+               CAST(n_batch AS DOUBLE) / t_batch AS share_batch,
+               abs(CAST(n_corpus AS DOUBLE) / t_corpus
+                 - CAST(n_batch AS DOUBLE) / t_batch) AS share_gap
+        FROM h CROSS JOIN t ORDER BY bucket""")),
     QueryDef(
       "q_pii_redact", piiRedact(_, _), Some("""
         WITH a AS (

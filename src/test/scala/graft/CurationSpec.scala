@@ -6,6 +6,21 @@ import graft.operators.Curation
 
 class CurationSpec extends SparkSpecBase {
 
+  test("ingest drift: shares sum to one per side, gap identity holds") {
+    import spark.implicits._
+    val rows = graft.operators.Curation.ingestDrift(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // every document lands in exactly one bucket on exactly one side
+    val total = graft.ops.Tables.documents(spark, sfDir).count()
+    assert(rows.map(r => r._2 + r._3).sum === total)
+    // shares are a probability distribution per side
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(math.abs(r._6 - math.abs(r._4 - r._5)) < 1e-12, r.toString) }
+  }
+
   test("redactPii: exact redaction + count pins on crafted strings") {
     import spark.implicits._
     val rows = Seq(
