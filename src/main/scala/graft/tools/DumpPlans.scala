@@ -46,7 +46,9 @@ object DumpPlans {
     "q_span_scrub" -> "duplicated-span removal: positions packed into the one (gram, doc) shuffle (no rejoin of the span stream), gaps-and-islands interval union, row-local nested-HOF token rewrite at the final doc join",
     "q_incremental_neardup" -> "incremental ingest dedup: batch-side band keys probe the corpus∪batch index one-sided — candidate volume scales with the BATCH, corpus×corpus never joins; verify joins fetch shingles for candidates only",
     "q_profile" -> "per-column profiling: one two-level aggregation per column (groupBy value → roll-up) — NO countDistinct Expand anywhere, every branch's scan pruned to its single column",
-    "q_filter_audit" -> "drop attribution: all cascade rules are row-local scan-stage work; ONE fp-window exchange (partitioned on (fp, passed)) before the tiny reason aggregate")
+    "q_filter_audit" -> "drop attribution: all cascade rules are row-local scan-stage work; ONE fp-window exchange (partitioned on (fp, passed)) before the tiny reason aggregate",
+    "q_incremental_semdedup" -> "incremental embedding dedup: narrow codebook assignment (no join), cell-bounded ONE-SIDED pair join (index × fresh probe), fresh-only verdict rejoin",
+    "q_decontaminate_ngram" -> "span-level decontamination: row-local md5 gram stream, DISTINCT'd benchmark grams broadcast into the probe join, per-lang aggregate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
