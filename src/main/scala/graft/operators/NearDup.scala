@@ -380,13 +380,22 @@ object NearDup extends QueryModule {
     * never corpus × corpus. Both inputs are (doc_id, sh) shingle-set
     * frames ([[hashedShingles]] shape). Factored out so specs can pin
     * the one-sided-probe semantics on planted splits. */
+  /** The LSH band index of a (doc_id, sh) shingle frame: one (bkey,
+    * doc_id) row per band — the table a production pipeline PERSISTS
+    * (bucketed on bkey via [[graft.sources.Ddl.createBucketedTable]],
+    * so a batch probe joins it with NO exchange on the index side —
+    * pinned by NearDupSpec). */
+  private[graft] def bandIndex(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    sh.select($"doc_id",
+        graft.functions.VectorExpressions.minhash_sig($"sh", Perms).as("mh"))
+      .select($"doc_id", explode(array(bandKeyColumns($"mh"): _*)).as("bkey"))
+  }
+
   private[graft] def incrementalPairs(
       corpus: DataFrame, fresh: DataFrame): DataFrame = {
     import corpus.sparkSession.implicits._
-    def banded(df: DataFrame): DataFrame = df
-      .select($"doc_id",
-        graft.functions.VectorExpressions.minhash_sig($"sh", Perms).as("mh"))
-      .select($"doc_id", explode(array(bandKeyColumns($"mh"): _*)).as("bkey"))
+    def banded(df: DataFrame): DataFrame = bandIndex(df)
     // the index side is what production keeps as a stored table; the
     // batch's own keys are unioned in so fresh×fresh dups are also seen
     val index = banded(corpus).union(banded(fresh))

@@ -198,6 +198,44 @@ class NearDupSpec extends SparkSpecBase {
     assert(inc === full)
   }
 
+  test("persisted band index: batch probe joins the stored index with no index-side exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorExpressions.text_shingles
+    val sh = graft.ops.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), text_shingles(col("text"), 3).as("sh"))
+    // persist the corpus index ONCE, bucketed on the band key — the
+    // write-time distribution every later ingest batch reuses
+    graft.sources.Ddl.createBucketedTable(
+      NearDup.bandIndex(sh.where($"doc_id" % 10 < 8)), "lsh_index_b", "bkey")
+    val probe = NearDup.bandIndex(sh.where($"doc_id" % 10 >= 8))
+      .withColumnRenamed("doc_id", "probe_id")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lsh_index_b").join(probe, "bkey")
+        .where($"doc_id" =!= $"probe_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      // only the (small) probe side shuffles; the stored index is read
+      // in its bucket layout — the 100 TB half of the join never moves
+      assert(plan.sliding("Exchange".length).count(_ == "Exchange") === 1,
+        plan)
+      assert(plan.indexOf("Exchange") > plan.indexOf("probe_id") ||
+        !plan.substring(0, plan.indexOf("Exchange")).contains("lsh_index_b"),
+        plan)
+      // and the probe finds exactly the corpus×fresh band collisions the
+      // inline two-sided computation finds
+      val inline = NearDup.bandIndex(sh.where($"doc_id" % 10 < 8))
+        .join(NearDup.bandIndex(sh.where($"doc_id" % 10 >= 8))
+          .withColumnRenamed("doc_id", "probe_id"), "bkey")
+        .where($"doc_id" =!= $"probe_id")
+      assert(joined.count() === inline.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS lsh_index_b")
+    }
+  }
+
   test("dedup clusters: every near-dup pair shares a label, labels are minima") {
     import spark.implicits._
     val labels = NearDup.dedupClusters(spark, sfDir)
