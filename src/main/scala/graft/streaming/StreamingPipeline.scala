@@ -292,6 +292,41 @@ object StreamingPipeline {
       }
   }
 
+  /** STREAM-STATIC ingest dedup — in-flight documents probe the
+    * PERSISTED corpus band index ([[graft.operators.NearDup.bandIndex]]
+    * written via [[graft.sources.Ddl.createBucketedTable]]): each
+    * micro-batch's band keys equi-join the static index, so a streaming
+    * ingest gets the same one-sided dedup the batch
+    * `incrementalNearDup` runs — against the standing corpus, not just
+    * against what this stream has seen (which is [[nearDupHits]]'
+    * stream-internal state). The static side is planned per micro-batch
+    * like any batch join: bucketed layout and pushdown apply, and the
+    * stream side is the only thing that moves.
+    *
+    * Emits (doc_id, corpus_id) candidate hits, deduped across batches
+    * with stateful dropDuplicates (constant-width keys; at deployment
+    * scale bound the state with a watermark on an ingest-time column).
+    * Exact-verify (shingle Jaccard) happens downstream on the flagged
+    * minority, exactly as in the batch pipeline. */
+  def staticIndexHits(
+      docs: DataFrame, // streaming; columns: doc_id LONG, text STRING
+      corpusIndex: DataFrame // static; columns: bkey LONG, doc_id LONG
+  ): DataFrame = {
+    val perms = graft.operators.NearDup.permCount
+    val sig = graft.functions.VectorExpressions
+      .minhash_sig(graft.functions.VectorExpressions
+        .text_shingles(col("text"), 3), perms)
+    docs
+      .select(col("doc_id"), sig.as("s"))
+      .select(col("doc_id"),
+        explode(array(graft.operators.NearDup.bandKeyColumns(col("s")): _*))
+          .as("bkey"))
+      .join(corpusIndex.withColumnRenamed("doc_id", "corpus_id"), Seq("bkey"))
+      .where(col("doc_id") =!= col("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"))
+      .dropDuplicates("doc_id", "corpus_id")
+  }
+
   /** Event-time windowed aggregation with watermark (the event-time
     * capability the reference lacks — SURVEY §2.6): counts per tumbling
     * window per key, late data bounded by the watermark. */

@@ -279,6 +279,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static dedup: in-flight docs probe the persisted corpus index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorExpressions.text_shingles
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    // standing corpus: docs 1 and 2, indexed once as a static table
+    val corpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+      .select(col("doc_id"), text_shingles(col("text"), 3).as("sh"))
+    val index = graft.operators.NearDup.bandIndex(corpus)
+    val stream = MemoryStream[(Long, String)]
+    val hits = StreamingPipeline.staticIndexHits(
+      stream.toDF().toDF("doc_id", "text"), index)
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("static_hits").start()
+    try {
+      val twin = (1 to 40).map(i => if (i == 20) "EDITED" else s"token$i")
+        .mkString(" ")
+      val novel = (200 to 240).map(i => s"fresh$i").mkString(" ")
+      stream.addData((10L, twin), (11L, novel))
+      q.processAllAvailable()
+      val got = spark.table("static_hits")
+        .as[(Long, Long)].collect().toSet
+      // the twin hits its corpus original; the novel doc hits nothing —
+      // and unlike nearDupHits, the corpus doc was never on the stream
+      assert(got === Set((10L, 1L)), got)
+      // a later batch still sees the full static index
+      val otherTwin = (100 to 140)
+        .map(i => if (i == 120) "EDITED" else s"word$i").mkString(" ")
+      stream.addData((12L, otherTwin))
+      q.processAllAvailable()
+      val got2 = spark.table("static_hits")
+        .as[(Long, Long)].collect().toSet
+      assert(got2 === Set((10L, 1L), (12L, 2L)), got2)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: per-key highwater state persists across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
