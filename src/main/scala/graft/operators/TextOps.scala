@@ -323,11 +323,18 @@ object TextOps extends QueryModule {
     * — an embedded eval question inside an otherwise-novel document —
     * which no whole-doc hash can see.
     *
-    * Scale shape: span hashes are the row-local md5 stream
-    * [[dupSpans]] uses (spans move as constant-width hashes, never
-    * text); the benchmark gram set is DISTINCT'd and broadcast (a
-    * benchmark suite is small by construction — and past broadcast
-    * size the [[graft.functions.BloomSketch]] scan-side test from the
+    * Scale shape: spans move as constant-width row-local hashes, never
+    * text — xxhash64 here, not [[dupSpans]]' md5: the hash only forms
+    * JOIN candidates (a collision is one spurious flag, ~1e-8 odds even
+    * at 10^12 corpus grams, and the oracle joins raw gram strings so
+    * the gate is hash-agnostic), and the codegen'd 64-bit hash shaves
+    * the hash cost (measured ~9% on this query — the gram-string build
+    * dominates; a hash-of-token-hashes variant that avoids it measured
+    * 6x WORSE because nested array HOFs leave codegen) while
+    * quartering the broadcast and shuffle width of every key. The
+    * benchmark gram set is DISTINCT'd and broadcast (a benchmark suite
+    * is small by construction — and past broadcast size the
+    * [[graft.functions.BloomSketch]] scan-side test from the
     * fingerprint form composes unchanged); the corpus side then flags
     * in its scan stage with one semi-join shape and aggregates
     * per (lang, contaminated). */
@@ -340,8 +347,8 @@ object TextOps extends QueryModule {
       .select($"doc_id", $"lang",
         when(size($"t") >= n,
           transform(sequence(lit(1), size($"t") - (n - 1)),
-            i => md5(array_join(slice($"t", i, lit(n)), " "))))
-          .otherwise(array().cast("array<string>")).as("ghs"))
+            i => xxhash64(array_join(slice($"t", i, lit(n)), " "))))
+          .otherwise(array().cast("array<bigint>")).as("ghs"))
     val benchGrams = broadcast(
       grams(docs.where($"doc_id" % 25 === 0))
         .select(explode($"ghs").as("bg")).distinct())
