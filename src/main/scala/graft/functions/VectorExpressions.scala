@@ -438,6 +438,46 @@ object VecOps {
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
+
+  /** POSITIONAL word n-gram hashes: one long per token position
+    * (output index k = the n-gram starting at 1-based token k+1), in
+    * document order, duplicates kept — the span-census/-scrub/
+    * -decontamination key stream, where [[textShingles]]'s
+    * sorted-distinct contract would lose positions and multiplicity.
+    *
+    * Token hashes (FNV-1a/64) are computed ONCE per token, then each
+    * window key is an order-sensitive polynomial combination updated in
+    * O(1) per position (slide: subtract the departing token's term,
+    * multiply, add the entering token's), finished with a murmur fmix64
+    * avalanche so join/shuffle bucketing sees well-spread keys. Replaces
+    * the transform(sequence) → slice → array_join → md5/xxhash64 chain
+    * whose per-position n-token STRING build dominated the three span
+    * queries' scan stage. Texts shorter than n tokens yield an empty
+    * array (the callers' `when(size(t) >= n, …)` guard, folded in). */
+  def ngramHashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val toks = splitSpaces(text.toString)
+    val m = toks.length
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) { th(i) = SimHash.fnv1a64(toks(i)); i += 1 }
+    val P = 0x9E3779B97F4A7C15L // odd golden-ratio multiplier, mod 2^64
+    var pn = 1L // P^(n-1), the departing token's positional weight
+    i = 0
+    while (i < n - 1) { pn *= P; i += 1 }
+    val out = new Array[Long](m - n + 1)
+    var h = 0L
+    i = 0
+    while (i < n) { h = h * P + th(i); i += 1 }
+    out(0) = fmix64(h)
+    i = 1
+    while (i <= m - n) {
+      h = (h - th(i - 1) * pn) * P + th(i + n - 1)
+      out(i) = fmix64(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** dot(a, b) over array<float|double> columns → double. */
@@ -619,6 +659,19 @@ case class RepetitionStatsExpr(child: Expression)
     copy(c)
 }
 
+/** Positional (ordered, duplicates kept) hashed word n-grams of a text
+  * column — see [[VecOps.ngramHashes]]. */
+case class NgramHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecOps.ngramHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.ngramHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): NgramHashesExpr =
+    copy(c)
+}
+
 /** Sorted-distinct hashed word n-gram shingles of a text column. */
 case class TextShinglesExpr(child: Expression, n: Int)
     extends UnaryExpression {
@@ -645,6 +698,8 @@ object VectorExpressions {
       GraftShims.toExpression(b)))
   def text_shingles(text: Column, n: Int): Column =
     GraftShims.column(TextShinglesExpr(GraftShims.toExpression(text), n))
+  def ngram_hashes(text: Column, n: Int): Column =
+    GraftShims.column(NgramHashesExpr(GraftShims.toExpression(text), n))
   def content_chunks(text: Column, maskBits: Int): Column =
     GraftShims.column(ContentChunksExpr(GraftShims.toExpression(text), maskBits))
   def nearest_centroid(v: Column, nrm: Column, ids: Array[Long],

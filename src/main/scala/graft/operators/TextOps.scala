@@ -294,9 +294,10 @@ object TextOps extends QueryModule {
     * span census a cleaning pass keys off: total spans, corpus-duplicated
     * spans, and their ratio.
     *
-    * Scale shape: n-gram construction is ROW-LOCAL (sequence + slice +
-    * array_join, all codegen'd) and each span travels as a 16-byte md5,
-    * never the text. The span stream shuffles ONCE on (gram, doc) with
+    * Scale shape: n-gram construction is ROW-LOCAL (one codegen'd
+    * [[graft.functions.VecOps.ngramHashes]] pass: per-token FNV-1a/64
+    * once, O(1) rolling window slide) and each span travels as an 8-byte
+    * long, never the text. The span stream shuffles ONCE on (gram, doc) with
     * map-side partial counts — the unavoidable corpus-wide exchange any
     * global frequency needs; the cross-doc count rides a window over the
     * already-reduced (gram, doc) table (an exchange of the REDUCED set,
@@ -324,14 +325,16 @@ object TextOps extends QueryModule {
     * which no whole-doc hash can see.
     *
     * Scale shape: spans move as constant-width row-local hashes, never
-    * text — xxhash64 here, not [[dupSpans]]' md5: the hash only forms
-    * JOIN candidates (a collision is one spurious flag, ~1e-8 odds even
-    * at 10^12 corpus grams, and the oracle joins raw gram strings so
-    * the gate is hash-agnostic), and the codegen'd 64-bit hash shaves
-    * the hash cost (measured ~9% on this query — the gram-string build
-    * dominates; a hash-of-token-hashes variant that avoids it measured
-    * 6x WORSE because nested array HOFs leave codegen) while
-    * quartering the broadcast and shuffle width of every key. The
+    * text — [[graft.functions.VecOps.ngramHashes]]' rolling 64-bit keys:
+    * the hash only forms JOIN candidates (a collision is one spurious
+    * flag, ~1e-8 odds even at 10^12 corpus grams, and the oracle joins
+    * raw gram strings so the gate is hash-agnostic). The native kernel
+    * hashes each token ONCE and slides the window in O(1) longs, where
+    * the previous xxhash64(array_join(slice(…))) chain built and hashed
+    * an n-token string per position (a HOF-composed hash-of-token-hashes
+    * attempt had measured 6x WORSE — nested array HOFs leave codegen —
+    * which is exactly what pushing the loop into one codegen'd
+    * expression fixes; measured ~3.5x on this query). The
     * benchmark gram set is DISTINCT'd and broadcast (a benchmark suite
     * is small by construction — and past broadcast size the
     * [[graft.functions.BloomSketch]] scan-side test from the
@@ -343,12 +346,8 @@ object TextOps extends QueryModule {
     val n = 8
     val docs = Tables.documents(s, d)
     def grams(df: DataFrame) = df
-      .select($"doc_id", $"lang", split($"text", " ").as("t"))
       .select($"doc_id", $"lang",
-        when(size($"t") >= n,
-          transform(sequence(lit(1), size($"t") - (n - 1)),
-            i => xxhash64(array_join(slice($"t", i, lit(n)), " "))))
-          .otherwise(array().cast("array<bigint>")).as("ghs"))
+        graft.functions.VectorExpressions.ngram_hashes($"text", n).as("ghs"))
     val benchGrams = broadcast(
       grams(docs.where($"doc_id" % 25 === 0))
         .select(explode($"ghs").as("bg")).distinct())
@@ -372,12 +371,8 @@ object TextOps extends QueryModule {
     val n = 8
     val docs = Tables.documents(s, d)
     val grams = docs
-      .select($"doc_id", split($"text", " ").as("t"))
       .select($"doc_id",
-        when(size($"t") >= n,
-          transform(sequence(lit(1), size($"t") - (n - 1)),
-            i => md5(array_join(slice($"t", i, lit(n)), " "))))
-          .otherwise(array().cast("array<string>")).as("ghs"))
+        graft.functions.VectorExpressions.ngram_hashes($"text", n).as("ghs"))
       .select($"doc_id", explode($"ghs").as("gh"))
     val perDocGram = grams.groupBy($"gh", $"doc_id")
       .agg(count(lit(1)).as("npos"))
@@ -411,7 +406,8 @@ object TextOps extends QueryModule {
     * rewrite drops exactly the tokens inside some island.
     *
     * Scale shape: everything before the rewrite moves (doc_id, position)
-    * pairs and 16-byte hashes, never text; islands group by doc with
+    * pairs and 8-byte rolling-hash keys, never text; islands group by
+    * doc with
     * map-side partials (bounded: islands per doc ≤ spans per doc, and a
     * fully-duplicated doc is ONE island). The rewrite is a row-local
     * nested higher-order filter (token index ∉ any island) in the scan
@@ -422,16 +418,10 @@ object TextOps extends QueryModule {
     val n = 8
     val docs = Tables.documents(s, d)
     val positions = docs
-      .select($"doc_id", split($"text", " ").as("t"))
       .select($"doc_id",
-        when(size($"t") >= n,
-          transform(sequence(lit(1), size($"t") - (n - 1)),
-            i => struct(i.as("i"),
-              md5(array_join(slice($"t", i, lit(n)), " ")).as("gh"))))
-          .otherwise(array().cast("array<struct<i:int,gh:string>>"))
-          .as("gs"))
-      .select($"doc_id", explode($"gs").as("g"))
-      .select($"doc_id", $"g.i".as("i"), $"g.gh".as("gh"))
+        graft.functions.VectorExpressions.ngram_hashes($"text", n).as("ghs"))
+      .select($"doc_id", posexplode($"ghs").as(Seq("p", "gh")))
+      .select($"doc_id", ($"p" + 1).as("i"), $"gh") // 1-based span starts
     // positions ride the ONE (gram, doc) shuffle as a packed list, so no
     // second exchange / join is needed to recover them afterwards
     val nDocsWithGram = Window.partitionBy($"gh")

@@ -40,7 +40,7 @@ object DumpPlans {
     "q_global_shuffle" -> "deterministic global order: ONE range exchange, within-partition rank, bounded per-partition offset map — no single-task global window",
     "q_gap_by_window" -> "ONE hash exchange on user_id shared by the distinct aggregation, the lag window, and the per-user aggregate (plus the presentation range sort)",
     "q_dedup_clusters" -> "near-dup pairs -> connected components: banded LSH joins feed min-label propagation (star-contraction fallback past the round cap); per-round state is localCheckpoint'ed and freed",
-    "q_dup_spans" -> "duplicated-span census: row-local n-gram hashing (spans move as md5, never text), ONE shuffle of the span stream into the (gram, doc) partial agg, window over the reduced table — no countDistinct Expand",
+    "q_dup_spans" -> "duplicated-span census: row-local rolling n-gram hashing (one ngramhashesexpr pass, spans move as 8-byte longs, never text), ONE shuffle of the span stream into the (gram, doc) partial agg, window over the reduced table — no countDistinct Expand",
     "q_dedup_survivor" -> "cluster labels join the narrow quality scan; per-cluster argmax is one max(struct) partial agg; survivor join reuses the cluster_id hash partitioning",
     "q_cell_sample" -> "narrow no-join centroid assignment; rank + cell-size windows share ONE exchange on centroid_id",
     "q_span_scrub" -> "duplicated-span removal: positions packed into the one (gram, doc) shuffle (no rejoin of the span stream), gaps-and-islands interval union, row-local nested-HOF token rewrite at the final doc join",
@@ -48,7 +48,7 @@ object DumpPlans {
     "q_profile" -> "per-column profiling: one two-level aggregation per column (groupBy value → roll-up) — NO countDistinct Expand anywhere, every branch's scan pruned to its single column",
     "q_filter_audit" -> "drop attribution: all cascade rules are row-local scan-stage work; ONE fp-window exchange (partitioned on (fp, passed)) before the tiny reason aggregate",
     "q_incremental_semdedup" -> "incremental embedding dedup: narrow codebook assignment (no join), cell-bounded ONE-SIDED pair join (index × fresh probe), fresh-only verdict rejoin",
-    "q_decontaminate_ngram" -> "span-level decontamination: row-local md5 gram stream, DISTINCT'd benchmark grams broadcast into the probe join, per-lang aggregate")
+    "q_decontaminate_ngram" -> "span-level decontamination: row-local rolling-hash gram stream (ngramhashesexpr), DISTINCT'd benchmark grams broadcast into the probe join, per-lang aggregate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -54,6 +54,43 @@ class VecOpsPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ngramHashes: positional count, window identity, rolling == direct") {
+    val words = Gen.nonEmptyListOf(Gen.identifier.map(_.take(6)))
+    check(Prop.forAll(words, Gen.chooseNum(2, 8)) { (ws, n) =>
+      val out = VecOps.ngramHashes(UTF8String.fromString(ws.mkString(" ")), n)
+      val xs = (0 until out.numElements()).map(out.getLong)
+      // one key per window position, empty when the doc is shorter than n
+      xs.size == math.max(ws.size - n + 1, 0) &&
+        // the key at position i is a pure function of the n-token window:
+        // recomputing each window as its own n-token document (direct
+        // O(n) evaluation, no rolling slide) must reproduce the key — the
+        // rolling-update/direct-evaluation agreement that makes equal
+        // windows collide exactly, wherever they appear
+        xs.zipWithIndex.forall { case (h, i) =>
+          val solo = VecOps.ngramHashes(
+            UTF8String.fromString(ws.slice(i, i + n).mkString(" ")), n)
+          solo.numElements() == 1 && solo.getLong(0) == h
+        }
+    })
+  }
+
+  test("ngramHashes: empty-token and order sensitivity pins") {
+    // split-on-space semantics: consecutive spaces yield empty tokens,
+    // matching Spark's split(text, ' ') and DuckDB's string_split — the
+    // alignment the span-scrub position arithmetic relies on
+    val a = VecOps.ngramHashes(UTF8String.fromString("a  b c"), 2) // a,'',b,c
+    assert(a.numElements() == 3)
+    // order-sensitive: "a b" != "b a"
+    val ab = VecOps.ngramHashes(UTF8String.fromString("a b"), 2)
+    val ba = VecOps.ngramHashes(UTF8String.fromString("b a"), 2)
+    assert(ab.getLong(0) != ba.getLong(0))
+    // distinct windows hash apart on a planted repeat: in "x y x y x",
+    // windows (x y) at 1 and 3 collide; (y x) differs
+    val r = VecOps.ngramHashes(UTF8String.fromString("x y x y x"), 2)
+    assert(r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(3)
+      && r.getLong(0) != r.getLong(1))
+  }
+
   test("signTable: a cached shape keeps its table when the cache cap is reached") {
     // the cap gates NEW insertions only: fill the cache past its 64-shape
     // cap with tiny shapes, then confirm (a) an already-cached shape still
