@@ -493,7 +493,126 @@ object Corpus extends QueryModule {
       .orderBy($"token")
   }
 
+  /** BPE MERGE INDUCTION — the tokenizer-training core loop (Sennrich,
+    * Haddow & Birch, "Neural Machine Translation of Rare Words with
+    * Subword Units", ACL'16): start every word as characters, repeatedly
+    * merge the corpus-most-frequent ADJACENT symbol pair. Output is the
+    * first K rows of the merge table a trained BPE tokenizer ships
+    * (step, l, r, merged, cnt).
+    *
+    * Scale shape — the production trainer architecture (word-histogram
+    * first, then merge over the VOCABULARY, never the corpus): the
+    * corpus is touched exactly ONCE (token explode → (word, count)
+    * shuffle with map-side partials); each merge step then runs on the
+    * distinct-word table (vocab ≪ corpus at any scale — it grows with
+    * content entropy, not data volume), as one pair-count aggregate plus
+    * a ONE-ROW argmax collect (bounded driver traffic, the same
+    * contract as IVF codebook training), and a row-local literal
+    * replace applies the merge. Per-step persist swap keeps lineage
+    * flat; no corpus re-scan ever happens.
+    *
+    * Symbol sequences live in a padded-doubled string encoding —
+    * `" a  b  c "`, two spaces between symbols, one at each end — chosen
+    * so applying a merge is ONE literal replace (`" l  r "` → `" lr "`):
+    * adjacent occurrences can never share a separator (no overlap
+    * hazard), matching is left-to-right greedy exactly like reference
+    * BPE trainers, and the replacement string restores the encoding's
+    * own invariant. Ties break on (count desc, pair bytes asc), so the
+    * induced merges are engine-reproducible — the DuckDB oracle replays
+    * all K steps from the same rule and must land on the identical
+    * merge table. */
+  private[graft] def bpeTrain(words: DataFrame, steps: Int): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    var vocab = words
+      .select(regexp_replace($"w", "(.)", " $1 ").as("sym"), $"wc")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= steps && !exhausted) {
+      val t = split(trim($"sym"), "  ")
+      val best = vocab
+        .select($"wc",
+          slice(t, lit(1), size(t) - 1).as("a1"),
+          slice(t, lit(2), size(t) - 1).as("a2"))
+        .select($"wc", explode(arrays_zip($"a1", $"a2")).as("p"))
+        .select($"p.a1".as("l"), $"p.a2".as("r"), $"wc")
+        .groupBy($"l", $"r").agg(sum($"wc").as("c"))
+        .orderBy($"c".desc, $"l".asc, $"r".asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        out += ((k.toLong, l, r, l + r, c))
+        val next = vocab
+          .select(call_function("replace", $"sym",
+            lit(s" $l  $r "), lit(s" $l$r ")).as("sym"), $"wc")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent's blocks
+        vocab.unpersist(false)
+        vocab = next
+        k += 1
+      }
+    }
+    vocab.unpersist(false)
+    out.result().toDF("step", "l", "r", "merged", "cnt").orderBy($"step")
+  }
+
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("w"))
+      .where($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+    bpeTrain(words, steps = 6)
+  }
+
+  /** The [[bpeMerges]] oracle: K unrolled merge steps, each re-deriving
+    * the argmax pair under the identical tie-break and applying the
+    * identical padded-doubled literal replace. */
+  private def bpeOracleSql(steps: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""
+        WITH w1 AS MATERIALIZED (
+          SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS sym,
+                 CAST(count(*) AS BIGINT) AS wc
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' GROUP BY w)""")
+    for (k <- 1 to steps) {
+      sb.append(s"""
+        , s$k AS MATERIALIZED (
+          SELECT string_split(trim(sym), '  ') AS t, wc FROM w$k),
+        b$k AS MATERIALIZED (
+          SELECT t[i] AS l, t[i + 1] AS r, CAST(sum(wc) AS BIGINT) AS c
+          FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM s$k WHERE len(t) >= 2)
+          GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1),
+        w${k + 1} AS MATERIALIZED (
+          SELECT replace(sym,
+                   ' ' || (SELECT l FROM b$k) || '  ' ||
+                     (SELECT r FROM b$k) || ' ',
+                   ' ' || (SELECT l FROM b$k) ||
+                     (SELECT r FROM b$k) || ' ') AS sym, wc
+          FROM w$k)""")
+    }
+    sb.append("""
+        SELECT * FROM (""")
+    sb.append((1 to steps).map { k =>
+      s"""
+          SELECT CAST($k AS BIGINT) AS step, l, r, l || r AS merged,
+                 c AS cnt FROM b$k"""
+    }.mkString("""
+          UNION ALL"""))
+    sb.append("""
+        ) ORDER BY step""")
+    sb.toString
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_bpe_merges", bpeMerges(_, _), Some(bpeOracleSql(6))),
     QueryDef(
       "q_chunk_windows", chunkWindows(_, _), Some("""
         WITH t AS (

@@ -297,6 +297,35 @@ class CorpusSpec extends SparkSpecBase {
     assert(kept.map(_._1).toSet === expected)
   }
 
+  test("bpeTrain: hand-computed merges, greedy-left application, early stop") {
+    import spark.implicits._
+    // corpus: "abab" x2, "ab" x3.  Pair counts round 1: (a,b) = 2*2 + 1*3
+    // = 7, (b,a) = 1*2 = 2 -> merge (a,b).  Round 2 the only pair left is
+    // (ab,ab) = 2 -> merge.  Round 3 has no adjacent pairs anywhere, so a
+    // 6-step budget must stop early with exactly 2 rows.
+    val words = Seq(("abab", 2L), ("ab", 3L)).toDF("w", "wc")
+    val got = Corpus.bpeTrain(words, steps = 6)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", "b", "ab", 7L),
+      (2L, "ab", "ab", "abab", 2L)))
+    // greedy-left in a run of identical symbols: "aaa" pairs (a,a) twice
+    // in round 1; the replace pairs the LEFTMOST two, so round 2 must see
+    // (aa, a) — a right-to-left application would produce (a, aa)
+    val runs = Seq(("aaa", 1L)).toDF("w", "wc")
+    val got2 = Corpus.bpeTrain(runs, steps = 2)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got2 === Seq(
+      (1L, "a", "a", "aa", 2L),
+      (2L, "aa", "a", "aaa", 1L)))
+    // tie-break: equal counts resolve by pair bytes ascending — "xy" x1
+    // and "za" x1 tie at 1; (x,y) < (z,a) byte-wise
+    val ties = Seq(("xy", 1L), ("za", 1L)).toDF("w", "wc")
+    val got3 = Corpus.bpeTrain(ties, steps = 1)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got3 === Seq((1L, "x", "y", "xy", 1L)))
+  }
+
   test("shardAssign: deterministic, total, positions are per-shard ranks") {
     import spark.implicits._
     val a = Corpus.shardAssign(spark, sfDir)
