@@ -521,11 +521,15 @@ object Corpus extends QueryModule {
     * induced merges are engine-reproducible — the DuckDB oracle replays
     * all K steps from the same rule and must land on the identical
     * merge table. */
-  private[graft] def bpeTrain(words: DataFrame, steps: Int): DataFrame = {
+  /** The shared trainer loop: returns the collected merge rows AND the
+    * final (w, sym, wc) vocabulary, still persisted — the caller owns
+    * the unpersist (merges don't need the table; encoding does). */
+  private def bpeLoop(words: DataFrame, steps: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val s = words.sparkSession
     import s.implicits._
     var vocab = words
-      .select(regexp_replace($"w", "(.)", " $1 ").as("sym"), $"wc")
+      .select($"w", regexp_replace($"w", "(.)", " $1 ").as("sym"), $"wc")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     var k = 1
@@ -547,7 +551,7 @@ object Corpus extends QueryModule {
           best(0).getLong(2))
         out += ((k.toLong, l, r, l + r, c))
         val next = vocab
-          .select(call_function("replace", $"sym",
+          .select($"w", call_function("replace", $"sym",
             lit(s" $l  $r "), lit(s" $l$r ")).as("sym"), $"wc")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before dropping the parent's blocks
@@ -556,27 +560,75 @@ object Corpus extends QueryModule {
         k += 1
       }
     }
-    vocab.unpersist(false)
-    out.result().toDF("step", "l", "r", "merged", "cnt").orderBy($"step")
+    (out.result(), vocab)
   }
 
-  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bpeTrain(words: DataFrame, steps: Int): DataFrame = {
+    val s = words.sparkSession
     import s.implicits._
-    val words = Tables.documents(s, d)
+    val (merges, vocab) = bpeLoop(words, steps)
+    vocab.unpersist(false)
+    merges.toDF("step", "l", "r", "merged", "cnt").orderBy($"step")
+  }
+
+  private def wordHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
       .select(explode(split($"text", " ")).as("w"))
       .where($"w" =!= "")
       .groupBy($"w").agg(count(lit(1)).as("wc"))
-    bpeTrain(words, steps = 6)
   }
 
-  /** The [[bpeMerges]] oracle: K unrolled merge steps, each re-deriving
-    * the argmax pair under the identical tie-break and applying the
-    * identical padded-doubled literal replace. */
-  private def bpeOracleSql(steps: Int): String = {
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeTrain(wordHistogram(s, d), steps = 6)
+
+  /** One-slot holder for the last encode's persisted vocabulary —
+    * unpersist-first swap on the next call, the [[graft.operators
+    * .Similarity]] cache-lifecycle contract (serial gate/bench use). */
+  private val lastBpeVocab =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** BPE ENCODING audit — the tokenizer-fertility report over the corpus
+    * under the merges [[bpeMerges]] just induced: per document, the
+    * whitespace word count and the BPE token count after K merges, plus
+    * the bytes-per-token compression ratio a tokenizer owner tracks. The
+    * corpus-scale work is one word explode joined against the
+    * vocabulary's final symbol counts (vocab ≪ corpus; broadcastable in
+    * deployment, AQE decides here) — the documents are never themselves
+    * re-segmented, because segmentation is word-local by construction:
+    * a word's BPE token count is a pure function of the word. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, vocab) = bpeLoop(wordHistogram(s, d), steps = 6)
+    Option(lastBpeVocab.getAndSet(vocab)).foreach(_.unpersist(false))
+    val nsym = vocab.select($"w",
+      size(split(trim($"sym"), "  ")).cast("long").as("ns"))
+    Tables.documents(s, d)
+      .select($"doc_id", $"n_chars", explode(split($"text", " ")).as("w"))
+      .where($"w" =!= "")
+      .join(nsym, Seq("w"))
+      .groupBy($"doc_id")
+      .agg(
+        max($"n_chars").as("n_chars"),
+        count(lit(1)).as("n_words"),
+        sum($"ns").as("n_bpe_tokens"))
+      .select($"doc_id", $"n_words", $"n_bpe_tokens",
+        ($"n_chars".cast("double") / $"n_bpe_tokens").as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  /** The shared oracle CTE chain: K unrolled merge steps, each
+    * re-deriving the argmax pair under the identical tie-break and
+    * applying the identical padded-doubled literal replace. MATERIALIZED
+    * is load-bearing — DuckDB inlines plain CTEs, and each step
+    * references its predecessors several times, so the inlined tree
+    * grows exponentially in K (measured: a non-materialized 6-step chain
+    * does not finish; materialized it runs in well under a second). */
+  private def bpeChainSql(steps: Int): String = {
     val sb = new StringBuilder
     sb.append("""
         WITH w1 AS MATERIALIZED (
-          SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS sym,
+          SELECT w, regexp_replace(w, '(.)', ' \1 ', 'g') AS sym,
                  CAST(count(*) AS BIGINT) AS wc
           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
           WHERE w <> '' GROUP BY w)""")
@@ -590,13 +642,19 @@ object Corpus extends QueryModule {
                 FROM s$k WHERE len(t) >= 2)
           GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1),
         w${k + 1} AS MATERIALIZED (
-          SELECT replace(sym,
+          SELECT w, replace(sym,
                    ' ' || (SELECT l FROM b$k) || '  ' ||
                      (SELECT r FROM b$k) || ' ',
                    ' ' || (SELECT l FROM b$k) ||
                      (SELECT r FROM b$k) || ' ') AS sym, wc
           FROM w$k)""")
     }
+    sb.toString
+  }
+
+  /** The [[bpeMerges]] oracle: the chain's K argmax rows. */
+  private def bpeOracleSql(steps: Int): String = {
+    val sb = new StringBuilder(bpeChainSql(steps))
     sb.append("""
         SELECT * FROM (""")
     sb.append((1 to steps).map { k =>
@@ -610,9 +668,33 @@ object Corpus extends QueryModule {
     sb.toString
   }
 
+  /** The [[bpeEncode]] oracle: per-word symbol counts off the chain's
+    * final vocabulary, summed per document. */
+  private def bpeEncodeOracleSql(steps: Int): String = {
+    val sb = new StringBuilder(bpeChainSql(steps))
+    sb.append(s"""
+        , ns AS MATERIALIZED (
+          SELECT w, CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS ns
+          FROM w${steps + 1}),
+        dw AS (
+          SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(ns) AS BIGINT) AS n_bpe_tokens,
+               CAST(max(n_chars) AS DOUBLE) / CAST(sum(ns) AS BIGINT)
+                 AS chars_per_token
+        FROM dw JOIN ns USING (w)
+        WHERE dw.w <> ''
+        GROUP BY doc_id ORDER BY doc_id""")
+    sb.toString
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_bpe_merges", bpeMerges(_, _), Some(bpeOracleSql(6))),
+    QueryDef(
+      "q_bpe_encode", bpeEncode(_, _), Some(bpeEncodeOracleSql(6))),
     QueryDef(
       "q_chunk_windows", chunkWindows(_, _), Some("""
         WITH t AS (
