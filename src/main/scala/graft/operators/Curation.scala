@@ -233,7 +233,73 @@ object Curation extends QueryModule {
       .orderBy($"bucket")
   }
 
+  /** PER-LANGUAGE quality calibration: a fixed global quality threshold
+    * over-drops whichever language scores structurally lower (the
+    * stopword markers are language-biased by construction), so cleaning
+    * pipelines calibrate the cutoff WITHIN each language — keep a doc
+    * iff its quality percentile within its language clears the floor
+    * (bottom 20% dropped here). Scores reuse [[TextOps.textStats]]'
+    * composite exactly; the percentile is percent_rank (rank-based, so
+    * ties share a value and the result is order-free and
+    * engine-reproducible).
+    *
+    * Scale shape: the window partitions by `lang` — LOW-cardinality by
+    * nature, so at 100 TB this exact form would funnel each language
+    * into one partition. The deployment lever (documented, not default:
+    * the gate pins the exact form) is threshold-from-sketch — per-lang
+    * `approx_percentile(score, 0.2)` (mergeable, fully parallel) or the
+    * exact t-digest audit path, broadcast the ~5-row threshold table,
+    * then a NARROW scan-stage filter — the same
+    * exactness-vs-parallelism swap the salted/sketch variants elsewhere
+    * make explicit. */
+  def qualityCalibrate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = $"text"
+    val nTokens = TextOps.tokenCount(t)
+    val nStop = (TextOps.tokenOccurrences(t, "the")
+      + TextOps.tokenOccurrences(t, "a")
+      + TextOps.tokenOccurrences(t, "of")
+      + TextOps.tokenOccurrences(t, "and"))
+    val score = when(nTokens === 0, 0.0).otherwise(
+      (nStop.cast("double") / nTokens) * 2.0
+        + when(nTokens >= 20 && nTokens <= 1000, 1.0).otherwise(0.0))
+    val w = Window.partitionBy($"lang").orderBy($"quality_score")
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", score.as("quality_score"))
+      .withColumn("pctl", percent_rank().over(w))
+      .withColumn("keep", $"pctl" >= 0.2)
+      .orderBy($"doc_id")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_quality_calibrate", qualityCalibrate(_, _), Some("""
+        WITH q AS (
+          SELECT doc_id, lang,
+                 CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                   (CAST(n_stop AS DOUBLE) / n_tokens) * 2.0
+                     + CASE WHEN n_tokens BETWEEN 20 AND 1000
+                            THEN 1.0 ELSE 0.0 END END AS quality_score
+          FROM (
+            SELECT doc_id, lang,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                     length(text) - length(replace(text, ' ', '')) + 1 END
+                     AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                          t -> t = 'the'))
+                      + len(list_filter(string_split(text, ' '),
+                          t -> t = 'a'))
+                      + len(list_filter(string_split(text, ' '),
+                          t -> t = 'of'))
+                      + len(list_filter(string_split(text, ' '),
+                          t -> t = 'and')) AS BIGINT) AS n_stop
+            FROM documents))
+        SELECT doc_id, lang, quality_score,
+               percent_rank() OVER (PARTITION BY lang
+                 ORDER BY quality_score) AS pctl,
+               percent_rank() OVER (PARTITION BY lang
+                 ORDER BY quality_score) >= 0.2 AS keep
+        FROM q ORDER BY doc_id""")),
     QueryDef(
       "q_ingest_drift", ingestDrift, Some("""
         WITH b AS (

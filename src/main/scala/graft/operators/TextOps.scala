@@ -43,12 +43,12 @@ object TextOps extends QueryModule {
     * interpreted-HOF overhead it removes. The split array is also
     * shared across the four stopword counts by Catalyst subexpression
     * elimination, so the HOF form pays for one split, not four. */
-  private def tokenOccurrences(s: Column, w: String): Column =
+  private[operators] def tokenOccurrences(s: Column, w: String): Column =
     size(filter(split(s, " "), t => t === w)).cast("long")
 
   /** Whitespace token count for single-space-separated text:
     * #spaces + 1 (0 for empty/blank). */
-  private def tokenCount(s: Column): Column =
+  private[operators] def tokenCount(s: Column): Column =
     when(length(trim(s)) === 0, 0L)
       .otherwise(occurrences(s, " ") + lit(1L))
 

@@ -82,6 +82,24 @@ class CurationSpec extends SparkSpecBase {
     df.unpersist()
   }
 
+  test("qualityCalibrate: the floor is per-language, not global") {
+    import spark.implicits._
+    val df = Curation.qualityCalibrate(spark, sfDir)
+      .select($"lang", $"pctl", $"keep")
+      .as[(String, Double, Boolean)].collect()
+    df.groupBy(_._1).foreach { case (lang, rows) =>
+      // keep is exactly the pctl >= 0.2 rule, applied within the language
+      rows.foreach { case (_, p, k) => assert(k === (p >= 0.2), lang) }
+      // every language keeps its own top ~80% — a global threshold would
+      // skew drops toward the structurally-lower-scoring languages
+      val kept = rows.count(_._3).toDouble / rows.length
+      assert(kept >= 0.75 && kept <= 0.9, s"$lang kept=$kept")
+      // percentiles span [0, 1] within each language independently
+      assert(rows.map(_._2).min === 0.0)
+      assert(math.abs(rows.map(_._2).max - 1.0) < 1e-12)
+    }
+  }
+
   test("globalShuffle: positions are partitioning-invariant") {
     // the global rank must not depend on how many range partitions the
     // cluster happens to use — 3 partitions and 32 must agree exactly
