@@ -122,6 +122,18 @@ object ScaleBench {
           .select($"doc_id", graft.functions.VectorExpressions
             .text_shingles($"text", 3).as("sh"))).count()
     }
+    // BPE training: the claim under test is that the merge loop runs at
+    // VOCABULARY scale — the 4k-word synthetic vocab saturates long
+    // before the corpus grows, so train time should be near-flat in n
+    // (only the one word-histogram scan scales with the corpus)
+    time("bpe_train_6") {
+      graft.operators.Corpus.bpeTrain(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(explode(split($"text", " ")).as("w"))
+          .where($"w" =!= "")
+          .groupBy($"w").agg(count(lit(1)).as("wc")),
+        steps = 6).count()
+    }
     spark.stop()
   }
 }
