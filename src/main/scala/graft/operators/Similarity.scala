@@ -557,7 +557,100 @@ object Similarity extends QueryModule {
         kk -> (CAST($qe[kk] AS DOUBLE) - $rv[kk])
             * (CAST($qe[kk] AS DOUBLE) - $rv[kk])))"""
 
+  /** K-CENTER diversity selection — farthest-point traversal (Gonzalez,
+    * "Clustering to minimize the maximum intercluster distance", TCS'85;
+    * the greedy 2-approximation), the coreset-selection step
+    * diversity-aware data curation runs over an embedding column: seed
+    * deterministically, then repeatedly pick the vector FARTHEST from
+    * everything already chosen (minimal max-cosine), so each pick covers
+    * the least-represented region of embedding space. Output: selection
+    * order, chosen ids, and the max-cosine-to-prior-picks at selection
+    * time — the non-decreasing coverage certificate.
+    *
+    * Scale shape: the chosen set is bounded driver metadata (≤ K rows —
+    * the codebook contract), carried into ONE narrow codegen'd scan per
+    * round by [[graft.functions.NearestCentroidExpr]] (max-cos over the
+    * chosen set is exactly the nearest-centroid kernel); each round adds
+    * a 1-row argmin collect. K narrow scans total, no joins, no
+    * shuffles beyond TakeOrdered. The oracle replays every round
+    * (unrolled MATERIALIZED stages, greatest() over the same per-pair
+    * doubles), so the full greedy trajectory is hash-gated. */
+  def kcenterSelect(s: SparkSession, d: String): DataFrame =
+    kcenterFrom(vecs(s, d), 8)
+
+  /** Core loop over any (vec_id, v, nrm) frame; seed = lowest vec_id. */
+  private[graft] def kcenterFrom(vectors: DataFrame, k0: Int): DataFrame = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val K = k0
+    val e = vectors
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = e.orderBy($"vec_id".asc)
+      .select($"vec_id", $"v", $"nrm").limit(1).collect()(0)
+    var ids = Array(seed.getLong(0))
+    var cents = Array(seed.getSeq[Float](1).toArray.map(_.toDouble))
+    var norms = Array(seed.getDouble(2))
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    out += ((1L, seed.getLong(0), 1.0)) // the seed's radius slot, by convention
+    for (k <- 2 to K) {
+      val far = assignTo(
+        e.where(!$"vec_id".isin(ids.toIndexedSeq: _*)),
+        Codebook(ids, cents, norms))
+        .orderBy($"cos".asc, $"vec_id".asc)
+        .select($"vec_id", $"v", $"nrm", $"cos")
+        .limit(1).collect()(0)
+      out += ((k.toLong, far.getLong(0), far.getDouble(3)))
+      ids = ids :+ far.getLong(0)
+      cents = cents :+ far.getSeq[Float](1).toArray.map(_.toDouble)
+      norms = norms :+ far.getDouble(2)
+    }
+    e.unpersist(false)
+    out.result().toDF("rank", "vec_id", "max_cos_prior").orderBy($"rank")
+  }
+
+  /** The [[kcenterSelect]] oracle: K unrolled farthest-point stages;
+    * stage k cross-joins the k−1 one-row chosen CTEs and argmins
+    * greatest() of the per-pair cosines under the identical tie-break. */
+  private def kcenterOracleSql(steps: Int): String = {
+    val sb = new StringBuilder(oracleVecs)
+    sb.append("""
+        , c1 AS MATERIALIZED (
+          SELECT vec_id, embedding, nrm FROM e WHERE vec_id = 0)""")
+    for (k <- 2 to steps) {
+      val prior = 1 until k
+      val joins = prior.map(j => s"CROSS JOIN c$j x$j").mkString(" ")
+      val notChosen = prior.map(j => s"e.vec_id <> x$j.vec_id")
+        .mkString(" AND ")
+      val coss = prior.map(j =>
+        s"${oracleDot("e", s"x$j")} / (e.nrm * x$j.nrm)")
+      val mc = if (coss.size == 1) coss.head
+        else s"greatest(${coss.mkString(", ")})"
+      sb.append(s"""
+        , c$k AS MATERIALIZED (
+          SELECT vec_id, embedding, nrm, mc FROM (
+            SELECT e.vec_id, e.embedding, e.nrm, $mc AS mc
+            FROM e $joins
+            WHERE $notChosen)
+          ORDER BY mc ASC, vec_id ASC LIMIT 1)""")
+    }
+    sb.append("""
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS rank, vec_id,
+                 CAST(1.0 AS DOUBLE) AS max_cos_prior FROM c1""")
+    for (k <- 2 to steps) {
+      sb.append(s"""
+          UNION ALL
+          SELECT CAST($k AS BIGINT) AS rank, vec_id, mc AS max_cos_prior
+          FROM c$k""")
+    }
+    sb.append("""
+        ) ORDER BY rank""")
+    sb.toString
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_kcenter_select", kcenterSelect, Some(kcenterOracleSql(8))),
     QueryDef(
       "q_cosine_topk", cosineTopK, Some(s"""
         $oracleVecs,

@@ -233,6 +233,38 @@ class SimilaritySpec extends SparkSpecBase {
     assert(obj.last > obj.head, s"no improvement: $obj")
   }
 
+  test("kcenter: planted geometry picks in farthest-first order") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.l2Norm
+    // unit-ish 2D directions planted at known angles: seed 0 at 0°, then
+    // the greedy must take 180° (most opposed), then 90° (orthogonal to
+    // BOTH chosen — 45° is still 0.707-close to the seed), then 45°
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)),         // 0°   (seed: lowest vec_id)
+      (1L, Array(0.7071f, 0.7071f)),   // 45°
+      (2L, Array(0.0f, 1.0f)),         // 90°
+      (3L, Array(-1.0f, 0.0f)))        // 180°
+    val e = pts.toDF("vec_id", "v").withColumn("nrm", l2Norm($"v"))
+    val got = Similarity.kcenterFrom(e, 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._2) === Seq(0L, 3L, 2L, 1L))
+    // the coverage certificate: radii (max-cos to prior picks) are
+    // non-decreasing after the seed — each pick is less isolated
+    val radii = got.drop(1).map(_._3)
+    assert(radii === radii.sorted)
+    assert(math.abs(radii(0) - (-1.0)) < 1e-6)     // 180° vs seed
+    assert(math.abs(radii(1) - 0.0) < 1e-6)        // 90° vs {0°, 180°}
+    assert(math.abs(radii(2) - 0.7071) < 1e-3)     // 45° vs the rest
+    // and on the real table: deterministic + monotone
+    val a = Similarity.kcenterSelect(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    val b = Similarity.kcenterSelect(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a === b)
+    val r = a.drop(1).map(_._3)
+    assert(r === r.sorted)
+  }
+
   test("cell-balanced sample: exact per-cell quota, members only, deterministic") {
     import spark.implicits._
     val sample = Similarity.cellSample(spark, sfDir)
