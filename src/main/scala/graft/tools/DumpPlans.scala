@@ -38,6 +38,7 @@ object DumpPlans {
     "q_bm25_topk" -> "sparse retrieval: token aggregates → inverted-index equi-join with broadcast 10-doc query side → one score aggregate",
     "q_lm_fit" -> "bigram LM: row-local slice+arrays_zip extraction (no window over token position), count-table joins, per-doc fold",
     "q_global_shuffle" -> "deterministic global order: ONE range exchange, within-partition rank, bounded per-partition offset map — no single-task global window",
+    "q_quality_calibrate" -> "per-language percentile floor: narrow scan-stage scoring, one hash exchange on lang feeding the rank window (low-cardinality partition — the documented deployment lever is sketch-thresholds + narrow filter), presentation sort",
     "q_gap_by_window" -> "ONE hash exchange on user_id shared by the distinct aggregation, the lag window, and the per-user aggregate (plus the presentation range sort)",
     "q_dedup_clusters" -> "near-dup pairs -> connected components: banded LSH joins feed min-label propagation (star-contraction fallback past the round cap); per-round state is localCheckpoint'ed and freed",
     "q_dup_spans" -> "duplicated-span census: row-local rolling n-gram hashing (one ngramhashesexpr pass, spans move as 8-byte longs, never text), ONE shuffle of the span stream into the (gram, doc) partial agg, window over the reduced table — no countDistinct Expand",
