@@ -179,7 +179,58 @@ object Breadth extends QueryModule {
       .select($"p.*").orderBy($"col_name")
   }
 
+  /** PIVOT — long→wide reshaping (status categories become columns).
+    * The value list is EXPLICIT: with it, Spark plans ONE aggregate pass
+    * whose cells are (group × value) counters; without it, Spark first
+    * runs a distinct-collect job over the pivot column to discover
+    * values — an extra corpus pass plus an unbounded driver collect
+    * that a 100 TB pipeline must not schedule implicitly. */
+  def pivotStatus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("n_f"),
+        coalesce($"O", lit(0L)).as("n_o"),
+        coalesce($"P", lit(0L)).as("n_p"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** UNPIVOT — wide→long (the inverse reshaping): melt the pivoted
+    * status columns back into (status, n) rows. A narrow Expand (each
+    * input row fans to K output rows in place, no shuffle, no join);
+    * gating the [[pivotStatus]] round-trip against the direct GROUP BY
+    * proves the two reshapes are lossless inverses. */
+  def unpivotStatus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pivotStatus(s, d)
+      .unpivot(
+        Array($"o_orderpriority"),
+        Array($"n_f".as("F"), $"n_o".as("O"), $"n_p".as("P")),
+        "o_orderstatus", "n")
+      .where($"n" > 0)
+      .orderBy($"o_orderpriority", $"o_orderstatus")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_pivot", pivotStatus, Some("""
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_f,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_o,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+    QueryDef(
+      "q_unpivot", unpivotStatus, Some("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+        ORDER BY o_orderpriority, o_orderstatus""")),
     QueryDef(
       "q_profile", profileOrders, Some("""
         SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
