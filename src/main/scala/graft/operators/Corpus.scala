@@ -508,7 +508,8 @@ object Corpus extends QueryModule {
     * content entropy, not data volume), as one pair-count aggregate plus
     * a ONE-ROW argmax collect (bounded driver traffic, the same
     * contract as IVF codebook training), and a row-local literal
-    * replace applies the merge. Per-step persist swap keeps lineage
+    * replace applies the merge. One persisted base + a lazy
+    * bounded-depth replace chain keeps lineage
     * flat; no corpus re-scan ever happens.
     *
     * Symbol sequences live in a padded-doubled string encoding —
@@ -528,9 +529,18 @@ object Corpus extends QueryModule {
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val s = words.sparkSession
     import s.implicits._
-    var vocab = words
+    // ONE persisted base: the symbolized histogram. Each merge is a
+    // narrow literal replace, so the per-round plan is the cached base
+    // plus ≤ `steps` chained map stages. Re-running that chain against
+    // cached blocks measures level with the per-round persist+count
+    // alternative at sf0.1 (vocab work is job-overhead-bound here) while
+    // issuing HALF the jobs — one TakeOrdered per round instead of a
+    // count + TakeOrdered pair — which is the term that matters on a
+    // busy cluster scheduler; lineage depth stays bounded by `steps`.
+    val base = words
       .select($"w", regexp_replace($"w", "(.)", " $1 ").as("sym"), $"wc")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var vocab = base
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     var k = 1
     var exhausted = false
@@ -550,16 +560,20 @@ object Corpus extends QueryModule {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         out += ((k.toLong, l, r, l + r, c))
-        val next = vocab
+        vocab = vocab
           .select($"w", call_function("replace", $"sym",
             lit(s" $l  $r "), lit(s" $l$r ")).as("sym"), $"wc")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the parent's blocks
-        vocab.unpersist(false)
-        vocab = next
         k += 1
       }
     }
+    if (vocab ne base) {
+      // hand the caller a self-contained final vocabulary, then drop the
+      // base blocks the lazy chain was reading
+      vocab = vocab
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vocab.count()
+    }
+    base.unpersist(false)
     (out.result(), vocab)
   }
 
