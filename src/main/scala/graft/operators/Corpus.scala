@@ -525,7 +525,8 @@ object Corpus extends QueryModule {
   /** The shared trainer loop: returns the collected merge rows AND the
     * final (w, sym, wc) vocabulary, still persisted — the caller owns
     * the unpersist (merges don't need the table; encoding does). */
-  private def bpeLoop(words: DataFrame, steps: Int)
+  private def bpeLoop(words: DataFrame, steps: Int,
+      materializeFinal: Boolean)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val s = words.sparkSession
     import s.implicits._
@@ -566,35 +567,38 @@ object Corpus extends QueryModule {
         k += 1
       }
     }
-    if (vocab ne base) {
+    if (materializeFinal && (vocab ne base)) {
       // hand the caller a self-contained final vocabulary, then drop the
-      // base blocks the lazy chain was reading
+      // base blocks the lazy chain was reading — encode's path; the
+      // merges-only path skips this whole extra job
       vocab = vocab
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       vocab.count()
-    }
-    base.unpersist(false)
+      base.unpersist(false)
+    } else if (!materializeFinal) base.unpersist(false)
     (out.result(), vocab)
   }
 
   private[graft] def bpeTrain(words: DataFrame, steps: Int): DataFrame = {
     val s = words.sparkSession
     import s.implicits._
-    val (merges, vocab) = bpeLoop(words, steps)
-    vocab.unpersist(false)
+    val (merges, _) = bpeLoop(words, steps, materializeFinal = false)
     merges.toDF("step", "l", "r", "merged", "cnt").orderBy($"step")
   }
 
-  private def wordHistogram(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, d)
+  /** The corpus's whitespace word histogram — the one corpus-scale scan
+    * of BPE training; exposed on a DataFrame so the scale probe measures
+    * the identical pipeline the gated queries run. */
+  private[graft] def wordHistogram(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select(explode(split($"text", " ")).as("w"))
       .where($"w" =!= "")
       .groupBy($"w").agg(count(lit(1)).as("wc"))
   }
 
   def bpeMerges(s: SparkSession, d: String): DataFrame =
-    bpeTrain(wordHistogram(s, d), steps = 6)
+    bpeTrain(wordHistogram(Tables.documents(s, d)), steps = 6)
 
   /** One-slot holder for the last encode's persisted vocabulary —
     * unpersist-first swap on the next call, the [[graft.operators
@@ -613,7 +617,8 @@ object Corpus extends QueryModule {
     * a word's BPE token count is a pure function of the word. */
   def bpeEncode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (_, vocab) = bpeLoop(wordHistogram(s, d), steps = 6)
+    val (_, vocab) = bpeLoop(wordHistogram(Tables.documents(s, d)),
+      steps = 6, materializeFinal = true)
     Option(lastBpeVocab.getAndSet(vocab)).foreach(_.unpersist(false))
     val nsym = vocab.select($"w",
       size(split(trim($"sym"), "  ")).cast("long").as("ns"))

@@ -254,18 +254,10 @@ object Curation extends QueryModule {
     * make explicit. */
   def qualityCalibrate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val t = $"text"
-    val nTokens = TextOps.tokenCount(t)
-    val nStop = (TextOps.tokenOccurrences(t, "the")
-      + TextOps.tokenOccurrences(t, "a")
-      + TextOps.tokenOccurrences(t, "of")
-      + TextOps.tokenOccurrences(t, "and"))
-    val score = when(nTokens === 0, 0.0).otherwise(
-      (nStop.cast("double") / nTokens) * 2.0
-        + when(nTokens >= 20 && nTokens <= 1000, 1.0).otherwise(0.0))
     val w = Window.partitionBy($"lang").orderBy($"quality_score")
     Tables.documents(s, d)
-      .select($"doc_id", $"lang", score.as("quality_score"))
+      .select($"doc_id", $"lang",
+        TextOps.qualityScore($"text").as("quality_score"))
       .withColumn("pctl", percent_rank().over(w))
       .withColumn("keep", $"pctl" >= 0.2)
       .orderBy($"doc_id")

@@ -585,24 +585,33 @@ object Similarity extends QueryModule {
     val K = k0
     val e = vectors
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seed = e.orderBy($"vec_id".asc)
-      .select($"vec_id", $"v", $"nrm").limit(1).collect()(0)
-    var ids = Array(seed.getLong(0))
-    var cents = Array(seed.getSeq[Float](1).toArray.map(_.toDouble))
-    var norms = Array(seed.getDouble(2))
+    val seeds = e.orderBy($"vec_id".asc)
+      .select($"vec_id", $"v", $"nrm").limit(1).collect()
     val out = Seq.newBuilder[(Long, Long, Double)]
-    out += ((1L, seed.getLong(0), 1.0)) // the seed's radius slot, by convention
-    for (k <- 2 to K) {
-      val far = assignTo(
-        e.where(!$"vec_id".isin(ids.toIndexedSeq: _*)),
-        Codebook(ids, cents, norms))
-        .orderBy($"cos".asc, $"vec_id".asc)
-        .select($"vec_id", $"v", $"nrm", $"cos")
-        .limit(1).collect()(0)
-      out += ((k.toLong, far.getLong(0), far.getDouble(3)))
-      ids = ids :+ far.getLong(0)
-      cents = cents :+ far.getSeq[Float](1).toArray.map(_.toDouble)
-      norms = norms :+ far.getDouble(2)
+    if (seeds.nonEmpty) {
+      val seed = seeds(0)
+      var ids = Array(seed.getLong(0))
+      var cents = Array(seed.getSeq[Float](1).toArray.map(_.toDouble))
+      var norms = Array(seed.getDouble(2))
+      out += ((1L, seed.getLong(0), 1.0)) // the seed's radius slot, by convention
+      var k = 2
+      var exhausted = false
+      while (k <= K && !exhausted) {
+        val far = assignTo(
+          e.where(!$"vec_id".isin(ids.toIndexedSeq: _*)),
+          Codebook(ids, cents, norms))
+          .orderBy($"cos".asc, $"vec_id".asc)
+          .select($"vec_id", $"v", $"nrm", $"cos")
+          .limit(1).collect()
+        if (far.isEmpty) exhausted = true // fewer than K vectors: stop early
+        else {
+          out += ((k.toLong, far(0).getLong(0), far(0).getDouble(3)))
+          ids = ids :+ far(0).getLong(0)
+          cents = cents :+ far(0).getSeq[Float](1).toArray.map(_.toDouble)
+          norms = norms :+ far(0).getDouble(2)
+          k += 1
+        }
+      }
     }
     e.unpersist(false)
     out.result().toDF("rank", "vec_id", "max_cos_prior").orderBy($"rank")
@@ -615,7 +624,8 @@ object Similarity extends QueryModule {
     val sb = new StringBuilder(oracleVecs)
     sb.append("""
         , c1 AS MATERIALIZED (
-          SELECT vec_id, embedding, nrm FROM e WHERE vec_id = 0)""")
+          SELECT vec_id, embedding, nrm FROM e
+          WHERE vec_id = (SELECT min(vec_id) FROM e))""")
     for (k <- 2 to steps) {
       val prior = 1 until k
       val joins = prior.map(j => s"CROSS JOIN c$j x$j").mkString(" ")

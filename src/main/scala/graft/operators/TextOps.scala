@@ -52,6 +52,19 @@ object TextOps extends QueryModule {
     when(length(trim(s)) === 0, 0L)
       .otherwise(occurrences(s, " ") + lit(1L))
 
+  /** The composite quality score (stopword-ratio weight + length-band
+    * bonus) — ONE definition shared by [[textStats]] and
+    * [[Curation.qualityCalibrate]] (and mirrored in both oracles), so
+    * the calibration can never silently diverge from the stats. */
+  private[operators] def qualityScore(t: Column): Column = {
+    val nTokens = tokenCount(t)
+    val nStop = (tokenOccurrences(t, "the") + tokenOccurrences(t, "a")
+      + tokenOccurrences(t, "of") + tokenOccurrences(t, "and"))
+    when(nTokens === 0, 0.0).otherwise(
+      (nStop.cast("double") / nTokens) * 2.0
+        + when(nTokens >= 20 && nTokens <= 1000, 1.0).otherwise(0.0))
+  }
+
   /** Normalization for fingerprinting: lowercase, strip non-alphanumerics
     * (keeping spaces), collapse runs of whitespace. */
   private def normalize(s: Column): Column =
@@ -101,13 +114,8 @@ object TextOps extends QueryModule {
         nPunct.cast("long").as("n_punct"),
         (length(regexp_replace(t, " ", "")).cast("double") / nTokens)
           .as("avg_token_len"),
-        (nStop.cast("double") / nTokens).as("stopword_ratio"))
-      .withColumn(
-        "quality_score",
-        when($"n_tokens" === 0, 0.0).otherwise(
-          $"stopword_ratio" * 2.0
-            + when($"n_tokens" >= 20 && $"n_tokens" <= 1000, 1.0)
-              .otherwise(0.0)))
+        (nStop.cast("double") / nTokens).as("stopword_ratio"),
+        qualityScore(t).as("quality_score"))
       .orderBy($"doc_id")
   }
 

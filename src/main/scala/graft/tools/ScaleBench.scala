@@ -128,10 +128,8 @@ object ScaleBench {
     // (only the one word-histogram scan scales with the corpus)
     time("bpe_train_6") {
       graft.operators.Corpus.bpeTrain(
-        spark.read.parquet(s"$dir/documents.parquet")
-          .select(explode(split($"text", " ")).as("w"))
-          .where($"w" =!= "")
-          .groupBy($"w").agg(count(lit(1)).as("wc")),
+        graft.operators.Corpus.wordHistogram(
+          spark.read.parquet(s"$dir/documents.parquet")),
         steps = 6).count()
     }
     spark.stop()

@@ -141,6 +141,42 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("Window".r.findAllIn(p).size === 1, p.take(3000))
   }
 
+  test("pivot: explicit value list, no eager discovery job, one agg exchange") {
+    // .pivot(col) WITHOUT a value list runs a distinct-collect job at
+    // plan-construction time — an extra corpus pass plus an unbounded
+    // driver collect. The explicit list must keep plan construction
+    // job-free (the property the operator's doc sells):
+    val tracker = spark.sparkContext.statusTracker
+    def jobs = tracker.getJobIdsForGroup(null).length
+    // control: constructing a PLAIN aggregate over the same table costs
+    // a fixed number of jobs (the fresh parquet read's schema/footer
+    // job); explicit-list pivot construction must cost exactly the
+    // same — the discovery form (.pivot(col) with no list) measures +4
+    // more here, the distinct-collect pass the operator must not run
+    val a = jobs
+    graft.ops.Tables.orders(spark, sfDir).groupBy("o_orderpriority").count()
+    val control = jobs - a
+    val b = jobs
+    val df = graft.operators.Breadth.pivotStatus(spark, sfDir)
+    val pivotCost = jobs - b
+    assert(pivotCost === control,
+      s"pivot construction launched $pivotCost job(s) vs $control for a " +
+        "plain aggregate — the value list is no longer explicit")
+    // and the corpus shuffles ONCE: Spark plans pivot as an aggregate on
+    // (group, pivot) followed by a PivotFirst aggregate on the group —
+    // the first exchange carries map-side-combined partials, the second
+    // only the already-reduced (priority, status) table. Pin exactly
+    // those two hash exchanges and the pruned scan.
+    val p = plan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2, p)
+    assert(p.contains("pivotfirst"), p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.contains("o_orderpriority")
+      && readSchema.contains("o_orderstatus") && !readSchema.contains("o_totalprice"),
+      readSchema)
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))
