@@ -22,7 +22,8 @@ object SparkEntry {
     operators.Relational,
     operators.Breadth,
     operators.Corpus,
-    operators.Curation
+    operators.Curation,
+    operators.Spectral
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

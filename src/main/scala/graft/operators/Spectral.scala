@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{QueryDef, QueryModule, Tables}
+
+/** SPECTRAL operators over the embedding table: the corpus Gram matrix,
+  * the dominant principal direction, and the projection of every
+  * embedding onto it — the spectral toolkit behind embedding whitening,
+  * drift monitoring, and PCA-style pre-reduction ahead of clustering /
+  * semantic dedup. (North-star extensions; the reference — a Kafka
+  * map-reduce pipeline, /root/reference/src/lib.rs — has no vector
+  * surface.)
+  *
+  * Everything here is ENGINE-EXACT by construction, the same discipline
+  * as the samplers' md5 rules: embeddings are quantized by
+  * `floor(x * 2^10)` — float widens to double exactly and a power-of-two
+  * product is exact, so both engines floor the identical double — and
+  * all downstream arithmetic (Gram sums, power-iteration mat-vecs,
+  * projections) is 64-bit-integer exact and summation-order-free. No
+  * real-valued linear algebra crosses an engine boundary: the single
+  * inexact step anywhere is the final Rayleigh division, one IEEE op on
+  * two exact integers, identical on both sides.
+  *
+  * Scale notes (100 TB):
+  *  - [[gramMatrix]] is ONE map-side-combined aggregation: the explode
+  *    produces D(D+1)/2 products per vector inside whole-stage codegen
+  *    and the exchange carries at most D(D+1)/2 partial sums PER TASK,
+  *    independent of corpus size. (A mapPartitions BLAS accumulator
+  *    would cut the constant factor, but it would also leave codegen
+  *    and exactness; the declarative form keeps both.)
+  *  - the power iteration runs on the COLLECTED Gram — bounded by
+  *    D² = 4096 longs, the same bounded-collect contract as the IVF
+  *    codebook (operators/Similarity.scala), never by corpus size.
+  *  - Long arithmetic stays exact while λ_max·D·V² < 2^63, i.e. up to
+  *    ~10^8 unit vectors at D = 64. Past that, fit the direction on a
+  *    deterministic md5-capped sample (the [[Corpus]] sampler rule) and
+  *    project the full corpus — projection is per-row and unbounded.
+  */
+object Spectral extends QueryModule {
+
+  /** Quantization scale 2^10: |x| ≤ 1 ⇒ |xq| ≤ 1024, and float·2^10 is
+    * exactly representable, so `floor` sees the same double in Spark and
+    * DuckDB. */
+  private val Q = 1024
+  /** Power-iteration renormalization target: each round rescales the
+    * iterate to max-abs ≈ 2^10, keeping every mat-vec inside 2^53 (so
+    * the oracle could even run the sums in doubles) and far inside 2^63. */
+  private val VScale = 1024L
+  /** Fixed iteration count: determinism demands a fixed budget, not a
+    * convergence test (both engines must stop at the same step). 30
+    * rounds contract the subdominant ratio (λ2/λ1)^30 — ≤ 1e-3 already
+    * at a 0.8 gap — and cost D² multiplies each, trivial at D = 64. */
+  private val Iters = 30
+
+  /** floor(x · 2^10) as a Long — the engine-exact quantizer. */
+  private def quant(x: Column): Column =
+    floor(x.cast("double") * lit(Q.toDouble)).cast("long")
+
+  /** Upper triangle of the D×D Gram matrix of the quantized embeddings:
+    * (i, j, g = Σ_docs xq_i · xq_j) for j ≥ i. The generate → filter →
+    * aggregate pipeline never shuffles row data: partial sums combine
+    * map-side and the single exchange moves ≤ D(D+1)/2 longs per task. */
+  def gramMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(transform($"embedding", x => quant(x)).as("q"))
+      .select(posexplode($"q").as(Seq("i", "xi")), $"q")
+      .select($"i", $"xi", posexplode($"q").as(Seq("j", "xj")))
+      .where($"j" >= $"i")
+      .groupBy($"i".cast("long").as("i"), $"j".cast("long").as("j"))
+      .agg(sum($"xi" * $"xj").as("g"))
+      .orderBy($"i", $"j")
+  }
+
+  /** The fixed-point power loop: mirror the collected triangle, run
+    * [[Iters]] exact-integer rounds, return (v, rayleighNum, rayleighDen).
+    * Renormalization rule, identical in the SQL oracle:
+    *   q = 1 + max|u| / VScale   (integer division)
+    *   v'_i = sign(u_i) · (|u_i| / q)   (truncation toward zero —
+    *     written via |·| so floor-division engines agree on negatives)
+    */
+  private def powerLoop(
+      tri: Array[(Int, Int, Long)], dims: Int): (Array[Long], Long, Long) = {
+    val g = Array.ofDim[Long](dims, dims)
+    tri.foreach { case (i, j, v) => g(i)(j) = v; g(j)(i) = v }
+    def matvec(v: Array[Long]): Array[Long] =
+      Array.tabulate(dims) { i =>
+        var acc = 0L; var j = 0
+        while (j < dims) { acc += g(i)(j) * v(j); j += 1 }
+        acc
+      }
+    var v = Array.fill(dims)(VScale)
+    var it = 0
+    while (it < Iters) {
+      val u = matvec(v)
+      val q = 1L + u.map(math.abs).max / VScale
+      v = u.map(x => if (x < 0) -((-x) / q) else x / q)
+      it += 1
+    }
+    val u = matvec(v)
+    val num = v.indices.map(i => v(i) * u(i)).sum
+    val den = v.map(x => x * x).sum
+    (v, num, den)
+  }
+
+  /** Collected triangle as (i, j, g) — bounded by D², not corpus size. */
+  private def collectTri(s: SparkSession, d: String): Array[(Int, Int, Long)] =
+    gramMatrix(s, d).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2)))
+
+  /** Dominant principal direction of the corpus Gram by fixed-point
+    * power iteration: (i, vi, lam) — the integer direction vector plus
+    * its Rayleigh quotient (≈ top eigenvalue of the quantized Gram, in
+    * squared-quantized units). One corpus pass (the Gram); the
+    * iteration itself is driver-side on the bounded D×D matrix. */
+  def pcaPower(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tri = collectTri(s, d)
+    if (tri.isEmpty) return Seq.empty[(Long, Long, Double)].toDF("i", "vi", "lam")
+    val dims = tri.map(_._2).max + 1
+    val (v, num, den) = powerLoop(tri, dims)
+    val lam = if (den == 0L) 0.0 else num.toDouble / den.toDouble
+    v.zipWithIndex
+      .map { case (x, i) => (i.toLong, x, lam) }
+      .toSeq.toDF("i", "vi", "lam")
+      .orderBy($"i")
+  }
+
+  /** Projection of every embedding onto the dominant direction:
+    * (vec_id, proj = Σ_i xq_i · v_i) — exact integer dot products, the
+    * per-document coordinate used for spectral binning / whitening. Two
+    * corpus passes total (fit + transform); the transform is a pure
+    * per-row map with the direction folded in as a literal array — no
+    * join, no shuffle, scan-speed at any corpus size. */
+  def pcaProject(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tri = collectTri(s, d)
+    if (tri.isEmpty) return Seq.empty[(Long, Long)].toDF("vec_id", "proj")
+    val dims = tri.map(_._2).max + 1
+    val (v, _, _) = powerLoop(tri, dims)
+    val vLit = array(v.toIndexedSeq.map(lit(_)): _*)
+    Tables.embeddings(s, d)
+      .select($"vec_id",
+        aggregate(
+          zip_with($"embedding", vLit, (x, w) => quant(x) * w),
+          lit(0L), (acc, t) => acc + t).as("proj"))
+      .orderBy($"vec_id")
+  }
+
+  // ---------------------------------------------------------- oracles
+
+  /** Shared oracle prelude: quantized elements, Gram triangle, mirrored
+    * Gram, and the all-ones (×VScale) starting iterate. The parallel
+    * unnests zip element-wise (same idiom as the codebook oracle in
+    * [[Similarity]]). */
+  private val oraclePrelude: String = s"""
+    WITH els AS MATERIALIZED (
+      SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) - 1 AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $Q) AS BIGINT)
+               AS xi
+      FROM embeddings),
+    gt AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS g
+      FROM els a JOIN els b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY a.i, b.i),
+    gf AS MATERIALIZED (
+      SELECT i, j, g FROM gt
+      UNION ALL
+      SELECT j AS i, i AS j, g FROM gt WHERE i <> j),
+    v0 AS MATERIALIZED (SELECT DISTINCT i, CAST($VScale AS BIGINT) AS x FROM els)"""
+
+  /** The [[Iters]] unrolled fixed-point rounds (the k-center oracle uses
+    * the same generated-CTE pattern): each round is one mat-vec, one
+    * max, one renormalize — all integer-exact. */
+  private def iterCtes: String = (1 to Iters).map { k =>
+    s"""
+    u$k AS MATERIALIZED (
+      SELECT gf.i AS i, CAST(sum(gf.g * v${k - 1}.x) AS BIGINT) AS u
+      FROM gf JOIN v${k - 1} ON v${k - 1}.i = gf.j GROUP BY gf.i),
+    m$k AS MATERIALIZED (SELECT 1 + (CAST(max(abs(u)) AS BIGINT) // $VScale) AS q
+            FROM u$k),
+    v$k AS MATERIALIZED (
+      SELECT u$k.i AS i,
+             CAST(CASE WHEN u < 0 THEN -((-u) // m$k.q)
+                  ELSE u // m$k.q END AS BIGINT) AS x
+      FROM u$k, m$k)"""
+  }.mkString(",")
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_gram_matrix", gramMatrix, Some(s"""$oraclePrelude
+        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, g
+        FROM gt ORDER BY i, j""")),
+    QueryDef(
+      "q_pca_power", pcaPower, Some(s"""$oraclePrelude,$iterCtes,
+        uf AS MATERIALIZED (
+          SELECT gf.i AS i, CAST(sum(gf.g * v$Iters.x) AS BIGINT) AS u
+          FROM gf JOIN v$Iters ON v$Iters.i = gf.j GROUP BY gf.i),
+        ray AS MATERIALIZED (
+          SELECT CAST(sum(v.x * u.u) AS BIGINT) AS num,
+                 CAST(sum(v.x * v.x) AS BIGINT) AS den
+          FROM v$Iters v JOIN uf u ON u.i = v.i)
+        SELECT CAST(v.i AS BIGINT) AS i, v.x AS vi,
+               CASE WHEN ray.den = 0 THEN 0.0
+                    ELSE CAST(ray.num AS DOUBLE) / CAST(ray.den AS DOUBLE)
+               END AS lam
+        FROM v$Iters v CROSS JOIN ray ORDER BY i""")),
+    QueryDef(
+      "q_pca_project", pcaProject, Some(s"""$oraclePrelude,$iterCtes
+        SELECT e.vec_id, CAST(sum(e.xi * v.x) AS BIGINT) AS proj
+        FROM els e JOIN v$Iters v ON v.i = e.i
+        GROUP BY e.vec_id ORDER BY e.vec_id"""))
+  )
+}

@@ -177,6 +177,25 @@ class PlanAuditSpec extends SparkSpecBase {
       readSchema)
   }
 
+  test("gram matrix: one agg exchange, scan pruned to the embedding column") {
+    val p = plan(graft.operators.Spectral.gramMatrix(spark, sfDir))
+    // partial aggregation combines map-side: the one hash exchange moves
+    // ≤ D(D+1)/2 partial sums per task, never row data (the final sort's
+    // range exchange moves the same bounded set)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.contains("embedding") && !readSchema.contains("vec_id")
+      && !readSchema.contains("label"), readSchema)
+  }
+
+  test("pca projection is a per-row map: no join, direction folded as literal") {
+    val p = plan(graft.operators.Spectral.pcaProject(spark, sfDir))
+    assert(!p.contains("Join"), p)
+    // only the final presentation sort may exchange; no hash exchange
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))

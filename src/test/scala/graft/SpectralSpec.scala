@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Spectral
+
+/** Pins the spectral operators' MATH, independent of the DuckDB gate:
+  * the fixed-point power iteration must actually find the dominant
+  * eigendirection (the gate only proves both engines run the same
+  * arithmetic), and the projection must satisfy the exact energy
+  * identity that ties it to the Rayleigh numerator. */
+class SpectralSpec extends SparkSpecBase {
+
+  private def collectGram(): (Array[Array[Double]], Int) = {
+    val tri = Spectral.gramMatrix(spark, sfDir).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2)))
+    val dims = tri.map(_._2).max + 1
+    val g = Array.ofDim[Double](dims, dims)
+    tri.foreach { case (i, j, v) => g(i)(j) = v.toDouble; g(j)(i) = v.toDouble }
+    (g, dims)
+  }
+
+  /** Double-precision power iteration with true normalization — the
+    * reference eigensolver the fixed-point loop is checked against. */
+  private def topEig(g: Array[Array[Double]], dims: Int): Double = {
+    var v = Array.fill(dims)(1.0)
+    for (_ <- 1 to 300) {
+      val u = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => g(i)(j) * v(j)).sum)
+      val n = math.sqrt(u.map(x => x * x).sum)
+      v = u.map(_ / n)
+    }
+    val u = Array.tabulate(dims)(i =>
+      (0 until dims).map(j => g(i)(j) * v(j)).sum)
+    v.indices.map(i => v(i) * u(i)).sum
+  }
+
+  test("gram matrix is symmetric PSD on the diagonal and upper-triangular") {
+    val rows = Spectral.gramMatrix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // only j >= i emitted; diagonal entries are sums of squares
+    assert(rows.forall(r => r.getLong(1) >= r.getLong(0)))
+    assert(rows.filter(r => r.getLong(0) == r.getLong(1))
+      .forall(_.getLong(2) >= 0L))
+  }
+
+  test("fixed-point Rayleigh quotient reaches the true top eigenvalue") {
+    val (g, dims) = collectGram()
+    val lamTrue = topEig(g, dims)
+    val lamFixed = Spectral.pcaPower(spark, sfDir)
+      .select("lam").head().getDouble(0)
+    // integer truncation costs a little; the dominant direction must
+    // still carry ≥ 99% of the true top eigenvalue, and never exceed it
+    assert(lamFixed <= lamTrue * (1 + 1e-9), s"$lamFixed > $lamTrue")
+    assert(lamFixed >= lamTrue * 0.99, s"$lamFixed << $lamTrue")
+    // and it must beat the average eigenvalue (= trace/D) decisively —
+    // a non-converged direction would sit near trace/D
+    val trace = (0 until dims).map(i => g(i)(i)).sum
+    assert(lamFixed > trace / dims, s"$lamFixed vs avg ${trace / dims}")
+  }
+
+  test("projection energy equals the Rayleigh numerator exactly") {
+    // Σ_docs proj² = v'Gv — EXACT in integers, no tolerance: proj_d is
+    // the quantized dot x_d·v and G = Σ_d x_d x_d', so equality is an
+    // algebraic identity any arithmetic drift would break
+    val projs = Spectral.pcaProject(spark, sfDir).collect()
+      .map(_.getLong(1))
+    val energy = projs.map(p => BigInt(p) * BigInt(p)).sum
+    val power = Spectral.pcaPower(spark, sfDir).collect()
+    val lam = power.head.getDouble(2)
+    val den = power.map(r => BigInt(r.getLong(1)) * BigInt(r.getLong(1))).sum
+    // lam = num/den as one IEEE division; recover num and compare
+    val num = BigDecimal(lam) * BigDecimal(den)
+    assert((BigDecimal(energy) - num).abs / BigDecimal(energy) < 1e-12,
+      s"energy $energy vs num $num")
+  }
+}
