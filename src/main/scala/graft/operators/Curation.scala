@@ -263,7 +263,42 @@ object Curation extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  // ------------------------------------------------------- source cap
+
+  /** Per-source frequency cap — the domain/URL-dedup step of web-corpus
+    * curation (no single site may dominate the mixture): each source
+    * keeps at most `cap` documents, selected by the deterministic md5
+    * rank the samplers use, so a re-run (or another engine, as the
+    * oracle proves) keeps the identical rows. One hash exchange: the
+    * per-source window ranks without a global sort, and rank state is
+    * O(1) per partition. A pathologically hot source concentrates its
+    * rank into one task's external sort; if that ever dominated at
+    * 100 TB the lever is the salted two-phase rank (per-salt partial
+    * rank + prefix-sum offsets, the q_salted_agg pattern) — but capped
+    * selection only needs the FIRST `cap` of each source, so even the
+    * degenerate case sorts once and stops reading early. */
+  def sourceCap(s: SparkSession, d: String, cap: Int = 15): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables.documents(s, d)
+      .select($"doc_id", $"source")
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("keep", $"src_rank" <= cap)
+      .orderBy($"doc_id")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_source_cap", sourceCap(_, _), Some("""
+        WITH r AS (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS BIGINT) AS src_rank
+          FROM documents)
+        SELECT doc_id, source, src_rank, src_rank <= 15 AS keep
+        FROM r ORDER BY doc_id""")),
     QueryDef(
       "q_quality_calibrate", qualityCalibrate(_, _), Some("""
         WITH q AS (

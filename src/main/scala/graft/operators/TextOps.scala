@@ -292,6 +292,48 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Corpus-scale ordinary least squares (chars-on-tokens), solved by
+    * the normal equations in ONE aggregation pass: the six sufficient
+    * statistics (n, Σx, Σy, Σx², Σxy, Σy²) reduce map-side, and the
+    * closed form runs on the single reduced row — no iterations, no
+    * driver loop, unbounded corpus. Every operand up to the final
+    * division is an exact integer (decimal(38,0) here, HUGEINT in the
+    * oracle), so both engines divide the same two integers — the
+    * determinism discipline of the md5 samplers applied to regression.
+    * The fitted line itself is the length-model used for packing
+    * estimates and outlier flagging (a doc far off the corpus
+    * chars-per-token line is boilerplate or junk). */
+  def linregFit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sums = Tables.documents(s, d)
+      .select(tokenCount($"text").as("x"), $"n_chars".as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"y" * $"y").as("syy"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val n = dec($"n"); val sx = dec($"sx"); val sy = dec($"sy")
+    val sxx = dec($"sxx"); val sxy = dec($"sxy"); val syy = dec($"syy")
+    val det = n * sxx - sx * sx
+    val slopeNum = n * sxy - sx * sy
+    val interNum = sxx * sy - sx * sxy
+    val sstNum = n * syy - sy * sy
+    sums.select(
+      $"n".cast("long").as("n"),
+      when(det === 0, 0.0)
+        .otherwise(slopeNum.cast("double") / det.cast("double"))
+        .as("slope"),
+      when(det === 0, 0.0)
+        .otherwise(interNum.cast("double") / det.cast("double"))
+        .as("intercept"),
+      when(det === 0 || sstNum === 0, 0.0)
+        .otherwise((slopeNum * slopeNum).cast("double")
+          / (det * sstNum).cast("double"))
+        .as("r2"))
+  }
+
   /** Duplicated-SPAN detection: the corpus-level exact-substring dedup
     * signal (Lee et al., "Deduplicating Training Data Makes Language
     * Models Better", ACL'22) re-shaped for a distributed engine — their
@@ -470,6 +512,37 @@ object TextOps extends QueryModule {
   }
 
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_linreg_fit", linregFit, Some("""
+        WITH t AS (
+          SELECT CAST(n AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(x * x) AS HUGEINT) AS sxx,
+                 CAST(sum(x * y) AS HUGEINT) AS sxy,
+                 CAST(sum(y * y) AS HUGEINT) AS syy
+          FROM (
+            SELECT count(*) OVER () AS n,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                     length(text) - length(replace(text, ' ', '')) + 1 END
+                     AS BIGINT) AS x,
+                   n_chars AS y
+            FROM documents)
+          GROUP BY n)
+        SELECT CAST(n AS BIGINT) AS n,
+               CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+               CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                    ELSE CAST(sxx * sy - sx * sxy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) END AS intercept,
+               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                    THEN 0.0
+                    ELSE CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           AS DOUBLE)
+                       / CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+                           AS DOUBLE) END AS r2
+        FROM t""")),
     QueryDef(
       "q_lm_fit", lmFit, Some("""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
