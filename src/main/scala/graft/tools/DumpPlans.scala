@@ -49,7 +49,11 @@ object DumpPlans {
     "q_profile" -> "per-column profiling: one two-level aggregation per column (groupBy value → roll-up) — NO countDistinct Expand anywhere, every branch's scan pruned to its single column",
     "q_filter_audit" -> "drop attribution: all cascade rules are row-local scan-stage work; ONE fp-window exchange (partitioned on (fp, passed)) before the tiny reason aggregate",
     "q_incremental_semdedup" -> "incremental embedding dedup: narrow codebook assignment (no join), cell-bounded ONE-SIDED pair join (index × fresh probe), fresh-only verdict rejoin",
-    "q_decontaminate_ngram" -> "span-level decontamination: row-local rolling-hash gram stream (ngramhashesexpr), DISTINCT'd benchmark grams broadcast into the probe join, per-lang aggregate")
+    "q_decontaminate_ngram" -> "span-level decontamination: row-local rolling-hash gram stream (ngramhashesexpr), DISTINCT'd benchmark grams broadcast into the probe join, per-lang aggregate",
+    "q_gram_matrix" -> "corpus Gram matrix: D(D+1)/2 quantized products per vector generated inside codegen, ONE map-side-combined hash aggregation (bounded partials per task), scan pruned to the embedding column",
+    "q_pca_project" -> "PCA projection: the dominant direction folded in as a literal array — per-row integer dot product, NO join, no hash exchange, scan-speed transform",
+    "q_source_cap" -> "per-source frequency cap: ONE hash exchange on source feeding the md5-rank window, O(1) rank state per partition",
+    "q_linreg_fit" -> "one-pass OLS: six sufficient statistics reduce map-side into a single row; the closed form is driver-free scalar arithmetic on that row")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -132,6 +132,12 @@ object ScaleBench {
           spark.read.parquet(s"$dir/documents.parquet")),
         steps = 6).count()
     }
+    // spectral fit+transform: the claim under test is that the Gram pass
+    // scales linearly (bounded D² partials per task) and the projection
+    // at scan speed — together ~two corpus passes regardless of n
+    time("pca_project") {
+      graft.operators.Spectral.pcaProject(spark, dir).count()
+    }
     spark.stop()
   }
 }
