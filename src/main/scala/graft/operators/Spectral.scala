@@ -149,6 +149,38 @@ object Spectral extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** Embedding-space drift report — the vector sibling of
+    * [[Curation.ingestDrift]]'s token-length histogram: per-dimension
+    * mean of the quantized embeddings, standing corpus vs fresh batch
+    * (same deterministic `% 10 >= 8` split), plus the absolute mean
+    * gap. Catches what token statistics can't: an encoder-version bump
+    * or a source-mix change that moves the embedding distribution while
+    * leaving text stats flat. ONE pass: both sides sum conditionally in
+    * the same map-side-combined aggregation (the [[gramMatrix]]
+    * contract — ≤ D partials per task, never row data); counts and sums
+    * are exact integers, the gap is two IEEE divisions and a subtract
+    * on identical exact inputs, so both engines agree bit-for-bit. */
+  def embedDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(($"vec_id" % 10 >= 8).as("fresh"),
+        posexplode(transform($"embedding", x => quant(x)))
+          .as(Seq("i", "xi")))
+      .groupBy($"i".cast("long").as("i"))
+      .agg(
+        sum(when($"fresh", 0L).otherwise(1L)).as("n_corpus"),
+        sum(when($"fresh", 1L).otherwise(0L)).as("n_batch"),
+        sum(when($"fresh", 0L).otherwise($"xi")).as("s_corpus"),
+        sum(when($"fresh", $"xi").otherwise(0L)).as("s_batch"))
+      .select($"i", $"n_corpus", $"n_batch", $"s_corpus", $"s_batch",
+        when($"n_corpus" === 0 || $"n_batch" === 0, 0.0)
+          .otherwise(abs(
+            $"s_corpus".cast("double") / $"n_corpus".cast("double")
+              - $"s_batch".cast("double") / $"n_batch".cast("double")))
+          .as("mean_gap"))
+      .orderBy($"i")
+  }
+
   // ---------------------------------------------------------- oracles
 
   /** Shared oracle prelude: quantized elements, Gram triangle, mirrored
@@ -212,6 +244,31 @@ object Spectral extends QueryModule {
       "q_pca_project", pcaProject, Some(s"""$oraclePrelude,$iterCtes
         SELECT e.vec_id, CAST(sum(e.xi * v.x) AS BIGINT) AS proj
         FROM els e JOIN v$Iters v ON v.i = e.i
-        GROUP BY e.vec_id ORDER BY e.vec_id"""))
+        GROUP BY e.vec_id ORDER BY e.vec_id""")),
+    QueryDef(
+      "q_embed_drift", embedDrift, Some(s"""
+        WITH els AS MATERIALIZED (
+          SELECT vec_id % 10 >= 8 AS fresh,
+                 unnest(generate_series(1, len(embedding))) - 1 AS i,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $Q)
+                   AS BIGINT) AS xi
+          FROM embeddings),
+        a AS (
+          SELECT CAST(i AS BIGINT) AS i,
+                 CAST(sum(CASE WHEN fresh THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_corpus,
+                 CAST(sum(CASE WHEN fresh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_batch,
+                 CAST(sum(CASE WHEN fresh THEN 0 ELSE xi END) AS BIGINT)
+                   AS s_corpus,
+                 CAST(sum(CASE WHEN fresh THEN xi ELSE 0 END) AS BIGINT)
+                   AS s_batch
+          FROM els GROUP BY i)
+        SELECT i, n_corpus, n_batch, s_corpus, s_batch,
+               CASE WHEN n_corpus = 0 OR n_batch = 0 THEN 0.0
+                    ELSE abs(CAST(s_corpus AS DOUBLE) / n_corpus
+                           - CAST(s_batch AS DOUBLE) / n_batch) END
+                 AS mean_gap
+        FROM a ORDER BY i"""))
   )
 }
