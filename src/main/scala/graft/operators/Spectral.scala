@@ -149,6 +149,30 @@ object Spectral extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** Explained-variance audit: what fraction of the corpus's total
+    * quantized energy the dominant direction carries — `num/(den·trace)`
+    * where num/den is the Rayleigh quotient and trace = Σ|xq|² (the Gram
+    * diagonal). The go/no-go check before committing to a rank-1
+    * whitening or spectral binning: a low ratio says the corpus has no
+    * dominant axis and the projection would be noise. No extra corpus
+    * pass — pure driver arithmetic on the already-collected Gram; exact
+    * integers up to the single final division. */
+  def explainedVar(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tri = collectTri(s, d)
+    if (tri.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("trace", "num", "den", "explained")
+    val dims = tri.map(_._2).max + 1
+    val (_, num, den) = powerLoop(tri, dims)
+    val trace = tri.filter(t => t._1 == t._2).map(_._3).sum
+    val explained =
+      if (den == 0L || trace == 0L) 0.0
+      else num.toDouble / (den * trace).toDouble
+    Seq((trace, num, den, explained))
+      .toDF("trace", "num", "den", "explained")
+  }
+
   /** Embedding-space drift report — the vector sibling of
     * [[Curation.ingestDrift]]'s token-length histogram: per-dimension
     * mean of the quantized embeddings, standing corpus vs fresh batch
@@ -245,6 +269,22 @@ object Spectral extends QueryModule {
         SELECT e.vec_id, CAST(sum(e.xi * v.x) AS BIGINT) AS proj
         FROM els e JOIN v$Iters v ON v.i = e.i
         GROUP BY e.vec_id ORDER BY e.vec_id""")),
+    QueryDef(
+      "q_explained_var", explainedVar, Some(s"""$oraclePrelude,$iterCtes,
+        uf AS MATERIALIZED (
+          SELECT gf.i AS i, CAST(sum(gf.g * v$Iters.x) AS BIGINT) AS u
+          FROM gf JOIN v$Iters ON v$Iters.i = gf.j GROUP BY gf.i),
+        ray AS MATERIALIZED (
+          SELECT CAST(sum(v.x * u.u) AS BIGINT) AS num,
+                 CAST(sum(v.x * v.x) AS BIGINT) AS den
+          FROM v$Iters v JOIN uf u ON u.i = v.i),
+        tr AS MATERIALIZED (
+          SELECT CAST(sum(g) AS BIGINT) AS trace FROM gt WHERE i = j)
+        SELECT tr.trace, ray.num, ray.den,
+               CASE WHEN ray.den = 0 OR tr.trace = 0 THEN 0.0
+                    ELSE CAST(ray.num AS DOUBLE)
+                       / CAST(ray.den * tr.trace AS DOUBLE) END AS explained
+        FROM tr CROSS JOIN ray""")),
     QueryDef(
       "q_embed_drift", embedDrift, Some(s"""
         WITH els AS MATERIALIZED (
