@@ -81,28 +81,45 @@ object Spectral extends QueryModule {
     *   v'_i = sign(u_i) · (|u_i| / q)   (truncation toward zero —
     *     written via |·| so floor-division engines agree on negatives)
     */
-  private def powerLoop(
+  private[graft] def powerLoop(
       tri: Array[(Int, Int, Long)], dims: Int): (Array[Long], Long, Long) = {
-    val g = Array.ofDim[Long](dims, dims)
-    tri.foreach { case (i, j, v) => g(i)(j) = v; g(j)(i) = v }
-    def matvec(v: Array[Long]): Array[Long] =
+    // BigInt throughout: driver-side Long arithmetic has no ANSI
+    // overflow check, and at extreme corpus energy the Rayleigh
+    // products would wrap SILENTLY — the one failure mode worse than
+    // failing. BigInt keeps every intermediate exact at any scale (the
+    // renormalized iterate itself never exceeds VScale, so this is
+    // belt-and-braces, not a real slowdown on a 64×64 matrix); the
+    // guard below only rejects results the Long output schema cannot
+    // carry, with the documented remedy. BigInt division truncates
+    // toward zero, matching the oracle's sign·(abs // q) rule.
+    val g = Array.ofDim[BigInt](dims, dims)
+    for (i <- 0 until dims; j <- 0 until dims) g(i)(j) = BigInt(0)
+    tri.foreach { case (i, j, v) => g(i)(j) = BigInt(v); g(j)(i) = BigInt(v) }
+    def matvec(v: Array[BigInt]): Array[BigInt] =
       Array.tabulate(dims) { i =>
-        var acc = 0L; var j = 0
+        var acc = BigInt(0); var j = 0
         while (j < dims) { acc += g(i)(j) * v(j); j += 1 }
         acc
       }
-    var v = Array.fill(dims)(VScale)
+    var v = Array.fill(dims)(BigInt(VScale))
     var it = 0
     while (it < Iters) {
       val u = matvec(v)
-      val q = 1L + u.map(math.abs).max / VScale
-      v = u.map(x => if (x < 0) -((-x) / q) else x / q)
+      val q = BigInt(1) + u.map(_.abs).max / VScale
+      v = u.map(_ / q) // BigInt /: truncation toward zero, both signs
       it += 1
     }
     val u = matvec(v)
     val num = v.indices.map(i => v(i) * u(i)).sum
     val den = v.map(x => x * x).sum
-    (v, num, den)
+    require(num.isValidLong,
+      s"Rayleigh numerator $num exceeds the 64-bit output contract — " +
+        "the corpus energy is past the exact-integer range; fit the " +
+        "direction on a deterministic sample (the " +
+        "Corpus.deterministicSample md5 rule) and project the full " +
+        "corpus instead. The DuckDB oracle fails the same way (HUGEINT " +
+        "to BIGINT cast), so both engines are loud, never wrong.")
+    (v.map(_.toLong), num.toLong, den.toLong)
   }
 
   /** Collected triangle as (i, j, g) — bounded by D², not corpus size. */

@@ -109,4 +109,23 @@ class CurationSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(a.toSeq === b.toSeq)
   }
+
+  test("sourceCap: exact cap per source, deterministic keep set") {
+    val rows = Curation.sourceCap(spark, sfDir, cap = 15).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    // every source keeps at most 15, and keep ≡ rank <= cap row-by-row
+    val bySrc = rows.groupBy(_._2)
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.count(_._4) === math.min(15, rs.length), src)
+      // ranks within a source are exactly 1..n (a total order, no ties)
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq, src)
+    }
+    assert(rows.forall(r => r._4 === (r._3 <= 15)))
+    // md5-rank selection is a pure function of doc_id: a re-run keeps
+    // the identical rows (the engine-reproducibility contract)
+    val again = Curation.sourceCap(spark, sfDir, cap = 15).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(rows.map(r => (r._1, r._4)).toSeq === again.toSeq)
+  }
 }

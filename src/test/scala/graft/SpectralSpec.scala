@@ -57,6 +57,16 @@ class SpectralSpec extends SparkSpecBase {
     assert(lamFixed > trace / dims, s"$lamFixed vs avg ${trace / dims}")
   }
 
+  test("power loop fails loudly past the 64-bit output range, never wraps") {
+    // a planted Gram whose top eigenvalue pushes v'Gv beyond Long.Max:
+    // the loop must throw the documented guard, not return wrapped junk
+    val huge = Array((0, 0, 4000000000000000000L), (0, 1, 0L), (1, 1, 1L))
+    val e = intercept[IllegalArgumentException] {
+      Spectral.powerLoop(huge, 2)
+    }
+    assert(e.getMessage.contains("deterministic sample"), e.getMessage)
+  }
+
   test("projection energy equals the Rayleigh numerator exactly") {
     // Σ_docs proj² = v'Gv — EXACT in integers, no tolerance: proj_d is
     // the quantized dot x_d·v and G = Σ_d x_d x_d', so equality is an
