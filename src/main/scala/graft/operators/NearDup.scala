@@ -163,6 +163,65 @@ object NearDup extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** PageRank over the near-duplicate similarity graph — importance
+    * weighting for curation: a document sitting inside a dense near-dup
+    * neighborhood (boilerplate families, mirrored pages) concentrates
+    * rank, which downstream sampling can use to down-weight redundant
+    * regions (the inverse of web-graph PageRank-weighted crawl
+    * selection, but the same computation). Nodes = documents with at
+    * least one near-dup edge; damping 0.85, 5 iterations.
+    *
+    * All arithmetic is SCALED-INTEGER (pr as units of 1e-12, integral
+    * `div` at every division) so five join-aggregate rounds produce the
+    * bit-identical longs in Spark and DuckDB — the same fixed-point
+    * discipline as [[graft.operators.Spectral]]'s power iteration.
+    * Per round: contrib = pr div deg from each neighbor, inflow = exact
+    * long sum, pr' = (15·(SCALE div n)) div 100 + (85·inflow) div 100. */
+  def pageRank(s: SparkSession, d: String): DataFrame =
+    pageRankOnPairs(minhashNearDup(s, d).select("id_a", "id_b"))
+
+  /** One-slot free list for the edge/degree checkpoints the returned
+    * (lazy) plan still reads — same swap discipline as [[lastLabels]]. */
+  private val lastRank =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** Scale shape: the graph is checkpointed ONCE (edges + degrees — both
+    * orders of magnitude smaller than the corpus: only documents with a
+    * near-dup edge appear), then each of the 5 fixed rounds is one
+    * shuffle-on-node-id join + one partial-aggregated sum; the rounds
+    * chain in a single lazy plan whose leaves are the checkpointed RDDs,
+    * so nothing upstream of the graph is recomputed per round. The
+    * node-count scalar is a bounded driver aggregate (same class as the
+    * convergence counts in [[propagateLabels]]). */
+  private[graft] def pageRankOnPairs(
+      pairs0: DataFrame, iters: Int = 5): DataFrame = {
+    import pairs0.sparkSession.implicits._
+    val Scale = 1000000000000L
+    val pairs = pairs0.toDF("id_a", "id_b")
+    val edges = pairs.union(pairs.select($"id_b", $"id_a"))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .select($"src".as("node"), $"deg")
+      .localCheckpoint(true)
+    val n = deg.count()
+    val init = if (n == 0) 0L else Scale / n
+    val base = 15L * init / 100L
+    var pr = deg.select($"node", $"deg", lit(init).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = pr.select($"node".as("cnode"), expr("pr div deg").as("c"))
+      val inflow = edges.join(contrib, $"src" === $"cnode")
+        .groupBy($"dst").agg(sum($"c").as("inflow"))
+      pr = deg.join(inflow, $"node" === $"dst", "left")
+        .select($"node", $"deg",
+          (lit(base) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
+    }
+    val out = pr.select($"node".as("doc_id"), $"pr".as("pr_scaled"), $"deg")
+      .orderBy($"doc_id")
+    Option(lastRank.getAndSet(out)).foreach(freeLocalCheckpoint)
+    out
+  }
+
   /** Free the storage blocks behind every `localCheckpoint` a Dataset's
     * plan reads. `Dataset.unpersist` only clears CacheManager entries
     * (plans cached via `.persist`), NOT the RDD blocks a local
@@ -644,7 +703,42 @@ object NearDup extends QueryModule {
         ELSE [text] END AS sh
       FROM documents)"""
 
+  /** Unrolled fixed-point PageRank rounds for the DuckDB oracle — the
+    * same integral arithmetic as [[pageRankOnPairs]] (`//` is DuckDB's
+    * integral division, Spark's `div`; both truncate, and every value is
+    * positive so truncation = floor on both engines). */
+  private def pageRankOracleIters(iters: Int): String =
+    (1 to iters).map { i => s"""
+        r$i AS (
+          SELECT d.node, d.deg,
+                 (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+                 + (85 * coalesce(f.inflow, 0)) // 100 AS pr
+          FROM deg d LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(sum(r.pr // r.deg) AS BIGINT) AS inflow
+            FROM e JOIN r${i - 1} r ON r.node = e.src
+            GROUP BY e.dst) f ON f.node = d.node)""" }.mkString(",")
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_pagerank", pageRank, Some(s"""
+        $oracleShingles,
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                FROM e GROUP BY src),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        r0 AS (SELECT node, deg,
+                 1000000000000 // (SELECT n FROM nn) AS pr FROM deg),
+        ${pageRankOracleIters(5)}
+        SELECT node AS doc_id, pr AS pr_scaled, deg
+        FROM r5 ORDER BY doc_id""")),
     QueryDef(
       "q_minhash_neardup", minhashNearDup, Some(s"""
         $oracleShingles,

@@ -511,6 +511,130 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Cross-source corpus overlap: for every unordered pair of sources,
+    * the bottom-k-sketch ESTIMATE of the 5-token-gram Jaccard similarity
+    * next to the exact value — the "how much does source A duplicate
+    * source B" matrix that drives source selection and mixing weights
+    * before any doc-level dedup runs.
+    *
+    * ONE corpus-grain pass feeds both answers: gram occurrences hash to
+    * md5 and aggregate into a per-gram source-set POSTING (map-side
+    * collect_set partials dedup before the exchange; the set is bounded
+    * by S = #sources, metadata cardinality). From the postings:
+    *  - exact intersection counts per pair via a narrow ≤S×S explode —
+    *    no gram-grain self-join anywhere;
+    *  - per-source KMV sketches ([[graft.pipeline.Aggregators.BottomKAgg]]:
+    *    k smallest md5 values, BOUNDED k-entry per-task state, map-side
+    *    combined) collapse each source to one sorted array, and the
+    *    pair ESTIMATE — |bottom-k of sketch(A) ∪ sketch(B) present in
+    *    both| / k — is entirely ROW-LOCAL array arithmetic over S²
+    *    broadcast-joined rows. Everything below the postings line is
+    *    O(S²·k), independent of corpus size.
+    * Standalone-sketch note: without the exact audit, the sketches can
+    * also be built straight from raw occurrences (BottomKAgg dedups in
+    * its buffer), skipping the postings shuffle entirely; the audit
+    * needs the postings anyway, so the pass is shared here. Exact
+    * counts assume S is bounded (top-level provenance buckets); a
+    * million-domain `source` column would run the sketch path only.
+    *
+    * Determinism: md5 is the one hash with identical output in Spark and
+    * DuckDB, and a KMV sketch is a pure set property (k smallest distinct
+    * values), independent of aggregation order — so the sketch CONTENT,
+    * not just its error bound, is oracle-gated. The two ratio columns are
+    * single divisions of exact integers.
+    *
+    * The source-pair enumeration is a broadcast non-equi self-join of the
+    * DISTINCT SOURCE list — metadata cardinality (S rows, S² pairs), the
+    * same class as the 1-row scalar crossJoins elsewhere, never data
+    * volume. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame =
+    sourceOverlapDocs(Tables.documents(s, d))
+
+  /** One-slot cache for the gram→source-set postings table: it feeds
+    * the source list, the per-source counts, and the pair-intersection
+    * extraction — Catalyst does not CSE the subtree, so without a
+    * persist every consumer re-runs the corpus pass. Unpersist-FIRST
+    * swap, same reasoning as [[graft.operators.Similarity]]'s
+    * assignment cache. */
+  private val lastGrams =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val lastSketch =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  private[graft] def sourceOverlapDocs(
+      docs: DataFrame, k: Int = 128): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val n = 5
+    Option(lastGrams.getAndSet(null)).foreach(_.unpersist(false))
+    // THE one corpus-grain pass, shared by both paths: gram occurrences
+    // hashed to md5 (the engine-portable key) and aggregated into a
+    // source-SET posting per distinct gram. Map-side collect_set
+    // partials dedup before the exchange, and the set is bounded by S
+    // (metadata cardinality), so downstream pair extraction is a narrow
+    // ≤S×S explode — no gram-grain self-join anywhere.
+    val gramsRaw = docs
+      .select($"source", split($"text", " ").as("t"))
+      .where(size($"t") >= n)
+      .select($"source", explode(
+        transform(sequence(lit(1), size($"t") - (n - 1)),
+          i => concat_ws(" ", slice($"t", i, lit(n))))).as("g"))
+    val postings = gramsRaw
+      .select(md5($"g").as("h"), $"source")
+      .groupBy($"h").agg(collect_set($"source").as("ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastGrams.set(postings)
+    val expanded = postings.select($"h", explode($"ss").as("source"))
+    // per-source KMV sketches as SORTED ARRAYS (S rows total) — both
+    // est sides broadcast-consume them, so they are persisted, and the
+    // per-pair estimate below is entirely row-local array arithmetic
+    val bk = udaf(new graft.pipeline.Aggregators.BottomKAgg(k),
+      org.apache.spark.sql.Encoders.STRING)
+    Option(lastSketch.getAndSet(null)).foreach(_.unpersist(false))
+    val skArr = expanded.groupBy($"source").agg(bk($"h").as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastSketch.set(skArr)
+    val perSrcN = expanded.groupBy($"source").agg(count(lit(1)).as("n"))
+    val srcs = skArr.select($"source")
+    val allPairs = broadcast(srcs.toDF("src_a"))
+      .join(srcs.toDF("src_b"), $"src_a" < $"src_b")
+    // KMV estimate, row-local per pair: U = k smallest of the sketch
+    // union; hits = members of U present in BOTH sketches (arrays are
+    // sorted distinct, string order = the oracle's ORDER BY h)
+    val est = allPairs
+      .join(broadcast(skArr.toDF("src_a", "ska")), Seq("src_a"))
+      .join(broadcast(skArr.toDF("src_b", "skb")), Seq("src_b"))
+      .withColumn("u", slice(array_sort(array_union($"ska", $"skb")), 1, k))
+      .select($"src_a", $"src_b",
+        size(filter($"u", x =>
+          array_contains($"ska", x) && array_contains($"skb", x)))
+          .cast("long").as("sketch_hits"),
+        size($"u").cast("long").as("k_used"))
+    val inter = postings
+      .select(explode($"ss").as("src_a"), $"ss")
+      .select($"src_a", explode($"ss").as("src_b"))
+      .where($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("exact_inter"))
+    est
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(perSrcN.toDF("src_a", "n_a"), Seq("src_a"))
+      .join(perSrcN.toDF("src_b", "n_b"), Seq("src_b"))
+      .select($"src_a", $"src_b",
+        coalesce($"sketch_hits", lit(0L)).as("sketch_hits"),
+        coalesce($"k_used", lit(0L)).as("k_used"),
+        when(coalesce($"k_used", lit(0L)) === 0L, 0.0)
+          .otherwise($"sketch_hits".cast("double") / $"k_used")
+          .as("est_jaccard"),
+        coalesce($"exact_inter", lit(0L)).as("exact_inter"),
+        ($"n_a" + $"n_b" - coalesce($"exact_inter", lit(0L)))
+          .as("exact_union"),
+        (coalesce($"exact_inter", lit(0L)).cast("double") /
+          ($"n_a" + $"n_b" - coalesce($"exact_inter", lit(0L))))
+          .as("exact_jaccard"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_linreg_fit", linregFit, Some("""
@@ -815,6 +939,71 @@ object TextOps extends QueryModule {
                      v -> ix >= v.s AND ix <= v.e)) = 0),
                  ' '), '') AS clean_text
         FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+    QueryDef(
+      "q_source_overlap", sourceOverlap, Some("""
+        WITH d AS (
+          SELECT source, string_split(text, ' ') AS t FROM documents),
+        g0 AS (
+          SELECT source,
+                 unnest(list_transform(generate_series(1, len(t) - 4),
+                   i -> array_to_string(t[i:i+4], ' '))) AS g
+          FROM d WHERE len(t) >= 5),
+        g AS (SELECT DISTINCT source, g FROM g0),
+        h AS (SELECT source, md5(g) AS h FROM g),
+        sk AS (
+          SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM h)
+          WHERE rn <= 128),
+        srcs AS (SELECT DISTINCT source FROM g),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+        m AS (
+          SELECT src_a, src_b, h,
+                 max(in_a) AS in_a, max(in_b) AS in_b
+          FROM (
+            SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN sk s ON s.source = p.src_a
+            UNION ALL
+            SELECT p.src_a, p.src_b, s.h, 0, 1
+            FROM pairs p JOIN sk s ON s.source = p.src_b) u
+          GROUP BY src_a, src_b, h),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY src_a, src_b ORDER BY h) AS rn
+          FROM m),
+        est AS (
+          SELECT src_a, src_b,
+                 CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS sketch_hits,
+                 CAST(count(*) AS BIGINT) AS k_used
+          FROM r WHERE rn <= 128 GROUP BY src_a, src_b),
+        n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM g GROUP BY source),
+        ix AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) AS BIGINT) AS exact_inter
+          FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+          GROUP BY a.source, b.source)
+        SELECT p.src_a, p.src_b,
+               coalesce(e.sketch_hits, 0) AS sketch_hits,
+               coalesce(e.k_used, 0) AS k_used,
+               CASE WHEN coalesce(e.k_used, 0) = 0 THEN 0.0
+                    ELSE CAST(e.sketch_hits AS DOUBLE) / e.k_used
+               END AS est_jaccard,
+               coalesce(ix.exact_inter, 0) AS exact_inter,
+               na.n + nb.n - coalesce(ix.exact_inter, 0) AS exact_union,
+               CAST(coalesce(ix.exact_inter, 0) AS DOUBLE)
+                 / (na.n + nb.n - coalesce(ix.exact_inter, 0))
+                 AS exact_jaccard
+        FROM pairs p
+        LEFT JOIN est e ON e.src_a = p.src_a AND e.src_b = p.src_b
+        LEFT JOIN ix ON ix.src_a = p.src_a AND ix.src_b = p.src_b
+        JOIN n na ON na.source = p.src_a
+        JOIN n nb ON nb.source = p.src_b
+        ORDER BY p.src_a, p.src_b"""))
   )
 }

@@ -73,6 +73,55 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
   }
 
+  /** Bottom-k sketch of a hash-valued column: the k SMALLEST DISTINCT
+    * values, kept sorted ascending. A bottom-k (KMV) sketch is the
+    * classic mergeable distinct-set summary — the k smallest of a union
+    * is computable from the k smallest of each part, so Spark's partial
+    * aggregation keeps per-task state at k entries no matter how many
+    * rows flow through, and the result is independent of merge order
+    * (it is a pure set property). Used by
+    * [[graft.operators.TextOps.sourceOverlap]] for cross-source Jaccard
+    * estimation; unlike the estimate-carrying sketches (MG above), the
+    * sketch CONTENT here is deterministic, so it is oracle-gated, not
+    * just spec-pinned.
+    *
+    * reduce is O(log k) for the common miss (value above the current
+    * k-th) and O(k) for a hit — fine for k in the hundreds. */
+  class BottomKAgg(k: Int)
+      extends Aggregator[String, Seq[String], Seq[String]] {
+    def zero: Seq[String] = Vector.empty
+    def reduce(buf: Seq[String], h: String): Seq[String] = {
+      if (buf.size >= k && h >= buf.last) buf
+      else {
+        val i = buf.search(h)(Ordering[String]) match {
+          case scala.collection.Searching.Found(_) => return buf // dup
+          case scala.collection.Searching.InsertionPoint(p) => p
+        }
+        val v = buf.toVector
+        (v.take(i) :+ h) ++ v.drop(i) take k
+      }
+    }
+    def merge(a: Seq[String], b: Seq[String]): Seq[String] = {
+      // merge of two sorted distinct seqs, kept sorted distinct, first k
+      val out = Vector.newBuilder[String]
+      var (i, j, n) = (0, 0, 0)
+      while (n < k && (i < a.size || j < b.size)) {
+        val next =
+          if (j >= b.size || (i < a.size && a(i) <= b(j))) {
+            if (j < b.size && a(i) == b(j)) j += 1
+            val x = a(i); i += 1; x
+          } else { val x = b(j); j += 1; x }
+        out += next; n += 1
+      }
+      out.result()
+    }
+    def finish(buf: Seq[String]): Seq[String] = buf
+    def bufferEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+    def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
   /** Batch row-count — the sink's `written_rows` ack payload
     * (`src/clickhouse.rs:160-168`). */
   object CountAgg extends Aggregator[Any, Long, Long] {

@@ -53,7 +53,9 @@ object DumpPlans {
     "q_gram_matrix" -> "corpus Gram matrix: D(D+1)/2 quantized products per vector generated inside codegen, ONE map-side-combined hash aggregation (bounded partials per task), scan pruned to the embedding column",
     "q_pca_project" -> "PCA projection: the dominant direction folded in as a literal array — per-row integer dot product, NO join, no hash exchange, scan-speed transform",
     "q_source_cap" -> "per-source frequency cap: ONE hash exchange on source feeding the md5-rank window, O(1) rank state per partition",
-    "q_linreg_fit" -> "one-pass OLS: six sufficient statistics reduce map-side into a single row; the closed form is driver-free scalar arithmetic on that row")
+    "q_linreg_fit" -> "one-pass OLS: six sufficient statistics reduce map-side into a single row; the closed form is driver-free scalar arithmetic on that row",
+    "q_source_overlap" -> "cross-source KMV sketches: bounded bottom-k ObjectHashAggregate (k-entry partials, map-side combined) collapses the corpus to Sxk rows; pair stages touch sketches only; the exact-audit path is the one gram equi-join",
+    "q_pagerank" -> "5 fixed join-agg rounds chained in ONE lazy plan over checkpointed edge/degree RDD leaves — nothing upstream of the graph recomputes per round; inflow sums are map-side partial aggregates")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

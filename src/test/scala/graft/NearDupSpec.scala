@@ -281,4 +281,62 @@ class NearDupSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     rows.foreach { case (id, c, _, _) => assert(labels(id) === c) }
   }
+
+  /** In-spec reference PageRank: the same scaled-integer recurrence as
+    * [[NearDup.pageRankOnPairs]], computed single-threaded over plain
+    * Scala maps — an independent second implementation, not a replay of
+    * the Spark plan. */
+  private def refPageRank(
+      pairs: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    val Scale = 1000000000000L
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = deg.size.toLong
+    val init = Scale / n
+    val base = 15L * init / 100L
+    var pr: Map[Long, Long] = deg.map { case (k, _) => k -> init }
+    for (_ <- 1 to iters) {
+      val inflow = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      pr = deg.map { case (k, _) =>
+        k -> (base + 85L * inflow.getOrElse(k, 0L) / 100L)
+      }
+    }
+    pr.map { case (k, v) => k -> (v, deg(k)) }
+  }
+
+  test("pagerank: matches the scaled-integer reference on a mixed graph") {
+    import spark.implicits._
+    // triangle, a 2-clique, a 3-path, and a star — mixed degrees so
+    // rank actually differentiates
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L),
+      (30L, 31L), (30L, 32L), (30L, 33L), (30L, 34L))
+    val got = NearDup.pageRankOnPairs(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === refPageRank(pairs, 5))
+    // structure: the star center out-ranks its leaves; the path middle
+    // out-ranks its endpoints; triangle members tie exactly
+    assert(got(30L)._1 > got(31L)._1)
+    assert(got(21L)._1 > got(20L)._1)
+    assert(got(1L)._1 === got(2L)._1 && got(2L)._1 === got(3L)._1)
+    // mass conservation up to integral-division shortfall: total rank
+    // never exceeds SCALE, never loses more than (15+85) units per
+    // node per round
+    val total = got.values.map(_._1).sum
+    assert(total <= 1000000000000L)
+    assert(total >= 1000000000000L - 100L * got.size * 5 - got.size)
+  }
+
+  test("pagerank: empty graph yields an empty 3-column result") {
+    import spark.implicits._
+    val got = NearDup.pageRankOnPairs(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(got.columns.toSeq === Seq("doc_id", "pr_scaled", "deg"))
+    assert(got.count() === 0L)
+  }
 }

@@ -178,4 +178,84 @@ class TextOpsSpec extends SparkSpecBase {
       if (nCov === 0L) assert(clean === texts(id), s"doc $id")
     }
   }
+
+  private def gramSet(texts: Seq[String]): Set[String] =
+    texts.flatMap(_.split(" ").sliding(5).filter(_.size == 5)
+      .map(_.mkString(" "))).toSet
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Independent KMV reference: bottom-k of each source's md5'd gram
+    * set, merged per pair exactly as the operator defines. */
+  private def refOverlap(bySrc: Map[String, Set[String]], k: Int)
+      : Map[(String, String), (Long, Long)] = {
+    val sk = bySrc.map { case (s, g) =>
+      s -> g.map(md5hex).toSeq.sorted.take(k)
+    }
+    (for {
+      a <- bySrc.keys; b <- bySrc.keys if a < b
+    } yield {
+      val u = (sk(a) ++ sk(b)).distinct.sorted.take(k)
+      val hits = u.count(h => sk(a).contains(h) && sk(b).contains(h))
+      (a, b) -> (hits.toLong, u.size.toLong)
+    }).toMap
+  }
+
+  test("source overlap: exact counts match brute force; sketch is exact when k covers the union") {
+    import spark.implicits._
+    val bySrc = Map(
+      "s1" -> Seq("a b c d e f g h"),
+      "s2" -> Seq("a b c d e f g h"), // identical to s1
+      "s3" -> Seq("x y z w v u t s q p"), // disjoint
+      "s4" -> Seq("a b c d e x y z w v", "m m m m m m")) // partial overlaps
+    val docs = bySrc.toSeq.flatMap { case (src, ts) => ts.map(src -> _) }
+      .zipWithIndex
+      .map { case ((src, t), i) => (i.toLong, t, "en", src, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val grams = bySrc.map { case (s, ts) => s -> gramSet(ts) }
+    val got = TextOps.sourceOverlapDocs(docs, k = 128)
+      .as[(String, String, Long, Long, Double, Long, Long, Double)]
+      .collect()
+    assert(got.map(r => (r._1, r._2)).toSeq ===
+      (for { a <- grams.keys.toSeq.sorted; b <- grams.keys.toSeq.sorted
+             if a < b } yield (a, b)))
+    got.foreach { case (a, b, hits, kUsed, est, inter, union, exact) =>
+      val (gi, gu) = (grams(a) & grams(b), grams(a) | grams(b))
+      assert(inter === gi.size.toLong, s"($a,$b) inter")
+      assert(union === gu.size.toLong, s"($a,$b) union")
+      assert(exact === gi.size.toDouble / gu.size, s"($a,$b) exact")
+      // k=128 >= every union here, so the sketch degenerates to exact
+      assert(kUsed === gu.size.toLong, s"($a,$b) k_used")
+      assert(hits === gi.size.toLong, s"($a,$b) hits")
+      assert(est === exact, s"($a,$b) est")
+    }
+  }
+
+  test("source overlap: small-k sketch matches the KMV reference") {
+    import spark.implicits._
+    // many docs per source with heavy cross-source sharing, so k=4
+    // sketches genuinely truncate
+    val bySrc = Map(
+      "sa" -> Seq("a b c d e f g h i j", "k l m n o p q r s t"),
+      "sb" -> Seq("a b c d e f g h i j", "u v w x y z a2 b2 c2 d2"),
+      "sc" -> Seq("k l m n o p q r s t", "u v w x y z a2 b2 c2 d2"))
+    val docs = bySrc.toSeq.flatMap { case (src, ts) => ts.map(src -> _) }
+      .zipWithIndex
+      .map { case ((src, t), i) => (i.toLong, t, "en", src, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val k = 4
+    val want = refOverlap(bySrc.map { case (s, ts) => s -> gramSet(ts) }, k)
+    val got = TextOps.sourceOverlapDocs(docs, k)
+      .as[(String, String, Long, Long, Double, Long, Long, Double)]
+      .collect()
+    got.foreach { case (a, b, hits, kUsed, est, _, _, _) =>
+      val (wHits, wK) = want((a, b))
+      assert(hits === wHits, s"($a,$b) hits")
+      assert(kUsed === wK, s"($a,$b) k_used")
+      assert(est === (if (wK == 0) 0.0 else wHits.toDouble / wK),
+        s"($a,$b) est")
+    }
+  }
 }
