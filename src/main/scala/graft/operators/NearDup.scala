@@ -132,6 +132,29 @@ object NearDup extends QueryModule {
       minhashNearDup(s, d).select($"id_a", $"id_b"))
   }
 
+  /** Cluster-size CENSUS over the near-dup components — the redundancy
+    * profile of the corpus: how many duplicate families exist at each
+    * size, how many documents they hold, and how many are removable
+    * (size − 1 per family). This is the one-page answer to "what does
+    * dedup buy us" that decides whether a corpus is worth cleaning
+    * before the (much more expensive) survivor pass runs.
+    *
+    * Scale shape: rides [[dedupClusters]]' labels; both rollups are
+    * map-side-combined hash aggregates whose grain only ever SHRINKS
+    * (docs → clusters → distinct sizes — the last is at most the largest
+    * family size, a handful of rows at any corpus scale). The derived
+    * columns are row-local arithmetic on exact longs. */
+  def clusterSizes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    dedupClusters(s, d)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select($"cluster_size", $"n_clusters",
+        ($"cluster_size" * $"n_clusters").as("n_docs"),
+        (($"cluster_size" - 1L) * $"n_clusters").as("removable"))
+      .orderBy($"cluster_size")
+  }
+
   /** Quality-aware SURVIVOR selection — the step a real dedup pass runs
     * after clustering: each near-dup cluster keeps its single best copy
     * (highest [[TextOps.textStats]] quality_score, ties to the smallest
@@ -786,6 +809,31 @@ object NearDup extends QueryModule {
           SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
         SELECT a AS doc_id, min(b) AS cluster_id
         FROM reach GROUP BY a ORDER BY doc_id""")),
+    QueryDef(
+      "q_cluster_sizes", clusterSizes, Some(s"""
+        ${oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        cl AS (SELECT a AS doc_id, min(b) AS cluster_id
+               FROM reach GROUP BY a),
+        sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+               FROM cl GROUP BY cluster_id),
+        cs AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+               FROM sz GROUP BY cluster_size)
+        SELECT cluster_size, n_clusters,
+               cluster_size * n_clusters AS n_docs,
+               (cluster_size - 1) * n_clusters AS removable
+        FROM cs ORDER BY cluster_size""")),
     QueryDef(
       "q_dedup_survivor", dedupSurvivor, Some(s"""
         ${oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},

@@ -511,6 +511,54 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Per-document NOVELTY score — the fraction of a document's DISTINCT
+    * 5-token-grams that appear in no other document. The inverse signal
+    * of [[dupSpans]]' dup_ratio: dup_ratio measures how much of a doc's
+    * span MASS is corpus-duplicated (boilerplate detection), novelty
+    * measures how much of its VOCABULARY-in-context is unique
+    * (upweighting signal for information-dense documents in mixture
+    * sampling — the doc-level uniqueness score curation recipes rank
+    * on).
+    *
+    * Scale shape (same skeleton as [[dupSpans]]): grams dedup ROW-LOCALLY
+    * (`array_distinct` inside the scan projection, so per-doc repeats
+    * never reach the exchange), then ONE gram-grain exchange carries the
+    * document-frequency window, and the per-doc rollup aggregates with
+    * map-side partials back at doc grain. Text itself never shuffles —
+    * only 8-byte rolling-hash keys ([[graft.functions.VectorExpressions.ngram_hashes]],
+    * the codegen'd FNV kernel).
+    *
+    * Determinism: counts are exact longs; the ratio is a single double
+    * division, bit-reproducible in both engines. */
+  def novelty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 5
+    val docs = Tables.documents(s, d)
+    val grams = docs
+      .select($"doc_id",
+        array_distinct(
+          graft.functions.VectorExpressions.ngram_hashes($"text", n))
+          .as("ghs"))
+      .select($"doc_id", explode($"ghs").as("gh"))
+    // grams are per-doc distinct, so count-over-gram IS document frequency
+    val dfw = Window.partitionBy($"gh")
+    val perDoc = grams
+      .withColumn("df", count(lit(1)).over(dfw))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when($"df" === 1L, 1L).otherwise(0L)).as("unique_grams"))
+    docs.select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"unique_grams", lit(0L)).as("unique_grams"))
+      .withColumn("novelty",
+        when($"n_grams" === 0L, 0.0)
+          .otherwise($"unique_grams".cast("double") / $"n_grams"))
+      .orderBy($"doc_id")
+  }
+
   /** Cross-source corpus overlap: for every unordered pair of sources,
     * the bottom-k-sketch ESTIMATE of the 5-token-gram Jaccard similarity
     * next to the exact value — the "how much does source A duplicate
@@ -939,6 +987,30 @@ object TextOps extends QueryModule {
                      v -> ix >= v.s AND ix <= v.e)) = 0),
                  ' '), '') AS clean_text
         FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        ORDER BY d.doc_id""")),
+    QueryDef(
+      "q_novelty", novelty, Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - 4),
+                   i -> array_to_string(t[i:i+4], ' '))) AS g
+          FROM toks WHERE len(t) >= 5),
+        g AS (SELECT DISTINCT doc_id, g FROM g0),
+        dfc AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY g),
+        per AS (
+          SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS unique_grams
+          FROM g JOIN dfc ON g.g = dfc.g GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               coalesce(p.n_grams, 0) AS n_grams,
+               coalesce(p.unique_grams, 0) AS unique_grams,
+               CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+                    ELSE CAST(p.unique_grams AS DOUBLE) / p.n_grams
+               END AS novelty
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
         ORDER BY d.doc_id""")),
     QueryDef(
       "q_source_overlap", sourceOverlap, Some("""

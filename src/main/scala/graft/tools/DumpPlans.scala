@@ -55,7 +55,9 @@ object DumpPlans {
     "q_source_cap" -> "per-source frequency cap: ONE hash exchange on source feeding the md5-rank window, O(1) rank state per partition",
     "q_linreg_fit" -> "one-pass OLS: six sufficient statistics reduce map-side into a single row; the closed form is driver-free scalar arithmetic on that row",
     "q_source_overlap" -> "cross-source KMV sketches: bounded bottom-k ObjectHashAggregate (k-entry partials, map-side combined) collapses the corpus to Sxk rows; pair stages touch sketches only; the exact-audit path is the one gram equi-join",
-    "q_pagerank" -> "5 fixed join-agg rounds chained in ONE lazy plan over checkpointed edge/degree RDD leaves — nothing upstream of the graph recomputes per round; inflow sums are map-side partial aggregates")
+    "q_pagerank" -> "5 fixed join-agg rounds chained in ONE lazy plan over checkpointed edge/degree RDD leaves — nothing upstream of the graph recomputes per round; inflow sums are map-side partial aggregates",
+    "q_novelty" -> "per-doc distinct-gram uniqueness: array_distinct inside the scan projection (per-doc repeats never reach the exchange), ONE gram-grain exchange for the df window, doc-grain rollup with map-side partials; text never shuffles, only 8-byte FNV keys",
+    "q_cluster_sizes" -> "census over CC labels: two hash aggregates whose grain only shrinks (docs -> clusters -> distinct sizes), both map-side combined; derived columns row-local")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

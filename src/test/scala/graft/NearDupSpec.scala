@@ -332,6 +332,27 @@ class NearDupSpec extends SparkSpecBase {
     assert(total >= 1000000000000L - 100L * got.size * 5 - got.size)
   }
 
+  test("cluster sizes: census reconciles with the labels") {
+    import spark.implicits._
+    // collect labels FIRST: clusterSizes re-runs dedupClusters, whose
+    // one-slot checkpoint free-list invalidates the earlier lazy plan
+    val labels = NearDup.dedupClusters(spark, sfDir)
+      .as[(Long, Long)].collect()
+    val bySize = labels.groupBy(_._2).values.map(_.size.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = NearDup.clusterSizes(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(r => r._1 -> r._2).toMap === bySize)
+    rows.foreach { case (sz, nc, nd, rm) =>
+      assert(nd === sz * nc, s"size $sz n_docs")
+      assert(rm === (sz - 1L) * nc, s"size $sz removable")
+    }
+    // every document lands in exactly one cluster: census closes
+    assert(rows.map(_._3).sum === labels.length.toLong)
+    // fixture has planted near-dup families: a size > 1 row must exist
+    assert(rows.exists(_._1 > 1L))
+  }
+
   test("pagerank: empty graph yields an empty 3-column result") {
     import spark.implicits._
     val got = NearDup.pageRankOnPairs(

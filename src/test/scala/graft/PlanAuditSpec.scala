@@ -129,6 +129,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!"Exchange [^\\n]*text#".r.findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("novelty: text never enters an exchange, no Expand") {
+    val df = TextOps.novelty(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // per-doc repeats die in array_distinct INSIDE the scan projection,
+    // so the exchange moves (doc_id, 8-byte gram hash) pairs only; an
+    // Expand would mean a countDistinct doubled the stream
+    assert(!p.contains("Expand"), p.take(3000))
+    assert(!"Exchange [^\\n]*text#".r.findFirstIn(p).isDefined, p.take(3000))
+  }
+
   test("dedup survivor: the label/quality join subtree is planned once") {
     val df = graft.operators.NearDup.dedupSurvivor(spark, sfDir)
     df.collect()

@@ -258,4 +258,27 @@ class TextOpsSpec extends SparkSpecBase {
         s"($a,$b) est")
     }
   }
+
+  test("novelty: brute-force distinct-gram uniqueness agrees") {
+    import spark.implicits._
+    val rows = TextOps.novelty(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    val gramSets = graft.ops.Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, t) =>
+        id -> t.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet }
+    val owners = gramSets.flatMap { case (id, gs) => gs.iterator.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val want = gramSets.map { case (id, gs) =>
+      val n = gs.size.toLong
+      val u = gs.count(g => owners(g) == 1).toLong
+      id -> ((n, u, if (n == 0L) 0.0 else u.toDouble / n))
+    }.toMap
+    assert(rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap === want)
+    // the fixture's planted near-dups must drag some docs below full
+    // novelty, and fully-unique docs must exist — both tails populated
+    assert(rows.exists(r => r._2 > 0L && r._4 < 1.0))
+    assert(rows.exists(r => r._4 === 1.0))
+  }
 }
