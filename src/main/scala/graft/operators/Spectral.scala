@@ -62,9 +62,14 @@ object Spectral extends QueryModule {
     * (i, j, g = Σ_docs xq_i · xq_j) for j ≥ i. The generate → filter →
     * aggregate pipeline never shuffles row data: partial sums combine
     * map-side and the single exchange moves ≤ D(D+1)/2 longs per task. */
-  def gramMatrix(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.embeddings(s, d)
+  def gramMatrix(s: SparkSession, d: String): DataFrame =
+    gramOf(Tables.embeddings(s, d))
+
+  /** [[gramMatrix]] over an arbitrary embedding frame — the fit side of
+    * the sample-fit path takes a filtered frame here. */
+  private[graft] def gramOf(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb
       .select(transform($"embedding", x => quant(x)).as("q"))
       .select(posexplode($"q").as(Seq("i", "xi")), $"q")
       .select($"i", $"xi", posexplode($"q").as(Seq("j", "xj")))
@@ -124,7 +129,10 @@ object Spectral extends QueryModule {
 
   /** Collected triangle as (i, j, g) — bounded by D², not corpus size. */
   private def collectTri(s: SparkSession, d: String): Array[(Int, Int, Long)] =
-    gramMatrix(s, d).collect()
+    triOf(Tables.embeddings(s, d))
+
+  private def triOf(emb: DataFrame): Array[(Int, Int, Long)] =
+    gramOf(emb).collect()
       .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2)))
 
   /** Dominant principal direction of the corpus Gram by fixed-point
@@ -154,6 +162,43 @@ object Spectral extends QueryModule {
   def pcaProject(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tri = collectTri(s, d)
+    if (tri.isEmpty) return Seq.empty[(Long, Long)].toDF("vec_id", "proj")
+    val dims = tri.map(_._2).max + 1
+    val (v, _, _) = powerLoop(tri, dims)
+    val vLit = array(v.toIndexedSeq.map(lit(_)): _*)
+    Tables.embeddings(s, d)
+      .select($"vec_id",
+        aggregate(
+          zip_with($"embedding", vLit, (x, w) => quant(x) * w),
+          lit(0L), (acc, t) => acc + t).as("proj"))
+      .orderBy($"vec_id")
+  }
+
+  /** Sample-fit PCA projection — the documented SCALE PATH of this
+    * module made real: past ~10^8 unit vectors at D = 64 (or any corpus
+    * whose energy pushes the Rayleigh numerator over the 64-bit output
+    * contract — [[powerLoop]]'s loud guard), the direction is fit on a
+    * deterministic md5-bucketed sample (the [[Corpus.deterministicSample]]
+    * rule: first md5 byte of the id, keep `bucket < 26` ≈ 10%) and the
+    * FULL corpus is projected onto it. The fit-side Gram shrinks 10×
+    * (extending the exact-integer range 10×); the transform is the same
+    * per-row literal-array dot product as [[pcaProject]] — no join, no
+    * shuffle, scan-speed at any corpus size.
+    *
+    * Determinism: the sample is a pure function of vec_id (no rand()),
+    * so the fitted direction — and therefore every projection — is
+    * identical on any engine, run, or cluster size; the DuckDB oracle
+    * replays the same bucket rule, the same 30 fixed-point rounds on
+    * the sampled Gram, and the same full-corpus projection. */
+  def pcaProjectSampled(s: SparkSession, d: String): DataFrame =
+    pcaProjectSampledCap(s, d, 26)
+
+  private[graft] def pcaProjectSampledCap(
+      s: SparkSession, d: String, cap: Int): DataFrame = {
+    import s.implicits._
+    val bucket = conv(substring(md5($"vec_id".cast("string")), 1, 2), 16, 10)
+      .cast("long")
+    val tri = triOf(Tables.embeddings(s, d).where(bucket < cap))
     if (tri.isEmpty) return Seq.empty[(Long, Long)].toDF("vec_id", "proj")
     val dims = tri.map(_._2).max + 1
     val (v, _, _) = powerLoop(tri, dims)
@@ -245,6 +290,35 @@ object Spectral extends QueryModule {
       SELECT j AS i, i AS j, g FROM gt WHERE i <> j),
     v0 AS MATERIALIZED (SELECT DISTINCT i, CAST($VScale AS BIGINT) AS x FROM els)"""
 
+  /** [[oraclePrelude]] with the FIT side restricted to the md5-bucket
+    * sample — `els` stays full for the projection; `gt`/`gf`/`v0` (the
+    * names [[iterCtes]] chains from) build on the sampled elements. The
+    * hex-to-int spelling matches the `q_sample_deterministic` oracle. */
+  private val sampledPrelude: String = s"""
+    WITH els AS MATERIALIZED (
+      SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) - 1 AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $Q) AS BIGINT)
+               AS xi
+      FROM embeddings),
+    sels AS MATERIALIZED (
+      SELECT * FROM els
+      WHERE CAST((strpos('0123456789abcdef',
+                    substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                    substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1)
+              AS BIGINT) < 26),
+    gt AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS g
+      FROM sels a JOIN sels b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY a.i, b.i),
+    gf AS MATERIALIZED (
+      SELECT i, j, g FROM gt
+      UNION ALL
+      SELECT j AS i, i AS j, g FROM gt WHERE i <> j),
+    v0 AS MATERIALIZED (
+      SELECT DISTINCT i, CAST($VScale AS BIGINT) AS x FROM sels)"""
+
   /** The [[Iters]] unrolled fixed-point rounds (the k-center oracle uses
     * the same generated-CTE pattern): each round is one mat-vec, one
     * max, one renormalize — all integer-exact. */
@@ -283,6 +357,11 @@ object Spectral extends QueryModule {
         FROM v$Iters v CROSS JOIN ray ORDER BY i""")),
     QueryDef(
       "q_pca_project", pcaProject, Some(s"""$oraclePrelude,$iterCtes
+        SELECT e.vec_id, CAST(sum(e.xi * v.x) AS BIGINT) AS proj
+        FROM els e JOIN v$Iters v ON v.i = e.i
+        GROUP BY e.vec_id ORDER BY e.vec_id""")),
+    QueryDef(
+      "q_pca_sampled", pcaProjectSampled, Some(s"""$sampledPrelude,$iterCtes
         SELECT e.vec_id, CAST(sum(e.xi * v.x) AS BIGINT) AS proj
         FROM els e JOIN v$Iters v ON v.i = e.i
         GROUP BY e.vec_id ORDER BY e.vec_id""")),

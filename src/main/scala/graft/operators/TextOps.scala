@@ -10,11 +10,13 @@ import graft.ops.{QueryDef, QueryModule, Tables}
   * LLM-training-data-pipeline extension (north star; absent from the
   * reference, which only moves opaque payloads — /root/reference/src/main.rs:22-34).
   *
-  * Every operator here is a narrow projection or a single hash-aggregate:
-  * embarrassingly parallel, zero shuffles except the dedup groupBys (which
-  * shuffle once on the dedup key). All expressions are Catalyst built-ins —
-  * whole-stage codegen'd, no UDFs, so the same plan scales to 100 TB by
-  * adding executors.
+  * The row-local operators (stats, lang-ID, repetition, LM fit) are
+  * narrow projections — zero shuffles; the corpus-grain operators
+  * (dedup, span census/scrub, novelty, overlap) shuffle exactly once on
+  * a constant-width hash key, never on text. All hot-path expressions
+  * are Catalyst built-ins or codegen'd natives — no UDFs except the
+  * bounded bottom-k sketch aggregate — so the same plans scale to
+  * 100 TB by adding executors.
   *
   * Cross-engine determinism: all counts are derived with the
   * occurrence-count identity `(len(s) - len(replace(s, m, ''))) / len(m)`
@@ -609,47 +611,33 @@ object TextOps extends QueryModule {
   private val lastSketch =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
-  private[graft] def sourceOverlapDocs(
-      docs: DataFrame, k: Int = 128): DataFrame = {
+  /** 5-token-gram OCCURRENCES as (source, md5-hex) — the shared scan
+    * stage of both overlap paths; md5 is the engine-portable key. */
+  private def gramOccurrences(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val n = 5
-    Option(lastGrams.getAndSet(null)).foreach(_.unpersist(false))
-    // THE one corpus-grain pass, shared by both paths: gram occurrences
-    // hashed to md5 (the engine-portable key) and aggregated into a
-    // source-SET posting per distinct gram. Map-side collect_set
-    // partials dedup before the exchange, and the set is bounded by S
-    // (metadata cardinality), so downstream pair extraction is a narrow
-    // ≤S×S explode — no gram-grain self-join anywhere.
-    val gramsRaw = docs
+    docs
       .select($"source", split($"text", " ").as("t"))
       .where(size($"t") >= n)
       .select($"source", explode(
         transform(sequence(lit(1), size($"t") - (n - 1)),
           i => concat_ws(" ", slice($"t", i, lit(n))))).as("g"))
-    val postings = gramsRaw
-      .select(md5($"g").as("h"), $"source")
-      .groupBy($"h").agg(collect_set($"source").as("ss"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lastGrams.set(postings)
-    val expanded = postings.select($"h", explode($"ss").as("source"))
-    // per-source KMV sketches as SORTED ARRAYS (S rows total) — both
-    // est sides broadcast-consume them, so they are persisted, and the
-    // per-pair estimate below is entirely row-local array arithmetic
-    val bk = udaf(new graft.pipeline.Aggregators.BottomKAgg(k),
-      org.apache.spark.sql.Encoders.STRING)
-    Option(lastSketch.getAndSet(null)).foreach(_.unpersist(false))
-    val skArr = expanded.groupBy($"source").agg(bk($"h").as("sk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lastSketch.set(skArr)
-    val perSrcN = expanded.groupBy($"source").agg(count(lit(1)).as("n"))
+      .select($"source", md5($"g").as("h"))
+  }
+
+  /** Row-local KMV pair estimates over the S persisted sketches:
+    * U = k smallest of the sketch union; hits = members of U present in
+    * BOTH (arrays are sorted distinct, string order = the oracle's
+    * ORDER BY h). Broadcast non-equi self-join of the S-row source list
+    * — metadata cardinality, never data volume. */
+  private def kmvEstimates(skArr: DataFrame, k: Int): DataFrame = {
+    val s = skArr.sparkSession
+    import s.implicits._
     val srcs = skArr.select($"source")
     val allPairs = broadcast(srcs.toDF("src_a"))
       .join(srcs.toDF("src_b"), $"src_a" < $"src_b")
-    // KMV estimate, row-local per pair: U = k smallest of the sketch
-    // union; hits = members of U present in BOTH sketches (arrays are
-    // sorted distinct, string order = the oracle's ORDER BY h)
-    val est = allPairs
+    allPairs
       .join(broadcast(skArr.toDF("src_a", "ska")), Seq("src_a"))
       .join(broadcast(skArr.toDF("src_b", "skb")), Seq("src_b"))
       .withColumn("u", slice(array_sort(array_union($"ska", $"skb")), 1, k))
@@ -658,6 +646,37 @@ object TextOps extends QueryModule {
           array_contains($"ska", x) && array_contains($"skb", x)))
           .cast("long").as("sketch_hits"),
         size($"u").cast("long").as("k_used"))
+  }
+
+  private[graft] def sourceOverlapDocs(
+      docs: DataFrame, k: Int = 128): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    Option(lastGrams.getAndSet(null)).foreach(_.unpersist(false))
+    // THE one corpus-grain pass, shared by both answers: gram
+    // occurrences aggregated into a source-SET posting per distinct
+    // gram. Map-side collect_set partials dedup before the exchange,
+    // and the set is bounded by S (metadata cardinality), so downstream
+    // pair extraction is a narrow ≤S×S explode — no gram-grain
+    // self-join anywhere. NOTE the postings table itself is
+    // corpus-grain state (every distinct gram): right for the bounded
+    // audit SFs this query serves; at corpus scale run
+    // [[sourceOverlapSketch]], which never materializes it.
+    val postings = gramOccurrences(docs)
+      .groupBy($"h").agg(collect_set($"source").as("ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastGrams.set(postings)
+    val expanded = postings.select($"h", explode($"ss").as("source"))
+    // per-source KMV sketches as SORTED ARRAYS (S rows total) — all
+    // est sides broadcast-consume them, so they are persisted
+    val bk = udaf(new graft.pipeline.Aggregators.BottomKAgg(k),
+      org.apache.spark.sql.Encoders.STRING)
+    Option(lastSketch.getAndSet(null)).foreach(_.unpersist(false))
+    val skArr = expanded.groupBy($"source").agg(bk($"h").as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastSketch.set(skArr)
+    val perSrcN = expanded.groupBy($"source").agg(count(lit(1)).as("n"))
+    val est = kmvEstimates(skArr, k)
     val inter = postings
       .select(explode($"ss").as("src_a"), $"ss")
       .select($"src_a", explode($"ss").as("src_b"))
@@ -680,6 +699,45 @@ object TextOps extends QueryModule {
         (coalesce($"exact_inter", lit(0L)).cast("double") /
           ($"n_a" + $"n_b" - coalesce($"exact_inter", lit(0L))))
           .as("exact_jaccard"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  /** Sketch-ONLY cross-source overlap — [[sourceOverlap]]'s documented
+    * scale path made real: the KMV sketches build STRAIGHT from raw
+    * gram occurrences ([[graft.pipeline.Aggregators.BottomKAgg]] dedups
+    * inside its k-entry buffer, and a multiset's bottom-k equals its
+    * set's bottom-k), so the corpus-grain postings table of the audit
+    * path never exists. Per-task aggregation state is ≤ S×k entries,
+    * the one exchange moves S×k rows, and every pair stage is the same
+    * row-local O(S²·k) arithmetic — corpus-size-independent end to end.
+    * This is the deployment form for corpora where the audit path's
+    * distinct-gram state is unaffordable (it exhausts a single JVM
+    * around 10^6 docs; the sketch path is flat there — see ScaleBench).
+    *
+    * Sketch CONTENT is identical to the audit path's (same pure set
+    * property), so the oracle gates it exactly, and est columns agree
+    * bit-for-bit between the two queries. */
+  def sourceOverlapSketch(s: SparkSession, d: String): DataFrame =
+    sourceOverlapSketchDocs(Tables.documents(s, d))
+
+  private val lastSketchOnly =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  private[graft] def sourceOverlapSketchDocs(
+      docs: DataFrame, k: Int = 128): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bk = udaf(new graft.pipeline.Aggregators.BottomKAgg(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val skArr = gramOccurrences(docs)
+      .groupBy($"source").agg(bk($"h").as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastSketchOnly.getAndSet(skArr)).foreach(_.unpersist(false))
+    kmvEstimates(skArr, k)
+      .select($"src_a", $"src_b", $"sketch_hits", $"k_used",
+        when($"k_used" === 0L, 0.0)
+          .otherwise($"sketch_hits".cast("double") / $"k_used")
+          .as("est_jaccard"))
       .orderBy($"src_a", $"src_b")
   }
 
@@ -1076,6 +1134,56 @@ object TextOps extends QueryModule {
         LEFT JOIN ix ON ix.src_a = p.src_a AND ix.src_b = p.src_b
         JOIN n na ON na.source = p.src_a
         JOIN n nb ON nb.source = p.src_b
+        ORDER BY p.src_a, p.src_b""")),
+    QueryDef(
+      "q_source_overlap_sketch", sourceOverlapSketch, Some("""
+        WITH d AS (
+          SELECT source, string_split(text, ' ') AS t FROM documents),
+        g0 AS (
+          SELECT source,
+                 unnest(list_transform(generate_series(1, len(t) - 4),
+                   i -> array_to_string(t[i:i+4], ' '))) AS g
+          FROM d WHERE len(t) >= 5),
+        g AS (SELECT DISTINCT source, g FROM g0),
+        h AS (SELECT source, md5(g) AS h FROM g),
+        sk AS (
+          SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM h)
+          WHERE rn <= 128),
+        srcs AS (SELECT DISTINCT source FROM g),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+        m AS (
+          SELECT src_a, src_b, h,
+                 max(in_a) AS in_a, max(in_b) AS in_b
+          FROM (
+            SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN sk s ON s.source = p.src_a
+            UNION ALL
+            SELECT p.src_a, p.src_b, s.h, 0, 1
+            FROM pairs p JOIN sk s ON s.source = p.src_b) u
+          GROUP BY src_a, src_b, h),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY src_a, src_b ORDER BY h) AS rn
+          FROM m),
+        est AS (
+          SELECT src_a, src_b,
+                 CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS sketch_hits,
+                 CAST(count(*) AS BIGINT) AS k_used
+          FROM r WHERE rn <= 128 GROUP BY src_a, src_b)
+        SELECT p.src_a, p.src_b,
+               coalesce(e.sketch_hits, 0) AS sketch_hits,
+               coalesce(e.k_used, 0) AS k_used,
+               CASE WHEN coalesce(e.k_used, 0) = 0 THEN 0.0
+                    ELSE CAST(e.sketch_hits AS DOUBLE) / e.k_used
+               END AS est_jaccard
+        FROM pairs p
+        LEFT JOIN est e ON e.src_a = p.src_a AND e.src_b = p.src_b
         ORDER BY p.src_a, p.src_b"""))
   )
 }

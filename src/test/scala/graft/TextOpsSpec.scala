@@ -259,6 +259,20 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("sketch-only overlap path agrees bit-for-bit with the audit path") {
+    import spark.implicits._
+    // KMV of a multiset = KMV of its set, so building straight from raw
+    // occurrences must give the IDENTICAL sketch columns
+    val audit = TextOps.sourceOverlapDocs(
+      graft.ops.Tables.documents(spark, sfDir), 16)
+      .select("src_a", "src_b", "sketch_hits", "k_used", "est_jaccard")
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    val sketch = TextOps.sourceOverlapSketchDocs(
+      graft.ops.Tables.documents(spark, sfDir), 16)
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(sketch === audit)
+  }
+
   test("novelty: brute-force distinct-gram uniqueness agrees") {
     import spark.implicits._
     val rows = TextOps.novelty(spark, sfDir)
