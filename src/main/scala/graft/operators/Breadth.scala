@@ -214,7 +214,43 @@ object Breadth extends QueryModule {
       .orderBy($"o_orderpriority", $"o_orderstatus")
   }
 
+  /** Per-language length-decile profile: ntile(10) over a TOTAL order
+    * (n_chars, then doc_id — NTILE is only deterministic under a total
+    * order, and both engines use the standard ⌈n/k⌉-then-⌊n/k⌋ bucket
+    * fill), then the per-decile population and char-range. The
+    * equi-populated flavor of histogram a curation pipeline uses to set
+    * per-language length cutoffs (quantile floors without interpolation
+    * semantics entering the picture).
+    *
+    * Scale: one shuffle on lang for the window, reused by the (lang,
+    * decile) aggregate's partial phase; nothing driver-side. */
+  def lengthDeciles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+    Tables.documents(s, d)
+      .select($"lang", $"n_chars", $"doc_id")
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy($"lang", $"decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      .orderBy($"lang", $"decile")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_length_deciles", lengthDeciles, Some("""
+        SELECT lang, decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM (SELECT lang, n_chars,
+                     CAST(ntile(10) OVER (PARTITION BY lang
+                       ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+              FROM documents)
+        GROUP BY lang, decile ORDER BY lang, decile""")),
     QueryDef(
       "q_pivot", pivotStatus, Some("""
         SELECT o_orderpriority,

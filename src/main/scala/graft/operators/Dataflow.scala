@@ -170,7 +170,79 @@ object Dataflow extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** Trailing event-time window: for every event, the count and value
+    * extremes of the same user's events in the preceding 30 minutes
+    * (inclusive) — a RANGE frame over event time, the per-record form of
+    * rate limiting / burst detection a stream processor runs with state.
+    *
+    * The frame is ordered on epoch MICROS as a long, not the timestamp
+    * column: integer range arithmetic is exact and engine-portable
+    * (DuckDB's `RANGE ... PRECEDING` over `epoch_us(ts)` is the identical
+    * frame), and equal-µs peers land in the same frame in both engines.
+    *
+    * Scale: one shuffle on user_id; the frame is evaluated with a sliding
+    * two-pointer over each partition's sorted run — no per-row rescan, no
+    * second exchange (same partitioning as every other per-user window
+    * here). Aggregates are count/min/max — order-free, so exact on doubles. */
+  def trailingWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-1800000000L, 0L) // 30 min in µs, inclusive
+    Tables.events(s, d)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"), $"value")
+      .select(
+        $"event_id", $"user_id", $"us",
+        count(lit(1)).over(w).as("n_trail"),
+        min($"value").over(w).as("vmin"),
+        max($"value").over(w).as("vmax"))
+      .orderBy($"event_id")
+  }
+
+  /** Sliding event-time windows in batch: 1-hour windows every 30 minutes
+    * over the whole event stream — the batch form of the streaming
+    * windowed aggregation (StreamingPipeline pins the streaming half).
+    * With size = 2×slide every event lands in exactly two windows;
+    * Spark plans this as one Expand (factor 2, the window count — NOT a
+    * per-window self-join) feeding a single hash aggregate.
+    *
+    * Window starts are emitted as epoch micros: integer window arithmetic
+    * (`us - us % slide - i·slide`) reproduces bit-exactly in the oracle,
+    * where a timestamp column would re-open timezone/precision skew. */
+  def slidingCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        min($"value").as("vmin"),
+        max($"value").as("vmax"))
+      .select(unix_micros($"w.start").as("wstart"), $"n", $"vmin", $"vmax")
+      .orderBy($"wstart")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_trailing_window", trailingWindow, Some("""
+        SELECT event_id, user_id, epoch_us(ts) AS us,
+               CAST(count(*) OVER w AS BIGINT) AS n_trail,
+               min(value) OVER w AS vmin,
+               max(value) OVER w AS vmax
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+    QueryDef(
+      "q_sliding_counts", slidingCounts, Some("""
+        WITH x AS (
+          SELECT epoch_us(ts) AS us, value,
+                 unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS i
+          FROM events)
+        SELECT us - (us % 1800000000) - i * 1800000000 AS wstart,
+               CAST(count(*) AS BIGINT) AS n,
+               min(value) AS vmin,
+               max(value) AS vmax
+        FROM x
+        GROUP BY 1 ORDER BY 1""")),
     QueryDef(
       "q_delivery_gap", deliveryGap, Some("""
         SELECT user_id,

@@ -741,7 +741,40 @@ object TextOps extends QueryModule {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** Lexical diversity per document: whitespace token count, distinct
+    * token ("type") count, and the type-token ratio as exact
+    * parts-per-million (integer floor division — a double ratio would be
+    * engine-exact here too, but the ppm form keeps the whole row in
+    * BIGINT and composes with the other integer quality signals).
+    * Low TTR = repetitive/templated text; pairs with [[repetitionScore]]
+    * (which looks at ADJACENT repeats) as a corpus-quality filter.
+    *
+    * Scale: row-local (split + array_distinct per row, no shuffle);
+    * the scan prunes to (doc_id, text). */
+  def lexicalDiversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    Tables.documents(s, d)
+      .select(
+        $"doc_id",
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"))
+      .withColumn("ttr_ppm", expr("n_types * 1000000 div n_tokens"))
+      .orderBy($"doc_id")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_lexical_diversity", lexicalDiversity, Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_types
+          FROM documents)
+        SELECT doc_id, n_tokens, n_types,
+               n_types * 1000000 // n_tokens AS ttr_ppm
+        FROM t ORDER BY doc_id""")),
     QueryDef(
       "q_linreg_fit", linregFit, Some("""
         WITH t AS (

@@ -107,6 +107,41 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("Exchange".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
+  test("trailing window: one hash exchange, range frame, no self-join") {
+    // the RANGE frame is evaluated inside the Window operator over each
+    // user's sorted run — a range-JOIN formulation would plan a second
+    // exchange (or worse, a BNLJ) and rescan the stream per row
+    val df = Dataflow.trailingWindow(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("sliding counts: one Expand (window replication) into one aggregate") {
+    // size = 2x slide: Spark replicates each row into its two windows via
+    // a single Expand feeding a partial+final hash aggregate — the shape
+    // that scales (a per-window union or self-join would rescan events
+    // once per window offset)
+    val df = Dataflow.slidingCounts(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert("Expand".r.findAllIn(p).size === 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
+  test("length deciles: window and aggregate share the lang exchange") {
+    val df = graft.operators.Breadth.lengthDeciles(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // ntile's partitionBy(lang) exchange also satisfies the (lang,
+    // decile) aggregate via partial aggregation on co-located data
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
   test("cell sample: rank and cell-size windows share one hash exchange") {
     val df = graft.operators.Similarity.cellSample(spark, sfDir)
     df.collect() // finalize the adaptive plan
