@@ -709,7 +709,54 @@ object Corpus extends QueryModule {
     sb.toString
   }
 
+  /** Per-source vocabulary signature: the 3 tokens most over-represented
+    * in each source relative to the whole corpus, ranked by lift
+    * n_source_tok / n_global_tok. Within a source the per-source and
+    * global totals are constants, so this single ratio IS the
+    * tf-lift order. The ratio is ONE double division of two exact
+    * BIGINTs — correctly rounded IEEE, bit-identical across engines —
+    * so ordering (and the emitted ratio) reproduces exactly; ties break
+    * on the token. The "what does this source talk about" profile a
+    * mixture designer reads before weighting sources.
+    *
+    * Scale: the exploded token stream is reduced by map-side partial
+    * aggregation to (source, token) pairs before either shuffle, so the
+    * exchanges carry ~vocab x sources rows, not the corpus; the global
+    * vocab side is a broadcast-size join. */
+  def sourceSignature(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+    val bySrc = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("n_st"))
+    val glob = toks.groupBy($"tok").agg(count(lit(1)).as("n_t"))
+    val lift = $"n_st".cast("double") / $"n_t"
+    val w = Window.partitionBy($"source").orderBy(lift.desc, $"tok")
+    bySrc.join(broadcast(glob), Seq("tok"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 3)
+      .select($"source", $"rank", $"tok", $"n_st", $"n_t",
+        lift.as("lift_ratio"))
+      .orderBy($"source", $"rank")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_source_signature", sourceSignature, Some("""
+        WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        s AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n_st
+              FROM t GROUP BY 1, 2),
+        g AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_t
+              FROM t GROUP BY 1),
+        r AS (SELECT s.source, s.tok, s.n_st, g.n_t,
+                     CAST(s.n_st AS DOUBLE) / g.n_t AS lift_ratio,
+                     row_number() OVER (PARTITION BY s.source
+                       ORDER BY CAST(s.n_st AS DOUBLE) / g.n_t DESC, s.tok)
+                       AS rank
+              FROM s JOIN g USING (tok))
+        SELECT source, CAST(rank AS BIGINT) AS rank, tok, n_st, n_t,
+               lift_ratio
+        FROM r WHERE rank <= 3 ORDER BY source, rank""")),
     QueryDef(
       "q_bpe_merges", bpeMerges(_, _), Some(bpeOracleSql(6))),
     QueryDef(

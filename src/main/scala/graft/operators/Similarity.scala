@@ -251,6 +251,39 @@ object Similarity extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** Cluster-label purity audit: assign every vector to its nearest
+    * coarse centroid, then per cell report the population, the majority
+    * label (ties toward the smallest label), and purity as integer ppm.
+    * The standard "is this clustering aligned with supervision" check a
+    * curation pipeline runs before trusting cluster-level decisions
+    * (cell-quota sampling, semantic dedup) — low-purity cells are where
+    * those decisions mix unrelated content.
+    *
+    * Everything after the assignment is exact integer arithmetic, so the
+    * gate pins the full cell-assignment path (codebook collect +
+    * NearestCentroidExpr) through to counts. Scale: the narrow
+    * assignment scan reduces to (centroid, label) pairs via map-side
+    * partial aggregation — the shuffles carry K x labels rows. */
+  def clusterPurity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".as("v"), $"label")
+      .withColumn("nrm", l2Norm($"v"))
+    val counts = assignTo(e, centroids(vecs(s, d)))
+      .groupBy($"centroid_id", $"label")
+      .agg(count(lit(1)).as("n_top"))
+    val byCell = Window.partitionBy($"centroid_id")
+    val w = byCell.orderBy($"n_top".desc, $"label")
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_cell", sum($"n_top").over(byCell))
+      .where($"rn" === 1)
+      .select($"centroid_id", $"label".cast("long").as("top_label"),
+        $"n_top", $"n_cell")
+      .withColumn("purity_ppm", expr("n_top * 1000000 div n_cell"))
+      .orderBy($"centroid_id")
+  }
+
   /** IVF-probed search: probes (vec_id 8..17) only scan their own
     * cluster's inverted list — the candidate set shrinks by ~k versus a
     * full scan, the essential ANN-index trade.
@@ -706,6 +739,29 @@ object Similarity extends QueryModule {
           FROM p)
         SELECT label, centroid_id, rank, id_a, id_b, cosine
         FROM r WHERE rank <= 3 ORDER BY label, centroid_id, rank""")),
+    QueryDef(
+      "q_cluster_purity", clusterPurity, Some(s"""
+        $oracleVecs,
+        c AS (SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cn
+              FROM e WHERE vec_id < 8),
+        asg AS (
+          SELECT e.vec_id, e.label, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
+                     / (e.nrm * c.cn) DESC, c.centroid_id) AS rn
+          FROM e CROSS JOIN c),
+        cnt AS (SELECT centroid_id, label, CAST(count(*) AS BIGINT) AS n_top
+                FROM asg WHERE rn = 1 GROUP BY 1, 2),
+        top AS (SELECT centroid_id, label, n_top,
+                       row_number() OVER (PARTITION BY centroid_id
+                         ORDER BY n_top DESC, label) AS rn2,
+                       CAST(sum(n_top) OVER (PARTITION BY centroid_id)
+                         AS BIGINT) AS n_cell
+                FROM cnt)
+        SELECT centroid_id, CAST(label AS BIGINT) AS top_label, n_top,
+               n_cell, n_top * 1000000 // n_cell AS purity_ppm
+        FROM top WHERE rn2 = 1 ORDER BY centroid_id""")),
     QueryDef(
       "q_ivf_assign", ivfAssign, Some(s"""
         $oracleVecs,
