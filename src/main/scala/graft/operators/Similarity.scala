@@ -199,6 +199,57 @@ object Similarity extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** Two-stage dedup cascade — the deployed shape of large-scale near-dup
+    * removal: a cheap high-recall EMBEDDING stage proposes candidate
+    * pairs (same coarse cell, cosine ≥ τ), and an exact TEXT stage
+    * verifies each candidate by distinct-token Jaccard before anything
+    * is dropped. Embedding recall alone over-fires on topically-similar
+    * non-duplicates; text verification alone cannot be run all-pairs.
+    * The cascade runs the expensive exact measure only on the candidate
+    * set, and the output keeps both measures per pair so the precision
+    * of stage 1 is itself auditable.
+    *
+    * Exactness: cosine is the established bit-reproducible double path;
+    * the Jaccard is pure BIGINT (|A∩B| on distinct token sets,
+    * |A∪B| = |A|+|B|−|A∩B|, floor-divided ppm).
+    *
+    * Scale: stage 1 is the cell-bounded pair join (never corpus²); the
+    * candidate set that reaches the text join is orders of magnitude
+    * smaller than the corpus, and the documents side joins on doc_id —
+    * an equi-join Spark plans hash-partitioned (or broadcast when the
+    * candidate set is small, the common case). */
+  def cascadeDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Option(lastSemCells.getAndSet(null)).foreach(_.unpersist(false))
+    val e = vecs(s, d)
+    val cells = assignTo(e, centroids(e))
+      .select($"vec_id", $"centroid_id", $"v", $"nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastSemCells.set(cells)
+    val a = cells.select($"centroid_id", $"vec_id".as("id_a"),
+      $"v".as("va"), $"nrm".as("na"))
+    val b = cells.select($"centroid_id", $"vec_id".as("id_b"),
+      $"v".as("vb"), $"nrm".as("nb"))
+    val cand = a.join(b, Seq("centroid_id"))
+      .select($"id_a", $"id_b",
+        cosineWithNorms($"va", $"vb", $"na", $"nb").as("cosine"))
+      .where($"id_a" < $"id_b" && $"cosine" >= lit(SemDedupTau))
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", array_distinct(split($"text", " ")).as("types"))
+    cand
+      .join(docs.select($"doc_id".as("id_a"), $"types".as("ta")), Seq("id_a"))
+      .join(docs.select($"doc_id".as("id_b"), $"types".as("tb")), Seq("id_b"))
+      .select($"id_a", $"id_b", $"cosine",
+        size(array_intersect($"ta", $"tb")).cast("long").as("n_inter"),
+        (size($"ta") + size($"tb")).cast("long").as("n_sum"))
+      .withColumn("n_union", $"n_sum" - $"n_inter")
+      .withColumn("jac_ppm", expr("n_inter * 1000000 div n_union"))
+      .withColumn("confirmed", $"jac_ppm" >= 500000)
+      .select($"id_a", $"id_b", $"cosine", $"n_inter", $"n_union",
+        $"jac_ppm", $"confirmed")
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** INCREMENTAL semantic dedup — the embedding-side analogue of
     * [[graft.operators.NearDup.incrementalNearDup]]: a fresh embedding
     * batch (vec_id % 10 >= 8) is deduped against corpus ∪ batch through
@@ -802,6 +853,42 @@ object Similarity extends QueryModule {
                (d.vec_id IS NOT NULL) AS is_dup
         FROM cells c2 LEFT JOIN dup d ON c2.vec_id = d.vec_id
         ORDER BY c2.vec_id""")),
+    QueryDef(
+      "q_cascade_dedup", cascadeDedup, Some(s"""
+        $oracleVecs,
+        c AS (SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cn
+              FROM e WHERE vec_id < 8),
+        asg0 AS (
+          SELECT e.vec_id, e.embedding, e.nrm, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
+                     / (e.nrm * c.cn) DESC, c.centroid_id) AS rn
+          FROM e CROSS JOIN c),
+        cells AS (SELECT vec_id, embedding, nrm, centroid_id
+                  FROM asg0 WHERE rn = 1),
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ${oracleDot("a", "b")} / (a.nrm * b.nrm) AS cosine
+          FROM cells a JOIN cells b
+            ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+          WHERE ${oracleDot("a", "b")} / (a.nrm * b.nrm) >= 0.3),
+        docs AS (SELECT doc_id, list_distinct(string_split(text, ' '))
+                   AS types FROM documents),
+        j AS (
+          SELECT p.id_a, p.id_b, p.cosine,
+                 CAST(len(list_distinct(list_intersect(da.types, db.types)))
+                   AS BIGINT) AS n_inter,
+                 CAST(len(da.types) + len(db.types) AS BIGINT) AS n_sum
+          FROM cand p
+          JOIN docs da ON p.id_a = da.doc_id
+          JOIN docs db ON p.id_b = db.doc_id)
+        SELECT id_a, id_b, cosine, n_inter,
+               n_sum - n_inter AS n_union,
+               n_inter * 1000000 // (n_sum - n_inter) AS jac_ppm,
+               (n_inter * 1000000 // (n_sum - n_inter)) >= 500000
+                 AS confirmed
+        FROM j ORDER BY id_a, id_b""")),
     QueryDef(
       "q_incremental_semdedup", incrementalSemanticDedup, Some(s"""
         $oracleVecs,
