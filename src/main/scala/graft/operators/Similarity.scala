@@ -218,7 +218,16 @@ object Similarity extends QueryModule {
     * smaller than the corpus, and the documents side joins on doc_id —
     * an equi-join Spark plans hash-partitioned (or broadcast when the
     * candidate set is small, the common case). */
-  def cascadeDedup(s: SparkSession, d: String): DataFrame = {
+  def cascadeDedup(s: SparkSession, d: String): DataFrame =
+    cascadeDedup(s, d, SemDedupTau)
+
+  /** `tau` is the stage-1 recall knob and is corpus-dependent: 0.3 is
+    * discriminative on the fixtures' clustered embeddings, while a
+    * uniform-random corpus needs ~0.9+ to keep the candidate set near
+    * the true-twin rate (ScaleBench probes at 0.95 for exactly that
+    * reason — stage-1 selectivity, not the cascade's shape, is what the
+    * threshold buys). */
+  def cascadeDedup(s: SparkSession, d: String, tau: Double): DataFrame = {
     import s.implicits._
     Option(lastSemCells.getAndSet(null)).foreach(_.unpersist(false))
     val e = vecs(s, d)
@@ -233,7 +242,7 @@ object Similarity extends QueryModule {
     val cand = a.join(b, Seq("centroid_id"))
       .select($"id_a", $"id_b",
         cosineWithNorms($"va", $"vb", $"na", $"nb").as("cosine"))
-      .where($"id_a" < $"id_b" && $"cosine" >= lit(SemDedupTau))
+      .where($"id_a" < $"id_b" && $"cosine" >= lit(tau))
     val docs = Tables.documents(s, d)
       .select($"doc_id", array_distinct(split($"text", " ")).as("types"))
     cand

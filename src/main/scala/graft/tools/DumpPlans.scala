@@ -59,7 +59,11 @@ object DumpPlans {
     "q_novelty" -> "per-doc distinct-gram uniqueness: array_distinct inside the scan projection (per-doc repeats never reach the exchange), ONE gram-grain exchange for the df window, doc-grain rollup with map-side partials; text never shuffles, only 8-byte FNV keys",
     "q_cluster_sizes" -> "census over CC labels: two hash aggregates whose grain only shrinks (docs -> clusters -> distinct sizes), both map-side combined; derived columns row-local",
     "q_pca_sampled" -> "sample-fit PCA: the fit-side Gram filters to the md5-bucket sample in the scan stage (a hash rule cannot prune row groups, but 90% of rows die before the explode), and the fit subtree materializes at build time -- the dumped plan is the full-corpus projection, the same no-join literal-array dot product as q_pca_project",
-    "q_source_overlap_sketch" -> "sketch-only overlap: KMV sketches build straight from raw occurrences through the bounded bottom-k ObjectHashAggregate (<= Sxk per-task state, Sxk rows over the one exchange) -- the audit path's corpus-grain postings table never exists; pair stages are row-local over broadcast sketches")
+    "q_source_overlap_sketch" -> "sketch-only overlap: KMV sketches build straight from raw occurrences through the bounded bottom-k ObjectHashAggregate (<= Sxk per-task state, Sxk rows over the one exchange) -- the audit path's corpus-grain postings table never exists; pair stages are row-local over broadcast sketches",
+    "q_trailing_window" -> "per-event trailing RANGE frame over epoch-micros: ONE hash exchange on user_id, the frame evaluated as a sliding run inside the Window operator -- no self-join, no per-row rescan",
+    "q_sliding_counts" -> "sliding event-time windows in batch: one Expand (factor 2 = windows per event) into a single partial+final hash aggregate -- no per-window union or self-join",
+    "q_cascade_dedup" -> "two-stage dedup cascade: cell-bounded embedding pair join proposes candidates (assignment materialized once, InMemoryTableScan both sides), then the exact token-Jaccard verify joins documents on doc_id for the CANDIDATE set only",
+    "q_cluster_purity" -> "cluster-label purity: narrow no-join centroid assignment reduced by map-side partials to (centroid, label) rows; majority-label window and cell-total window share the centroid_id exchange")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -102,8 +102,29 @@ object ScaleBench {
     time("dedup_clusters") {
       graft.operators.NearDup.dedupClusters(spark, dir)
     }
-    time("semantic_dedup") {
+    // semantic dedup + cascade: the cell-bounded pair join's cost is
+    // |cell|² per cell, and the probe's codebook is FIXED at K=8 — so
+    // these two are probed only at ≤10^5 vectors (12.5k-row cells,
+    // ~0.6G pair evals). At deployment K scales with the corpus
+    // (K ∝ n / target_cell_size keeps |cell| and per-cell work
+    // constant — the documented IVF lever); a fixed-K probe at 10^6
+    // would measure 60G pair evals, i.e. the misconfiguration the
+    // lever exists to prevent, not the operator.
+    if (n <= 100000L) time("semantic_dedup") {
       graft.operators.Similarity.semanticDedup(spark, dir)
+    }
+    // cascade: embedding candidates verified by exact text Jaccard —
+    // the claim under test is that the text-verify stage costs work
+    // ∝ the CANDIDATE set, not the corpus. tau=0.95 because these
+    // vectors are uniform-random (cos ~ N(0, 1/8)): the gate default
+    // 0.3 is discriminative on clustered real embeddings but passes
+    // ~3% of random within-cell pairs here, drowning the probe in
+    // stage-1 output. At 0.95 candidates ≈ the planted 97-twins, and
+    // the verify stage correctly REJECTS most of them (embedding twins
+    // are planted independently of text twins — only ids ≡ 1 mod
+    // 47·97 are both), which is the cascade's reason to exist.
+    if (n <= 100000L) time("cascade_dedup_tau95") {
+      graft.operators.Similarity.cascadeDedup(spark, dir, tau = 0.95)
     }
     // span census + scrub: the planted near-copies share 8-token spans,
     // so the duplicated-span paths are exercised, not just scanned
