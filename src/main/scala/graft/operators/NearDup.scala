@@ -102,6 +102,35 @@ object NearDup extends QueryModule {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Near-dup pairs (LSH banding + exact-Jaccard verify, same knobs as
+    * [[minhashNearDup]]) over an ARBITRARY (doc_id, text) set — the
+    * building block composed stages use on a filtered corpus.
+    * Signatures and band keys are doc-local, so restricting the input
+    * set restricts the pair set exactly (a subset pair collides in a
+    * band iff it collides over the full corpus). */
+  private[graft] def pairsOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sh = docs.select($"doc_id",
+      graft.functions.VectorExpressions.text_shingles($"text", 3).as("sh"))
+    val banded = sh
+      .select($"doc_id",
+        graft.functions.VectorExpressions.minhash_sig($"sh", Perms).as("mh"))
+      .select($"doc_id", explode(array(bandKeyColumns($"mh"): _*)).as("bkey"))
+    banded.select($"bkey", $"doc_id".as("id_a"))
+      .join(banded.select($"bkey", $"doc_id".as("id_b")), Seq("bkey"))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
+      .distinct()
+      .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
+      .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
+      .withColumn("n_common",
+        graft.functions.VectorExpressions.intersect_count($"sh_a", $"sh_b"))
+      .where($"n_common".cast("double") /
+        (size($"sh_a") + size($"sh_b") - $"n_common") >= Tau)
+      .select($"id_a", $"id_b")
+  }
+
   /** Dedup CLUSTERING: connected components over the near-duplicate pair
     * graph — pair lists alone cannot drive dedup (near-dup is not
     * transitive: A~B, B~C pairs must still collapse to ONE keeper), so
@@ -714,7 +743,7 @@ object NearDup extends QueryModule {
       .orderBy($"keep_id")
   }
 
-  private val oracleShingles = """
+  private[graft] val oracleShingles = """
     WITH s AS (
       SELECT doc_id, source,
         CASE WHEN len(string_split(text, ' ')) >= 3 THEN

@@ -741,6 +741,63 @@ object TextOps extends QueryModule {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** END-TO-END curation verdict — the full cascade a training corpus
+    * runs, fused into one per-document answer: row-local language +
+    * length + stopword rules, exact-fingerprint dedup among the docs
+    * that passed them, then NEAR-dup clustering (LSH banding + exact
+    * Jaccard ≥ 0.8, connected components) restricted to the remaining
+    * survivors, with the per-cluster best copy kept (max quality, ties
+    * to min id — [[graft.operators.NearDup.dedupSurvivor]]'s rule).
+    * Output: every doc's final verdict (`lang` / `too_short` /
+    * `too_long` / `low_stopword` / `exact_dup` / `near_dup` / `kept`)
+    * plus its token count, so kept-token accounting is one GROUP BY
+    * away. This is "corpus in, training corpus out" as ONE plan —
+    * each stage's work runs only on the previous stage's survivors.
+    *
+    * Scale: stages compose without materialization barriers — the
+    * row-local rules fuse into the scan, the fp window and the band
+    * join shuffle only survivor rows, and the CC rounds run on the
+    * (orders smaller) near-dup pair graph. */
+  def curateCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = $"text"
+    val nTokens = tokenCount(t)
+    val nStop = (tokenOccurrences(t, "the") + tokenOccurrences(t, "a")
+      + tokenOccurrences(t, "of") + tokenOccurrences(t, "and"))
+    val preReason = when(!$"lang".isin("en", "de", "es", "fr"), "lang")
+      .when($"n_tokens" < 20, "too_short")
+      .when($"n_tokens" > 1000, "too_long")
+      .when($"n_stop" * 100L < $"n_tokens", "low_stopword")
+    val w = Window.partitionBy($"fp", $"pre_reason".isNull)
+      .orderBy($"doc_id")
+    val staged = Tables.documents(s, d)
+      .select($"doc_id", $"lang", t,
+        nTokens.as("n_tokens"), nStop.as("n_stop"),
+        md5(normalize(t)).as("fp"))
+      .withColumn("pre_reason", preReason)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("reason12",
+        coalesce($"pre_reason", when($"rn" > 1, "exact_dup")))
+    val survivors = staged.where($"reason12".isNull)
+      .select($"doc_id", $"text")
+    val labels = graft.operators.NearDup.connectedComponents(
+      survivors.select($"doc_id"),
+      graft.operators.NearDup.pairsOver(survivors))
+    val wSurv = Window.partitionBy($"cluster_id")
+      .orderBy($"quality_score".desc, $"doc_id")
+    val nd = labels
+      .join(textStats(s, d).select($"doc_id", $"quality_score"),
+        Seq("doc_id"))
+      .withColumn("survivor_id", first($"doc_id").over(wSurv))
+      .select($"doc_id",
+        when($"doc_id" =!= $"survivor_id", "near_dup").as("nd_reason"))
+    staged.select($"doc_id", $"n_tokens", $"reason12")
+      .join(nd, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"reason12", $"nd_reason", lit("kept")).as("verdict"))
+      .orderBy($"doc_id")
+  }
+
   /** Lexical diversity per document: whitespace token count, distinct
     * token ("type") count, and the type-token ratio as exact
     * parts-per-million (integer floor division — a double ratio would be
@@ -764,6 +821,85 @@ object TextOps extends QueryModule {
   }
 
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_curate_corpus", curateCorpus, Some(
+        graft.operators.NearDup.oracleShingles
+          .replace("WITH s AS", "WITH RECURSIVE s AS") + """,
+        b AS (
+          SELECT doc_id, lang,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                   length(text) - length(replace(text, ' ', '')) + 1 END
+                   AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x = 'the'))
+                    + len(list_filter(string_split(text, ' '), x -> x = 'a'))
+                    + len(list_filter(string_split(text, ' '), x -> x = 'of'))
+                    + len(list_filter(string_split(text, ' '), x -> x = 'and'))
+                   AS BIGINT) AS n_stop,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_tokens, fp,
+                 CASE WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 'lang'
+                      WHEN n_tokens < 20 THEN 'too_short'
+                      WHEN n_tokens > 1000 THEN 'too_long'
+                      WHEN n_stop * 100 < n_tokens THEN 'low_stopword'
+                 END AS pre_reason
+          FROM b),
+        rk AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY fp, pre_reason IS NULL ORDER BY doc_id) AS rn
+          FROM r),
+        st AS (
+          SELECT doc_id, n_tokens,
+                 coalesce(pre_reason,
+                   CASE WHEN rn > 1 THEN 'exact_dup' END) AS reason12
+          FROM rk),
+        sv AS (SELECT doc_id FROM st WHERE reason12 IS NULL),
+        sh2 AS (SELECT s.doc_id, s.sh FROM s JOIN sv USING (doc_id)),
+        p AS (
+          SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM sh2 a JOIN sh2 b2 ON a.doc_id < b2.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh)))
+                >= 0.8),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        reach(a, bb) AS (
+          SELECT doc_id, doc_id FROM sv
+          UNION
+          SELECT r2.a, e.dst FROM reach r2 JOIN e ON r2.bb = e.src),
+        cl AS (SELECT a AS doc_id, min(bb) AS cluster_id
+               FROM reach GROUP BY a),
+        q AS (
+          SELECT doc_id,
+                 CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                   (CAST(n_stopwords AS DOUBLE) / n_tokens) * 2.0
+                   + (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+                      THEN 1.0 ELSE 0.0 END) END AS quality_score
+          FROM (SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                    length(text) - length(replace(text, ' ', '')) + 1
+                  END AS n_tokens,
+                  len(list_filter(string_split(text, ' '), t -> t = 'the'))
+                  + len(list_filter(string_split(text, ' '), t -> t = 'a'))
+                  + len(list_filter(string_split(text, ' '), t -> t = 'of'))
+                  + len(list_filter(string_split(text, ' '), t -> t = 'and'))
+                    AS n_stopwords
+                FROM documents) bq),
+        j AS (SELECT cl.doc_id, cl.cluster_id, q.quality_score
+              FROM cl JOIN q USING (doc_id)),
+        rk2 AS (SELECT doc_id,
+                  row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY quality_score DESC, doc_id) AS rn2
+                FROM j),
+        nd AS (SELECT doc_id,
+                 CASE WHEN rn2 > 1 THEN 'near_dup' END AS nd_reason
+               FROM rk2)
+        SELECT st.doc_id, st.n_tokens,
+               coalesce(st.reason12, nd.nd_reason, 'kept') AS verdict
+        FROM st LEFT JOIN nd USING (doc_id)
+        ORDER BY st.doc_id""")),
     QueryDef(
       "q_lexical_diversity", lexicalDiversity, Some("""
         WITH t AS (
