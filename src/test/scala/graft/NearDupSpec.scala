@@ -126,6 +126,51 @@ class NearDupSpec extends SparkSpecBase {
     assert(got.values.toSet === Set(1000L))
   }
 
+  test("connected components match a union-find reference on random graphs, both strategies") {
+    import spark.implicits._
+    // deterministic xorshift stream — reproducible failures
+    var seed = 0x9e3779b97f4a7c15L
+    def next(): Long = {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17; seed
+    }
+    for (trial <- 0 until 5) {
+      val n = 30 + trial * 25
+      val nEdges = n / 2 + trial * 20 // spans sparse forests to cyclic blobs
+      val ids = (0 until n).map(i => i.toLong * 7 + 3)
+      val pairs = (0 until nEdges).map { _ =>
+        val a = ids(java.lang.Math.floorMod(next(), n).toInt)
+        val b = ids(java.lang.Math.floorMod(next(), n).toInt)
+        if (a < b) (a, b) else (b, a)
+      }.filter(p => p._1 != p._2).distinct
+      // union-find reference with path compression
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = min id of the component, matching the operator
+      val byRoot = ids.groupBy(find)
+      val want = byRoot.flatMap { case (_, members) =>
+        val m = members.min; members.map(_ -> m)
+      }
+      val nodes = ids.toDF("doc_id")
+      val pairsDf = pairs.toDF("id_a", "id_b")
+      val prop = NearDup.connectedComponents(nodes, pairsDf)
+        .as[(Long, Long)].collect().toMap
+      val star = NearDup.connectedComponents(nodes, pairsDf,
+        starContraction = true).as[(Long, Long)].collect().toMap
+      assert(prop === want, s"propagation, trial $trial")
+      assert(star === want, s"star contraction, trial $trial")
+    }
+  }
+
   test("propagation auto-falls-back to star contraction past its round cap") {
     import spark.implicits._
     // diameter 199 >> cap 6: the default strategy cannot converge and
