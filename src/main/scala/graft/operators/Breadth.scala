@@ -51,6 +51,25 @@ object Breadth extends QueryModule {
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** CUBE with grouping_id: all four aggregation grains of
+    * (returnflag, linestatus) in one pass, each output row tagged with
+    * which columns are aggregated away — the disambiguator ROLLUP's
+    * NULLs lack (a NULL group value vs a subtotal row). One Expand
+    * (factor 4 = grouping sets) into one hash aggregate, the same
+    * planning shape as rollup; grouping_id is the standard bitmask in
+    * both engines (1 bit per cubed column, MSB = first). */
+  def cubeAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy($"gid", $"l_returnflag".asc_nulls_first,
+        $"l_linestatus".asc_nulls_first)
+  }
+
   /** Skew-safe two-phase aggregation (salting): pre-aggregate on
     * (key, salt) so one hot key spreads over N reducers, then combine.
     * Exact same result as a direct groupBy — which is what the oracle
@@ -327,6 +346,16 @@ object Breadth extends QueryModule {
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+    QueryDef(
+      "q_cube", cubeAgg, Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                 AS BIGINT) AS gid,
+               count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
     QueryDef(
       "q_salted_agg", saltedAgg, Some("""
         SELECT user_id, count(*) AS n_events,

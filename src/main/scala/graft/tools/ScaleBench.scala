@@ -90,7 +90,7 @@ object ScaleBench {
       val t0 = System.nanoTime()
       val d = body
       val rows = d
-        .select(xxhash64(struct(d.columns.map(col): _*)).as("h"))
+        .select(xxhash64(struct(d.columns.toIndexedSeq.map(col): _*)).as("h"))
         .agg(count(lit(1)), bit_xor($"h")).collect().head.getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"shape":"$name","n":$n,"rows":$rows,"sec":$sec%.2f}""")
