@@ -93,6 +93,38 @@ object Relational extends QueryModule {
     * (a theta-join `purchase.ts <= event.ts` would explode to all prior
     * purchases per event). A purchase attributes to itself (markers sort
     * before probes at equal timestamps). */
+  /** As-of join WITH TOLERANCE (the kdb `aj`/Flink temporal-join form):
+    * each event matches the latest same-user purchase at-or-before it,
+    * but only within a 2-hour window — an unboundedly-stale match is no
+    * match. Same union + carry-forward shape as [[asofJoin]] (one
+    * shuffle, no range explosion); the marker's TIME rides along in a
+    * second ignore-nulls carry from the same row, and the bound check is
+    * integer µs arithmetic at the end. A probe outside tolerance emits
+    * NULLs, preserving the probe set (left-join semantics). */
+  def asofTolerance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tolUs = 7200000000L // 2 hours in epoch micros
+    val e = Tables.events(s, d)
+    val markers = e.where($"event_type" === "purchase").select(
+      $"user_id".as("k"), unix_micros($"ts").as("t_us"), lit(0).as("kind"),
+      $"event_id".as("purchase_id"), lit(null).cast("long").as("event_id"))
+    val probes = e.select(
+      $"user_id".as("k"), unix_micros($"ts").as("t_us"), lit(1).as("kind"),
+      lit(null).cast("long").as("purchase_id"), $"event_id")
+    val w = Window.partitionBy($"k")
+      .orderBy($"t_us", $"kind", $"purchase_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    markers.unionByName(probes)
+      .withColumn("lp", last($"purchase_id", ignoreNulls = true).over(w))
+      .withColumn("lt",
+        last(when($"kind" === 0, $"t_us"), ignoreNulls = true).over(w))
+      .where($"kind" === 1)
+      .select($"event_id", $"k".as("user_id"),
+        when($"t_us" - $"lt" <= tolUs, $"lp").as("purchase_id"),
+        when($"t_us" - $"lt" <= tolUs, $"t_us" - $"lt").as("gap_us"))
+      .orderBy($"event_id")
+  }
+
   def asofJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.events(s, d)
@@ -205,6 +237,30 @@ object Relational extends QueryModule {
                n_with_heavy, n_without_heavy
         FROM wh FULL OUTER JOIN wo ON wh.o_orderpriority = wo.o_orderpriority
         ORDER BY o_orderpriority""")),
+    QueryDef(
+      "q_asof_tolerance", asofTolerance, Some("""
+        WITH u AS (
+          SELECT user_id AS k, epoch_us(ts) AS t_us, 0 AS kind,
+                 event_id AS purchase_id, CAST(NULL AS BIGINT) AS event_id
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id AS k, epoch_us(ts) AS t_us, 1 AS kind,
+                 CAST(NULL AS BIGINT) AS purchase_id, event_id
+          FROM events),
+        c AS (
+          SELECT *,
+                 last_value(purchase_id IGNORE NULLS) OVER w AS lp,
+                 last_value(CASE WHEN kind = 0 THEN t_us END IGNORE NULLS)
+                   OVER w AS lt
+          FROM u
+          WINDOW w AS (PARTITION BY k ORDER BY t_us, kind, purchase_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id, k AS user_id,
+               CASE WHEN t_us - lt <= 7200000000 THEN lp END
+                 AS purchase_id,
+               CASE WHEN t_us - lt <= 7200000000 THEN t_us - lt END
+                 AS gap_us
+        FROM c WHERE kind = 1 ORDER BY event_id""")),
     QueryDef(
       "q_asof_join", asofJoin, Some("""
         WITH u AS (
