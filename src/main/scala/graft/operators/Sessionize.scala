@@ -79,7 +79,91 @@ object Sessionize extends QueryModule {
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       FROM sess GROUP BY user_id, session_id)"""
 
+  /** Ordered funnel per user: first 'view', then the first 'click'
+    * AT-OR-AFTER it, then the first 'purchase' at-or-after that — the
+    * sequential-conversion measurement ad-hoc flag counting gets wrong
+    * (a purchase BEFORE the first view must not count as a conversion).
+    * Emitted per user (nullable stage times in epoch µs) so the gate
+    * hashes the full trajectory, not just the counts; stage counts are
+    * one GROUP BY away.
+    *
+    * Scale: three per-user min-aggregates chained by equi-joins on
+    * user_id — every stage reuses the same hash partitioning, and
+    * per-stage state is one row per user. No windows over the full
+    * event stream, no self-join of events against events. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val t1 = e.where($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("view_us"))
+    val t2 = e.where($"event_type" === "click")
+      .join(t1, Seq("user_id"))
+      .where($"us" >= $"view_us")
+      .groupBy($"user_id").agg(min($"us").as("click_us"))
+    val t3 = e.where($"event_type" === "purchase")
+      .join(t2, Seq("user_id"))
+      .where($"us" >= $"click_us")
+      .groupBy($"user_id").agg(min($"us").as("purchase_us"))
+    t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select($"user_id", $"view_us", $"click_us", $"purchase_us")
+      .orderBy($"user_id")
+  }
+
+  /** Cohort retention: users bucketed by FIRST-ACTIVE day, counted on
+    * each later day they return — the (cohort_day, day_offset) matrix
+    * behind every retention curve. Days are exact integer epoch-day
+    * arithmetic (µs div 86400000000), so the matrix reproduces
+    * bit-for-bit cross-engine.
+    *
+    * Scale: first-active day is one per-user min; the activity set is
+    * the distinct (user, day) projection (map-side pre-aggregated);
+    * the join key user_id reuses the same partitioning; the final
+    * matrix is cohort x offset — tiny at any corpus size. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val days = Tables.events(s, d)
+      .select($"user_id",
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val cohorts = days.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    days.join(cohorts, Seq("user_id"))
+      .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_funnel", funnel, Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                   FROM events),
+        t1 AS (SELECT user_id, min(us) AS view_us
+               FROM e WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (SELECT e.user_id, min(us) AS click_us
+               FROM e JOIN t1 USING (user_id)
+               WHERE event_type = 'click' AND us >= view_us
+               GROUP BY e.user_id),
+        t3 AS (SELECT e.user_id, min(us) AS purchase_us
+               FROM e JOIN t2 USING (user_id)
+               WHERE event_type = 'purchase' AND us >= click_us
+               GROUP BY e.user_id)
+        SELECT t1.user_id, t1.view_us, t2.click_us, t3.purchase_us
+        FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+        ORDER BY user_id""")),
+    QueryDef(
+      "q_retention", retention, Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+          FROM events),
+        cohorts AS (SELECT user_id, min(day) AS cohort_day
+                    FROM days GROUP BY user_id)
+        SELECT cohort_day, day - cohort_day AS day_offset,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM days JOIN cohorts USING (user_id)
+        GROUP BY cohort_day, day - cohort_day
+        ORDER BY cohort_day, day_offset""")),
     QueryDef(
       "q_sessionize", sessionize, Some(s"""
         $oracleSessions
