@@ -102,6 +102,39 @@ object NearDup extends QueryModule {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Global statistics of the near-dup graph: edges, wedges (length-2
+    * paths), triangles, and the global clustering coefficient
+    * 3·triangles/wedges as integer ppm — how CLIQUE-LIKE duplicate
+    * families are (boilerplate mirrors triangle-close; chained partial
+    * copies don't), read next to the cluster-size census.
+    *
+    * Triangles use the standard oriented-edge formulation (edges stored
+    * a<b, so each triangle a<b<c is counted exactly once by joining
+    * e1=(a,b), e2=(b,c), e3=(a,c)) — the distributed-graph shape whose
+    * join volume is Σ wedges, not edges²; wedges come from the degree
+    * table alone. All arithmetic exact BIGINT; the three scalars meet
+    * in 1-row broadcast crossJoins (metadata, never data volume). */
+  def graphStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = minhashNearDup(s, d).select($"id_a", $"id_b")
+    val nEdges = p.agg(count(lit(1)).as("n_edges"))
+    val wedges = p.select($"id_a".as("v"))
+      .union(p.select($"id_b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+      .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val tri = p.as("e1")
+      .join(p.as("e2"), col("e2.id_a") === col("e1.id_b"))
+      .join(p.as("e3"), col("e3.id_a") === col("e1.id_a")
+        && col("e3.id_b") === col("e2.id_b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(wedges).crossJoin(tri)
+      .select($"n_edges", coalesce($"n_wedges", lit(0L)).as("n_wedges"),
+        $"n_triangles")
+      .withColumn("global_cc_ppm",
+        when($"n_wedges" > 0L,
+          expr("n_triangles * 3000000 div n_wedges")).otherwise(0L))
+  }
+
   /** Near-dup pairs (LSH banding + exact-Jaccard verify, same knobs as
     * [[minhashNearDup]]) over an ARBITRARY (doc_id, text) set — the
     * building block composed stages use on a filtered corpus.
@@ -791,6 +824,32 @@ object NearDup extends QueryModule {
         ${pageRankOracleIters(5)}
         SELECT node AS doc_id, pr AS pr_scaled, deg
         FROM r5 ORDER BY doc_id""")),
+    QueryDef(
+      "q_graph_stats", graphStats, Some(s"""
+        $oracleShingles,
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM p),
+        nw AS (
+          SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT)
+            AS n_wedges
+          FROM (SELECT v, count(*) AS deg FROM (
+                  SELECT id_a AS v FROM p
+                  UNION ALL SELECT id_b FROM p) u GROUP BY v)),
+        nt AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          FROM p e1
+          JOIN p e2 ON e2.id_a = e1.id_b
+          JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+        SELECT n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges > 0
+                 THEN n_triangles * 3000000 // n_wedges
+                 ELSE 0 END AS global_cc_ppm
+        FROM ne, nw, nt""")),
     QueryDef(
       "q_minhash_neardup", minhashNearDup, Some(s"""
         $oracleShingles,
