@@ -64,7 +64,9 @@ object DumpPlans {
     "q_sliding_counts" -> "sliding event-time windows in batch: one Expand (factor 2 = windows per event) into a single partial+final hash aggregate -- no per-window union or self-join",
     "q_cascade_dedup" -> "two-stage dedup cascade: cell-bounded embedding pair join proposes candidates (assignment materialized once, InMemoryTableScan both sides), then the exact token-Jaccard verify joins documents on doc_id for the CANDIDATE set only",
     "q_cluster_purity" -> "cluster-label purity: narrow no-join centroid assignment reduced by map-side partials to (centroid, label) rows; majority-label window and cell-total window share the centroid_id exchange",
-    "q_curate_corpus" -> "the fused curation cascade: row-local rules in the scan stage, fp-window exact dedup, LSH band join + CC + survivor argmax running ONLY on each prior stage's survivors, verdict rejoin on doc_id")
+    "q_curate_corpus" -> "the fused curation cascade: row-local rules in the scan stage, fp-window exact dedup, LSH band join + CC + survivor argmax running ONLY on each prior stage's survivors, verdict rejoin on doc_id",
+    "q_funnel" -> "ordered funnel: three chained per-user min-aggregates, every stage reusing the user_id partitioning (broadcast when tiny) -- no event self-join, no full-stream window",
+    "q_graph_stats" -> "triangle census: oriented-edge joins (a<b storage means each triangle counts once) -- join volume is the wedge count; the three scalar aggregates meet in 1-row broadcast crossJoins")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
