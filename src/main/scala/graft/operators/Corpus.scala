@@ -709,6 +709,47 @@ object Corpus extends QueryModule {
     sb.toString
   }
 
+  /** Token co-occurrence lift: the 20 unordered token pairs most
+    * over-represented within a ±2 skip-gram window relative to their
+    * unigram frequencies — collocation mining (PMI's argmax without
+    * PMI's logarithm: lift = n_ab·N / (n_a·n_b) as integer ppm through
+    * HUGEINT/decimal(38,0) intermediates, so the ranking reproduces
+    * bit-for-bit where a log-based score would drift in the last ulp).
+    * Pairs are canonicalized (least, greatest) so both token orders
+    * accumulate together; n_ab ≥ 5 suppresses hapax noise.
+    *
+    * Scale: pair generation is row-local (slice + arrays_zip, no
+    * position window, no self-join); the exploded pair stream reduces
+    * by map-side partials to ≤ vocab² rows before its one exchange, and
+    * the unigram sides broadcast. */
+  def cooccurLift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d).select(split($"text", " ").as("t"))
+    def grams(g: Int) = toks
+      .select(
+        slice($"t", lit(1), greatest(size($"t") - g, lit(0))).as("a1"),
+        slice($"t", lit(1 + g), greatest(size($"t") - g, lit(0))).as("a2"))
+      .select(explode(arrays_zip($"a1", $"a2")).as("z"))
+      .select(least($"z.a1", $"z.a2").as("a"),
+        greatest($"z.a1", $"z.a2").as("b"))
+    val pc = grams(1).unionByName(grams(2))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+    val uni = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    val tot = uni.agg(sum($"n").as("nn"))
+    pc.join(broadcast(uni.select($"tok".as("a"), $"n".as("n_a"))), Seq("a"))
+      .join(broadcast(uni.select($"tok".as("b"), $"n".as("n_b"))), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .where($"n_ab" >= 5L)
+      .withColumn("lift_ppm", expr(
+        """CAST((CAST(n_ab AS DECIMAL(38,0)) * nn * 1000000)
+               div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""))
+      .select($"a", $"b", $"n_ab", $"n_a", $"n_b", $"lift_ppm")
+      .orderBy($"lift_ppm".desc, $"a", $"b")
+      .limit(20)
+  }
+
   /** Per-source vocabulary signature: the 3 tokens most over-represented
     * in each source relative to the whole corpus, ranked by lift
     * n_source_tok / n_global_tok. Within a source the per-source and
@@ -740,6 +781,31 @@ object Corpus extends QueryModule {
   }
 
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_cooccur", cooccurLift, Some("""
+        WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        ks1 AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS k
+                FROM t),
+        p1 AS (SELECT least(toks[k], toks[k+1]) AS a,
+                      greatest(toks[k], toks[k+1]) AS b FROM ks1),
+        ks2 AS (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS k
+                FROM t),
+        p2 AS (SELECT least(toks[k], toks[k+2]) AS a,
+                      greatest(toks[k], toks[k+2]) AS b FROM ks2),
+        pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+               FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+               GROUP BY a, b),
+        uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM documents) GROUP BY tok),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM uni)
+        SELECT a, b, n_ab, ua.n AS n_a, ub.n AS n_b,
+               CAST(CAST(n_ab AS HUGEINT) * nn * 1000000 //
+                 (CAST(ua.n AS HUGEINT) * ub.n) AS BIGINT) AS lift_ppm
+        FROM pc JOIN uni ua ON pc.a = ua.tok
+                JOIN uni ub ON pc.b = ub.tok, tot
+        WHERE n_ab >= 5
+        ORDER BY lift_ppm DESC, a, b LIMIT 20""")),
     QueryDef(
       "q_source_signature", sourceSignature, Some("""
         WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
