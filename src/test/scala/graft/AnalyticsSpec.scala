@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{NearDup, Sessionize}
+
+/** Invariant pins for the event-analytics and graph-statistics
+  * operators, on top of their DuckDB gates: properties that must hold
+  * on ANY input, checked on the live fixture. */
+class AnalyticsSpec extends SparkSpecBase {
+
+  test("funnel stages are ordered and only reachable in sequence") {
+    import spark.implicits._
+    val f = Sessionize.funnel(spark, sfDir).cache()
+    try {
+      // a stage time implies every earlier stage time, in order
+      assert(f.where($"click_us".isNotNull && $"view_us".isNull).count() === 0)
+      assert(f.where($"purchase_us".isNotNull && $"click_us".isNull)
+        .count() === 0)
+      assert(f.where($"click_us" < $"view_us").count() === 0)
+      assert(f.where($"purchase_us" < $"click_us").count() === 0)
+      assert(f.count() > 0)
+    } finally f.unpersist()
+  }
+
+  test("retention day-0 row equals the cohort's size; offsets non-negative") {
+    import spark.implicits._
+    val r = Sessionize.retention(spark, sfDir).cache()
+    try {
+      assert(r.where($"day_offset" < 0).count() === 0)
+      // every cohort has a day-0 row, and no later offset exceeds it
+      val perCohort = r.groupBy($"cohort_day")
+        .agg(org.apache.spark.sql.functions.min($"day_offset").as("mn"),
+          org.apache.spark.sql.functions.max($"n_users").as("mx"))
+        .collect()
+      assert(perCohort.nonEmpty)
+      perCohort.foreach(row => assert(row.getLong(1) === 0L, row.toString))
+      val day0 = r.where($"day_offset" === 0)
+        .select($"cohort_day", $"n_users".as("d0")).alias("z")
+      val viol = r.join(day0, Seq("cohort_day"))
+        .where($"n_users" > $"d0")
+      assert(viol.count() === 0)
+    } finally r.unpersist()
+  }
+
+  test("graph stats agree with a driver-side recount of the pair list") {
+    import spark.implicits._
+    val pairs = NearDup.minhashNearDup(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    pairs.foreach { case (a, b) =>
+      adj(a) = adj.getOrElse(a, Set.empty) + b
+      adj(b) = adj.getOrElse(b, Set.empty) + a
+    }
+    val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    val triangles = pairs.map { case (a, b) =>
+      (adj(a) & adj(b)).size.toLong
+    }.sum / 3
+    val got = NearDup.graphStats(spark, sfDir).collect().head
+    assert(got.getLong(0) === pairs.length.toLong) // n_edges
+    assert(got.getLong(1) === wedges)
+    assert(got.getLong(2) === triangles)
+    if (wedges > 0)
+      assert(got.getLong(3) === triangles * 3000000L / wedges)
+  }
+}
