@@ -102,6 +102,32 @@ object NearDup extends QueryModule {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Character-level verification of the near-dup pairs: Levenshtein
+    * distance and a normalized similarity (1 − dist/maxlen, as integer
+    * ppm) for every shingle-verified pair — the closeness measure edit
+    * scripts and span diffs need that set-based Jaccard can't give
+    * (Jaccard is order-blind; edit distance is not). Runs only on the
+    * (orders-smaller) verified pair set: Levenshtein is O(len²) per
+    * pair and must never see a candidate join, let alone a corpus².
+    *
+    * Exact cross-engine: both Levenshteins count unit character edits;
+    * the normalization is integer floor division. */
+  def editDistance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    minhashNearDup(s, d).select($"id_a", $"id_b")
+      .join(docs.select($"doc_id".as("id_a"), $"text".as("ta")), Seq("id_a"))
+      .join(docs.select($"doc_id".as("id_b"), $"text".as("tb")), Seq("id_b"))
+      .select($"id_a", $"id_b",
+        levenshtein($"ta", $"tb").cast("long").as("edit_dist"),
+        length($"ta").cast("long").as("len_a"),
+        length($"tb").cast("long").as("len_b"))
+      .withColumn("sim_ppm", expr(
+        "(greatest(len_a, len_b) - edit_dist) * 1000000" +
+          " div greatest(len_a, len_b)"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Global statistics of the near-dup graph: edges, wedges (length-2
     * paths), triangles, and the global clustering coefficient
     * 3·triangles/wedges as integer ppm — how CLIQUE-LIKE duplicate
@@ -824,6 +850,27 @@ object NearDup extends QueryModule {
         ${pageRankOracleIters(5)}
         SELECT node AS doc_id, pr AS pr_scaled, deg
         FROM r5 ORDER BY doc_id""")),
+    QueryDef(
+      "q_edit_distance", editDistance, Some(s"""
+        $oracleShingles,
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        j AS (
+          SELECT p.id_a, p.id_b,
+                 CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+                 CAST(length(da.text) AS BIGINT) AS len_a,
+                 CAST(length(db.text) AS BIGINT) AS len_b
+          FROM p
+          JOIN documents da ON p.id_a = da.doc_id
+          JOIN documents db ON p.id_b = db.doc_id)
+        SELECT id_a, id_b, edit_dist, len_a, len_b,
+               (greatest(len_a, len_b) - edit_dist) * 1000000 //
+                 greatest(len_a, len_b) AS sim_ppm
+        FROM j ORDER BY id_a, id_b""")),
     QueryDef(
       "q_graph_stats", graphStats, Some(s"""
         $oracleShingles,
