@@ -41,6 +41,22 @@ class AnalyticsSpec extends SparkSpecBase {
     } finally r.unpersist()
   }
 
+  test("curateCorpus row-local + exact-dup verdicts reconcile with filterAudit") {
+    import spark.implicits._
+    // stages 1-2 of the fused pipeline are definitionally filterAudit's
+    // cascade; its 'kept' docs are exactly those curate sends to the
+    // near-dup stage (verdict kept or near_dup)
+    val curate = graft.operators.TextOps.curateCorpus(spark, sfDir)
+      .groupBy($"verdict").count().as[(String, Long)].collect().toMap
+    val audit = graft.operators.TextOps.filterAudit(spark, sfDir)
+      .select($"reason", $"n_docs").as[(String, Long)].collect().toMap
+    for (r <- Seq("lang", "too_short", "too_long", "low_stopword",
+        "exact_dup"))
+      assert(curate.getOrElse(r, 0L) === audit.getOrElse(r, 0L), r)
+    assert(curate.getOrElse("kept", 0L) + curate.getOrElse("near_dup", 0L)
+      === audit.getOrElse("kept", 0L))
+  }
+
   test("graph stats agree with a driver-side recount of the pair list") {
     import spark.implicits._
     val pairs = NearDup.minhashNearDup(spark, sfDir)
