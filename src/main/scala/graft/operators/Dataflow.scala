@@ -220,7 +220,57 @@ object Dataflow extends QueryModule {
       .orderBy($"wstart")
   }
 
+  /** Hourly OHLC bars over the event stream: per hour bucket the
+    * opening and closing `value` (first/last by event time, ties broken
+    * by event_id — row_number under a TOTAL order, not first()/last()
+    * whose tie behavior is engine-dependent), the extremes, and the
+    * count. The time-series downsampling shape (financial bars, metric
+    * rollups); both rank windows and the final aggregate share the one
+    * hash exchange on the hour bucket.
+    *
+    * `value` passes through untouched (no sums), so doubles are safe;
+    * the bucket is integer µs arithmetic. */
+  def ohlcBars(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 3600000000").as("hour_bucket"),
+        unix_micros($"ts").as("us"), $"event_id", $"value")
+    val wa = Window.partitionBy($"hour_bucket").orderBy($"us", $"event_id")
+    val wd = Window.partitionBy($"hour_bucket")
+      .orderBy($"us".desc, $"event_id".desc)
+    e.withColumn("rn_a", row_number().over(wa))
+      .withColumn("rn_d", row_number().over(wd))
+      .groupBy($"hour_bucket")
+      .agg(
+        max(when($"rn_a" === 1, $"value")).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max(when($"rn_d" === 1, $"value")).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy($"hour_bucket")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_ohlc_bars", ohlcBars, Some("""
+        WITH e AS (
+          SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+                 epoch_us(ts) AS us, event_id, value
+          FROM events),
+        r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY hour_bucket
+                   ORDER BY us, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY hour_bucket
+                   ORDER BY us DESC, event_id DESC) AS rn_d
+          FROM e)
+        SELECT hour_bucket,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               CAST(count(*) AS BIGINT) AS n
+        FROM r GROUP BY hour_bucket ORDER BY hour_bucket""")),
     QueryDef(
       "q_trailing_window", trailingWindow, Some("""
         SELECT event_id, user_id, epoch_us(ts) AS us,
