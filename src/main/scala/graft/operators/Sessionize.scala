@@ -134,7 +134,65 @@ object Sessionize extends QueryModule {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** Interval-union active time: each event opens a 5-minute activity
+    * window; per user, the total length of the UNION of those windows
+    * (overlaps merged — naive per-event summing double-counts bursts)
+    * plus the merged-interval count. The sweep-line gaps-and-islands
+    * form: an interval starts a new island iff it begins after the
+    * running max of all previous ends; both windows (running max, island
+    * running sum) and the two aggregates share ONE exchange on user_id.
+    * All arithmetic is epoch-micros BIGINT. */
+  def activeTime(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val winUs = 300000000L // 5 min
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+      .withColumn("end_us", $"us" + winUs)
+      .withColumn("prev_max_end", max($"end_us").over(wPrev))
+      .withColumn("new_island",
+        when($"prev_max_end".isNull || $"us" > $"prev_max_end", 1L)
+          .otherwise(0L))
+      .withColumn("island", sum($"new_island").over(w))
+      .groupBy($"user_id", $"island")
+      .agg(min($"us").as("i_start"), max($"end_us").as("i_end"))
+      .groupBy($"user_id")
+      .agg(
+        sum($"i_end" - $"i_start").as("active_us"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy($"user_id")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_active_time", activeTime, Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+                 epoch_us(ts) + 300000000 AS end_us
+          FROM events),
+        m AS (
+          SELECT *,
+                 max(end_us) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max_end
+          FROM e),
+        isl AS (
+          SELECT *,
+                 CAST(sum(CASE WHEN prev_max_end IS NULL
+                     OR us > prev_max_end THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS island
+          FROM m),
+        iv AS (
+          SELECT user_id, island, min(us) AS i_start, max(end_us) AS i_end
+          FROM isl GROUP BY user_id, island)
+        SELECT user_id,
+               CAST(sum(i_end - i_start) AS BIGINT) AS active_us,
+               CAST(count(*) AS BIGINT) AS n_intervals
+        FROM iv GROUP BY user_id ORDER BY user_id""")),
     QueryDef(
       "q_funnel", funnel, Some("""
         WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
