@@ -142,6 +142,22 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("Window"), p.take(3000))
   }
 
+  test("ohlc bars: both rank windows and the aggregate share the bucket exchange") {
+    val df = Dataflow.ohlcBars(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
+    assert("Window".r.findAllIn(p).size === 2, p.take(3000))
+  }
+
+  test("active time: running-max and island windows plus aggregates share one exchange") {
+    val df = graft.operators.Sessionize.activeTime(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("cell sample: rank and cell-size windows share one hash exchange") {
     val df = graft.operators.Similarity.cellSample(spark, sfDir)
     df.collect() // finalize the adaptive plan
