@@ -220,6 +220,26 @@ object Dataflow extends QueryModule {
       .orderBy($"wstart")
   }
 
+  /** Deterministic per-group MODE: each user's most frequent event
+    * type, ties to the lexicographically smallest type. Spark's (and
+    * DuckDB's) built-in `mode()` is tie-arbitrary — useless under a
+    * hash gate and a reproducibility contract — so the mode is computed
+    * as count + rank under a TOTAL order, the same
+    * majority-by-construction shape as the cluster-purity audit.
+    * One exchange: the (user, type) partial agg and the rank window
+    * share the user_id partitioning. */
+  def modalEventType(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, d)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n_modal"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"n_modal".desc, $"event_type")
+    counts.withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"user_id", $"event_type".as("modal_type"), $"n_modal")
+      .orderBy($"user_id")
+  }
+
   /** Hourly OHLC bars over the event stream: per hour bucket the
     * opening and closing `value` (first/last by event time, ties broken
     * by event_id — row_number under a TOTAL order, not first()/last()
@@ -251,6 +271,17 @@ object Dataflow extends QueryModule {
   }
 
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_modal_type", modalEventType, Some("""
+        WITH c AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_modal
+          FROM events GROUP BY user_id, event_type),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY n_modal DESC, event_type) AS rn
+          FROM c)
+        SELECT user_id, event_type AS modal_type, n_modal
+        FROM r WHERE rn = 1 ORDER BY user_id""")),
     QueryDef(
       "q_ohlc_bars", ohlcBars, Some("""
         WITH e AS (

@@ -770,6 +770,17 @@ object TextOps extends QueryModule {
       .when($"n_stop" * 100L < $"n_tokens", "low_stopword")
     val w = Window.partitionBy($"fp", $"pre_reason".isNull)
       .orderBy($"doc_id")
+    // The staged table is consumed by several downstream subtrees
+    // (survivor text feeds the band join TWICE — banding and verify —
+    // plus the node list and the final verdict join) and Catalyst does
+    // not CSE across DataFrame reuse, so without materialization every
+    // consumer re-runs the scan + fingerprint window: measured 184 s vs
+    // ~60 s of component cost at 10^6 docs. One-slot unpersist-first
+    // caches (the library-wide serial-consumer discipline) pin the scan
+    // to one evaluation per stage; at deployment scale this
+    // materialization point is where a pipeline would checkpoint
+    // between stages anyway.
+    Option(lastCurate.getAndSet(null)).foreach(_.unpersist(false))
     val staged = Tables.documents(s, d)
       .select($"doc_id", $"lang", t,
         nTokens.as("n_tokens"), nStop.as("n_stop"),
@@ -778,6 +789,9 @@ object TextOps extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .withColumn("reason12",
         coalesce($"pre_reason", when($"rn" > 1, "exact_dup")))
+      .select($"doc_id", $"text", $"n_tokens", $"reason12")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastCurate.set(staged)
     val survivors = staged.where($"reason12".isNull)
       .select($"doc_id", $"text")
     val labels = graft.operators.NearDup.connectedComponents(
@@ -797,6 +811,11 @@ object TextOps extends QueryModule {
         coalesce($"reason12", $"nd_reason", lit("kept")).as("verdict"))
       .orderBy($"doc_id")
   }
+
+  /** One-slot cache for [[curateCorpus]]'s staged table — unpersist-
+    * FIRST swap, same serial-consumer reasoning as [[lastGrams]]. */
+  private val lastCurate =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** Lexical diversity per document: whitespace token count, distinct
     * token ("type") count, and the type-token ratio as exact

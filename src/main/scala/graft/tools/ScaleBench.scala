@@ -137,6 +137,22 @@ object ScaleBench {
     time("dedup_survivor") {
       graft.operators.NearDup.dedupSurvivor(spark, dir)
     }
+    // the fused curation cascade: row-local rules + fp dedup + LSH
+    // near-dup CC + survivor argmax, each stage on the prior stage's
+    // survivors — should cost ~ the minhash+CC passes on the filtered
+    // set, not a sum of standalone full-corpus operators. The probe
+    // corpus has no stopwords (every doc would fail the low_stopword
+    // rule and the later stages would run on nothing), so curate gets a
+    // variant with a 4-stopword suffix: identical for every doc, so it
+    // adds ~4 shared shingles out of ~84 — far below any near-dup
+    // threshold — while letting the corpus through the rules.
+    val curDir = s"$dir-curate"
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text", concat($"text", lit(" the a of and")))
+      .write.mode("overwrite").parquet(s"$curDir/documents.parquet")
+    time("curate_corpus") {
+      graft.operators.TextOps.curateCorpus(spark, curDir)
+    }
     // incremental ingest: a 1% batch probed against the other 99% — the
     // claim under test is that this costs ~one corpus scan (index build)
     // plus work ∝ the BATCH, far under the full pair pass above
