@@ -23,7 +23,8 @@ object SparkEntry {
     operators.Breadth,
     operators.Corpus,
     operators.Curation,
-    operators.Spectral
+    operators.Spectral,
+    operators.Profiling
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

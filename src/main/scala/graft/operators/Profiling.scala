@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{QueryDef, QueryModule, Tables}
+
+/** Data-profiling operators a pipeline runs BEFORE committing to a plan
+  * at scale: the per-key skew census that decides whether a join needs
+  * salting, the event-type transition matrix behind behavioral QA, and
+  * histogram-exact robust (median/MAD) outlier detection whose state is
+  * bounded by the VALUE DOMAIN, not the corpus size.
+  *
+  * All arithmetic is exact integers (counts, ppm floor-divisions,
+  * milli-quantized values), so every result reproduces bit-for-bit
+  * against the DuckDB oracle.
+  */
+object Profiling extends QueryModule {
+
+  /** Markov transition matrix over per-user event streams: for every
+    * ordered (prev_type → next_type) adjacency, the transition count,
+    * the out-degree of the source state, and the transition probability
+    * as integer ppm. The behavioral fingerprint of a product's event
+    * stream — sudden shifts in this matrix are the canonical silent
+    * instrumentation-breakage signal.
+    *
+    * Scale shape: ONE exchange on user_id feeds the lag window (the
+    * same partitioning sessionize uses); everything after operates on
+    * the |types|² transition table — metadata-sized at any corpus
+    * scale. The row-total join is a broadcast of that tiny table. */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val adj = Tables.events(s, d)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .where($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val outDeg = adj.groupBy($"prev_type")
+      .agg(sum($"n_trans").as("n_from"))
+    adj.join(broadcast(outDeg), Seq("prev_type"))
+      .select($"prev_type", $"next_type", $"n_trans", $"n_from",
+        expr("n_trans * 1000000 div n_from").as("p_ppm"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  /** One-slot holder for the last skewProfile's range-partitioned count
+    * table (same pattern and reasoning as [[Curation.globalShuffle]]:
+    * the offset table must be collected from the SAME materialized
+    * partitioning the rank pass reads). */
+  private val lastCounts =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** Join-key skew profile of lineitem's l_orderkey — the census a
+    * planner reads before scheduling a 100 TB shuffle on a key: total
+    * rows and keys, the heaviest key's count and its share of all rows
+    * (ppm), and the exact Gini coefficient of the per-key count
+    * distribution (0 = perfectly uniform, →1 = one key holds
+    * everything). Uniform-ish Gini → plain shuffle; high top-share →
+    * salt or AQE-skew-join that one key.
+    *
+    * Gini over ascending-sorted counts x_1..x_n:
+    * G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i), emitted as floor ppm.
+    * The global rank i is computed the way a 1000-executor cluster
+    * must (the [[Curation.globalShuffle]] machinery): range-partition
+    * the per-key count table by (cnt, key), rank WITHIN partitions as
+    * a streaming walk, add bounded per-partition offsets — never a
+    * global single-task window. The ranked table is one row per
+    * DISTINCT key (already aggregated map-side), orders of magnitude
+    * smaller than the fact table. BIGINT throughout: n·S·10⁶ fits
+    * while n·S < 9.2×10¹² — beyond that (extreme corpus) the final
+    * division is the one line to lift to decimal(38,0). */
+  def skewProfile(s: SparkSession, d: String, parts: Int = 32): DataFrame = {
+    import s.implicits._
+    val counts = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(parts, $"cnt", $"l_orderkey")
+      .sortWithinPartitions($"cnt", $"l_orderkey")
+      .select($"l_orderkey", $"cnt")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var rn = 0L
+        it.map { case (k, c) => rn += 1L; (k, c, pid, rn) }
+      }
+      .toDF("key", "cnt", "pid", "rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastCounts.getAndSet(counts)).foreach(_.unpersist(false))
+    // bounded collect: one row per non-empty range partition
+    val perPart = counts.groupBy($"pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsetMap = {
+      var acc = 0L
+      perPart.keys.toSeq.sorted.map { p =>
+        val o = acc; acc += perPart(p); p -> o
+      }.toMap
+    }
+    counts
+      .withColumn("i", $"rn" + element_at(typedLit(offsetMap), $"pid"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum($"cnt").as("n_rows"),
+        max($"cnt").as("max_cnt"),
+        sum($"i" * $"cnt").as("s1"))
+      .select($"n_keys", $"n_rows", $"max_cnt",
+        expr("max_cnt * 1000000 div n_rows").as("top_share_ppm"),
+        expr("(2 * s1 - (n_keys + 1) * n_rows) * 1000000" +
+          " div (n_keys * n_rows)").as("gini_ppm"))
+  }
+
+  /** Robust per-event-type outlier census: histogram-exact median and
+    * MAD (median absolute deviation) of the milli-quantized `value`,
+    * and how many events sit outside median ± 3·MAD — the outlier rule
+    * mean/stddev gets wrong on heavy-tailed data (the outliers drag
+    * the mean toward themselves).
+    *
+    * Exact integer encoding: v = floor(value·1000) (the fixture values
+    * carry 2 decimals, so milli-quantization is lossless); med2 = 2×
+    * median (lower+upper middle summed — no fractional averaging);
+    * dev2 = |2v − med2| = 2×|v − median|; mad4 = 2×median(dev2) = 4×
+    * MAD. The outlier test |v−med| > 3·MAD becomes 2·dev2 > 3·mad4 —
+    * integers end to end, bit-reproducible cross-engine.
+    *
+    * Scale shape: the ONLY full-data pass is the map-side-combined
+    * (type, v) histogram; every window/median step runs on that
+    * histogram, whose width is bounded by the VALUE DOMAIN (≤ ~500k
+    * milli-buckets here) — constant in corpus size, unlike a naive
+    * per-type sort of raw rows. Same trick both engines, both passes
+    * (value median, then deviation median on the re-keyed histogram). */
+  def anomalyMad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.events(s, d)
+      .select($"event_type", floor($"value" * 1000).cast("long").as("v"))
+      .groupBy($"event_type", $"v").agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy($"event_type").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def median2(h: DataFrame): DataFrame = {
+      val tot = h.groupBy($"event_type").agg(sum($"c").as("n"))
+      h.join(broadcast(tot), Seq("event_type"))
+        .withColumn("cum", sum($"c").over(wcum))
+        .groupBy($"event_type")
+        .agg(
+          min(when($"cum" >= expr("(n + 1) div 2"), $"v")).as("lo"),
+          min(when($"cum" >= expr("n div 2 + 1"), $"v")).as("hi"),
+          max($"n").as("n"))
+        .select($"event_type", ($"lo" + $"hi").as("m2"), $"n")
+    }
+    val med = median2(hist)
+    val dev = hist.join(broadcast(med), Seq("event_type"))
+      .select($"event_type", abs(lit(2) * $"v" - $"m2").as("v"), $"c")
+      .groupBy($"event_type", $"v").agg(sum($"c").as("c"))
+    val mad = median2(dev)
+      .select($"event_type", $"m2".as("mad4"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .join(broadcast(med.select($"event_type", $"m2", $"n")), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(
+        max($"n").as("n_events"),
+        max($"m2").as("med2_milli"),
+        max($"mad4").as("mad4_milli"),
+        sum(when(lit(2) * $"v" > lit(3) * $"mad4", $"c")
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_event_transitions", eventTransitions, Some("""
+        WITH o AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        t AS (
+          SELECT prev_type, event_type AS next_type,
+                 CAST(count(*) AS BIGINT) AS n_trans
+          FROM o WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, event_type),
+        r AS (
+          SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+          FROM t GROUP BY prev_type)
+        SELECT t.prev_type, t.next_type, t.n_trans, r.n_from,
+               t.n_trans * 1000000 // r.n_from AS p_ppm
+        FROM t JOIN r USING (prev_type)
+        ORDER BY prev_type, next_type""")),
+    QueryDef(
+      "q_skew_profile", (s, d) => skewProfile(s, d), Some("""
+        WITH k AS (
+          SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+          FROM lineitem GROUP BY l_orderkey),
+        rk AS (
+          SELECT cnt,
+                 CAST(row_number() OVER (ORDER BY cnt, l_orderkey)
+                   AS BIGINT) AS i
+          FROM k),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(cnt) AS BIGINT) AS n_rows,
+                 CAST(max(cnt) AS BIGINT) AS max_cnt,
+                 CAST(sum(i * cnt) AS BIGINT) AS s1
+          FROM rk)
+        SELECT n_keys, n_rows, max_cnt,
+               max_cnt * 1000000 // n_rows AS top_share_ppm,
+               (2 * s1 - (n_keys + 1) * n_rows) * 1000000
+                 // (n_keys * n_rows) AS gini_ppm
+        FROM a""")),
+    QueryDef(
+      "q_anomaly_mad", anomalyMad, Some("""
+        WITH h AS (
+          SELECT event_type,
+                 CAST(floor(value * 1000) AS BIGINT) AS v,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type, v),
+        t1 AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+               FROM h GROUP BY event_type),
+        c1 AS (
+          SELECT h.event_type, h.v, h.c, t1.n,
+                 CAST(sum(h.c) OVER (PARTITION BY h.event_type ORDER BY h.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM h JOIN t1 USING (event_type)),
+        med AS (
+          SELECT event_type,
+                 min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+                   + min(CASE WHEN cum >= n // 2 + 1 THEN v END) AS m2,
+                 max(n) AS n
+          FROM c1 GROUP BY event_type),
+        d AS (
+          SELECT h.event_type, abs(2 * h.v - med.m2) AS v,
+                 CAST(sum(h.c) AS BIGINT) AS c
+          FROM h JOIN med USING (event_type)
+          GROUP BY h.event_type, abs(2 * h.v - med.m2)),
+        t2 AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+               FROM d GROUP BY event_type),
+        c2 AS (
+          SELECT d.event_type, d.v, d.c, t2.n,
+                 CAST(sum(d.c) OVER (PARTITION BY d.event_type ORDER BY d.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM d JOIN t2 USING (event_type)),
+        mad AS (
+          SELECT event_type,
+                 min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+                   + min(CASE WHEN cum >= n // 2 + 1 THEN v END) AS mad4
+          FROM c2 GROUP BY event_type)
+        SELECT d.event_type,
+               max(med.n) AS n_events,
+               max(med.m2) AS med2_milli,
+               max(mad.mad4) AS mad4_milli,
+               CAST(sum(CASE WHEN 2 * d.v > 3 * mad.mad4 THEN d.c
+                 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM d JOIN mad USING (event_type) JOIN med USING (event_type)
+        GROUP BY d.event_type
+        ORDER BY d.event_type"""))
+  )
+}

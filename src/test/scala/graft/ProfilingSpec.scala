@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profiling
+
+/** Invariant pins for the profiling family. The DuckDB gate at sf0.01 is
+  * the cross-engine authority; these specs pin the identities that hold
+  * on ANY input, at sf0.001.
+  */
+class ProfilingSpec extends SparkSpecBase {
+
+  test("event transitions: out-degrees partition the adjacency count; " +
+    "probabilities floor-sum to at most one") {
+    import spark.implicits._
+    val t = Profiling.eventTransitions(spark, sfDir).cache()
+    try {
+      // n_from really is the per-source-state row total
+      val bad = t.groupBy($"prev_type")
+        .agg(sum($"n_trans").as("s"), max($"n_from").as("f"),
+          sum($"p_ppm").as("p"))
+        .where($"s" =!= $"f" || $"p" > 1000000L)
+        .count()
+      assert(bad === 0L)
+      // total transitions = total events - distinct users with >=1 event
+      // (each user's chain has (events - 1) adjacencies)
+      val totTrans = t.agg(sum($"n_trans")).head.getLong(0)
+      val e = graft.ops.Tables.events(spark, sfDir)
+      val nEvents = e.count()
+      val nUsers = e.select($"user_id").distinct().count()
+      assert(totTrans === nEvents - nUsers)
+    } finally { t.unpersist() }
+  }
+
+  test("skew profile: reproduces brute-force single-node Gini and totals") {
+    import spark.implicits._
+    val got = Profiling.skewProfile(spark, sfDir).collect().head
+    val counts = graft.ops.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("c"))
+      .select($"c").as[Long].collect().sorted
+    val n = counts.length.toLong
+    val sTot = counts.sum
+    val s1 = counts.zipWithIndex.map { case (c, i) => (i + 1L) * c }.sum
+    assert(got.getAs[Long]("n_keys") === n)
+    assert(got.getAs[Long]("n_rows") === sTot)
+    assert(got.getAs[Long]("max_cnt") === counts.last)
+    assert(got.getAs[Long]("top_share_ppm") === counts.last * 1000000L / sTot)
+    assert(got.getAs[Long]("gini_ppm") ===
+      (2 * s1 - (n + 1) * sTot) * 1000000L / (n * sTot))
+  }
+
+  test("skew profile: rank offsets are partitioning-invariant") {
+    val a = Profiling.skewProfile(spark, sfDir, parts = 2).collect().head
+    val b = Profiling.skewProfile(spark, sfDir, parts = 16).collect().head
+    assert(a === b)
+  }
+
+  test("anomaly MAD: medians match a single-node recount; outliers obey " +
+    "the 3-MAD rule exactly") {
+    import spark.implicits._
+    val got = Profiling.anomalyMad(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rows = graft.ops.Tables.events(spark, sfDir)
+      .select($"event_type", floor($"value" * 1000).cast("long").as("v"))
+      .as[(String, Long)].collect()
+    rows.groupBy(_._1).foreach { case (tpe, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      val m2 = sorted((n - 1) / 2) + sorted(n / 2) // lo + hi middle
+      val devs = sorted.map(v => math.abs(2 * v - m2)).sorted
+      val mad4 = devs((n - 1) / 2) + devs(n / 2)
+      val out = devs.count(d => 2 * d > 3 * mad4).toLong
+      val r = got(tpe)
+      assert(r.getAs[Long]("n_events") === n.toLong, tpe)
+      assert(r.getAs[Long]("med2_milli") === m2, tpe)
+      assert(r.getAs[Long]("mad4_milli") === mad4, tpe)
+      assert(r.getAs[Long]("n_outliers") === out, tpe)
+    }
+  }
+}
