@@ -46,13 +46,6 @@ object Profiling extends QueryModule {
       .orderBy($"prev_type", $"next_type")
   }
 
-  /** One-slot holder for the last skewProfile's range-partitioned count
-    * table (same pattern and reasoning as [[Curation.globalShuffle]]:
-    * the offset table must be collected from the SAME materialized
-    * partitioning the rank pass reads). */
-  private val lastCounts =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-
   /** Join-key skew profile of lineitem's l_orderkey — the census a
     * planner reads before scheduling a 100 TB shuffle on a key: total
     * rows and keys, the heaviest key's count and its share of all rows
@@ -63,47 +56,36 @@ object Profiling extends QueryModule {
     *
     * Gini over ascending-sorted counts x_1..x_n:
     * G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i), emitted as floor ppm.
-    * The global rank i is computed the way a 1000-executor cluster
-    * must (the [[Curation.globalShuffle]] machinery): range-partition
-    * the per-key count table by (cnt, key), rank WITHIN partitions as
-    * a streaming walk, add bounded per-partition offsets — never a
-    * global single-task window. The ranked table is one row per
-    * DISTINCT key (already aggregated map-side), orders of magnitude
-    * smaller than the fact table. BIGINT throughout: n·S·10⁶ fits
-    * while n·S < 9.2×10¹² — beyond that (extreme corpus) the final
-    * division is the one line to lift to decimal(38,0). */
-  def skewProfile(s: SparkSession, d: String, parts: Int = 32): DataFrame = {
+    * No global rank is materialized: keys sharing a count value c
+    * occupy a CONTIGUOUS rank block, so Σ i·x_i has a closed form on
+    * the counts-of-counts histogram — with m_c keys at count c and
+    * start_c = 1 + Σ_{c'<c} m_c', the block contributes
+    * c·(m_c·start_c + m_c·(m_c−1)/2). Σ i·x_i is tie-invariant
+    * (permuting equal x within a rank block fixes the sum), so this
+    * equals the oracle's row_number() formulation exactly.
+    *
+    * Scale shape: ONE map-side-combined pass builds the per-key counts,
+    * a second tiny agg folds them to the counts-of-counts histogram,
+    * and the cumulative start_c runs on THAT — its width is the number
+    * of distinct multiplicities (bounded by the heaviest key's count,
+    * not by the key count), metadata-sized at any corpus scale. BIGINT
+    * throughout: n·S·10⁶ fits while n·S < 9.2×10¹² — beyond that
+    * (extreme corpus) the final division is the one line to lift to
+    * decimal(38,0). */
+  def skewProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val counts = Tables.lineitem(s, d)
+    val hist = Tables.lineitem(s, d)
       .groupBy($"l_orderkey").agg(count(lit(1)).as("cnt"))
-      .repartitionByRange(parts, $"cnt", $"l_orderkey")
-      .sortWithinPartitions($"cnt", $"l_orderkey")
-      .select($"l_orderkey", $"cnt")
-      .as[(Long, Long)]
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var rn = 0L
-        it.map { case (k, c) => rn += 1L; (k, c, pid, rn) }
-      }
-      .toDF("key", "cnt", "pid", "rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(lastCounts.getAndSet(counts)).foreach(_.unpersist(false))
-    // bounded collect: one row per non-empty range partition
-    val perPart = counts.groupBy($"pid").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsetMap = {
-      var acc = 0L
-      perPart.keys.toSeq.sorted.map { p =>
-        val o = acc; acc += perPart(p); p -> o
-      }.toMap
-    }
-    counts
-      .withColumn("i", $"rn" + element_at(typedLit(offsetMap), $"pid"))
+      .groupBy($"cnt").agg(count(lit(1)).as("m"))
+    val wcum = Window.orderBy($"cnt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("start", coalesce(sum($"m").over(wcum), lit(0L)) + 1L)
       .agg(
-        count(lit(1)).as("n_keys"),
-        sum($"cnt").as("n_rows"),
+        sum($"m").as("n_keys"),
+        sum($"cnt" * $"m").as("n_rows"),
         max($"cnt").as("max_cnt"),
-        sum($"i" * $"cnt").as("s1"))
+        sum(expr("cnt * (m * start + m * (m - 1) div 2)")).as("s1"))
       .select($"n_keys", $"n_rows", $"max_cnt",
         expr("max_cnt * 1000000 div n_rows").as("top_share_ppm"),
         expr("(2 * s1 - (n_keys + 1) * n_rows) * 1000000" +
@@ -131,30 +113,25 @@ object Profiling extends QueryModule {
     * (value median, then deviation median on the re-keyed histogram). */
   def anomalyMad(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val wType = Window.partitionBy($"event_type")
+    val wCum = Window.partitionBy($"event_type").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // per-type 2x-median of a (event_type, v, c) histogram, via windows
+    // only — n, the cumulative, and the conditional mins all share the
+    // ONE event_type exchange; no broadcast-build jobs, no self-joins.
+    def withMedian2(h: DataFrame, out: String): DataFrame =
+      h.withColumn("n", sum($"c").over(wType))
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn(out,
+          min(when($"cum" >= expr("(n + 1) div 2"), $"v")).over(wType) +
+            min(when($"cum" >= expr("n div 2 + 1"), $"v")).over(wType))
     val hist = Tables.events(s, d)
       .select($"event_type", floor($"value" * 1000).cast("long").as("v"))
       .groupBy($"event_type", $"v").agg(count(lit(1)).as("c"))
-    val wcum = Window.partitionBy($"event_type").orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    def median2(h: DataFrame): DataFrame = {
-      val tot = h.groupBy($"event_type").agg(sum($"c").as("n"))
-      h.join(broadcast(tot), Seq("event_type"))
-        .withColumn("cum", sum($"c").over(wcum))
-        .groupBy($"event_type")
-        .agg(
-          min(when($"cum" >= expr("(n + 1) div 2"), $"v")).as("lo"),
-          min(when($"cum" >= expr("n div 2 + 1"), $"v")).as("hi"),
-          max($"n").as("n"))
-        .select($"event_type", ($"lo" + $"hi").as("m2"), $"n")
-    }
-    val med = median2(hist)
-    val dev = hist.join(broadcast(med), Seq("event_type"))
-      .select($"event_type", abs(lit(2) * $"v" - $"m2").as("v"), $"c")
-      .groupBy($"event_type", $"v").agg(sum($"c").as("c"))
-    val mad = median2(dev)
-      .select($"event_type", $"m2".as("mad4"))
-    dev.join(broadcast(mad), Seq("event_type"))
-      .join(broadcast(med.select($"event_type", $"m2", $"n")), Seq("event_type"))
+    val dev = withMedian2(hist, "m2")
+      .select($"event_type", $"m2", abs(lit(2) * $"v" - $"m2").as("v"), $"c")
+      .groupBy($"event_type", $"m2", $"v").agg(sum($"c").as("c"))
+    withMedian2(dev, "mad4")
       .groupBy($"event_type")
       .agg(
         max($"n").as("n_events"),

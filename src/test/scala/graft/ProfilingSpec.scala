@@ -49,12 +49,6 @@ class ProfilingSpec extends SparkSpecBase {
       (2 * s1 - (n + 1) * sTot) * 1000000L / (n * sTot))
   }
 
-  test("skew profile: rank offsets are partitioning-invariant") {
-    val a = Profiling.skewProfile(spark, sfDir, parts = 2).collect().head
-    val b = Profiling.skewProfile(spark, sfDir, parts = 16).collect().head
-    assert(a === b)
-  }
-
   test("anomaly MAD: medians match a single-node recount; outliers obey " +
     "the 3-MAD rule exactly") {
     import spark.implicits._
