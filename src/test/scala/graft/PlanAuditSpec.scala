@@ -265,6 +265,43 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("event transitions: full rows cross one exchange; state totals broadcast") {
+    // the user_id exchange feeding the lag window is the ONLY one that
+    // carries event rows — everything after operates on the |types|²
+    // adjacency table, and the out-degree join must be broadcast, never
+    // a sort-merge of two metadata-sized sides with a full shuffle
+    val df = graft.operators.Profiling.eventTransitions(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("skew profile: scan pruned to the key, no joins, histogram-only sort") {
+    // both groupBys are map-side combined; the rank-block cumulative runs
+    // on the counts-of-counts histogram (width = distinct multiplicities,
+    // not keys), so the single-partition window there is metadata-sized
+    val df = graft.operators.Profiling.skewProfile(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p.take(3000))
+  }
+
+  test("anomaly MAD: joins eliminated — both median passes are windows") {
+    // the naive form builds five broadcast jobs (totals, medians, MAD);
+    // the window form keeps every per-type constant inside the exchanges
+    // the histogram already needs, and only (event_type, value) is read
+    val df = graft.operators.Profiling.anomalyMad(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Window".r.findAllIn(p).nonEmpty, p.take(3000))
+    assert(p.contains("event_type") && p.contains("ReadSchema"), p.take(3000))
+    assert(!p.contains("text"), p.take(3000)) // documents never scanned
+  }
+
   test("text stats stay in one whole-stage codegen span (no UDFs)") {
     val df = TextOps.textStats(spark, sfDir)
     df.collect() // finalize THIS df's adaptive plan (count() would plan anew)
