@@ -267,6 +267,59 @@ object Spectral extends QueryModule {
       .orderBy($"i")
   }
 
+  /** LABEL-CENTROID AFFINITY: for every unordered label pair, the exact
+    * squared cosine (ppm) between the two groups' centroid directions,
+    * plus the dot-product sign — "which label groups point the same way
+    * in embedding space", the corpus-organization readout that decides
+    * whether two sources/domains are semantically redundant before any
+    * pairwise document work is scheduled.
+    *
+    * Exactness: cosine is scale-invariant, so the per-label SUM vector
+    * stands in for the mean — no count division anywhere. Quantized
+    * components sum exactly per (label, dim); cross-label dots are
+    * decimal(38,0) products of those BIGINT sums (HUGEINT on the DuckDB
+    * side); cos² = dot²·10⁶ div (‖a‖²·‖b‖²) is one integral division of
+    * non-negative exact integers — floor == truncate, both engines
+    * agree. Squaring sidesteps the square root no integer engine has;
+    * the sign column restores the lost direction.
+    *
+    * Scale shape: ONE map-side-combined pass reduces the corpus to the
+    * (labels × D) sum table — partials bounded per task, row data never
+    * shuffled. The pair stage is a self-join of that table keyed on dim:
+    * |labels|²·D rows, corpus-size-independent, broadcast-sized for any
+    * realistic source count. */
+  def labelAffinity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sums = Tables.embeddings(s, d)
+      .select($"label",
+        posexplode(transform($"embedding", x => quant(x)))
+          .as(Seq("dim", "q")))
+      .groupBy($"label", $"dim")
+      .agg(sum($"q").as("sv"), count(lit(1)).as("n"))
+    val a = sums.select($"label".as("label_a"), $"dim",
+      $"sv".cast("decimal(38,0)").as("sa"), $"n".as("n_a"))
+    val b = sums.select($"label".as("label_b"), $"dim",
+      $"sv".cast("decimal(38,0)").as("sb"), $"n".as("n_b"))
+    val dots = a.join(b, Seq("dim"))
+      .where($"label_a" <= $"label_b")
+      .groupBy($"label_a", $"label_b")
+      .agg(sum($"sa" * $"sb").as("dot"),
+        max($"n_a").as("n_a"), max($"n_b").as("n_b"))
+    val sq = dots.where($"label_a" === $"label_b")
+      .select($"label_a".as("l"), $"dot".as("sq"))
+    dots.where($"label_a" < $"label_b")
+      .join(broadcast(sq.select($"l".as("label_a"), $"sq".as("sq_a"))),
+        Seq("label_a"))
+      .join(broadcast(sq.select($"l".as("label_b"), $"sq".as("sq_b"))),
+        Seq("label_b"))
+      .select($"label_a", $"label_b", $"n_a", $"n_b",
+        when($"dot" < 0, -1L).when($"dot" > 0, 1L).otherwise(0L)
+          .as("dot_sign"),
+        expr("CAST((dot * dot * 1000000) div (sq_a * sq_b) AS BIGINT)")
+          .as("cos2_ppm"))
+      .orderBy($"label_a", $"label_b")
+  }
+
   // ---------------------------------------------------------- oracles
 
   /** Shared oracle prelude: quantized elements, Gram triangle, mirrored
@@ -405,6 +458,36 @@ object Spectral extends QueryModule {
                     ELSE abs(CAST(s_corpus AS DOUBLE) / n_corpus
                            - CAST(s_batch AS DOUBLE) / n_batch) END
                  AS mean_gap
-        FROM a ORDER BY i"""))
+        FROM a ORDER BY i""")),
+    QueryDef(
+      "q_label_affinity", labelAffinity, Some(s"""
+        WITH els AS MATERIALIZED (
+          SELECT label,
+                 unnest(generate_series(1, len(embedding))) - 1 AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $Q)
+                   AS BIGINT) AS q
+          FROM embeddings),
+        sums AS MATERIALIZED (
+          SELECT label, dim, CAST(sum(q) AS BIGINT) AS sv,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM els GROUP BY label, dim),
+        dots AS MATERIALIZED (
+          SELECT a.label AS label_a, b.label AS label_b,
+                 sum(CAST(a.sv AS HUGEINT) * b.sv) AS dot,
+                 max(a.n) AS n_a, max(b.n) AS n_b
+          FROM sums a JOIN sums b ON a.dim = b.dim AND a.label <= b.label
+          GROUP BY a.label, b.label),
+        sq AS (SELECT label_a AS l, dot AS sq FROM dots
+               WHERE label_a = label_b)
+        SELECT d.label_a, d.label_b, d.n_a, d.n_b,
+               CAST(CASE WHEN d.dot < 0 THEN -1 WHEN d.dot > 0 THEN 1
+                 ELSE 0 END AS BIGINT) AS dot_sign,
+               CAST((d.dot * d.dot * 1000000) // (sa.sq * sb.sq)
+                 AS BIGINT) AS cos2_ppm
+        FROM dots d
+        JOIN sq sa ON sa.l = d.label_a
+        JOIN sq sb ON sb.l = d.label_b
+        WHERE d.label_a < d.label_b
+        ORDER BY d.label_a, d.label_b"""))
   )
 }

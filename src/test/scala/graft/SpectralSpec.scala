@@ -102,4 +102,39 @@ class SpectralSpec extends SparkSpecBase {
     // direction — all-zero projections would mean the sample missed
     assert(sampled.values.exists(_ != 0L))
   }
+
+  test("label affinity matches a brute-force quantized-centroid recount") {
+    import spark.implicits._
+    val got = Spectral.labelAffinity(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    // brute force: quantize, sum per (label, dim), exact BigInt cosine²
+    val rows = graft.ops.Tables.embeddings(spark, sfDir)
+      .select($"label", $"embedding").as[(Int, Array[Float])].collect()
+    val sums = rows.groupBy(_._1).map { case (l, vs) =>
+      val dim = vs.head._2.length
+      val s = Array.fill(dim)(BigInt(0))
+      vs.foreach { case (_, e) =>
+        var i = 0
+        while (i < dim) {
+          s(i) += BigInt(math.floor(e(i).toDouble * 1024).toLong); i += 1
+        }
+      }
+      l -> (s, vs.length.toLong)
+    }
+    val labels = sums.keys.toSeq.sorted
+    var pairs = 0
+    for (a <- labels; b <- labels if a < b) {
+      val (sa, na) = sums(a); val (sb, nb) = sums(b)
+      val dot = sa.zip(sb).map { case (x, y) => x * y }.sum
+      val sqa = sa.map(x => x * x).sum
+      val sqb = sb.map(x => x * x).sum
+      val want = (dot * dot * 1000000) / (sqa * sqb)
+      val r = got((a, b))
+      assert(r.getAs[Long]("cos2_ppm") === want.toLong, s"($a,$b)")
+      assert(r.getAs[Long]("dot_sign") === dot.signum.toLong, s"($a,$b)")
+      assert(r.getAs[Long]("n_a") === na && r.getAs[Long]("n_b") === nb)
+      pairs += 1
+    }
+    assert(got.size === pairs) // exactly the a<b pairs, nothing else
+  }
 }
