@@ -161,6 +161,35 @@ object NearDup extends QueryModule {
           expr("n_triangles * 3000000 div n_wedges")).otherwise(0L))
   }
 
+  /** Dedup-threshold calibration sweep: for each candidate Jaccard
+    * threshold at or above the banding tau, how many verified pairs
+    * survive and how many distinct documents they touch — the two
+    * numbers that decide where to SET tau before a full dedup run
+    * (pairs ≈ work, docs ≈ blast radius). Thresholds below the banding
+    * tau would need a looser band configuration, so the sweep starts at
+    * [[Tau]] — every count here is exact, not recall-limited.
+    *
+    * Exact cross-engine: each comparison is the same IEEE double
+    * (n_common/union vs t/100.0) on both sides. Scale shape: rides the
+    * verified pair set (orders smaller than the corpus); the 4×
+    * threshold replication and both rollups are pair-table-local. */
+  def thresholdSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val taus = Seq(80, 85, 90, 95)
+    val sw = minhashNearDup(s, d)
+      .select(explode(typedLit(taus)).as("tau_pct"),
+        $"jaccard", $"id_a", $"id_b")
+      .where($"jaccard" >= $"tau_pct".cast("double") / 100.0)
+    val nPairs = sw.groupBy($"tau_pct").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = sw
+      .select($"tau_pct", explode(array($"id_a", $"id_b")).as("doc"))
+      .distinct()
+      .groupBy($"tau_pct").agg(count(lit(1)).as("n_docs"))
+    nPairs.join(nDocs, Seq("tau_pct"))
+      .select($"tau_pct", $"n_pairs", $"n_docs")
+      .orderBy($"tau_pct")
+  }
+
   /** Near-dup pairs (LSH banding + exact-Jaccard verify, same knobs as
     * [[minhashNearDup]]) over an ARBITRARY (doc_id, text) set — the
     * building block composed stages use on a filtered corpus.
@@ -909,6 +938,32 @@ object NearDup extends QueryModule {
           FROM s a JOIN s b ON a.doc_id < b.doc_id)
         SELECT id_a, id_b, n_common, jaccard
         FROM p WHERE jaccard >= 0.8 ORDER BY id_a, id_b""")),
+    QueryDef(
+      "q_dedup_tau_sweep", thresholdSweep, Some(s"""
+        $oracleShingles,
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                   AS jaccard
+          FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        sw AS (
+          SELECT t.tau_pct, p.id_a, p.id_b
+          FROM p, (SELECT unnest([80, 85, 90, 95]) AS tau_pct) t
+          WHERE p.jaccard >= CAST(t.tau_pct AS DOUBLE) / 100.0),
+        np AS (
+          SELECT tau_pct, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM sw GROUP BY tau_pct),
+        nd AS (
+          SELECT tau_pct, CAST(count(*) AS BIGINT) AS n_docs FROM (
+            SELECT DISTINCT tau_pct, doc FROM (
+              SELECT tau_pct, id_a AS doc FROM sw
+              UNION ALL
+              SELECT tau_pct, id_b AS doc FROM sw))
+          GROUP BY tau_pct)
+        SELECT np.tau_pct, np.n_pairs, nd.n_docs
+        FROM np JOIN nd USING (tau_pct)
+        ORDER BY np.tau_pct""")),
     QueryDef(
       "q_ngram_jaccard", ngramJaccardTopK, Some(s"""
         $oracleShingles,
