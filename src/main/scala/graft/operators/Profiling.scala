@@ -72,10 +72,16 @@ object Profiling extends QueryModule {
     * throughout: n·S·10⁶ fits while n·S < 9.2×10¹² — beyond that
     * (extreme corpus) the final division is the one line to lift to
     * decimal(38,0). */
-  def skewProfile(s: SparkSession, d: String): DataFrame = {
+  def skewProfile(s: SparkSession, d: String): DataFrame =
+    skewProfileOver(Tables.lineitem(s, d).select(col("l_orderkey").as("k")))
+
+  /** [[skewProfile]] over an arbitrary single-column key frame — the
+    * scale probe feeds a synthetic key stream here. */
+  private[graft] def skewProfileOver(keys: DataFrame): DataFrame = {
+    val s = keys.sparkSession
     import s.implicits._
-    val hist = Tables.lineitem(s, d)
-      .groupBy($"l_orderkey").agg(count(lit(1)).as("cnt"))
+    val hist = keys
+      .groupBy($"k").agg(count(lit(1)).as("cnt"))
       .groupBy($"cnt").agg(count(lit(1)).as("m"))
     val wcum = Window.orderBy($"cnt")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -111,7 +117,16 @@ object Profiling extends QueryModule {
     * milli-buckets here) — constant in corpus size, unlike a naive
     * per-type sort of raw rows. Same trick both engines, both passes
     * (value median, then deviation median on the re-keyed histogram). */
-  def anomalyMad(s: SparkSession, d: String): DataFrame = {
+  def anomalyMad(s: SparkSession, d: String): DataFrame =
+    anomalyMadOver {
+      import s.implicits._
+      Tables.events(s, d).select($"event_type", $"value")
+    }
+
+  /** [[anomalyMad]] over an arbitrary (event_type, value) frame — the
+    * scale probe feeds a synthetic domain-bounded stream here. */
+  private[graft] def anomalyMadOver(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
     import s.implicits._
     val wType = Window.partitionBy($"event_type")
     val wCum = Window.partitionBy($"event_type").orderBy($"v")
@@ -125,7 +140,7 @@ object Profiling extends QueryModule {
         .withColumn(out,
           min(when($"cum" >= expr("(n + 1) div 2"), $"v")).over(wType) +
             min(when($"cum" >= expr("n div 2 + 1"), $"v")).over(wType))
-    val hist = Tables.events(s, d)
+    val hist = ev
       .select($"event_type", floor($"value" * 1000).cast("long").as("v"))
       .groupBy($"event_type", $"v").agg(count(lit(1)).as("c"))
     val dev = withMedian2(hist, "m2")

@@ -86,7 +86,12 @@ object ScaleBench {
     // (count references no columns), silently under-measuring the
     // operator. xxhash64 over the full row defeats all pruning for one
     // extra hash per row.
+    // optional comma-separated shape filter, mirroring the Bench main's
+    // SPARK_GRAFT_BENCH_ONLY — focused re-probes without the full sweep
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def time(name: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
+      if (!only.forall(_.contains(name))) return
       val t0 = System.nanoTime()
       val d = body
       val rows = d
@@ -216,6 +221,27 @@ object ScaleBench {
       graft.operators.NearDup.pageRankOnPairs(
         graft.operators.NearDup.minhashNearDup(spark, dir)
           .select("id_a", "id_b"))
+    }
+    // profiling family: all three reduce to domain- or label-bounded
+    // state in one map-side-combined pass, so they should track the
+    // corpus scan. Synthetic inputs: a key stream with a planted hot
+    // key holding ~20% of rows (the skew the profiler exists to
+    // flag), and a value stream over a fixed 10^5-bucket milli domain.
+    time("skew_profile") {
+      graft.operators.Profiling.skewProfileOver(
+        spark.range(0, n, 1, 32)
+          .select(when($"id" % 5 === 0, 0L)
+            .otherwise(abs(xxhash64($"id")) % (n / 10)).as("k")))
+    }
+    time("anomaly_mad") {
+      graft.operators.Profiling.anomalyMadOver(
+        spark.range(0, n, 1, 32)
+          .select(concat(lit("t"), $"id" % 5).as("event_type"),
+            ((abs(xxhash64($"id", lit(1))) % 100000L)
+              .cast("double") / 100.0).as("value")))
+    }
+    time("label_affinity") {
+      graft.operators.Spectral.labelAffinity(spark, dir)
     }
     spark.stop()
   }
