@@ -98,6 +98,36 @@ object Profiling extends QueryModule {
           " div (n_keys * n_rows)").as("gini_ppm"))
   }
 
+  /** Join-size census for orders ⋈ lineitem on the order key: the EXACT
+    * row count the equi-join would produce (Σ_k c_A(k)·c_B(k) over the
+    * two per-key count tables), key cardinalities on both sides, the
+    * matched-key count, and each side's matched-key coverage (ppm) —
+    * the numbers that decide broadcast vs shuffle vs pre-filter BEFORE
+    * paying for the join itself. A low coverage_a says most build-side
+    * keys never match (pre-filter with a semi-join or bloom); an
+    * output far above both inputs says the key is non-selective.
+    *
+    * Scale shape: each side reduces to its per-key count table
+    * map-side; the census joins COUNT TABLES (one row per distinct
+    * key), never row data — the same reduction a cost-based optimizer
+    * runs, made exact. All arithmetic BIGINT. */
+  def joinCensus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.orders(s, d)
+      .groupBy($"o_orderkey".as("k")).agg(count(lit(1)).as("ca"))
+    val b = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey".as("k")).agg(count(lit(1)).as("cb"))
+    val m = a.join(b, Seq("k"))
+      .agg(count(lit(1)).as("n_common_keys"),
+        sum($"ca" * $"cb").as("join_rows"))
+    val ta = a.agg(count(lit(1)).as("n_keys_a"))
+    val tb = b.agg(count(lit(1)).as("n_keys_b"))
+    m.crossJoin(ta).crossJoin(tb) // three 1-row scalars
+      .select($"n_keys_a", $"n_keys_b", $"n_common_keys", $"join_rows",
+        expr("n_common_keys * 1000000 div n_keys_a").as("coverage_a_ppm"),
+        expr("n_common_keys * 1000000 div n_keys_b").as("coverage_b_ppm"))
+  }
+
   /** Robust per-event-type outlier census: histogram-exact median and
     * MAD (median absolute deviation) of the milli-quantized `value`,
     * and how many events sit outside median ± 3·MAD — the outlier rule
@@ -198,6 +228,24 @@ object Profiling extends QueryModule {
                (2 * s1 - (n_keys + 1) * n_rows) * 1000000
                  // (n_keys * n_rows) AS gini_ppm
         FROM a""")),
+    QueryDef(
+      "q_join_census", joinCensus, Some("""
+        WITH a AS (
+          SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+          FROM orders GROUP BY o_orderkey),
+        b AS (
+          SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+          FROM lineitem GROUP BY l_orderkey),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_common_keys,
+                 CAST(sum(ca * cb) AS BIGINT) AS join_rows
+          FROM a JOIN b USING (k)),
+        ta AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_a FROM a),
+        tb AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_b FROM b)
+        SELECT n_keys_a, n_keys_b, n_common_keys, join_rows,
+               n_common_keys * 1000000 // n_keys_a AS coverage_a_ppm,
+               n_common_keys * 1000000 // n_keys_b AS coverage_b_ppm
+        FROM m, ta, tb""")),
     QueryDef(
       "q_anomaly_mad", anomalyMad, Some("""
         WITH h AS (

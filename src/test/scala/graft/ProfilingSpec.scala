@@ -49,6 +49,19 @@ class ProfilingSpec extends SparkSpecBase {
       (2 * s1 - (n + 1) * sTot) * 1000000L / (n * sTot))
   }
 
+  test("join census: predicted join size equals the join actually run") {
+    import spark.implicits._
+    val got = Profiling.joinCensus(spark, sfDir).collect().head
+    val o = graft.ops.Tables.orders(spark, sfDir).select($"o_orderkey")
+    val l = graft.ops.Tables.lineitem(spark, sfDir).select($"l_orderkey")
+    val actual = o.join(l, $"o_orderkey" === $"l_orderkey").count()
+    assert(got.getAs[Long]("join_rows") === actual)
+    assert(got.getAs[Long]("n_keys_a") ===
+      o.distinct().count())
+    assert(got.getAs[Long]("n_common_keys") <=
+      math.min(got.getAs[Long]("n_keys_a"), got.getAs[Long]("n_keys_b")))
+  }
+
   test("anomaly MAD: medians match a single-node recount; outliers obey " +
     "the 3-MAD rule exactly") {
     import spark.implicits._
