@@ -164,7 +164,71 @@ object Sessionize extends QueryModule {
       .orderBy($"user_id")
   }
 
+  /** CUSUM change-point detection on the hourly event rate: the
+    * one-sided cumulative-sum statistic S_t = max(0, S_{t−1} + (c_t −
+    * ref)) over the hourly count series, with ref = the exact integer
+    * mean hourly count and an alarm at S_t ≥ 3·ref — the standard
+    * sequential detector for "the rate shifted up", which per-hour
+    * threshold checks miss when the shift is gradual.
+    *
+    * The nonlinear recurrence folds into TWO stacked windows via
+    * S_t = P_t − min(0, min_{j≤t} P_j) with P the prefix sum of
+    * deviations (induction: max(0, P_t − M_{t−1}) = P_t − min(P_t,
+    * M_{t−1})) — no recursive computation, no driver loop. All
+    * arithmetic BIGINT.
+    *
+    * Scale shape: the ONLY full-data pass is the map-side-combined
+    * hourly rollup; both windows run on the hour series, whose length
+    * is bounded by the time range, not the corpus (the same
+    * domain-bounded single-partition-window argument as the profiling
+    * histograms). The series is the OBSERVED hours; an hour with zero
+    * events contributes no row (on sparse streams densify upstream if
+    * silence should count as negative drift). */
+  def rateCusum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, d)
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val ref = hourly.agg(
+      expr("sum(c) div count(1)").as("ref"))
+    val wCum = Window.orderBy($"hour")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hourly.crossJoin(broadcast(ref)) // 1-row scalar
+      .withColumn("pf", sum($"c" - $"ref").over(wCum))
+      .withColumn("mn", least(lit(0L), min($"pf").over(wCum)))
+      .select($"hour", $"c".as("n_events"),
+        ($"pf" - $"mn").as("cusum"),
+        when($"pf" - $"mn" >= lit(3L) * $"ref", 1L).otherwise(0L)
+          .as("alarm"))
+      .orderBy($"hour")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_rate_cusum", rateCusum, Some("""
+        WITH h AS (
+          SELECT epoch_us(ts) // 3600000000 AS hour,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1),
+        t AS (
+          SELECT CAST(sum(c) AS BIGINT) // CAST(count(*) AS BIGINT)
+            AS ref FROM h),
+        p AS (
+          SELECT h.hour, h.c, t.ref,
+                 CAST(sum(h.c - t.ref) OVER (ORDER BY h.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS pf
+          FROM h, t),
+        m AS (
+          SELECT *, least(CAST(0 AS BIGINT),
+                 CAST(min(pf) OVER (ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT)) AS mn
+          FROM p)
+        SELECT hour, c AS n_events, pf - mn AS cusum,
+               CAST(CASE WHEN pf - mn >= 3 * ref THEN 1 ELSE 0 END
+                 AS BIGINT) AS alarm
+        FROM m ORDER BY hour""")),
     QueryDef(
       "q_active_time", activeTime, Some("""
         WITH e AS (

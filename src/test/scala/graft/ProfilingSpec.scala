@@ -62,6 +62,19 @@ class ProfilingSpec extends SparkSpecBase {
       math.min(got.getAs[Long]("n_keys_a"), got.getAs[Long]("n_keys_b")))
   }
 
+  test("rate CUSUM reproduces the sequential max(0, S+d) recurrence replay") {
+    val got = graft.operators.Sessionize.rateCusum(spark, sfDir).collect()
+    val hours = got.map(r => (r.getLong(0), r.getLong(1)))
+    assert(hours.map(_._1).sorted.sameElements(hours.map(_._1)))
+    val ref = hours.map(_._2).sum / hours.length
+    var s = 0L
+    hours.zip(got).foreach { case ((h, c), r) =>
+      s = math.max(0L, s + (c - ref))
+      assert(r.getAs[Long]("cusum") === s, s"hour $h")
+      assert(r.getAs[Long]("alarm") === (if (s >= 3 * ref) 1L else 0L))
+    }
+  }
+
   test("anomaly MAD: medians match a single-node recount; outliers obey " +
     "the 3-MAD rule exactly") {
     import spark.implicits._
