@@ -187,6 +187,33 @@ object Profiling extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Per-group EXACT quantiles (p50/p90/p99 of the milli-quantized
+    * value per event type) — the SLO-dashboard numbers, computed the
+    * way a 100 TB pass must: the lower quantile at rank ⌈n·p/100⌉ read
+    * off the same domain-bounded (type, value) histogram the MAD scan
+    * uses, never a per-group sort of raw rows. approx_percentile gives
+    * bounded error; this gives the exact order statistic, and both
+    * engines agree because every step is integer arithmetic on the
+    * identical histogram. */
+  def groupQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wType = Window.partitionBy($"event_type")
+    val wCum = Window.partitionBy($"event_type").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .select($"event_type", floor($"value" * 1000).cast("long").as("v"))
+      .groupBy($"event_type", $"v").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum($"c").over(wType))
+      .withColumn("cum", sum($"c").over(wCum))
+      .groupBy($"event_type")
+      .agg(
+        max($"n").as("n_events"),
+        min(when($"cum" * 100 >= $"n" * 50, $"v")).as("p50_milli"),
+        min(when($"cum" * 100 >= $"n" * 90, $"v")).as("p90_milli"),
+        min(when($"cum" * 100 >= $"n" * 99, $"v")).as("p99_milli"))
+      .orderBy($"event_type")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_event_transitions", eventTransitions, Some("""
@@ -228,6 +255,28 @@ object Profiling extends QueryModule {
                (2 * s1 - (n_keys + 1) * n_rows) * 1000000
                  // (n_keys * n_rows) AS gini_ppm
         FROM a""")),
+    QueryDef(
+      "q_group_quantiles", groupQuantiles, Some("""
+        WITH h AS (
+          SELECT event_type,
+                 CAST(floor(value * 1000) AS BIGINT) AS v,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type, v),
+        t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+              FROM h GROUP BY event_type),
+        cu AS (
+          SELECT h.event_type, h.v, t.n,
+                 CAST(sum(h.c) OVER (PARTITION BY h.event_type
+                   ORDER BY h.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM h JOIN t USING (event_type))
+        SELECT event_type, max(n) AS n_events,
+               min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS p50_milli,
+               min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS p90_milli,
+               min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS p99_milli
+        FROM cu GROUP BY event_type
+        ORDER BY event_type""")),
     QueryDef(
       "q_join_census", joinCensus, Some("""
         WITH a AS (

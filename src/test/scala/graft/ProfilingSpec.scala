@@ -62,6 +62,24 @@ class ProfilingSpec extends SparkSpecBase {
       math.min(got.getAs[Long]("n_keys_a"), got.getAs[Long]("n_keys_b")))
   }
 
+  test("group quantiles are the exact order statistics of a sorted recount") {
+    import spark.implicits._
+    val got = Profiling.groupQuantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rows = graft.ops.Tables.events(spark, sfDir)
+      .select($"event_type", floor($"value" * 1000).cast("long").as("v"))
+      .as[(String, Long)].collect()
+    rows.groupBy(_._1).foreach { case (tpe, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      def q(p: Int): Long = sorted(((n.toLong * p + 99) / 100).toInt - 1)
+      val r = got(tpe)
+      assert(r.getAs[Long]("p50_milli") === q(50), tpe)
+      assert(r.getAs[Long]("p90_milli") === q(90), tpe)
+      assert(r.getAs[Long]("p99_milli") === q(99), tpe)
+    }
+  }
+
   test("rate CUSUM reproduces the sequential max(0, S+d) recurrence replay") {
     val got = graft.operators.Sessionize.rateCusum(spark, sfDir).collect()
     val hours = got.map(r => (r.getLong(0), r.getLong(1)))
