@@ -66,7 +66,15 @@ object DumpPlans {
     "q_cluster_purity" -> "cluster-label purity: narrow no-join centroid assignment reduced by map-side partials to (centroid, label) rows; majority-label window and cell-total window share the centroid_id exchange",
     "q_curate_corpus" -> "the fused curation cascade: row-local rules in the scan stage, fp-window exact dedup, LSH band join + CC + survivor argmax running ONLY on each prior stage's survivors, verdict rejoin on doc_id",
     "q_funnel" -> "ordered funnel: three chained per-user min-aggregates, every stage reusing the user_id partitioning (broadcast when tiny) -- no event self-join, no full-stream window",
-    "q_graph_stats" -> "triangle census: oriented-edge joins (a<b storage means each triangle counts once) -- join volume is the wedge count; the three scalar aggregates meet in 1-row broadcast crossJoins")
+    "q_graph_stats" -> "triangle census: oriented-edge joins (a<b storage means each triangle counts once) -- join volume is the wedge count; the three scalar aggregates meet in 1-row broadcast crossJoins",
+    "q_skew_profile" -> "join-key skew census: scan pruned to the key, two shrinking-grain map-side-combined aggregates (rows -> keys -> distinct multiplicities), rank-block Gini closed-form on the counts-of-counts histogram -- no global rank materialized, no joins",
+    "q_anomaly_mad" -> "robust outlier census: the ONLY full-data pass is the map-side-combined (type, value-milli) histogram; both median passes are stacked windows sharing the event_type exchange -- zero joins, zero broadcast-build jobs",
+    "q_group_quantiles" -> "exact per-group p50/p90/p99: same domain-bounded histogram + cumulative window as the MAD scan, quantiles read at rank ceil(n*p/100) in the final aggregate -- never a per-group sort of raw rows",
+    "q_event_transitions" -> "Markov adjacency: full rows cross ONE user_id exchange for the lag window; everything after is the |types|^2 table, out-degrees joined via broadcast",
+    "q_join_census" -> "exact join-size prediction: each side reduces map-side to its per-key count table; the census joins COUNT tables (one row per distinct key), scalars meet in 1-row crossJoins",
+    "q_rate_cusum" -> "CUSUM rate change-point: map-side-combined hourly rollup, then prefix-sum + running-min windows over the time-range-bounded series -- the nonlinear recurrence without recursion",
+    "q_label_affinity" -> "label-centroid affinity: one corpus explode reduced map-side to the (labels x dim) sum table; the pair stage is a corpus-size-independent self-join on dim with broadcast norms",
+    "q_dedup_tau_sweep" -> "threshold calibration: rides the verified pair set; 4x threshold replication and both rollups are pair-table-local")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
