@@ -341,6 +341,37 @@ object StreamingPipeline {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming CUSUM rate monitor — the stateful form of the batch
+    * [[graft.operators.Sessionize.rateCusum]]: per key, the one-sided
+    * statistic S = max(0, S + (batch_count − ref)) folds across
+    * micro-batches in `flatMapGroupsWithState` state, emitting
+    * (key, batch_count, cusum, alarm) each time the key appears. The
+    * reference rate is a configured expectation (streaming cannot see
+    * the whole series to take a mean); state is two longs per key,
+    * checkpoint-backed, so restarts resume the fold exactly where the
+    * last commit left it — the same recurrence the batch oracle pins,
+    * now incremental. */
+  def rateCusumStream(
+      events: DataFrame,
+      keyCol: String,
+      refPerBatch: Long,
+      alarmAt: Long): org.apache.spark.sql.Dataset[(String, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .select(col(keyCol).cast("string").as("k"))
+      .as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Long]) =>
+          val c = rows.size.toLong
+          val s = math.max(0L, state.getOption.getOrElse(0L) + (c - refPerBatch))
+          state.update(s)
+          Iterator((key, c, s, if (s >= alarmAt) 1L else 0L))
+      }
+  }
+
   /** Session windows per key (streaming sessionization; batch equivalent
     * is graft.operators.Sessionize). */
   def sessionCounts(

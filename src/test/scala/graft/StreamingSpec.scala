@@ -193,6 +193,31 @@ class StreamingSpec extends SparkSpecBase {
       .collect().sorted.toSeq === Seq("a", "b", "dropped-for-now", "late"))
   }
 
+  test("streaming CUSUM: the statistic folds across micro-batches and alarms") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    val mon = StreamingPipeline.rateCusumStream(
+      stream.toDF().toDF("k"), "k", refPerBatch = 2L, alarmAt = 3L)
+    val q = mon.writeStream.outputMode("append")
+      .format("memory").queryName("cusum_out").start()
+    try {
+      stream.addData("a", "a", "a", "b") // a: S=max(0,0+(3-2))=1; b: S=0
+      q.processAllAvailable()
+      stream.addData("a", "a", "a", "a") // a: S=max(0,1+(4-2))=3 -> alarm
+      q.processAllAvailable()
+      stream.addData("b") // b: S=max(0,0+(1-2))=0 — never negative
+      q.processAllAvailable()
+      val out = spark.table("cusum_out")
+        .as[(String, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      // per-key trajectories: (key, batch_count, cusum, alarm)
+      assert(out("a").map(r => (r._3, r._4)).toSet === Set((1L, 0L), (3L, 1L)))
+      assert(out("b").map(_._3).forall(_ === 0L)) // clamped at zero
+      assert(out("b").map(_._4).forall(_ === 0L))
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate keys across micro-batches emit once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
