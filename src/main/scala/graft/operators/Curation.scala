@@ -288,7 +288,61 @@ object Curation extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Per-source token CONCENTRATION (Lorenz profile): sources ranked by
+    * token contribution with exact cumulative share ppm — the "how few
+    * sources dominate the mix" readout that drives mixture weighting
+    * and per-source caps (a top-3-at-80% corpus needs caps before any
+    * quality work matters). Token cost is the library-wide whitespace
+    * rule (shared with packBins / mixSample), all BIGINT.
+    *
+    * Scale shape: the corpus reduces map-side to one row per source;
+    * the ranking windows run on THAT table (cardinality = number of
+    * sources — the domain-bounded single-partition-window argument),
+    * and the grand total rides the same cumulative window. */
+  def sourceConcentration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cost = when(length(trim($"text")) === 0, 0L)
+      .otherwise(
+        (length($"text") - length(regexp_replace($"text", " ", ""))).cast("long")
+          + lit(1L))
+    val bySrc = Tables.documents(s, d)
+      .select($"source", cost.as("t"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"t").as("n_tokens"))
+    val wRank = Window.orderBy($"n_tokens".desc, $"source")
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy($"n_tokens".desc, $"source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bySrc
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(wCum))
+      .withColumn("total", sum($"n_tokens").over(wAll))
+      .select($"rank", $"source", $"n_docs", $"n_tokens", $"cum_tokens",
+        expr("cum_tokens * 1000000 div total").as("cum_share_ppm"))
+      .orderBy($"rank")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_source_concentration", sourceConcentration, Some("""
+        WITH c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                   length(text) - length(replace(text, ' ', '')) + 1 END)
+                   AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        r AS (
+          SELECT *,
+                 CAST(row_number() OVER (ORDER BY n_tokens DESC, source)
+                   AS BIGINT) AS rank,
+                 CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens,
+                 CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+          FROM c)
+        SELECT rank, source, n_docs, n_tokens, cum_tokens,
+               cum_tokens * 1000000 // total AS cum_share_ppm
+        FROM r ORDER BY rank""")),
     QueryDef(
       "q_source_cap", sourceCap(_, _), Some("""
         WITH r AS (

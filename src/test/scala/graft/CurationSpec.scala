@@ -128,4 +128,27 @@ class CurationSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getBoolean(3)))
     assert(rows.map(r => (r._1, r._4)).toSeq === again.toSeq)
   }
+
+  test("source concentration: Lorenz profile is monotone and lands on 100%") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Curation.sourceConcentration(spark, sfDir).collect()
+    // ranks are 1..n in emitted order; contributions sorted descending
+    assert(rows.map(_.getAs[Long]("rank")).toSeq ===
+      (1L to rows.length.toLong).toSeq)
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+    // cumulative column really accumulates, and the last share is
+    // exactly total/total (floor ppm = 1000000)
+    val cums = rows.map(_.getAs[Long]("cum_tokens"))
+    assert(cums.toSeq === toks.scanLeft(0L)(_ + _).tail.toSeq)
+    assert(rows.last.getAs[Long]("cum_share_ppm") === 1000000L)
+    // reconciles with the corpus-wide token total
+    val total = graft.ops.Tables.documents(spark, sfDir)
+      .select(sum(when(length(trim($"text")) === 0, 0L)
+        .otherwise((length($"text") -
+          length(regexp_replace($"text", " ", ""))).cast("long") + 1L)))
+      .head.getLong(0)
+    assert(cums.last === total)
+  }
 }
