@@ -74,7 +74,8 @@ object DumpPlans {
     "q_join_census" -> "exact join-size prediction: each side reduces map-side to its per-key count table; the census joins COUNT tables (one row per distinct key), scalars meet in 1-row crossJoins",
     "q_rate_cusum" -> "CUSUM rate change-point: map-side-combined hourly rollup, then prefix-sum + running-min windows over the time-range-bounded series -- the nonlinear recurrence without recursion",
     "q_label_affinity" -> "label-centroid affinity: one corpus explode reduced map-side to the (labels x dim) sum table; the pair stage is a corpus-size-independent self-join on dim with broadcast norms",
-    "q_dedup_tau_sweep" -> "threshold calibration: rides the verified pair set; 4x threshold replication and both rollups are pair-table-local")
+    "q_dedup_tau_sweep" -> "threshold calibration: rides the verified pair set; 4x threshold replication and both rollups are pair-table-local",
+    "q_source_concentration" -> "Lorenz concentration profile: the corpus reduces map-side to one row per source; ranking + cumulative windows run on that domain-bounded table")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
