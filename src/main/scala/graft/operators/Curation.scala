@@ -322,7 +322,152 @@ object Curation extends QueryModule {
       .orderBy($"rank")
   }
 
+  // ------------------------------------------------------ snapshot diff
+
+  /** SNAPSHOT DIFF — the "what changed since the last crawl" audit that
+    * gates a corpus-version bump: classify every document of two corpus
+    * snapshots as added / removed / modified / unchanged and report
+    * per-source counts plus the net token delta. The driver corpus is a
+    * single snapshot, so the query DERIVES the second one
+    * deterministically (both engines build the identical recrawl):
+    * docs with `doc_id % 7 == 3` disappear, docs with `doc_id % 5 == 0`
+    * get one token appended (a revision), and docs with
+    * `doc_id % 11 == 0` come back re-keyed `+100000000` (new pages).
+    * Removal wins over modification (a dropped page's text edit is
+    * unobservable), matching the CASE order.
+    *
+    * Scale shape: each side reduces AT THE SCAN to a constant-width
+    * (doc_id, source, fp, tk) row — md5 fingerprint and token cost are
+    * computed before anything shuffles, so the full-outer join on
+    * doc_id moves ~50 bytes/doc, never text; the final aggregate is on
+    * (source, status) — bounded by 4× the source count. At 100 TB both
+    * snapshots would be bucketed on doc_id (sources/Ddl.scala), making
+    * the diff exchange-free. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def shaped(df: DataFrame): DataFrame = df.select(
+      $"doc_id", $"source", md5($"text").as("fp"), nTokens($"text").as("tk"))
+    val docs = Tables.documents(s, d)
+    val old = shaped(docs)
+    val kept = docs.where($"doc_id" % 7 =!= 3)
+      .select($"doc_id", $"source",
+        when($"doc_id" % 5 === 0, concat($"text", lit(" rev2")))
+          .otherwise($"text").as("text"))
+    val added = docs.where($"doc_id" % 11 === 0)
+      .select(($"doc_id" + 100000000L).as("doc_id"), $"source",
+        concat($"text", lit(" new")).as("text"))
+    val next = shaped(kept.unionByName(added))
+    old.select($"doc_id", $"source".as("src_o"), $"fp".as("fp_o"),
+        $"tk".as("tk_o"))
+      .join(next.select($"doc_id", $"source".as("src_n"), $"fp".as("fp_n"),
+        $"tk".as("tk_n")), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce($"src_n", $"src_o").as("source"),
+        when($"fp_o".isNull, "added")
+          .when($"fp_n".isNull, "removed")
+          .when($"fp_o" =!= $"fp_n", "modified")
+          .otherwise("unchanged").as("status"),
+        (coalesce($"tk_n", lit(0L)) - coalesce($"tk_o", lit(0L))).as("dt"))
+      .groupBy($"source", $"status")
+      .agg(count(lit(1)).as("n_docs"), sum($"dt").as("delta_tokens"))
+      .orderBy($"source", $"status")
+  }
+
+  // ------------------------------------------------- temperature mixing
+
+  /** TEMPERATURE-SCALED MIXTURE PLAN — the multinomial-mixing step of
+    * corpus assembly (Conneau & Lample's p_i ∝ c_i^α with α = 1/2):
+    * natural proportions over-train the biggest source, uniform
+    * over-repeats the smallest, so sampling weights are flattened
+    * through a square root before allocating the token budget. The
+    * whole plan is EXACT integer arithmetic — the only real-valued step
+    * is `floor(sqrt(c))`, which is correctly rounded in IEEE-754 and
+    * therefore engine-reproducible, and every share/division after it
+    * is BIGINT ppm / integral DIV. Budget = 2× the corpus (a two-epoch
+    * training run); per-source allocation ∝ √c, then capped at 4 epochs
+    * of that source (the data-constrained-scaling rule of thumb —
+    * repeating past ~4 epochs stops buying loss), with the shortfall
+    * reported so the caller can waterfall it back into uncapped
+    * sources.
+    *
+    * Scale shape: one map-side-combined aggregate reduces the corpus to
+    * a row per source; the weight/budget arithmetic runs on that
+    * bounded table against a 1-row broadcast of the two totals. */
+  def temperaturePlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bySrc = Tables.documents(s, d)
+      .select($"source", nTokens($"text").as("t"))
+      .groupBy($"source")
+      .agg(sum($"t").as("n_tokens"))
+      .withColumn("isqrt", floor(sqrt($"n_tokens".cast("double"))))
+    val totals = broadcast(bySrc.agg(
+      sum($"n_tokens").as("tot"), sum($"isqrt").as("stot"))) // 1 row
+    bySrc.crossJoin(totals)
+      .withColumn("w_uni_ppm", expr("n_tokens * 1000000 div tot"))
+      .withColumn("w_temp_ppm", expr("isqrt * 1000000 div stot"))
+      .withColumn("alloc_tokens", expr("2 * tot * isqrt div stot"))
+      .withColumn("capped_tokens",
+        least($"alloc_tokens", $"n_tokens" * 4L))
+      .withColumn("epochs_ppm",
+        expr("capped_tokens * 1000000 div n_tokens"))
+      .withColumn("shortfall", $"alloc_tokens" - $"capped_tokens")
+      .select($"source", $"n_tokens", $"isqrt", $"w_uni_ppm",
+        $"w_temp_ppm", $"alloc_tokens", $"capped_tokens", $"epochs_ppm",
+        $"shortfall")
+      .orderBy($"source")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_snapshot_diff", snapshotDiff, Some(s"""
+        WITH old AS (
+          SELECT doc_id, source, md5(text) AS fp, $oracleCost AS tk
+          FROM documents),
+        kept AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 7 <> 3),
+        added AS (
+          SELECT doc_id + 100000000 AS doc_id, source, text || ' new' AS text
+          FROM documents WHERE doc_id % 11 = 0),
+        nxt AS (
+          SELECT doc_id, source, md5(text) AS fp, $oracleCost AS tk
+          FROM (SELECT * FROM kept UNION ALL SELECT * FROM added)),
+        j AS (
+          SELECT coalesce(n.source, o.source) AS source,
+                 CASE WHEN o.fp IS NULL THEN 'added'
+                      WHEN n.fp IS NULL THEN 'removed'
+                      WHEN o.fp <> n.fp THEN 'modified'
+                      ELSE 'unchanged' END AS status,
+                 coalesce(n.tk, 0) - coalesce(o.tk, 0) AS dt
+          FROM old o FULL OUTER JOIN nxt n USING (doc_id))
+        SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dt) AS BIGINT) AS delta_tokens
+        FROM j GROUP BY source, status ORDER BY source, status""")),
+    QueryDef(
+      "q_temperature_plan", temperaturePlan, Some(s"""
+        WITH c AS (
+          SELECT source, CAST(sum($oracleCost) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        i AS (
+          SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                      AS isqrt
+          FROM c),
+        t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+                     CAST(sum(isqrt) AS BIGINT) AS stot FROM i),
+        p AS (
+          SELECT i.source, i.n_tokens, i.isqrt,
+                 i.n_tokens * 1000000 // t.tot AS w_uni_ppm,
+                 i.isqrt * 1000000 // t.stot AS w_temp_ppm,
+                 2 * t.tot * i.isqrt // t.stot AS alloc_tokens
+          FROM i, t)
+        SELECT source, n_tokens, isqrt, w_uni_ppm, w_temp_ppm, alloc_tokens,
+               least(alloc_tokens, n_tokens * 4) AS capped_tokens,
+               least(alloc_tokens, n_tokens * 4) * 1000000 // n_tokens
+                 AS epochs_ppm,
+               alloc_tokens - least(alloc_tokens, n_tokens * 4) AS shortfall
+        FROM p ORDER BY source""")),
     QueryDef(
       "q_source_concentration", sourceConcentration, Some("""
         WITH c AS (

@@ -859,7 +859,121 @@ object NearDup extends QueryModule {
             FROM e JOIN r${i - 1} r ON r.node = e.src
             GROUP BY e.dst) f ON f.node = d.node)""" }.mkString(",")
 
+  // ----------------------------------------------------------- winnowing
+
+  /** WINNOWING near-dup pairs (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    * — the MOSS fingerprinting scheme): hash every K-token gram, slide
+    * a W-hash window over the gram sequence, and keep the MINIMUM hash
+    * of each window as a fingerprint. The guarantee the scheme exists
+    * for: any shared run of at least K+W-1 tokens produces at least one
+    * SHARED fingerprint, while only ~2/(W+1) of all grams are kept — a
+    * position-robust, density-bounded selection, unlike fixed-stride
+    * sampling (alignment-sensitive) or MinHash (whole-document, not
+    * run-local). Docs sharing ≥ `MinShared` fingerprints are reported
+    * with their overlap (shared / smaller fingerprint set, ppm).
+    *
+    * Cross-engine determinism: gram hash = md5 hex of the
+    * space-joined gram, window minimum = lexicographic min over those
+    * hex strings — any fixed total order yields a valid winnowing; md5
+    * gives both engines the identical one.
+    *
+    * Scale shape: gram hashing and window minima are ROW-LOCAL array
+    * expressions (transform/slice/array_min) — no token stream ever
+    * shuffles, each doc contributes ~2/(W+1) of its grams to the only
+    * exploded output. The pair stage is the inverted-index count join
+    * (q_ngram_jaccard's shape): postings self-join on the fingerprint
+    * key, Σdf² not n², with hot fingerprints (df > `DfCap`) dropped
+    * first — the boilerplate-suppression lever that bounds any single
+    * key's fan-out at 100 TB; a shared run the hot gram would have
+    * witnessed is almost surely witnessed again by its other windows. */
+  private val WinnowK = 4 // tokens per gram
+  private val WinnowW = 4 // grams per window
+  private val WinnowDfCap = 64
+  private val WinnowMinShared = 5
+
+  /** Winnowing fingerprints of a (doc_id, text) frame: one exploded row
+    * per (doc, fingerprint) with the doc's fingerprint-set size carried
+    * alongside. Factored out so specs can pin the SIGMOD'03 guarantee
+    * (shared K+W-1-token run ⇒ shared fingerprint) on planted texts. */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val grams = when(size($"tk") >= WinnowK,
+        transform(sequence(lit(0), size($"tk") - WinnowK),
+          i => md5(concat_ws(" ", slice($"tk", i + 1, lit(WinnowK))))))
+      .otherwise(array(md5($"text")))
+    val fps = when(size($"gr") >= WinnowW,
+        array_distinct(transform(sequence(lit(0), size($"gr") - WinnowW),
+          j => array_min(slice($"gr", j + 1, lit(WinnowW))))))
+      .otherwise(array(array_min($"gr")))
+    docs
+      .select($"doc_id", $"text", split($"text", " ").as("tk"))
+      .select($"doc_id", $"text", grams.as("gr"))
+      .select($"doc_id", fps.as("fps"))
+      .select($"doc_id", size($"fps").cast("long").as("n_fps"),
+        explode($"fps").as("fp"))
+  }
+
+  def winnowNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val f = winnowFingerprints(
+      Tables.documents(s, d).select($"doc_id", $"text"))
+    val keep = f.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .where($"df" <= WinnowDfCap)
+      .select($"fp")
+    val ff = f.join(keep, Seq("fp"))
+    ff.select($"fp", $"doc_id".as("id_a"), $"n_fps".as("nf_a"))
+      .join(ff.select($"fp", $"doc_id".as("id_b"), $"n_fps".as("nf_b")),
+        Seq("fp"))
+      .where($"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("n_shared"),
+        min($"nf_a").as("nf_a"), min($"nf_b").as("nf_b"))
+      .where($"n_shared" >= WinnowMinShared)
+      .select($"id_a", $"id_b", $"n_shared",
+        expr("n_shared * 1000000 div least(nf_a, nf_b)").as("overlap_ppm"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** The winnowing fingerprint CTEs, shared semantics with
+    * [[winnowNearDup]] (K=4-token grams, W=4 window, md5 order). */
+  private val oracleWinnowFps = s"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) >= $WinnowK THEN
+          list_transform(generate_series(0, len(tk) - $WinnowK),
+            i -> md5(array_to_string(
+                   list_slice(tk, i + 1, i + $WinnowK), ' ')))
+        ELSE [md5(text)] END AS gr
+      FROM t),
+    w AS (
+      SELECT doc_id,
+        CASE WHEN len(gr) >= $WinnowW THEN
+          list_distinct(list_transform(
+            generate_series(0, len(gr) - $WinnowW),
+            j -> list_min(list_slice(gr, j + 1, j + $WinnowW))))
+        ELSE [list_min(gr)] END AS fps
+      FROM g),
+    f AS (
+      SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, unnest(fps) AS fp
+      FROM w),
+    k AS (SELECT fp FROM f GROUP BY fp
+          HAVING count(*) <= $WinnowDfCap),
+    ff AS (SELECT f.* FROM f JOIN k USING (fp))"""
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_winnow_neardup", winnowNearDup, Some(s"""
+        $oracleWinnowFps
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared,
+               count(*) * 1000000 // least(min(a.n_fps), min(b.n_fps))
+                 AS overlap_ppm
+        FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= $WinnowMinShared
+        ORDER BY id_a, id_b""")),
     QueryDef(
       "q_pagerank", pageRank, Some(s"""
         $oracleShingles,

@@ -151,4 +151,57 @@ class CurationSpec extends SparkSpecBase {
       .head.getLong(0)
     assert(cums.last === total)
   }
+
+  test("snapshot diff matches a single-node recount of the derived recrawl") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    def tok(t: String): Long =
+      if (t.trim.isEmpty) 0L else t.count(_ == ' ').toLong + 1L
+    // reference recount: same derivation rules, plain Scala
+    val expected = scala.collection.mutable.Map
+      .empty[(String, String), (Long, Long)].withDefaultValue((0L, 0L))
+    def bump(src: String, st: String, dt: Long): Unit = {
+      val (n, d) = expected((src, st))
+      expected((src, st)) = (n + 1, d + dt)
+    }
+    docs.foreach { case (id, src, text) =>
+      if (id % 7 == 3) bump(src, "removed", -tok(text))
+      else if (id % 5 == 0) bump(src, "modified", 1L) // " rev2" adds 1 token
+      else bump(src, "unchanged", 0L)
+      if (id % 11 == 0) bump(src, "added", tok(text) + 1L) // " new"
+    }
+    val got = Curation.snapshotDiff(spark, sfDir)
+      .as[(String, String, Long, Long)].collect()
+      .map { case (src, st, n, dt) => (src, st) -> (n, dt) }.toMap
+    assert(got === expected.toMap)
+  }
+
+  test("temperature plan: exact-integer invariants and flattening direction") {
+    import spark.implicits._
+    val rows = Curation.temperaturePlan(spark, sfDir).collect()
+    assert(rows.length > 1)
+    def l(r: org.apache.spark.sql.Row, c: String) = r.getAs[Long](c)
+    // floor-ppm shares each sum to at most 1e6, and to within one ulp
+    // per source of it
+    for (c <- Seq("w_uni_ppm", "w_temp_ppm")) {
+      val s = rows.map(l(_, c)).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length, s"$c sum=$s")
+    }
+    rows.foreach { r =>
+      assert(l(r, "isqrt") ===
+        math.floor(math.sqrt(l(r, "n_tokens").toDouble)).toLong)
+      assert(l(r, "capped_tokens") <= l(r, "alloc_tokens"))
+      assert(l(r, "capped_tokens") <= 4L * l(r, "n_tokens"))
+      assert(l(r, "epochs_ppm") <= 4000000L)
+      assert(l(r, "shortfall") ===
+        l(r, "alloc_tokens") - l(r, "capped_tokens"))
+    }
+    // sqrt flattening: the largest source loses share, the smallest gains
+    val big = rows.maxBy(l(_, "n_tokens"))
+    val small = rows.minBy(l(_, "n_tokens"))
+    assert(l(big, "w_temp_ppm") <= l(big, "w_uni_ppm"))
+    assert(l(small, "w_temp_ppm") >= l(small, "w_uni_ppm"))
+  }
 }

@@ -398,6 +398,53 @@ class NearDupSpec extends SparkSpecBase {
     assert(rows.exists(_._1 > 1L))
   }
 
+  test("winnowing honors the SIGMOD'03 guarantee and density bound") {
+    import spark.implicits._
+    // tokens chosen disjoint across docs except the planted run
+    val run = "r1 r2 r3 r4 r5 r6 r7" // exactly K+W-1 = 7 tokens
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $run a6 a7 a8 a9"),
+      (2L, s"b1 b2 b3 b4 $run b5 b6 b7 b8 b9 b10"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+      (4L, "d1 d2 d3") // shorter than one gram window
+    ).toDF("doc_id", "text")
+    val f = NearDup.winnowFingerprints(docs)
+      .as[(Long, Long, String)].collect()
+    val byDoc = f.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap
+    // guarantee: a shared K+W-1-token run yields >= 1 shared fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    // token-disjoint docs share nothing
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    assert((byDoc(2L) & byDoc(3L)).isEmpty)
+    // short doc degrades to a single whole-text fingerprint
+    assert(byDoc(4L).size === 1)
+    // density: fingerprints <= windows = grams - W + 1, and n_fps is
+    // carried consistently on every exploded row
+    f.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._2).toSet.size === 1, s"doc $id n_fps varies")
+      assert(rows.head._2 === byDoc(id).size.toLong)
+    }
+    val n1 = docs.where($"doc_id" === 1L)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")))
+      .head.getInt(0)
+    assert(byDoc(1L).size <= n1 - 4 + 1 - 4 + 1) // grams - W + 1
+  }
+
+  test("winnow near-dup gate: pairs meet the floor, no cartesian, symmetric overlap") {
+    import spark.implicits._
+    val df = NearDup.winnowNearDup(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val rows = df.as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (a, b, shared, ppm) =>
+      assert(a < b)
+      assert(shared >= 5L)
+      assert(ppm > 0L && ppm <= 1000000L, s"($a,$b) ppm=$ppm")
+    }
+  }
+
   test("pagerank: empty graph yields an empty 3-column result") {
     import spark.implicits._
     val got = NearDup.pageRankOnPairs(
