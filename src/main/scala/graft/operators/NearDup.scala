@@ -893,22 +893,21 @@ object NearDup extends QueryModule {
 
   /** Winnowing fingerprints of a (doc_id, text) frame: one exploded row
     * per (doc, fingerprint) with the doc's fingerprint-set size carried
-    * alongside. Factored out so specs can pin the SIGMOD'03 guarantee
-    * (shared K+W-1-token run ⇒ shared fingerprint) on planted texts. */
+    * alongside. The extraction is ONE native codegen'd expression
+    * ([[graft.functions.VecOps.winnowFps]]) — gram md5s + sliding-window
+    * minima in a single O(grams) pass per document; the first cut as a
+    * transform(sequence)/slice HOF chain was ~25x slower at bench SF
+    * because Catalyst inlines the collapsed projections and re-evaluates
+    * the whole gram array per window element (and again inside the
+    * explode's implicit non-empty filter). Factored out so specs can pin
+    * the SIGMOD'03 guarantee (shared K+W-1-token run ⇒ shared
+    * fingerprint) on planted texts. */
   private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val grams = when(size($"tk") >= WinnowK,
-        transform(sequence(lit(0), size($"tk") - WinnowK),
-          i => md5(concat_ws(" ", slice($"tk", i + 1, lit(WinnowK))))))
-      .otherwise(array(md5($"text")))
-    val fps = when(size($"gr") >= WinnowW,
-        array_distinct(transform(sequence(lit(0), size($"gr") - WinnowW),
-          j => array_min(slice($"gr", j + 1, lit(WinnowW))))))
-      .otherwise(array(array_min($"gr")))
     docs
-      .select($"doc_id", $"text", split($"text", " ").as("tk"))
-      .select($"doc_id", $"text", grams.as("gr"))
-      .select($"doc_id", fps.as("fps"))
+      .select($"doc_id",
+        graft.functions.VectorExpressions
+          .winnow_fps($"text", WinnowK, WinnowW).as("fps"))
       .select($"doc_id", size($"fps").cast("long").as("n_fps"),
         explode($"fps").as("fp"))
   }
