@@ -75,7 +75,10 @@ object DumpPlans {
     "q_rate_cusum" -> "CUSUM rate change-point: map-side-combined hourly rollup, then prefix-sum + running-min windows over the time-range-bounded series -- the nonlinear recurrence without recursion",
     "q_label_affinity" -> "label-centroid affinity: one corpus explode reduced map-side to the (labels x dim) sum table; the pair stage is a corpus-size-independent self-join on dim with broadcast norms",
     "q_dedup_tau_sweep" -> "threshold calibration: rides the verified pair set; 4x threshold replication and both rollups are pair-table-local",
-    "q_source_concentration" -> "Lorenz concentration profile: the corpus reduces map-side to one row per source; ranking + cumulative windows run on that domain-bounded table")
+    "q_source_concentration" -> "Lorenz concentration profile: the corpus reduces map-side to one row per source; ranking + cumulative windows run on that domain-bounded table",
+    "q_snapshot_diff" -> "two-snapshot diff: md5 fingerprint + token cost computed IN the scan stage on both sides, so the full-outer doc_id join moves constant-width rows, never text; final aggregate grain is (source, status)",
+    "q_temperature_plan" -> "temperature mixture plan: one map-side-combined aggregate reduces the corpus to a row per source; sqrt-flattened weights and the epoch-capped budget run on that bounded table against a 1-row broadcast of the totals",
+    "q_winnow_neardup" -> "winnowing near-dup: fingerprint extraction is ONE narrow codegen'd pass (native winnow_fps -- gram md5s + sliding minima, no token-stream shuffle); pair stage is the inverted-index count join on the fingerprint key with hot keys (df > cap) dropped before the self-join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
