@@ -417,7 +417,72 @@ object Curation extends QueryModule {
       .orderBy($"source")
   }
 
+  /** WEIGHTED-FAIR-QUEUING mixture schedule — the deterministic
+    * interleaving that realizes [[temperaturePlan]]'s weights as an
+    * actual training ORDER (round-robin-by-weight, not block-by-block):
+    * each source's documents are ranked in md5 order, and document r of
+    * source s is released at virtual time vt = r·10⁹ div w_s — the
+    * classic WFQ finish-tag, all BIGINT. Reading the corpus in vt order
+    * interleaves sources in proportion to their weights from the very
+    * first batch: any schedule prefix {vt ≤ T} contains
+    * floor(T·w_s/10⁹)..+1 documents of source s while supply lasts —
+    * no "all of source A, then all of B" curriculum accidents and no
+    * RNG. Weights reuse the √-temperature rule (w_s ∝ isqrt(tokens_s),
+    * ppm).
+    *
+    * Scale shape: one exchange on `source` for the rank window (the
+    * same shape every sampler here uses), weights ride a
+    * source-count-bounded broadcast; vt is row-local arithmetic. The
+    * schedule is CONSUMED by range-partitioning on vt — same
+    * single-range-exchange shape as [[globalShuffle]]; no global window
+    * exists in this plan. */
+  def mixSchedule(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"source", nTokens($"text").as("t"))
+    val weights = docs.groupBy($"source")
+      .agg(sum($"t").as("n_tokens"))
+      .withColumn("isqrt", floor(sqrt($"n_tokens".cast("double"))))
+    val wTotal = broadcast(weights.agg(sum($"isqrt").as("stot"))) // 1 row
+    // floor ppm weights, clamped to >= 1 so a vanishingly small source
+    // degrades to "rarely scheduled", never to a division by zero
+    val w = broadcast(weights.crossJoin(wTotal)
+      .select($"source",
+        greatest(expr("isqrt * 1000000 div stot"), lit(1L)).as("w_ppm")))
+    val rankW = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    docs.select($"doc_id", $"source")
+      .withColumn("src_rank", row_number().over(rankW).cast("long"))
+      .join(w, Seq("source"))
+      .withColumn("vt", expr("src_rank * 1000000000 div w_ppm"))
+      .select($"doc_id", $"source", $"src_rank", $"w_ppm", $"vt")
+      .orderBy($"vt", $"doc_id")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_mix_schedule", mixSchedule, Some(s"""
+        WITH d AS (
+          SELECT doc_id, source, $oracleCost AS t FROM documents),
+        c AS (
+          SELECT source, CAST(sum(t) AS BIGINT) AS n_tokens,
+                 CAST(floor(sqrt(CAST(sum(t) AS DOUBLE))) AS BIGINT)
+                   AS isqrt
+          FROM d GROUP BY source),
+        tt AS (SELECT CAST(sum(isqrt) AS BIGINT) AS stot FROM c),
+        w AS (SELECT source, greatest(isqrt * 1000000 // tt.stot, 1)
+                       AS w_ppm
+              FROM c, tt),
+        r AS (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS BIGINT) AS src_rank
+          FROM d)
+        SELECT r.doc_id, r.source, r.src_rank, w.w_ppm,
+               r.src_rank * 1000000000 // w.w_ppm AS vt
+        FROM r JOIN w USING (source)
+        ORDER BY vt, doc_id""")),
     QueryDef(
       "q_snapshot_diff", snapshotDiff, Some(s"""
         WITH old AS (

@@ -78,7 +78,8 @@ object DumpPlans {
     "q_source_concentration" -> "Lorenz concentration profile: the corpus reduces map-side to one row per source; ranking + cumulative windows run on that domain-bounded table",
     "q_snapshot_diff" -> "two-snapshot diff: md5 fingerprint + token cost computed IN the scan stage on both sides, so the full-outer doc_id join moves constant-width rows, never text; final aggregate grain is (source, status)",
     "q_temperature_plan" -> "temperature mixture plan: one map-side-combined aggregate reduces the corpus to a row per source; sqrt-flattened weights and the epoch-capped budget run on that bounded table against a 1-row broadcast of the totals",
-    "q_winnow_neardup" -> "winnowing near-dup: fingerprint extraction is ONE narrow codegen'd pass (native winnow_fps -- gram md5s + sliding minima, no token-stream shuffle); pair stage is the inverted-index count join on the fingerprint key with hot keys (df > cap) dropped before the self-join")
+    "q_winnow_neardup" -> "winnowing near-dup: fingerprint extraction is ONE narrow codegen'd pass (native winnow_fps -- gram md5s + sliding minima, no token-stream shuffle); pair stage is the inverted-index count join on the fingerprint key with hot keys (df > cap) dropped before the self-join",
+    "q_mix_schedule" -> "WFQ mixture schedule: one source exchange for the md5 rank window, ppm weights ride a source-count-bounded broadcast join, the finish tag is row-local BIGINT arithmetic -- no global window; consumers range-partition on vt")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

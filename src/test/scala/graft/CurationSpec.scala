@@ -178,6 +178,37 @@ class CurationSpec extends SparkSpecBase {
     assert(got === expected.toMap)
   }
 
+  test("mix schedule: WFQ finish tags interleave sources in weight proportion") {
+    import spark.implicits._
+    val rows = Curation.mixSchedule(spark, sfDir)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // finish-tag identity, rowwise
+    rows.foreach { case (_, _, r, w, vt) =>
+      assert(vt === r * 1000000000L / w)
+    }
+    // per-source ranks are 1..n_s with no gaps
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length.toLong).toSeq,
+        s"ranks of $src")
+    }
+    // WFQ prefix law: floor(r*1e9/w) <= T iff r <= floor(((T+1)*w-1)/1e9),
+    // so a vt<=T prefix holds exactly min(n_s, that bound) docs of s —
+    // the schedule tracks the weights from the first batch on
+    val bySrc = rows.groupBy(_._2)
+    val allVt = rows.map(_._5).sorted
+    for (t <- Seq(allVt(rows.length / 4), allVt(rows.length / 2),
+        allVt(rows.length - 1))) {
+      bySrc.foreach { case (src, rs) =>
+        val w = rs.head._4
+        val got = rs.count(_._5 <= t).toLong
+        val want =
+          math.min(rs.length.toLong, ((t + 1L) * w - 1L) / 1000000000L)
+        assert(got === want, s"prefix vt<=$t source $src")
+      }
+    }
+  }
+
   test("temperature plan: exact-integer invariants and flattening direction") {
     import spark.implicits._
     val rows = Curation.temperaturePlan(spark, sfDir).collect()
