@@ -780,7 +780,93 @@ object Corpus extends QueryModule {
       .orderBy($"source", $"rank")
   }
 
+  // ------------------------------------------------- importance selection
+
+  /** DSIR-shaped importance SELECTION (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS'23): score
+    * every document by how target-domain-like its bigram distribution
+    * is, and keep the top `k`. Target here = the `lang = 'en'` slice
+    * (any domain predicate works); raw = the whole corpus. The paper's
+    * score is Σ log p_tgt(b)/p_raw(b) — transcendental and therefore
+    * engine-divergent — so the exact-arithmetic surrogate is the ratio
+    * of the doc's AVERAGE target-frequency to average raw-frequency:
+    *
+    *   score_ppm = (Σ_b c_tgt(b)) · N_raw · 10⁶  div  (Σ_b c_raw(b)) · N_tgt
+    *
+    * — the same mean-likelihood-ratio family as [[TextOps.lmFit]], in
+    * exact DECIMAL(38,0)/HUGEINT products (the paper's own hashed-ngram
+    * variant motivates bag-of-bigram statistics). > 10⁶ ⇒ more
+    * target-like than the corpus average. The paper RESAMPLES with
+    * Gumbel noise; the deterministic analogue under this library's
+    * no-RNG rule is top-k by (score, doc_id). Every doc bigram occurs
+    * in the raw counts by construction, so the denominator is never 0.
+    *
+    * Scale shape: the two count tables reduce map-side from the bigram
+    * stream ((w1,w2)-keyed, the [[TextOps.lmFit]] shape); the per-doc
+    * score is one join of the doc's bigram stream against those tables
+    * and one doc_id aggregate; top-k is a TakeOrdered, never a global
+    * sort materialization. */
+  def dsirSelect(s: SparkSession, d: String, k: Int = 100): DataFrame = {
+    import s.implicits._
+    val bg = Tables.documents(s, d)
+      .where(size(split($"text", " ")) >= 2)
+      .select($"doc_id", $"lang", split($"text", " ").as("toks"))
+      .select($"doc_id", $"lang",
+        slice($"toks", lit(1), size($"toks") - 1).as("a1"),
+        slice($"toks", lit(2), size($"toks") - 1).as("a2"))
+      .select($"doc_id", $"lang", explode(arrays_zip($"a1", $"a2")).as("b"))
+      .select($"doc_id", $"lang", $"b.a1".as("w1"), $"b.a2".as("w2"))
+    val tgt = bg.where($"lang" === "en")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("ct"))
+    val raw = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cr"))
+    val nT = broadcast(tgt.agg(sum($"ct").as("n_tgt")))  // 1 row
+    val nR = broadcast(raw.agg(sum($"cr").as("n_raw")))  // 1 row
+    bg.join(raw, Seq("w1", "w2"))
+      .join(tgt, Seq("w1", "w2"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        min($"lang").as("lang"),
+        count(lit(1)).as("n_bigrams"),
+        sum(coalesce($"ct", lit(0L))).as("sum_ct"),
+        sum($"cr").as("sum_cr"))
+      .crossJoin(nT).crossJoin(nR)
+      .select($"doc_id", $"lang", $"n_bigrams",
+        expr("""CAST((CAST(sum_ct AS DECIMAL(38,0))
+                      * CAST(n_raw AS DECIMAL(38,0)) * 1000000)
+                 div (CAST(sum_cr AS DECIMAL(38,0))
+                      * CAST(n_tgt AS DECIMAL(38,0))) AS BIGINT)""")
+          .as("score_ppm"))
+      .orderBy($"score_ppm".desc, $"doc_id")
+      .limit(k)
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_dsir_select", dsirSelect(_, _), Some("""
+        WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                   FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        ks AS (SELECT doc_id, lang, toks,
+                      unnest(generate_series(1, len(toks) - 1)) AS k
+               FROM t),
+        bg AS (SELECT doc_id, lang, toks[k] AS w1, toks[k+1] AS w2 FROM ks),
+        tgt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS ct
+                FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+        raw AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cr
+                FROM bg GROUP BY w1, w2),
+        nt AS (SELECT CAST(sum(ct) AS HUGEINT) AS n_tgt FROM tgt),
+        nr AS (SELECT CAST(sum(cr) AS HUGEINT) AS n_raw FROM raw),
+        sc AS (
+          SELECT bg.doc_id, min(bg.lang) AS lang,
+                 CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(coalesce(tgt.ct, 0)) AS HUGEINT) AS sum_ct,
+                 CAST(sum(raw.cr) AS HUGEINT) AS sum_cr
+          FROM bg JOIN raw USING (w1, w2) LEFT JOIN tgt USING (w1, w2)
+          GROUP BY bg.doc_id)
+        SELECT doc_id, lang, n_bigrams,
+               CAST(sum_ct * n_raw * 1000000 // (sum_cr * n_tgt)
+                 AS BIGINT) AS score_ppm
+        FROM sc, nt, nr
+        ORDER BY score_ppm DESC, doc_id LIMIT 100""")),
     QueryDef(
       "q_cooccur", cooccurLift, Some("""
         WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),

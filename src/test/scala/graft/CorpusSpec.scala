@@ -326,6 +326,39 @@ class CorpusSpec extends SparkSpecBase {
     assert(got3 === Seq((1L, "x", "y", "xy", 1L)))
   }
 
+  test("dsirSelect matches a single-node BigInt recount of the surrogate score") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect()
+    // reference recount: bag-of-bigram counts, exact BigInt ratio
+    val bigrams = docs.map { case (id, lang, text) =>
+      val t = text.split(" ", -1)
+      (id, lang, t.sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))).toSeq)
+    }.filter(_._3.nonEmpty)
+    val tgtC = bigrams.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rawC = bigrams.flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nT = BigInt(tgtC.values.sum)
+    val nR = BigInt(rawC.values.sum)
+    val want = bigrams.map { case (id, lang, bs) =>
+      val sumCt = BigInt(bs.map(b => tgtC.getOrElse(b, 0L)).sum)
+      val sumCr = BigInt(bs.map(rawC).sum)
+      (id, lang, bs.length.toLong,
+        (sumCt * nR * 1000000 / (sumCr * nT)).toLong)
+    }.sortBy { case (id, _, _, sc) => (-sc, id) }.take(100)
+    val got = Corpus.dsirSelect(spark, sfDir)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === want.toSeq)
+    // the target slice scores structurally high: en docs dominate the
+    // selected head relative to their corpus share
+    val enShare = got.count(_._2 == "en").toDouble / got.length
+    val enCorpus = docs.count(_._2 == "en").toDouble / docs.length
+    assert(enShare >= enCorpus, s"selected en=$enShare corpus en=$enCorpus")
+  }
+
   test("shardAssign: deterministic, total, positions are per-shard ranks") {
     import spark.implicits._
     val a = Corpus.shardAssign(spark, sfDir)
