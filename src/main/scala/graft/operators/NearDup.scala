@@ -249,6 +249,43 @@ object NearDup extends QueryModule {
       minhashNearDup(s, d).select($"id_a", $"id_b"))
   }
 
+  /** EFFECTIVE-TOKEN census per source — the bridge between dedup and
+    * mixture planning: a source's raw token count overstates its worth
+    * by exactly its redundant mass, so mixture weights
+    * ([[graft.operators.Curation.temperaturePlan]] /
+    * [[graft.operators.Curation.mixSchedule]]) should be fed
+    * `n_tokens − dup_tokens`, not `n_tokens`. Per source: document and
+    * token totals, the documents whose near-dup cluster keeps a
+    * DIFFERENT representative (keeper = the cluster's min doc_id, the
+    * [[dedupClusters]] label), their token mass, and that mass as ppm
+    * of the source — the "how much of this source is copies" readout.
+    *
+    * Scale shape: rides [[dedupClusters]]' labels (the banded LSH +
+    * O(log n)-round CC machinery — never an all-pairs stage); the
+    * census itself is one doc_id join of constant-width rows and one
+    * map-side-combined rollup to a row per source. */
+  def effectiveTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labels = dedupClusters(s, d) // (doc_id, cluster_id)
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", TextOps.tokenCount($"text").as("t"))
+      .join(labels, Seq("doc_id"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"t").as("n_tokens"),
+        sum(when($"doc_id" =!= $"cluster_id", 1L).otherwise(0L))
+          .as("n_dup_docs"),
+        sum(when($"doc_id" =!= $"cluster_id", $"t").otherwise(0L))
+          .as("dup_tokens"))
+      .select($"source", $"n_docs", $"n_tokens", $"n_dup_docs",
+        $"dup_tokens",
+        ($"n_tokens" - $"dup_tokens").as("effective_tokens"),
+        expr("dup_tokens * 1000000 div greatest(n_tokens, 1)")
+          .as("dup_ppm"))
+      .orderBy($"source")
+  }
+
   /** Cluster-size CENSUS over the near-dup components — the redundancy
     * profile of the corpus: how many duplicate families exist at each
     * size, how many documents they hold, and how many are removable
@@ -1112,6 +1149,42 @@ object NearDup extends QueryModule {
           SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
         SELECT a AS doc_id, min(b) AS cluster_id
         FROM reach GROUP BY a ORDER BY doc_id""")),
+    QueryDef(
+      "q_effective_tokens", effectiveTokens, Some(s"""
+        ${oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        cl AS (SELECT a AS doc_id, min(b) AS cluster_id
+               FROM reach GROUP BY a),
+        dt AS (
+          SELECT d.source, d.doc_id, cl.cluster_id,
+                 CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE
+                   length(d.text) - length(replace(d.text, ' ', '')) + 1
+                   END AS BIGINT) AS t
+          FROM documents d JOIN cl USING (doc_id)),
+        agg AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(t) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_dup_docs,
+                 CAST(sum(CASE WHEN doc_id <> cluster_id THEN t ELSE 0 END)
+                   AS BIGINT) AS dup_tokens
+          FROM dt GROUP BY source)
+        SELECT source, n_docs, n_tokens, n_dup_docs, dup_tokens,
+               n_tokens - dup_tokens AS effective_tokens,
+               dup_tokens * 1000000 // greatest(n_tokens, 1) AS dup_ppm
+        FROM agg ORDER BY source""")),
     QueryDef(
       "q_cluster_sizes", clusterSizes, Some(s"""
         ${oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},

@@ -49,16 +49,24 @@ object Aggregators {
     * the exact [[graft.operators.Corpus.tokenFrequencies]]. Estimates
     * (not membership above the bound) depend on merge order, so this is
     * spec-pinned rather than oracle-gated, like the other sketches. */
+  /** Misra–Gries compaction, shared by the batch aggregator and the
+    * streaming heavy-hitter monitor
+    * ([[graft.streaming.StreamingPipeline.heavyHittersStream]]): when
+    * more than k counters are live, subtract the (k+1)-th largest count
+    * from all of them — at most k stay strictly positive, and any
+    * element's total decrement across a stream of N items is ≤ N/(k+1),
+    * the bound the summary's guarantees rest on. */
+  private[graft] def mgCompact[T](m: Map[T, Long], k: Int): Map[T, Long] =
+    if (m.size <= k) m
+    else {
+      val d = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      m.flatMap { case (t, c) => if (c - d > 0) Some(t -> (c - d)) else None }
+    }
+
   class MisraGriesAgg(k: Int)
       extends Aggregator[Long, Map[Long, Long], Map[Long, Long]] {
     private def compact(m: Map[Long, Long]): Map[Long, Long] =
-      if (m.size <= k) m
-      else {
-        // subtract the (k+1)-th largest count from everything; at most k
-        // strictly-positive counters can survive
-        val d = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
-        m.flatMap { case (t, c) => if (c - d > 0) Some(t -> (c - d)) else None }
-      }
+      mgCompact(m, k)
     def zero: Map[Long, Long] = Map.empty
     def reduce(buf: Map[Long, Long], tok: Long): Map[Long, Long] =
       compact(buf.updated(tok, buf.getOrElse(tok, 0L) + 1L))

@@ -372,6 +372,48 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming Misra–Gries heavy-hitter monitor: per group key (e.g.
+    * per source), a k-counter MG summary folded across micro-batches in
+    * checkpoint-backed state — the streaming form of
+    * [[graft.operators.Corpus.heavyHitters]] (same
+    * [[graft.pipeline.Aggregators.mgCompact]] kernel, so the two
+    * surfaces cannot drift). Per trigger it emits the group's CURRENT
+    * summary rows (key, token, estimate, n_seen); the MG contract holds
+    * over the whole stream since start: any token with true count
+    * > n_seen/(k+1) is present, and every estimate undercounts its true
+    * count by at most n_seen/(k+1).
+    *
+    * Scale shape: state is ≤ k counters + one long per group key —
+    * bounded no matter how long the stream runs — and the per-batch
+    * fold is one pass over the batch's rows; tokens shuffle once to
+    * their group's state partition (the flatMapGroupsWithState
+    * exchange), exactly like the batch aggregator's merge tree. */
+  def heavyHittersStream(
+      rows: DataFrame, // columns: (key, tok)
+      k: Int): org.apache.spark.sql.Dataset[(String, String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import rows.sparkSession.implicits._
+    import graft.pipeline.Aggregators.mgCompact
+    rows
+      .select(col(rows.columns(0)).cast("string").as("k"),
+        col(rows.columns(1)).cast("string").as("tok"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Map[String, Long], Long),
+        (String, String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, batch, state: GroupState[(Map[String, Long], Long)]) =>
+          var (m, seen) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          batch.foreach { case (_, t) =>
+            m = mgCompact(m.updated(t, m.getOrElse(t, 0L) + 1L), k)
+            seen += 1L
+          }
+          state.update((m, seen))
+          m.toSeq.sortBy { case (t, c) => (-c, t) }
+            .iterator.map { case (t, c) => (key, t, c, seen) }
+      }
+  }
+
   /** Session windows per key (streaming sessionization; batch equivalent
     * is graft.operators.Sessionize). */
   def sessionCounts(

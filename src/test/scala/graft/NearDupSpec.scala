@@ -398,6 +398,28 @@ class NearDupSpec extends SparkSpecBase {
     assert(rows.exists(_._1 > 1L))
   }
 
+  test("effective tokens: reconciles with cluster labels and corpus totals") {
+    import spark.implicits._
+    // collect the census FIRST, then the labels: each call re-runs
+    // dedupClusters, whose one-slot checkpoint free-list invalidates
+    // the earlier lazy plan (same discipline as the cluster-sizes test)
+    val rows = NearDup.effectiveTokens(spark, sfDir).collect()
+    val labels = NearDup.dedupClusters(spark, sfDir)
+      .as[(Long, Long)].collect()
+    def l(r: org.apache.spark.sql.Row, c: String) = r.getAs[Long](c)
+    rows.foreach { r =>
+      assert(l(r, "effective_tokens") === l(r, "n_tokens") - l(r, "dup_tokens"))
+      assert(l(r, "dup_ppm") ===
+        l(r, "dup_tokens") * 1000000L / math.max(l(r, "n_tokens"), 1L))
+      assert(l(r, "n_dup_docs") <= l(r, "n_docs"))
+    }
+    assert(rows.map(l(_, "n_docs")).sum === labels.length.toLong)
+    assert(rows.map(l(_, "n_dup_docs")).sum ===
+      labels.count { case (d, c) => d != c }.toLong)
+    // fixture has planted near-dup families: some source carries dups
+    assert(rows.exists(l(_, "n_dup_docs") > 0L))
+  }
+
   test("winnowing honors the SIGMOD'03 guarantee and density bound") {
     import spark.implicits._
     // tokens chosen disjoint across docs except the planted run

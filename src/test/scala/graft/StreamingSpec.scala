@@ -218,6 +218,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: MG guarantees hold across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(String, String)]
+    val mon = StreamingPipeline.heavyHittersStream(
+      stream.toDF().toDF("key", "tok"), k = 3)
+    val q = mon.writeStream.outputMode("append")
+      .format("memory").queryName("hh_out").start()
+    try {
+      stream.addData(Seq.fill(5)("s" -> "a") ++ Seq.fill(2)("s" -> "b")
+        ++ Seq("s" -> "c", "s" -> "d"): _*) // N=9
+      q.processAllAvailable()
+      stream.addData(Seq.fill(3)("s" -> "a") ++ Seq.fill(4)("s" -> "e"): _*)
+      q.processAllAvailable() // N=16; true: a=8, e=4, b=2, c=1, d=1
+      val rows = spark.table("hh_out")
+        .as[(String, String, Long, Long)].collect()
+      // state folded across batches: the second emission reports the
+      // full stream's n_seen
+      val last = rows.filter(_._4 == 16L)
+      assert(last.nonEmpty, rows.mkString(","))
+      assert(last.length <= 3) // bounded summary
+      val est = last.map(r => r._2 -> r._3).toMap
+      val truth = Map("a" -> 8L, "e" -> 4L, "b" -> 2L, "c" -> 1L, "d" -> 1L)
+      // membership: any token with true count > N/(k+1) = 4 is present
+      assert(est.contains("a"))
+      // estimates never overcount, and undercount by at most N/(k+1)
+      est.foreach { case (t, c) =>
+        assert(c <= truth(t), s"$t overcounted")
+        assert(truth(t) - c <= 16L / 4L, s"$t undercounted too far")
+      }
+      // the first batch's emission was the 9-item summary with a on top
+      val first = rows.filter(_._4 == 9L)
+      assert(first.nonEmpty && first.maxBy(_._3)._2 === "a")
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate keys across micro-batches emit once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
