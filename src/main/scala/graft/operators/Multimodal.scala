@@ -144,6 +144,53 @@ object Multimodal extends QueryModule {
       .toDF("doc_id", "thumb", "width", "height")
   }
 
+  /** BINARY near-dup via content-defined chunking — the storage-dedup
+    * approach applied to a media column: Gear/FastCDC chunk boundaries
+    * depend only on LOCAL byte content, so an insertion or deletion
+    * re-chunks a constant-size neighborhood and leaves every other
+    * chunk hash intact — unlike any fixed-grid perceptual hash, which a
+    * few shifted bytes scramble end to end (shift-robustness is why
+    * dedup of byte streams chunks content-defined). Media sharing
+    * ≥ `MinShared` chunk hashes are reported with their overlap as ppm
+    * of the smaller chunk set. Works on ANY opaque payload — no codec
+    * in the loop; the chunker is the same native
+    * [[graft.functions.VectorExpressions.content_chunks]] kernel
+    * (maskBits=5, ~32-byte chunks) the text CDC profile gates, so the
+    * two surfaces cannot drift.
+    *
+    * Scale shape: chunking is one narrow codegen'd pass over the
+    * payload column (bytes never shuffle — only 8-byte chunk hashes
+    * explode); the pair stage is the inverted-index count join with
+    * hot chunks (df > `DfCap`, container boilerplate) dropped before
+    * the self-join, Σdf² not n². */
+  def mediaChunkDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val MinShared = 3
+    val DfCap = 64
+    val ch = mediaTable(s, d)
+      .select($"doc_id", decode($"payload", "UTF-8").as("txt"))
+      .select($"doc_id",
+        graft.functions.VectorExpressions.content_chunks($"txt", 5)
+          .as("cs"))
+      .select($"doc_id", size($"cs").cast("long").as("n_chunks"),
+        explode($"cs").as("chunk"))
+    val keep = ch.groupBy($"chunk").agg(count(lit(1)).as("df"))
+      .where($"df" <= DfCap)
+      .select($"chunk")
+    val cf = ch.join(keep, Seq("chunk"))
+    cf.select($"chunk", $"doc_id".as("id_a"), $"n_chunks".as("nc_a"))
+      .join(cf.select($"chunk", $"doc_id".as("id_b"), $"n_chunks".as("nc_b")),
+        Seq("chunk"))
+      .where($"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("n_shared"),
+        min($"nc_a").as("nc_a"), min($"nc_b").as("nc_b"))
+      .where($"n_shared" >= MinShared)
+      .select($"id_a", $"id_b", $"n_shared",
+        expr("n_shared * 1000000 div least(nc_a, nc_b)").as("overlap_ppm"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Rollup a real pipeline would emit: per-origin media volume. */
   def mediaStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -157,6 +204,28 @@ object Multimodal extends QueryModule {
   }
 
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      // chunk hashes via graft.ops.HashOracleSql.chunksCte (the same
+      // Gear walk, bit-exact); per-media chunk-set sizes from that CTE
+      "q_media_chunk_dedup", mediaChunkDedup, Some(s"""
+        ${graft.ops.HashOracleSql.chunksCte},
+        cw AS (
+          SELECT doc_id,
+                 CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                   AS n_chunks,
+                 chunk
+          FROM chunks),
+        k AS (SELECT chunk FROM cw GROUP BY chunk
+              HAVING count(*) <= 64),
+        cf AS (SELECT cw.* FROM cw JOIN k USING (chunk))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared,
+               count(*) * 1000000 // least(min(a.n_chunks), min(b.n_chunks))
+                 AS overlap_ppm
+        FROM cf a JOIN cf b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 3
+        ORDER BY id_a, id_b""")),
     QueryDef(
       "q_media_features", mediaFeatures, Some("""
         SELECT doc_id,

@@ -81,7 +81,8 @@ object DumpPlans {
     "q_winnow_neardup" -> "winnowing near-dup: fingerprint extraction is ONE narrow codegen'd pass (native winnow_fps -- gram md5s + sliding minima, no token-stream shuffle); pair stage is the inverted-index count join on the fingerprint key with hot keys (df > cap) dropped before the self-join",
     "q_mix_schedule" -> "WFQ mixture schedule: one source exchange for the md5 rank window, ppm weights ride a source-count-bounded broadcast join, the finish tag is row-local BIGINT arithmetic -- no global window; consumers range-partition on vt",
     "q_dsir_select" -> "DSIR importance selection: target/raw bigram count tables reduce map-side from the (w1,w2) stream; the score joins the doc bigram stream to those tables once, aggregates per doc_id, and the top-k is a TakeOrdered -- no global sort, no transcendental arithmetic",
-    "q_effective_tokens" -> "dedup-aware token census: rides dedupClusters' labels (banded LSH + O(log n) CC, never all-pairs); the census is one constant-width doc_id join and a map-side-combined rollup to a row per source")
+    "q_effective_tokens" -> "dedup-aware token census: rides dedupClusters' labels (banded LSH + O(log n) CC, never all-pairs); the census is one constant-width doc_id join and a map-side-combined rollup to a row per source",
+    "q_media_chunk_dedup" -> "binary CDC near-dup: one narrow codegen'd chunking pass (payload bytes never shuffle, only 8-byte chunk hashes explode); df-capped inverted-index count join, Sigma-df^2 not n^2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -43,6 +43,26 @@ class SessionMultimodalSpec extends SparkSpecBase {
     assert(df.count() === graft.ops.Tables.documents(spark, sfDir).count())
   }
 
+  test("media chunk dedup: finds the planted twins, no cartesian, bounded overlap") {
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.01"
+    val df = Multimodal.mediaChunkDedup(spark, sf01)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val rows = df.as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (a, b, shared, ppm) =>
+      assert(a < b)
+      assert(shared >= 3L)
+      assert(ppm > 0L && ppm <= 1000000L, s"($a,$b) ppm=$ppm")
+    }
+    // shift-robustness payoff: the corpus' strongest token-level
+    // near-dups (J >= 0.97; their byte streams differ by insertions
+    // that shift everything after the edit) still share most chunks
+    val got = rows.map(r => (r._1, r._2)).toSet
+    assert(got.contains((285L, 301L)), rows.take(10).toSeq)
+    assert(got.contains((98L, 290L)))
+  }
+
   test("multimodal plumbing: payload bytes don't reach the aggregate shuffle") {
     val plan = Multimodal.mediaStats(spark, sfDir)
       .queryExecution.executedPlan.toString
