@@ -131,6 +131,17 @@ object ScaleBench {
     if (n <= 100000L) time("cascade_dedup_tau95") {
       graft.operators.Similarity.cascadeDedup(spark, dir, tau = 0.95)
     }
+    // winnowing: the planted near-copies share long runs, so the
+    // fingerprint-overlap pairs exist; the probe times the narrow
+    // native extraction plus the df-capped postings join
+    time("winnow_neardup") {
+      graft.operators.NearDup.winnowNearDup(spark, dir)
+    }
+    // binary CDC near-dup: same planted copies through the chunk-hash
+    // postings join (payloads = text bytes, as in the gate query)
+    time("media_chunk_dedup") {
+      graft.operators.Multimodal.mediaChunkDedup(spark, dir)
+    }
     // span census + scrub: the planted near-copies share 8-token spans,
     // so the duplicated-span paths are exercised, not just scanned
     time("dup_spans") {

@@ -302,6 +302,52 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("text"), p.take(3000)) // documents never scanned
   }
 
+  test("snapshot diff: text dies at the scan — only fingerprints cross the join") {
+    val df = graft.operators.Curation.snapshotDiff(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // every Exchange input carries md5 fingerprints, never raw text:
+    // text appears only below the scans' projections, so no exchange
+    // row should reference the text attribute
+    val exchanges = "Exchange [^\n]*".r.findAllIn(p).toSeq
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(!e.contains("text#"), e))
+    assert(p.contains("FullOuter"), p.take(3000))
+  }
+
+  test("winnow fingerprint extraction is a narrow native pass (no HOFs, no window exchange)") {
+    import spark.implicits._
+    val fps = graft.operators.NearDup.winnowFingerprints(
+      graft.ops.Tables.documents(spark, sfDir).select($"doc_id", $"text"))
+    val p = plan(fps)
+    // the r6 rewrite's contract: no interpreted higher-order transform
+    // chain, no Window/Exchange — extraction runs at scan speed
+    assert(!p.contains("transform("), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("winnowfpsexpr") || p.contains("WinnowFps")
+      || p.toLowerCase.contains("winnow"), p)
+  }
+
+  test("mix schedule: one hash exchange on source; weights broadcast") {
+    val df = graft.operators.Curation.mixSchedule(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // per-DOC rows cross exactly one hash exchange (the source rank
+    // window); the other two hash exchanges are the weight branch's
+    // map-side-combined per-source aggregates (rows = source count),
+    // and the weights reach the corpus via broadcast — pin the counts
+    // so a regression that re-shuffles the corpus (e.g. a second
+    // window or a shuffled weight join) fails this
+    val hashEx = "Exchange hashpartitioning[^\n]*".r.findAllIn(p).toSeq
+    assert(hashEx.length <= 3, p.take(3000))
+    val rangeEx = "Exchange rangepartitioning[^\n]*".r.findAllIn(p).toSeq
+    assert(rangeEx.length === 1, p.take(3000)) // the presentation sort
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("text stats stay in one whole-stage codegen span (no UDFs)") {
     val df = TextOps.textStats(spark, sfDir)
     df.collect() // finalize THIS df's adaptive plan (count() would plan anew)
