@@ -286,6 +286,35 @@ object NearDup extends QueryModule {
       .orderBy($"source")
   }
 
+  /** LEAKAGE-SAFE train/val/test split — the dedup-aware fix for the
+    * classic eval-contamination pitfall: splitting by document hash
+    * puts near-duplicate FAMILY MEMBERS on both sides of the
+    * train/test line, and the model "generalizes" to test documents it
+    * effectively saw in training. Assigning the md5 bucket from the
+    * CLUSTER id instead of the doc id puts every near-dup family
+    * wholly inside one split by construction — no post-hoc audit
+    * needed, the invariant is structural. Buckets 0-203/204-229/230-255
+    * of 256 give the 80/10/10 the plain split
+    * ([[graft.operators.Curation.globalShuffle]]) targets; the realized
+    * ratio wobbles with cluster sizes, which is the price of zero
+    * leakage (the audit columns make the wobble visible).
+    *
+    * Scale shape: rides [[dedupClusters]]' labels; the split rule is
+    * row-local arithmetic on the label — no additional shuffle beyond
+    * the presentation sort. */
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    dedupClusters(s, d)
+      .withColumn("bucket",
+        conv(substring(md5($"cluster_id".cast("string")), 1, 2), 16, 10)
+          .cast("long"))
+      .select($"doc_id", $"cluster_id",
+        when($"bucket" < 204, "train")
+          .when($"bucket" < 230, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
   /** Cluster-size CENSUS over the near-dup components — the redundancy
     * profile of the corpus: how many duplicate families exist at each
     * size, how many documents they hold, and how many are removable
@@ -949,10 +978,24 @@ object NearDup extends QueryModule {
         explode($"fps").as("fp"))
   }
 
+  /** Previous [[winnowNearDup]] invocation's cached fingerprint table —
+    * unpersist-FIRST one-slot swap, same discipline and reasoning as
+    * [[graft.operators.Similarity]]'s `lastCells` (CacheManager matches
+    * by plan, so persist-then-unpersist would drop the new entry). */
+  private val lastWinnowFps =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   def winnowNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    Option(lastWinnowFps.getAndSet(null)).foreach(_.unpersist(false))
+    // the postings table is consumed THREE times (df filter + both join
+    // sides); persisted, the narrow extraction runs one corpus scan
+    // instead of three — at deployment scale the fingerprint table is a
+    // stored index, exactly like the LSH band index
     val f = winnowFingerprints(
       Tables.documents(s, d).select($"doc_id", $"text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastWinnowFps.set(f)
     val keep = f.groupBy($"fp").agg(count(lit(1)).as("df"))
       .where($"df" <= WinnowDfCap)
       .select($"fp")
@@ -1149,6 +1192,37 @@ object NearDup extends QueryModule {
           SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
         SELECT a AS doc_id, min(b) AS cluster_id
         FROM reach GROUP BY a ORDER BY doc_id""")),
+    QueryDef(
+      "q_leakage_split", leakageSafeSplit, Some(s"""
+        ${oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        cl AS (SELECT a AS doc_id, min(b) AS cluster_id
+               FROM reach GROUP BY a),
+        bk AS (
+          SELECT doc_id, cluster_id,
+                 CAST((strpos('0123456789abcdef',
+                         substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1)
+                        * 16
+                    + (strpos('0123456789abcdef',
+                         substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1)
+                   AS BIGINT) AS bucket
+          FROM cl)
+        SELECT doc_id, cluster_id,
+               CASE WHEN bucket < 204 THEN 'train'
+                    WHEN bucket < 230 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM bk ORDER BY doc_id""")),
     QueryDef(
       "q_effective_tokens", effectiveTokens, Some(s"""
         ${oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},

@@ -420,6 +420,22 @@ class NearDupSpec extends SparkSpecBase {
     assert(rows.exists(l(_, "n_dup_docs") > 0L))
   }
 
+  test("leakage-safe split: clusters never straddle a split boundary") {
+    import spark.implicits._
+    val rows = NearDup.leakageSafeSplit(spark, sfDir)
+      .as[(Long, Long, String)].collect()
+    val docs = graft.ops.Tables.documents(spark, sfDir).count()
+    assert(rows.length.toLong === docs) // total: every doc assigned
+    // the invariant the operator exists for: one split per cluster
+    rows.groupBy(_._2).foreach { case (cl, ms) =>
+      assert(ms.map(_._3).distinct.length === 1, s"cluster $cl straddles")
+    }
+    // all three splits materialize and train dominates
+    val byS = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byS.keySet === Set("train", "val", "test"), byS)
+    assert(byS("train") > byS("val") && byS("train") > byS("test"), byS)
+  }
+
   test("winnowing honors the SIGMOD'03 guarantee and density bound") {
     import spark.implicits._
     // tokens chosen disjoint across docs except the planted run
