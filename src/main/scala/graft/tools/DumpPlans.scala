@@ -82,7 +82,8 @@ object DumpPlans {
     "q_mix_schedule" -> "WFQ mixture schedule: one source exchange for the md5 rank window, ppm weights ride a source-count-bounded broadcast join, the finish tag is row-local BIGINT arithmetic -- no global window; consumers range-partition on vt",
     "q_dsir_select" -> "DSIR importance selection: target/raw bigram count tables reduce map-side from the (w1,w2) stream; the score joins the doc bigram stream to those tables once, aggregates per doc_id, and the top-k is a TakeOrdered -- no global sort, no transcendental arithmetic",
     "q_effective_tokens" -> "dedup-aware token census: rides dedupClusters' labels (banded LSH + O(log n) CC, never all-pairs); the census is one constant-width doc_id join and a map-side-combined rollup to a row per source",
-    "q_media_chunk_dedup" -> "binary CDC near-dup: one narrow codegen'd chunking pass (payload bytes never shuffle, only 8-byte chunk hashes explode); df-capped inverted-index count join, Sigma-df^2 not n^2")
+    "q_media_chunk_dedup" -> "binary CDC near-dup: one narrow codegen'd chunking pass (payload bytes never shuffle, only 8-byte chunk hashes explode); df-capped inverted-index count join, Sigma-df^2 not n^2",
+    "q_leakage_split" -> "leakage-safe split: rides dedupClusters' labels; the md5-of-cluster-id split rule is row-local, so the only added node over the clustering is a projection before the presentation sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
