@@ -204,4 +204,45 @@ object Ddl {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** DELIVERY writer: the curated corpus as `shards` training shards
+    * plus a verifiable MANIFEST — the handoff artifact a training run
+    * consumes. Shard assignment is the library's deterministic md5 rule
+    * (`xxhash64` of the doc key mod shards would also do, but md5 keeps
+    * the identity shared with [[graft.operators.Corpus.shardAssign]]'s
+    * oracle-gated definition), the write is one `partitionBy(shard)`
+    * pass, and the manifest records per shard: row count and an
+    * ORDER-FREE content checksum (xor of per-row xxhash64 over every
+    * emitted column) — so the consumer can verify each shard
+    * independently, in any order, without re-reading the others.
+    *
+    * Returns the manifest read back FROM THE WRITTEN FILES (not from
+    * the in-memory frame): what's verified is what landed on disk.
+    *
+    * Scale shape: one hash exchange on `shard` (the write's
+    * partitioning), manifest aggregation map-side-combines per shard;
+    * the manifest itself is `shards` rows. */
+  def writeShards(
+      df: DataFrame, // must carry doc_id; all columns are delivered
+      path: String,
+      shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val keyed = df.withColumn("shard",
+      pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(shards.toLong)))
+    keyed.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(path)
+    val written = spark.read.parquet(path)
+    val dataCols = written.columns.filter(_ != "shard").sorted
+    written
+      .withColumn("row_hash",
+        xxhash64(dataCols.map(c => col(c).cast("string")).toIndexedSeq: _*))
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        bit_xor(col("row_hash")).as("content_hash"))
+      .orderBy(col("shard"))
+  }
 }

@@ -217,6 +217,31 @@ class AggregatorDdlSpec extends SparkSpecBase {
       && recs(1).partition === 3)
   }
 
+  test("writeShards: manifest reconciles, is deterministic, and detects tampering") {
+    import spark.implicits._
+    import graft.sources.Ddl
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", $"source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val m1 = Ddl.writeShards(docs, s"$dir/v1", shards = 4).collect()
+    // totals reconcile with the source frame; all shards materialize
+    assert(m1.map(_.getAs[Long]("n_rows")).sum === docs.count())
+    assert(m1.map(_.getAs[Long]("shard")).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    // deterministic: a second delivery of the same frame produces the
+    // byte-identical manifest (rule is md5-keyed, no rand)
+    val m2 = Ddl.writeShards(docs, s"$dir/v2", shards = 4).collect()
+    assert(m1.map(_.toSeq).toSeq === m2.map(_.toSeq).toSeq)
+    // a content change flips exactly its shard's checksum
+    val tampered = docs.withColumn("text",
+      org.apache.spark.sql.functions.when($"doc_id" === 7L,
+        org.apache.spark.sql.functions.lit("TAMPERED")).otherwise($"text"))
+    val m3 = Ddl.writeShards(tampered, s"$dir/v3", shards = 4).collect()
+    val changed = m1.zip(m3).filter { case (a, b) => a.toSeq != b.toSeq }
+    assert(changed.length === 1, changed.mkString(","))
+    assert(changed.head._1.getAs[Long]("n_rows") ===
+      changed.head._2.getAs[Long]("n_rows")) // same rows, different hash
+  }
+
   test("dlq summary reduces a dead-letter directory (reduce_err analogue)") {
     import spark.implicits._
     import graft.pipeline.Record
