@@ -428,6 +428,58 @@ object NearDup extends QueryModule {
     out
   }
 
+  /** Previous [[kcoreOnPairs]] result — one-slot checkpoint free, same
+    * discipline as `lastRank`. */
+  private val lastCore =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** k-CORE of a pair graph via bounded-round peeling: repeatedly drop
+    * nodes with fewer than `k` surviving neighbors; what remains is the
+    * maximal subgraph of minimum degree ≥ k. On the near-dup graph the
+    * 2-core is the BOILERPLATE-CORE detector: duplicate chains and
+    * isolated pairs peel away, while mutually-near-duplicate families
+    * (template farms — every member close to every other) survive, so
+    * core membership separates "a re-crawl copied this page once" from
+    * "this page is a stamped template", two different cleaning actions.
+    *
+    * Rounds are BOUNDED (`rounds`, default 4), matching the unrolled
+    * oracle: fixed-round peel equals the true k-core whenever peeling
+    * converges within the bound — each round is one degree aggregate +
+    * two semi-join-shaped edge filters, so the cost is rounds × the
+    * (already near-dup-sized, not corpus-sized) edge list. A fifth
+    * round on the gate graph is a no-op (NearDupSpec pins convergence);
+    * deployments with deeper cascades raise `rounds`, the same bounded-
+    * fixpoint trade [[pageRankOnPairs]] makes. */
+  private[graft] def kcoreOnPairs(
+      pairs0: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
+    import pairs0.sparkSession.implicits._
+    val pairs = pairs0.toDF("id_a", "id_b")
+    val edges = pairs.union(pairs.select($"id_b", $"id_a"))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var alive = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .where($"deg" >= k).select($"src".as("node"))
+    for (_ <- 2 to rounds) {
+      val e = edges
+        .join(alive.select($"node".as("src")), Seq("src"))
+        .join(alive.select($"node".as("dst")), Seq("dst"))
+      alive = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .where($"deg" >= k).select($"src".as("node"))
+    }
+    val out = edges
+      .join(alive.select($"node".as("src")), Seq("src"))
+      .join(alive.select($"node".as("dst")), Seq("dst"))
+      .groupBy($"src").agg(count(lit(1)).as("deg"))
+      .select($"src".as("doc_id"), $"deg")
+      .orderBy($"doc_id")
+    Option(lastCore.getAndSet(out)).foreach(freeLocalCheckpoint)
+    out
+  }
+
+  /** Gate form: the 2-core of the verified near-dup pair graph. */
+  def kcore(s: SparkSession, d: String): DataFrame =
+    kcoreOnPairs(minhashNearDup(s, d).select("id_a", "id_b"))
+
   /** Free the storage blocks behind every `localCheckpoint` a Dataset's
     * plan reads. `Dataset.unpersist` only clears CacheManager entries
     * (plans cached via `.persist`), NOT the RDD blocks a local
@@ -1041,7 +1093,38 @@ object NearDup extends QueryModule {
           HAVING count(*) <= $WinnowDfCap),
     ff AS (SELECT f.* FROM f JOIN k USING (fp))"""
 
+  /** Unrolled peel rounds for the k-core oracle — a1/e2/a2/…, matching
+    * [[kcoreOnPairs]] round for round. */
+  private def kcoreOracleRounds(rounds: Int, k: Int): String = {
+    val steps = (2 to rounds).map { r => s"""
+        e$r AS (SELECT e.src, e.dst FROM e
+                JOIN a${r - 1} x ON e.src = x.node
+                JOIN a${r - 1} y ON e.dst = y.node),
+        a$r AS (SELECT src AS node FROM e$r GROUP BY src
+                HAVING count(*) >= $k)""" }.mkString(",")
+    s"""
+        a1 AS (SELECT src AS node FROM e GROUP BY src
+               HAVING count(*) >= $k),$steps"""
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_kcore", kcore, Some(s"""
+        $oracleShingles,
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        ${kcoreOracleRounds(4, 2)},
+        ef AS (SELECT e.src, e.dst FROM e
+               JOIN a4 x ON e.src = x.node
+               JOIN a4 y ON e.dst = y.node)
+        SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+        FROM ef GROUP BY src ORDER BY doc_id""")),
     QueryDef(
       "q_winnow_neardup", winnowNearDup, Some(s"""
         $oracleWinnowFps

@@ -83,7 +83,8 @@ object DumpPlans {
     "q_dsir_select" -> "DSIR importance selection: target/raw bigram count tables reduce map-side from the (w1,w2) stream; the score joins the doc bigram stream to those tables once, aggregates per doc_id, and the top-k is a TakeOrdered -- no global sort, no transcendental arithmetic",
     "q_effective_tokens" -> "dedup-aware token census: rides dedupClusters' labels (banded LSH + O(log n) CC, never all-pairs); the census is one constant-width doc_id join and a map-side-combined rollup to a row per source",
     "q_media_chunk_dedup" -> "binary CDC near-dup: one narrow codegen'd chunking pass (payload bytes never shuffle, only 8-byte chunk hashes explode); df-capped inverted-index count join, Sigma-df^2 not n^2",
-    "q_leakage_split" -> "leakage-safe split: rides dedupClusters' labels; the md5-of-cluster-id split rule is row-local, so the only added node over the clustering is a projection before the presentation sort")
+    "q_leakage_split" -> "leakage-safe split: rides dedupClusters' labels; the md5-of-cluster-id split rule is row-local, so the only added node over the clustering is a projection before the presentation sort",
+    "q_kcore" -> "k-core peel: 4 bounded rounds of degree-aggregate + semi-join edge filters over the near-dup-sized (not corpus-sized) edge list; the checkpointed symmetric edge table is reused every round")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

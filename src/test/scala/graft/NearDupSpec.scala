@@ -483,6 +483,35 @@ class NearDupSpec extends SparkSpecBase {
     }
   }
 
+  test("k-core peel: triangles survive, chains and pendants peel, bound converges") {
+    import spark.implicits._
+    // triangle (1,2,3) with pendant 4; separate 5-chain 10-14
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)
+    ).toDF("id_a", "id_b")
+    val got = NearDup.kcoreOnPairs(pairs, k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // the 2-core is exactly the triangle, every member at degree 2:
+    // the pendant falls in round 1, the chain unravels from both ends
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // bounded-round = true k-core here: one more round changes nothing
+    val more = NearDup.kcoreOnPairs(pairs, k = 2, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(more === got)
+    // k=3: nothing in this graph has min degree 3
+    assert(NearDup.kcoreOnPairs(pairs, k = 3).count() === 0L)
+    // gate graph converges within the bound too
+    val gate = NearDup.kcore(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long)].collect().toMap
+    val gate5 = NearDup.kcoreOnPairs(
+      NearDup.minhashNearDup(spark, "/root/testdata/sf0.01")
+        .select("id_a", "id_b"), k = 2, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(gate === gate5)
+    gate.values.foreach(d => assert(d >= 2L))
+  }
+
   test("pagerank: empty graph yields an empty 3-column result") {
     import spark.implicits._
     val got = NearDup.pageRankOnPairs(
