@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{QueryDef, QueryModule, Tables}
+import graft.sources.Ddl
 
 /** Corpus-CURATION operators: the release-engineering steps a training
   * corpus goes through after cleaning/dedup — PII scrubbing, mixing
@@ -457,6 +458,62 @@ object Curation extends QueryModule {
       .withColumn("vt", expr("src_rank * 1000000000 div w_ppm"))
       .select($"doc_id", $"source", $"src_rank", $"w_ppm", $"vt")
       .orderBy($"vt", $"doc_id")
+  }
+
+  // ------------------------------------------------------ corpus release
+
+  /** The END-TO-END release flow — what a user runs to turn the raw
+    * corpus into training data on disk: curation verdicts
+    * ([[graft.operators.TextOps.curateCorpus]]: rules → exact dedup →
+    * near-dup clustering → survivor), a LEAKAGE-SAFE train/val/test
+    * assignment ([[graft.operators.NearDup.leakageSafeSplit]]: split
+    * buckets from cluster ids, so near-dup families never straddle the
+    * eval line), and per-split sharded delivery with verifiable
+    * manifests ([[graft.sources.Ddl.writeShards]]). Returns the unioned
+    * manifest: (split, shard, n_rows, content_hash) — the artifact a
+    * training job consumes and re-verifies shard by shard.
+    *
+    * Not a gate query (it writes files — gate queries are pure); the
+    * end-to-end invariants are spec-pinned instead. Scale shape: each
+    * stage is the already-audited operator; the composition adds only
+    * the doc_id joins between verdicts, splits, and the corpus —
+    * constant-width rows, and text is only re-read for the final
+    * delivery scan. */
+  /** Previous release's checkpointed stage outputs, freed on the next
+    * call — the one-slot discipline of the clustering caches. */
+  private val lastRelease =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](null)
+
+  def releaseCorpus(
+      s: SparkSession, d: String, outDir: String,
+      shards: Int = 4): DataFrame = {
+    import s.implicits._
+    Option(lastRelease.getAndSet(null))
+      .foreach(_.foreach(NearDup.freeLocalCheckpoint))
+    // each stage's (doc-id-sized) output is MATERIALIZED via eager
+    // localCheckpoint before the next stage runs: both stages re-derive
+    // the near-dup clustering internally, and the clustering's one-slot
+    // checkpoint swap frees the PREVIOUS invocation's blocks — a lazy
+    // split plan would read blocks the curation stage just freed
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, caught by CurationSpec when
+    // this flow was first composed without the checkpoints)
+    val splits = NearDup.leakageSafeSplit(s, d) // doc_id, cluster_id, split
+      .select($"doc_id", $"split")
+      .localCheckpoint(true)
+    val kept = TextOps.curateCorpus(s, d)
+      .where($"verdict" === "kept").select($"doc_id")
+      .localCheckpoint(true)
+    lastRelease.set(Seq(splits, kept))
+    val corpus = Tables.documents(s, d)
+      .join(kept, Seq("doc_id"))
+      .join(splits, Seq("doc_id"))
+    Seq("train", "val", "test").map { sp =>
+      Ddl.writeShards(
+        corpus.where($"split" === sp).drop("split"),
+        s"$outDir/$sp", shards)
+        .select(lit(sp).as("split"), $"shard", $"n_rows", $"content_hash")
+    }.reduce(_.unionByName(_))
+      .orderBy($"split", $"shard")
   }
 
   override def defs: Seq[QueryDef] = Seq(

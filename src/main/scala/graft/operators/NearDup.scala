@@ -494,7 +494,7 @@ object NearDup extends QueryModule {
     * silently free nothing. Only call this once no live plan
     * references the checkpoints: local checkpoints cannot be
     * recomputed. */
-  private def freeLocalCheckpoint(ds: DataFrame): Unit =
+  private[graft] def freeLocalCheckpoint(ds: DataFrame): Unit =
     ds.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)

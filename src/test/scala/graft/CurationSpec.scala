@@ -152,6 +152,35 @@ class CurationSpec extends SparkSpecBase {
     assert(cums.last === total)
   }
 
+  test("releaseCorpus: manifests reconcile with verdicts and splits never leak") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-release").toString
+    val manifest = Curation.releaseCorpus(spark, sfDir, dir, shards = 2)
+      .collect()
+    // manifest total = curated keep count
+    val kept = graft.operators.TextOps.curateCorpus(spark, sfDir)
+      .where($"verdict" === "kept").count()
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum === kept)
+    assert(manifest.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "val", "test")))
+    // what landed on disk carries no cross-split near-dup family:
+    // recompute cluster labels and check released docs' splits
+    val released = Seq("train", "val", "test").flatMap { sp =>
+      val p = new java.io.File(s"$dir/$sp")
+      if (p.exists)
+        spark.read.parquet(s"$dir/$sp").select($"doc_id")
+          .as[Long].collect().map(_ -> sp)
+      else Seq.empty
+    }.toMap
+    assert(released.size.toLong === kept)
+    val labels = graft.operators.NearDup.dedupClusters(spark, sfDir)
+      .as[(Long, Long)].collect()
+    labels.groupBy(_._2).foreach { case (cl, ms) =>
+      val splits = ms.flatMap(m => released.get(m._1)).distinct
+      assert(splits.length <= 1, s"cluster $cl released into $splits")
+    }
+  }
+
   test("snapshot diff matches a single-node recount of the derived recrawl") {
     import spark.implicits._
     val docs = graft.ops.Tables.documents(spark, sfDir)
