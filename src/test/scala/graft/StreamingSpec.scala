@@ -254,6 +254,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: state survives a query RESTART from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (ckpt, out) = (tmp(), tmp())
+    val stream = MemoryStream[(String, String)]
+    // memory sink can't recover from a checkpoint; the file sink can
+    def start() = StreamingPipeline.heavyHittersStream(
+      stream.toDF().toDF("key", "tok"), k = 3)
+      .toDF("key", "tok", "est", "n_seen")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    val q1 = start()
+    try {
+      stream.addData(Seq.fill(6)("s" -> "a") ++ Seq.fill(2)("s" -> "b"): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // new process, same checkpoint: the MG counters and n_seen resume
+    val q2 = start()
+    try {
+      stream.addData(Seq.fill(3)("s" -> "a") ++ Seq("s" -> "c"): _*)
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .as[(String, String, Long, Long)].collect()
+      val last = rows.filter(_._4 == 12L) // 8 pre-restart + 4 post
+      assert(last.nonEmpty, rows.mkString(","))
+      val a = last.find(_._2 == "a").map(_._3)
+      // a's estimate folded across the restart: true 9, undercount <= 3
+      assert(a.exists(c => c <= 9L && c >= 9L - 12L / 4L), last.mkString(","))
+    } finally q2.stop()
+  }
+
   test("streaming dedup: duplicate keys across micro-batches emit once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
