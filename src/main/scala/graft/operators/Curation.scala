@@ -460,6 +460,34 @@ object Curation extends QueryModule {
       .orderBy($"vt", $"doc_id")
   }
 
+  /** DEDUP-AWARE mixture weights — the [[temperaturePlan]] rule fed the
+    * number it should consume: each source's EFFECTIVE tokens
+    * ([[graft.operators.NearDup.effectiveTokens]]: raw minus the mass
+    * held by non-keeper near-dup cluster members) instead of raw
+    * counts. Emits both weightings and the signed shift ppm — the
+    * direct readout of how much duplication was inflating each
+    * source's share of the training mix. A fully-duplicated source
+    * degrades to weight 0, which is the correct limit.
+    *
+    * Scale shape: rides the effective-token census (LSH + CC + one
+    * per-source rollup); the weight arithmetic runs on the
+    * source-count-bounded table against a 1-row broadcast. */
+  def effectiveMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val eff = NearDup.effectiveTokens(s, d)
+      .select($"source", $"n_tokens", $"effective_tokens")
+      .withColumn("isq_raw", floor(sqrt($"n_tokens".cast("double"))))
+      .withColumn("isq_eff", floor(sqrt($"effective_tokens".cast("double"))))
+    val totals = broadcast(eff.agg(
+      sum($"isq_raw").as("st_raw"), sum($"isq_eff").as("st_eff"))) // 1 row
+    eff.crossJoin(totals)
+      .select($"source", $"n_tokens", $"effective_tokens",
+        expr("isq_raw * 1000000 div st_raw").as("w_raw_ppm"),
+        expr("isq_eff * 1000000 div st_eff").as("w_eff_ppm"))
+      .withColumn("shift_ppm", $"w_eff_ppm" - $"w_raw_ppm")
+      .orderBy($"source")
+  }
+
   // ------------------------------------------------------ corpus release
 
   /** The END-TO-END release flow — what a user runs to turn the raw
@@ -517,6 +545,51 @@ object Curation extends QueryModule {
   }
 
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_effective_mix", effectiveMix, Some(s"""
+        ${NearDup.oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        cl AS (SELECT a AS doc_id, min(b) AS cluster_id
+               FROM reach GROUP BY a),
+        dt AS (
+          SELECT d.source, d.doc_id, cl.cluster_id,
+                 CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE
+                   length(d.text) - length(replace(d.text, ' ', '')) + 1
+                   END AS BIGINT) AS t
+          FROM documents d JOIN cl USING (doc_id)),
+        agg AS (
+          SELECT source,
+                 CAST(sum(t) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN doc_id <> cluster_id THEN t ELSE 0 END)
+                   AS BIGINT) AS dup_tokens
+          FROM dt GROUP BY source),
+        i AS (
+          SELECT source, n_tokens,
+                 n_tokens - dup_tokens AS effective_tokens,
+                 CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                   AS isq_raw,
+                 CAST(floor(sqrt(CAST(n_tokens - dup_tokens AS DOUBLE)))
+                   AS BIGINT) AS isq_eff
+          FROM agg),
+        tt AS (SELECT CAST(sum(isq_raw) AS BIGINT) AS st_raw,
+                      CAST(sum(isq_eff) AS BIGINT) AS st_eff FROM i)
+        SELECT source, n_tokens, effective_tokens,
+               isq_raw * 1000000 // tt.st_raw AS w_raw_ppm,
+               isq_eff * 1000000 // tt.st_eff AS w_eff_ppm,
+               isq_eff * 1000000 // tt.st_eff
+                 - isq_raw * 1000000 // tt.st_raw AS shift_ppm
+        FROM i, tt ORDER BY source""")),
     QueryDef(
       "q_mix_schedule", mixSchedule, Some(s"""
         WITH d AS (

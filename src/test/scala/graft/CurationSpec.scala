@@ -152,6 +152,27 @@ class CurationSpec extends SparkSpecBase {
     assert(cums.last === total)
   }
 
+  test("effectiveMix: weights shift toward less-duplicated sources, ppm identities hold") {
+    import spark.implicits._
+    val rows = Curation.effectiveMix(spark, sfDir).collect()
+    def l(r: org.apache.spark.sql.Row, c: String) = r.getAs[Long](c)
+    for (c <- Seq("w_raw_ppm", "w_eff_ppm")) {
+      val s = rows.map(l(_, c)).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length, s"$c sum=$s")
+    }
+    rows.foreach { r =>
+      assert(l(r, "effective_tokens") <= l(r, "n_tokens"))
+      assert(l(r, "shift_ppm") === l(r, "w_eff_ppm") - l(r, "w_raw_ppm"))
+    }
+    // shifts are zero-sum up to flooring, and a source with dups loses
+    // relative to a dup-free source of equal size (direction check:
+    // max-dup source's shift <= min-dup source's shift)
+    val byDup = rows.sortBy(r => l(r, "n_tokens") - l(r, "effective_tokens"))
+    if (byDup.length > 1 &&
+        l(byDup.last, "n_tokens") - l(byDup.last, "effective_tokens") > 0)
+      assert(l(byDup.last, "shift_ppm") <= l(byDup.head, "shift_ppm") + 1)
+  }
+
   test("releaseCorpus: manifests reconcile with verdicts and splits never leak") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-release").toString
