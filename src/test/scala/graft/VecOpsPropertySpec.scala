@@ -123,6 +123,26 @@ class VecOpsPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("winnowFps: SIGMOD'03 guarantee holds under random padding") {
+    // any two docs sharing a contiguous run of K+W-1 = 7 tokens share
+    // at least one fingerprint, whatever surrounds the run; docs over
+    // disjoint alphabets share none
+    def fps(tokens: Seq[String]): Set[String] = {
+      val a = VecOps.winnowFps(UTF8String.fromString(tokens.mkString(" ")), 4, 4)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString).toSet
+    }
+    val run = (1 to 7).map(i => s"r$i")
+    def pad(prefix: String): Gen[Seq[String]] =
+      Gen.chooseNum(0, 25).map(n => (1 to n).map(i => s"$prefix$i"))
+    check(Prop.forAll(pad("a"), pad("x"), pad("b"), pad("y")) {
+      (pa, sa, pb, sb) =>
+        val fa = fps(pa ++ run ++ sa)
+        val fb = fps(pb ++ run ++ sb)
+        val fc = fps(if (pb.isEmpty) Seq("c0") else pb.map("c" + _))
+        (fa & fb).nonEmpty && (fa & fc).isEmpty && fa.nonEmpty
+    })
+  }
+
   test("contentChunks: deterministic and chunk set non-empty on non-empty input") {
     val texts = Gen.nonEmptyListOf(Gen.identifier).map(_.mkString(" "))
     check(Prop.forAll(texts) { t =>
