@@ -414,6 +414,69 @@ object StreamingPipeline {
       }
   }
 
+  /** Token-length histogram SHARES of a static corpus — the reference
+    * side for [[ingestDriftStream]]. Bounded collect: one row per
+    * 16-token bucket (domain-bounded by max document length / 16). */
+  def referenceHistogram(docs: DataFrame): Map[Long, Double] = {
+    import docs.sparkSession.implicits._
+    val nTokens = when(length(trim($"text")) === 0, 0L)
+      .otherwise(length($"text")
+        - length(regexp_replace($"text", " ", "")) + 1L)
+    val hist = docs
+      .select((nTokens.cast("long") / 16L).cast("long").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val total = hist.map(_._2).sum.toDouble
+    hist.map { case (b, n) => b -> n / total }.toMap
+  }
+
+  /** Streaming INGEST-DRIFT monitor — the incremental form of
+    * [[graft.operators.Curation.ingestDrift]]: every micro-batch's
+    * token-length histogram is compared bucket-by-bucket against the
+    * standing corpus' reference shares, and one report row per bucket
+    * lands in `monitorDir` with the share gap and an alarm flag — the
+    * accept-a-drop check running AT the door instead of after the drop
+    * is merged. Batch-local by design (no cross-batch state): each drop
+    * is accepted or rejected on its own shape, so the monitor needs no
+    * state store — the checkpoint only tracks offsets.
+    *
+    * Scale shape: the per-batch aggregate is one map-side-combined
+    * groupBy on the derived bucket; the reference rides the closure as
+    * a bucket→share map (domain-bounded, same class as an IVF
+    * codebook). */
+  def ingestDriftStream(
+      docs: DataFrame, // streaming; column: text
+      reference: Map[Long, Double],
+      monitorDir: String,
+      alarmGap: Double = 0.2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        import batch.sparkSession.implicits._
+        val nTokens = when(length(trim($"text")) === 0, 0L)
+          .otherwise(length($"text")
+            - length(regexp_replace($"text", " ", "")) + 1L)
+        val hist = batch
+          .select((nTokens.cast("long") / 16L).cast("long").as("bucket"))
+          .groupBy($"bucket").agg(count(lit(1)).as("n_batch"))
+        val total = broadcast(hist.agg(sum($"n_batch").as("t")))
+        hist.crossJoin(total) // 1 row
+          .select(
+            lit(id).as("batch_id"),
+            $"bucket",
+            $"n_batch",
+            ($"n_batch".cast("double") / $"t").as("share_batch"),
+            coalesce(
+              element_at(typedLit(reference), $"bucket"), lit(0.0))
+              .as("share_ref"))
+          .withColumn("gap", abs($"share_batch" - $"share_ref"))
+          .withColumn("alarm", $"gap" >= alarmGap)
+          .write.mode("append").parquet(monitorDir)
+        ()
+      }
+      .start()
+  }
+
   /** Session windows per key (streaming sessionization; batch equivalent
     * is graft.operators.Sessionize). */
   def sessionCounts(

@@ -286,6 +286,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("streaming ingest drift: a shape-matching batch passes, a skewed one alarms") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val monitor = tmp()
+    // reference: everything lives in bucket 1 (16-31 tokens)
+    val refDoc = (1 to 20).map(i => s"t$i").mkString(" ")
+    val ref = StreamingPipeline.referenceHistogram(
+      Seq.fill(10)(refDoc).toDF("text"))
+    assert(ref.keySet === Set(1L) && ref(1L) === 1.0)
+    val stream = MemoryStream[String]
+    val q = StreamingPipeline.ingestDriftStream(
+      stream.toDF().toDF("text"), ref, monitor, alarmGap = 0.5)
+    try {
+      stream.addData(Seq.fill(5)(refDoc): _*) // matches the reference
+      q.processAllAvailable()
+      // a skewed drop: every doc 100+ tokens (bucket >= 6)
+      val longDoc = (1 to 100).map(i => s"u$i").mkString(" ")
+      stream.addData(Seq.fill(5)(longDoc): _*)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(monitor)
+        .select($"batch_id", $"bucket", $"gap", $"alarm")
+        .as[(Long, Long, Double, Boolean)].collect()
+      val byBatch = rows.groupBy(_._1)
+      assert(byBatch.size === 2)
+      // batch 0: identical shape, zero gap, no alarm
+      byBatch(0L).foreach { r => assert(r._3 === 0.0 && !r._4, r) }
+      // batch 1: the whole mass sits in an unreferenced bucket — alarm
+      assert(byBatch(1L).exists(r => r._3 === 1.0 && r._4), byBatch(1L))
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate keys across micro-batches emit once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
