@@ -513,6 +513,55 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming session windows match a single-node replay on the full fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val gapS = 1800L
+    val ev = graft.ops.Tables.events(spark, sfDir)
+      .select($"user_id", $"ts")
+      .as[(Long, java.sql.Timestamp)].collect()
+    // single-node reference of session_window semantics: sorted per
+    // user, a new event MERGES while its gap is strictly < 30 min
+    // (window end = last_ts + gap, merge iff ts < end)
+    val want = ev.groupBy(_._1).view.mapValues { es =>
+      val ts = es.map(_._2.getTime / 1000).sorted
+      1L + ts.zip(ts.tail).count { case (a, b) => b - a >= gapS }
+    }.toMap
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val counts = StreamingPipeline.sessionCounts(
+      stream.toDF().toDF("user_id", "ts"), "ts", "user_id",
+      gap = "30 minutes", watermark = "1 second")
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("sess_parity").start()
+    try {
+      stream.addData(ev.map { case (u, t) => (u, t) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // sentinel far past every real session pushes the watermark so
+      // append mode EMITS all real windows; sentinels' own windows
+      // stay open and never emit
+      val maxTs = ev.map(_._2.getTime).max
+      stream.addData(ev.map(_._1).distinct.map(u =>
+        (u, new java.sql.Timestamp(maxTs + 48L * 3600 * 1000))).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("sess_parity")
+        .groupBy($"user_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(got === want)
+      // when the fixture has no exact-30-min gap, the batch rule
+      // (break on STRICTLY more than the gap) agrees too
+      val boundary = ev.groupBy(_._1).values.map { es =>
+        val ts = es.map(_._2.getTime / 1000).sorted
+        ts.zip(ts.tail).count { case (a, b) => b - a == gapS }
+      }.sum
+      if (boundary == 0) {
+        val batch = graft.operators.Sessionize.sessionize(spark, sfDir)
+          .groupBy($"user_id").agg(countDistinct($"session_id").as("n"))
+          .as[(Long, Long)].collect().toMap
+        assert(batch === got)
+      }
+    } finally q.stop()
+  }
+
   test("streaming sessionization: session_window groups by gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
