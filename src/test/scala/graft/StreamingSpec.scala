@@ -513,6 +513,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming hourly windowed counts equal the batch rollup on the full fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.ops.Tables.events(spark, sfDir)
+      .select($"ts", $"event_type")
+      .as[(java.sql.Timestamp, String)].collect()
+    // batch truth: tumbling-hour counts per type over the same rows
+    val want = ev.groupBy { case (t, k) =>
+      (t.getTime / 1000 / 3600, k)
+    }.view.mapValues(_.length.toLong).toMap
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = StreamingPipeline.windowedCounts(
+      stream.toDF().toDF("ts", "event_type"), "ts", "event_type", "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_parity").start()
+    try {
+      stream.addData(ev.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val maxTs = ev.map(_._1.getTime).max
+      stream.addData( // sentinel closes every real window
+        (new java.sql.Timestamp(maxTs + 48L * 3600 * 1000), "sentinel"))
+      q.processAllAvailable()
+      val got = spark.table("win_parity")
+        .select($"window.start".cast("long") / 3600, $"event_type", $"n")
+        .as[(Double, String, Long)].collect()
+        .map { case (h, k, n) => (h.toLong, k) -> n }.toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming session windows match a single-node replay on the full fixture") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
