@@ -203,7 +203,54 @@ object Sessionize extends QueryModule {
       .orderBy($"hour")
   }
 
+  /** DAILY / WEEKLY ACTIVE USERS + stickiness — the product-analytics
+    * rollup every event pipeline ends up serving: per epoch-day, the
+    * exact distinct-user count (DAU), the exact distinct users over
+    * the trailing 7 days (WAU), and DAU/WAU stickiness in ppm. The
+    * trailing distinct is NOT a sum of dailies (users repeat), so the
+    * exact form fans each (day, user) pair out to the ≤ 7 window days
+    * it contributes to — an equi-groupable explode, deliberately
+    * instead of a non-equi range join (which would plan a
+    * BroadcastNestedLoop over the day table).
+    *
+    * Scale shape: the corpus reduces FIRST to distinct (day, user)
+    * pairs (one map-side-combined exchange, grain = users × days, not
+    * events); the 7× explode and both distinct aggregates run on that
+    * reduced table. Days with no events in the window simply do not
+    * appear — WAU days are restricted to days that themselves saw
+    * events (inner join with the day list). */
+  def activeUsers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.events(s, d)
+      .select(expr("unix_timestamp(ts) div 86400").as("day"), $"user_id")
+      .distinct()
+    val dau = pairs.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = pairs
+      .select(explode(sequence($"day", $"day" + 6L)).as("day"), $"user_id")
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("wau"))
+    dau.join(wau, Seq("day")) // inner: only days that saw events
+      .select($"day", $"dau", $"wau",
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
+      .orderBy($"day")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_active_users", activeUsers, Some("""
+        WITH pr AS (
+          SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                 user_id
+          FROM events),
+        dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                FROM pr GROUP BY day),
+        w AS (SELECT unnest(generate_series(day, day + 6)) AS day, user_id
+              FROM pr),
+        wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+                FROM w GROUP BY day)
+        SELECT dau.day, dau.dau, wau.wau,
+               dau.dau * 1000000 // wau.wau AS stickiness_ppm
+        FROM dau JOIN wau USING (day) ORDER BY day""")),
     QueryDef(
       "q_rate_cusum", rateCusum, Some("""
         WITH h AS (

@@ -85,7 +85,8 @@ object DumpPlans {
     "q_media_chunk_dedup" -> "binary CDC near-dup: one narrow codegen'd chunking pass (payload bytes never shuffle, only 8-byte chunk hashes explode); df-capped inverted-index count join, Sigma-df^2 not n^2",
     "q_leakage_split" -> "leakage-safe split: rides dedupClusters' labels; the md5-of-cluster-id split rule is row-local, so the only added node over the clustering is a projection before the presentation sort",
     "q_kcore" -> "k-core peel: 4 bounded rounds of degree-aggregate + semi-join edge filters over the near-dup-sized (not corpus-sized) edge list; the checkpointed symmetric edge table is reused every round",
-    "q_effective_mix" -> "dedup-aware mixture weights: rides the effective-token census (LSH + CC + per-source rollup); the weight arithmetic runs on the source-count-bounded table against a 1-row broadcast")
+    "q_effective_mix" -> "dedup-aware mixture weights: rides the effective-token census (LSH + CC + per-source rollup); the weight arithmetic runs on the source-count-bounded table against a 1-row broadcast",
+    "q_active_users" -> "DAU/WAU: events reduce first to distinct (day, user) pairs; the trailing-7-day distinct is an equi-groupable 7x explode of that reduced table -- no non-equi BroadcastNestedLoop range join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

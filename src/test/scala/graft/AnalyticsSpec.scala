@@ -77,4 +77,28 @@ class AnalyticsSpec extends SparkSpecBase {
     if (wedges > 0)
       assert(got.getLong(3) === triangles * 3000000L / wedges)
   }
+
+  test("active users: WAU bounds DAU, and a recount of one window agrees") {
+    import spark.implicits._
+    val rows = Sessionize.activeUsers(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val dau = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (day, d, w, ppm) =>
+      assert(w >= d, s"day $day: wau < dau")
+      // wau can't exceed the sum of the window's dailies
+      val cap = (day - 6 to day).flatMap(dau.get).sum
+      assert(w <= cap, s"day $day")
+      assert(ppm === d * 1000000L / w)
+      assert(ppm <= 1000000L)
+    }
+    // exact recount of the LAST day's trailing window from raw events
+    val last = rows.last._1
+    val users = graft.ops.Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions
+        .expr("unix_timestamp(ts) div 86400").as("day"), $"user_id")
+      .where($"day".between(last - 6, last))
+      .select($"user_id").distinct().count()
+    assert(rows.last._3 === users)
+  }
 }
