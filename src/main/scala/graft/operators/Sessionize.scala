@@ -235,7 +235,85 @@ object Sessionize extends QueryModule {
       .orderBy($"day")
   }
 
+  /** GROWTH ACCOUNTING — the daily active-user LEDGER that explains
+    * every DAU move: per epoch-day, actives split exactly into
+    * `new` (first day ever), `retained` (also active the previous
+    * day), and `resurrected` (returning after a gap), plus `churned`
+    * (active yesterday, absent today). The identities
+    * `active = new + retained + resurrected` and
+    * `active(d) − active(d−1) = new + resurrected − churned` hold
+    * exactly by construction — a growth chart that doesn't reconcile
+    * is the classic sign the events pipeline is dropping data.
+    *
+    * Scale shape: the corpus reduces FIRST to distinct (day, user)
+    * pairs; first-day is one per-user min; yesterday-activity is a
+    * self-equi-join of the reduced pairs on (day−1, user). Everything
+    * after the reduction is (users × days)-grain, not event-grain. */
+  def growthAccounting(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.events(s, d)
+      .select(expr("unix_timestamp(ts) div 86400").as("day"), $"user_id")
+      .distinct()
+    val firstDay = pairs.groupBy($"user_id").agg(min($"day").as("first_day"))
+    val prev = pairs.select(($"day" + 1L).as("day"), $"user_id",
+      lit(true).as("was_prev"))
+    val flagged = pairs
+      .join(firstDay, Seq("user_id"))
+      .join(prev, Seq("day", "user_id"), "left")
+      .select($"day", $"user_id",
+        ($"day" === $"first_day").as("is_new"),
+        coalesce($"was_prev", lit(false)).as("was_prev"))
+    val daily = flagged.groupBy($"day").agg(
+      count(lit(1)).as("n_active"),
+      sum(when($"is_new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(!$"is_new" && $"was_prev", 1L).otherwise(0L)).as("n_retained"),
+      sum(when(!$"is_new" && !$"was_prev", 1L).otherwise(0L))
+        .as("n_resurrected"))
+    // churned(d) = active(d−1) − retained(d): yesterday's actives who
+    // did not return. Joined on the CALENDAR previous day (not lag over
+    // present rows — an empty day would silently shift the reference)
+    val prevCounts = daily.select(($"day" + 1L).as("day"),
+      $"n_active".as("prev_active"))
+    daily
+      .join(prevCounts, Seq("day"), "left")
+      .withColumn("n_churned",
+        coalesce($"prev_active", lit(0L)) - $"n_retained")
+      .select($"day", $"n_active", $"n_new", $"n_retained",
+        $"n_resurrected", $"n_churned")
+      .orderBy($"day")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_growth_accounting", growthAccounting, Some("""
+        WITH pr AS (
+          SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                 user_id
+          FROM events),
+        fd AS (SELECT user_id, CAST(min(day) AS BIGINT) AS first_day
+               FROM pr GROUP BY user_id),
+        fl AS (
+          SELECT pr.day, pr.user_id,
+                 pr.day = fd.first_day AS is_new,
+                 pv.user_id IS NOT NULL AS was_prev
+          FROM pr
+          JOIN fd USING (user_id)
+          LEFT JOIN pr pv ON pv.user_id = pr.user_id
+                          AND pv.day = pr.day - 1),
+        daily AS (
+          SELECT day,
+                 CAST(count(*) AS BIGINT) AS n_active,
+                 CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+                 CAST(sum(CASE WHEN NOT is_new AND was_prev THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_retained,
+                 CAST(sum(CASE WHEN NOT is_new AND NOT was_prev THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_resurrected
+          FROM fl GROUP BY day)
+        SELECT d.day, d.n_active, d.n_new, d.n_retained, d.n_resurrected,
+               coalesce(p.n_active, 0) - d.n_retained AS n_churned
+        FROM daily d LEFT JOIN daily p ON p.day = d.day - 1
+        ORDER BY d.day""")),
     QueryDef(
       "q_active_users", activeUsers, Some("""
         WITH pr AS (

@@ -78,6 +78,27 @@ class AnalyticsSpec extends SparkSpecBase {
       assert(got.getLong(3) === triangles * 3000000L / wedges)
   }
 
+  test("growth accounting: the ledger identities reconcile day over day") {
+    import spark.implicits._
+    val rows = Sessionize.growthAccounting(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byDay = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (day, active, nw, ret, res, churn) =>
+      // actives split exactly into the three classes
+      assert(active === nw + ret + res, s"day $day split")
+      // churn reconciles against the calendar previous day
+      val prevActive = byDay.get(day - 1).map(_._2).getOrElse(0L)
+      assert(churn === prevActive - ret, s"day $day churn")
+      // and the DAU delta is explained by the ledger
+      assert(active - prevActive === nw + res - churn, s"day $day delta")
+      assert(Seq(nw, ret, res, churn).forall(_ >= 0L), s"day $day signs")
+    }
+    // the first day is all-new by definition
+    val first = rows.minBy(_._1)
+    assert(first._2 === first._3 && first._4 === 0L && first._5 === 0L)
+  }
+
   test("active users: WAU bounds DAU, and a recount of one window agrees") {
     import spark.implicits._
     val rows = Sessionize.activeUsers(spark, sfDir)
