@@ -806,8 +806,19 @@ object Corpus extends QueryModule {
     * score is one join of the doc's bigram stream against those tables
     * and one doc_id aggregate; top-k is a TakeOrdered, never a global
     * sort materialization. */
+  /** Previous [[dsirSelect]] invocation's cached bigram stream —
+    * unpersist-first one-slot swap, the library's standard discipline
+    * for multi-consumer intermediates. */
+  private val lastBigrams =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   def dsirSelect(s: SparkSession, d: String, k: Int = 100): DataFrame = {
     import s.implicits._
+    Option(lastBigrams.getAndSet(null)).foreach(_.unpersist(false))
+    // the exploded stream feeds FIVE subtrees (target counts + total,
+    // raw counts + total, probe side); Catalyst does not CSE across
+    // DataFrame reuse, so unpersisted the corpus would be re-tokenized
+    // and re-exploded for each
     val bg = Tables.documents(s, d)
       .where(size(split($"text", " ")) >= 2)
       .select($"doc_id", $"lang", split($"text", " ").as("toks"))
@@ -816,6 +827,8 @@ object Corpus extends QueryModule {
         slice($"toks", lit(2), size($"toks") - 1).as("a2"))
       .select($"doc_id", $"lang", explode(arrays_zip($"a1", $"a2")).as("b"))
       .select($"doc_id", $"lang", $"b.a1".as("w1"), $"b.a2".as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastBigrams.set(bg)
     val tgt = bg.where($"lang" === "en")
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("ct"))
     val raw = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cr"))

@@ -403,14 +403,23 @@ object Curation extends QueryModule {
       .withColumn("isqrt", floor(sqrt($"n_tokens".cast("double"))))
     val totals = broadcast(bySrc.agg(
       sum($"n_tokens").as("tot"), sum($"isqrt").as("stot"))) // 1 row
+    // every product routes through DECIMAL(38,0) (HUGEINT in the
+    // oracle): at the deployment scale this plan targets, tot ≈ 10^13
+    // tokens makes 2·tot·isqrt ≈ 10^20 — past Long.MaxValue, where
+    // non-ANSI Spark would wrap silently and DuckDB would error. The
+    // integral results all fit BIGINT again after the division.
     bySrc.crossJoin(totals)
-      .withColumn("w_uni_ppm", expr("n_tokens * 1000000 div tot"))
-      .withColumn("w_temp_ppm", expr("isqrt * 1000000 div stot"))
-      .withColumn("alloc_tokens", expr("2 * tot * isqrt div stot"))
+      .withColumn("w_uni_ppm", expr(
+        "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div tot AS BIGINT)"))
+      .withColumn("w_temp_ppm", expr(
+        "CAST(CAST(isqrt AS DECIMAL(38,0)) * 1000000 div stot AS BIGINT)"))
+      .withColumn("alloc_tokens", expr(
+        """CAST(2 * CAST(tot AS DECIMAL(38,0)) * CAST(isqrt AS DECIMAL(38,0))
+           div stot AS BIGINT)"""))
       .withColumn("capped_tokens",
         least($"alloc_tokens", $"n_tokens" * 4L))
-      .withColumn("epochs_ppm",
-        expr("capped_tokens * 1000000 div n_tokens"))
+      .withColumn("epochs_ppm", expr(
+        "CAST(CAST(capped_tokens AS DECIMAL(38,0)) * 1000000 div n_tokens AS BIGINT)"))
       .withColumn("shortfall", $"alloc_tokens" - $"capped_tokens")
       .select($"source", $"n_tokens", $"isqrt", $"w_uni_ppm",
         $"w_temp_ppm", $"alloc_tokens", $"capped_tokens", $"epochs_ppm",
@@ -455,7 +464,10 @@ object Curation extends QueryModule {
     docs.select($"doc_id", $"source")
       .withColumn("src_rank", row_number().over(rankW).cast("long"))
       .join(w, Seq("source"))
-      .withColumn("vt", expr("src_rank * 1000000000 div w_ppm"))
+      // decimal-routed: rank × 10⁹ passes Long.MaxValue once a source
+      // holds ~9·10⁹ documents — reachable at the 100 TB deployment
+      .withColumn("vt", expr(
+        "CAST(CAST(src_rank AS DECIMAL(38,0)) * 1000000000 div w_ppm AS BIGINT)"))
       .select($"doc_id", $"source", $"src_rank", $"w_ppm", $"vt")
       .orderBy($"vt", $"doc_id")
   }
@@ -610,7 +622,8 @@ object Curation extends QueryModule {
                    AS BIGINT) AS src_rank
           FROM d)
         SELECT r.doc_id, r.source, r.src_rank, w.w_ppm,
-               r.src_rank * 1000000000 // w.w_ppm AS vt
+               CAST(CAST(r.src_rank AS HUGEINT) * 1000000000 // w.w_ppm
+                 AS BIGINT) AS vt
         FROM r JOIN w USING (source)
         ORDER BY vt, doc_id""")),
     QueryDef(
@@ -653,14 +666,17 @@ object Curation extends QueryModule {
                      CAST(sum(isqrt) AS BIGINT) AS stot FROM i),
         p AS (
           SELECT i.source, i.n_tokens, i.isqrt,
-                 i.n_tokens * 1000000 // t.tot AS w_uni_ppm,
-                 i.isqrt * 1000000 // t.stot AS w_temp_ppm,
-                 2 * t.tot * i.isqrt // t.stot AS alloc_tokens
+                 CAST(CAST(i.n_tokens AS HUGEINT) * 1000000 // t.tot
+                   AS BIGINT) AS w_uni_ppm,
+                 CAST(CAST(i.isqrt AS HUGEINT) * 1000000 // t.stot
+                   AS BIGINT) AS w_temp_ppm,
+                 CAST(2 * CAST(t.tot AS HUGEINT) * CAST(i.isqrt AS HUGEINT)
+                   // t.stot AS BIGINT) AS alloc_tokens
           FROM i, t)
         SELECT source, n_tokens, isqrt, w_uni_ppm, w_temp_ppm, alloc_tokens,
                least(alloc_tokens, n_tokens * 4) AS capped_tokens,
-               least(alloc_tokens, n_tokens * 4) * 1000000 // n_tokens
-                 AS epochs_ppm,
+               CAST(CAST(least(alloc_tokens, n_tokens * 4) AS HUGEINT)
+                 * 1000000 // n_tokens AS BIGINT) AS epochs_ppm,
                alloc_tokens - least(alloc_tokens, n_tokens * 4) AS shortfall
         FROM p ORDER BY source""")),
     QueryDef(

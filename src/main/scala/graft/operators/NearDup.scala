@@ -457,14 +457,26 @@ object NearDup extends QueryModule {
     val edges = pairs.union(pairs.select($"id_b", $"id_a"))
       .toDF("src", "dst")
       .localCheckpoint(true)
+    // each round's survivor set is CHECKPOINTED (lazily; the next
+    // round's first action materializes it) before the next round
+    // references it twice — without the cut, alive_r's lazy plan embeds
+    // TWO copies of alive_{r-1}, i.e. ~2^rounds subtrees, and the
+    // "raise `rounds` for deeper cascades" knob this operator documents
+    // would hang Catalyst analysis long before any data moved. The
+    // previous round's blocks are freed once the new round materializes.
     var alive = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
       .where($"deg" >= k).select($"src".as("node"))
+      .localCheckpoint(false)
     for (_ <- 2 to rounds) {
       val e = edges
         .join(alive.select($"node".as("src")), Seq("src"))
         .join(alive.select($"node".as("dst")), Seq("dst"))
-      alive = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val next = e.groupBy($"src").agg(count(lit(1)).as("deg"))
         .where($"deg" >= k).select($"src".as("node"))
+        .localCheckpoint(false)
+      next.count() // materialize, then the previous round can go
+      freeLocalCheckpoint(alive)
+      alive = next
     }
     val out = edges
       .join(alive.select($"node".as("src")), Seq("src"))

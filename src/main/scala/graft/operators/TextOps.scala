@@ -50,7 +50,7 @@ object TextOps extends QueryModule {
 
   /** Whitespace token count for single-space-separated text:
     * #spaces + 1 (0 for empty/blank). */
-  private[operators] def tokenCount(s: Column): Column =
+  private[graft] def tokenCount(s: Column): Column =
     when(length(trim(s)) === 0, 0L)
       .otherwise(occurrences(s, " ") + lit(1L))
 

@@ -227,14 +227,23 @@ object Ddl {
       path: String,
       shards: Int = 8): DataFrame = {
     import org.apache.spark.sql.functions._
+    require(shards >= 1 && shards <= 256,
+      "shard rule hashes one md5 byte (shardAssign identity); shards <= 256")
     val spark = df.sparkSession
+    // IDENTICAL rule to Corpus.shardAssign (first md5 byte mod shards),
+    // so the oracle-gated q_shard_assign tells a consumer which
+    // delivered file holds a document
     val keyed = df.withColumn("shard",
-      pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long"), lit(shards.toLong)))
+      conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long") % shards.toLong)
     keyed.repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(path)
-    val written = spark.read.parquet(path)
+    // explicit schema: an EMPTY split writes only _SUCCESS, and
+    // schema-less parquet read would throw rather than return 0 rows
+    // (releaseCorpus delivers per split — small corpora can leave the
+    // val/test split empty)
+    val written = spark.read.schema(keyed.schema).parquet(path)
     val dataCols = written.columns.filter(_ != "shard").sorted
     written
       .withColumn("row_hash",

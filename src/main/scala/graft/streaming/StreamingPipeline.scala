@@ -419,11 +419,12 @@ object StreamingPipeline {
     * 16-token bucket (domain-bounded by max document length / 16). */
   def referenceHistogram(docs: DataFrame): Map[Long, Double] = {
     import docs.sparkSession.implicits._
-    val nTokens = when(length(trim($"text")) === 0, 0L)
-      .otherwise(length($"text")
-        - length(regexp_replace($"text", " ", "")) + 1L)
+    // the library-wide whitespace token rule + 16-token buckets, SHARED
+    // with the batch ingestDrift via TextOps.tokenCount so the monitor
+    // and the report it claims parity with cannot drift apart
     val hist = docs
-      .select((nTokens.cast("long") / 16L).cast("long").as("bucket"))
+      .select((graft.operators.TextOps.tokenCount($"text") / 16L)
+        .cast("long").as("bucket"))
       .groupBy($"bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     val total = hist.map(_._2).sum.toDouble
@@ -453,24 +454,28 @@ object StreamingPipeline {
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         import batch.sparkSession.implicits._
-        val nTokens = when(length(trim($"text")) === 0, 0L)
-          .otherwise(length($"text")
-            - length(regexp_replace($"text", " ", "")) + 1L)
         val hist = batch
-          .select((nTokens.cast("long") / 16L).cast("long").as("bucket"))
+          .select((graft.operators.TextOps.tokenCount($"text") / 16L)
+            .cast("long").as("bucket"))
           .groupBy($"bucket").agg(count(lit(1)).as("n_batch"))
-        val total = broadcast(hist.agg(sum($"n_batch").as("t")))
-        hist.crossJoin(total) // 1 row
-          .select(
-            lit(id).as("batch_id"),
-            $"bucket",
-            $"n_batch",
-            ($"n_batch".cast("double") / $"t").as("share_batch"),
-            coalesce(
-              element_at(typedLit(reference), $"bucket"), lit(0.0))
-              .as("share_ref"))
-          .withColumn("gap", abs($"share_batch" - $"share_ref"))
-          .withColumn("alarm", $"gap" >= alarmGap)
+        // bounded collect (one row per present bucket) so the report can
+        // cover reference ∪ batch buckets: a bucket the reference
+        // expects that the batch MISSES is drift too — share 0.3
+        // vanishing must alarm, and a batch-side-only histogram would
+        // simply not emit that row
+        val present = hist.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val t = math.max(present.values.sum, 1L).toDouble
+        val report = (present.keySet ++ reference.keySet).toSeq.sorted.map {
+          b =>
+            val n = present.getOrElse(b, 0L)
+            val sb = n / t
+            val sr = reference.getOrElse(b, 0.0)
+            (id, b, n, sb, sr, math.abs(sb - sr), math.abs(sb - sr) >= alarmGap)
+        }
+        report
+          .toDF("batch_id", "bucket", "n_batch", "share_batch",
+            "share_ref", "gap", "alarm")
           .write.mode("append").parquet(monitorDir)
         ()
       }

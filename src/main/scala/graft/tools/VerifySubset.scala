@@ -1,50 +1,12 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
-
-import org.apache.spark.sql.SparkSession
-
-import graft.SparkEntry
-
 /** Development aid: [[graft.Verify]] restricted to a comma-separated
-  * list of query names — dump just the queries under iteration plus
-  * their oracle SQL, so `tools/check_oracle.py` can gate them without a
-  * full 100+-query Verify pass.
+  * list of query names — a thin alias; the filtering lives in Verify
+  * itself so the dump loop, session config, and JSON escaper exist
+  * exactly once.
   *
   *   sbt "runMain graft.tools.VerifySubset <sfDir> <outDir> q_a,q_b"
   */
 object VerifySubset {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir, names) = args
-    val wanted = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => wanted(kv._1)).foreach {
-      case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify-subset] $name failed: ${e.getMessage}")
-        }
-    }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
-  }
+  def main(args: Array[String]): Unit = graft.Verify.main(args)
 }

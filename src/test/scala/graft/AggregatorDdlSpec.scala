@@ -240,6 +240,24 @@ class AggregatorDdlSpec extends SparkSpecBase {
     assert(changed.length === 1, changed.mkString(","))
     assert(changed.head._1.getAs[Long]("n_rows") ===
       changed.head._2.getAs[Long]("n_rows")) // same rows, different hash
+    // an EMPTY delivery (releaseCorpus can hand an empty val/test
+    // split) returns an empty manifest instead of failing the
+    // schema-less read-back
+    val empty = Ddl.writeShards(docs.where($"doc_id" < 0L),
+      s"$dir/v-empty", shards = 4)
+    assert(empty.count() === 0L)
+    // shard rule identity with the oracle-gated q_shard_assign: first
+    // md5 byte mod shards
+    val sa = graft.operators.Corpus.shardAssign(spark, sfDir, nShards = 4)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+    val delivered = (0 to 3).flatMap { sh =>
+      val p = new java.io.File(s"$dir/v1/shard=$sh")
+      if (p.exists)
+        spark.read.parquet(p.toString).select($"doc_id")
+          .as[Long].collect().map(_ -> sh.toLong)
+      else Seq.empty
+    }.toMap
+    delivered.foreach { case (id, sh) => assert(sa(id) === sh, s"doc $id") }
   }
 
   test("dlq summary reduces a dead-letter directory (reduce_err analogue)") {

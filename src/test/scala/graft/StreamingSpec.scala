@@ -314,6 +314,11 @@ class StreamingSpec extends SparkSpecBase {
       byBatch(0L).foreach { r => assert(r._3 === 0.0 && !r._4, r) }
       // batch 1: the whole mass sits in an unreferenced bucket — alarm
       assert(byBatch(1L).exists(r => r._3 === 1.0 && r._4), byBatch(1L))
+      // AND the reference bucket the drop abandoned is reported as
+      // vanished (gap = its full reference share), not silently absent
+      val vanished = byBatch(1L).filter(_._2 == 1L)
+      assert(vanished.nonEmpty && vanished.forall(r => r._3 === 1.0 && r._4),
+        byBatch(1L).mkString(","))
     } finally q.stop()
   }
 
