@@ -286,6 +286,36 @@ object NearDup extends QueryModule {
       .orderBy($"source")
   }
 
+  /** CROSS-SOURCE SYNDICATION census — which source pairs mirror each
+    * other's content: every verified near-dup pair labeled with its two
+    * endpoints' sources and rolled up per unordered (source_a,
+    * source_b) pair, split into within-source and cross-source
+    * duplication. A hot cross-source cell is syndicated/mirrored
+    * content — the curation action is a source-level dedup preference
+    * (keep the canonical domain), which per-document survivor selection
+    * alone cannot express.
+    *
+    * Scale shape: rides the banded near-dup pair list (never
+    * all-pairs); the two source lookups are constant-width doc_id
+    * joins, and the rollup grain is (sources choose 2) — bounded. */
+  def crossSourceDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, d).select($"doc_id", $"source")
+    minhashNearDup(s, d)
+      .select($"id_a", $"id_b")
+      .join(src.select($"doc_id".as("id_a"), $"source".as("src_a")),
+        Seq("id_a"))
+      .join(src.select($"doc_id".as("id_b"), $"source".as("src_b")),
+        Seq("id_b"))
+      .select(
+        least($"src_a", $"src_b").as("source_a"),
+        greatest($"src_a", $"src_b").as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", $"source_a" =!= $"source_b")
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** LEAKAGE-SAFE train/val/test split — the dedup-aware fix for the
     * classic eval-contamination pitfall: splitting by document hash
     * puts near-duplicate FAMILY MEMBERS on both sides of the
@@ -1287,6 +1317,25 @@ object NearDup extends QueryModule {
           SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
         SELECT a AS doc_id, min(b) AS cluster_id
         FROM reach GROUP BY a ORDER BY doc_id""")),
+    QueryDef(
+      "q_cross_source_dup", crossSourceDup, Some(s"""
+        $oracleShingles,
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        lab AS (
+          SELECT least(da.source, db.source) AS source_a,
+                 greatest(da.source, db.source) AS source_b
+          FROM p
+          JOIN documents da ON da.doc_id = p.id_a
+          JOIN documents db ON db.doc_id = p.id_b)
+        SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+               source_a <> source_b AS cross_source
+        FROM lab GROUP BY source_a, source_b
+        ORDER BY source_a, source_b""")),
     QueryDef(
       "q_leakage_split", leakageSafeSplit, Some(s"""
         ${oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},

@@ -420,6 +420,21 @@ class NearDupSpec extends SparkSpecBase {
     assert(rows.exists(l(_, "n_dup_docs") > 0L))
   }
 
+  test("cross-source census reconciles with the verified pair list") {
+    import spark.implicits._
+    val rows = NearDup.crossSourceDup(spark, sfDir)
+      .as[(String, String, Long, Boolean)].collect()
+    val pairs = NearDup.minhashNearDup(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    // total census mass = total verified pairs, nothing dropped
+    assert(rows.map(_._3).sum === pairs.length.toLong)
+    rows.foreach { case (a, b, n, cross) =>
+      assert(a <= b) // canonical unordered pair
+      assert(cross === (a != b))
+      assert(n > 0L)
+    }
+  }
+
   test("leakage-safe split: clusters never straddle a split boundary") {
     import spark.implicits._
     val rows = NearDup.leakageSafeSplit(spark, sfDir)
