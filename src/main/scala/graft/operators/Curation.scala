@@ -333,7 +333,10 @@ object Curation extends QueryModule {
     * deterministically (both engines build the identical recrawl):
     * docs with `doc_id % 7 == 3` disappear, docs with `doc_id % 5 == 0`
     * get one token appended (a revision), and docs with
-    * `doc_id % 11 == 0` come back re-keyed `+100000000` (new pages).
+    * `doc_id % 11 == 0` come back re-keyed `-doc_id - 1` (new pages —
+    * the negative keyspace cannot collide with any real non-negative
+    * doc_id, so the derived snapshot stays duplicate-free at ANY
+    * corpus id range).
     * Removal wins over modification (a dropped page's text edit is
     * unobservable), matching the CASE order.
     *
@@ -355,7 +358,7 @@ object Curation extends QueryModule {
         when($"doc_id" % 5 === 0, concat($"text", lit(" rev2")))
           .otherwise($"text").as("text"))
     val added = docs.where($"doc_id" % 11 === 0)
-      .select(($"doc_id" + 100000000L).as("doc_id"), $"source",
+      .select((-$"doc_id" - 1L).as("doc_id"), $"source",
         concat($"text", lit(" new")).as("text"))
     val next = shaped(kept.unionByName(added))
     old.select($"doc_id", $"source".as("src_o"), $"fp".as("fp_o"),
@@ -408,18 +411,21 @@ object Curation extends QueryModule {
     // tokens makes 2·tot·isqrt ≈ 10^20 — past Long.MaxValue, where
     // non-ANSI Spark would wrap silently and DuckDB would error. The
     // integral results all fit BIGINT again after the division.
+    // greatest(x,1) guards on every divisor: an all-empty source (or
+    // corpus) yields 0-ppm rows rather than NULLs — consistent with
+    // effectiveTokens' dup_ppm guard
     bySrc.crossJoin(totals)
       .withColumn("w_uni_ppm", expr(
-        "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div tot AS BIGINT)"))
+        "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div greatest(tot, 1) AS BIGINT)"))
       .withColumn("w_temp_ppm", expr(
-        "CAST(CAST(isqrt AS DECIMAL(38,0)) * 1000000 div stot AS BIGINT)"))
+        "CAST(CAST(isqrt AS DECIMAL(38,0)) * 1000000 div greatest(stot, 1) AS BIGINT)"))
       .withColumn("alloc_tokens", expr(
         """CAST(2 * CAST(tot AS DECIMAL(38,0)) * CAST(isqrt AS DECIMAL(38,0))
-           div stot AS BIGINT)"""))
+           div greatest(stot, 1) AS BIGINT)"""))
       .withColumn("capped_tokens",
         least($"alloc_tokens", $"n_tokens" * 4L))
       .withColumn("epochs_ppm", expr(
-        "CAST(CAST(capped_tokens AS DECIMAL(38,0)) * 1000000 div n_tokens AS BIGINT)"))
+        "CAST(CAST(capped_tokens AS DECIMAL(38,0)) * 1000000 div greatest(n_tokens, 1) AS BIGINT)"))
       .withColumn("shortfall", $"alloc_tokens" - $"capped_tokens")
       .select($"source", $"n_tokens", $"isqrt", $"w_uni_ppm",
         $"w_temp_ppm", $"alloc_tokens", $"capped_tokens", $"epochs_ppm",
@@ -637,7 +643,7 @@ object Curation extends QueryModule {
                       ELSE text END AS text
           FROM documents WHERE doc_id % 7 <> 3),
         added AS (
-          SELECT doc_id + 100000000 AS doc_id, source, text || ' new' AS text
+          SELECT -doc_id - 1 AS doc_id, source, text || ' new' AS text
           FROM documents WHERE doc_id % 11 = 0),
         nxt AS (
           SELECT doc_id, source, md5(text) AS fp, $oracleCost AS tk
@@ -666,17 +672,17 @@ object Curation extends QueryModule {
                      CAST(sum(isqrt) AS BIGINT) AS stot FROM i),
         p AS (
           SELECT i.source, i.n_tokens, i.isqrt,
-                 CAST(CAST(i.n_tokens AS HUGEINT) * 1000000 // t.tot
-                   AS BIGINT) AS w_uni_ppm,
-                 CAST(CAST(i.isqrt AS HUGEINT) * 1000000 // t.stot
-                   AS BIGINT) AS w_temp_ppm,
+                 CAST(CAST(i.n_tokens AS HUGEINT) * 1000000
+                   // greatest(t.tot, 1) AS BIGINT) AS w_uni_ppm,
+                 CAST(CAST(i.isqrt AS HUGEINT) * 1000000
+                   // greatest(t.stot, 1) AS BIGINT) AS w_temp_ppm,
                  CAST(2 * CAST(t.tot AS HUGEINT) * CAST(i.isqrt AS HUGEINT)
-                   // t.stot AS BIGINT) AS alloc_tokens
+                   // greatest(t.stot, 1) AS BIGINT) AS alloc_tokens
           FROM i, t)
         SELECT source, n_tokens, isqrt, w_uni_ppm, w_temp_ppm, alloc_tokens,
                least(alloc_tokens, n_tokens * 4) AS capped_tokens,
                CAST(CAST(least(alloc_tokens, n_tokens * 4) AS HUGEINT)
-                 * 1000000 // n_tokens AS BIGINT) AS epochs_ppm,
+                 * 1000000 // greatest(n_tokens, 1) AS BIGINT) AS epochs_ppm,
                alloc_tokens - least(alloc_tokens, n_tokens * 4) AS shortfall
         FROM p ORDER BY source""")),
     QueryDef(

@@ -281,7 +281,11 @@ object NearDup extends QueryModule {
       .select($"source", $"n_docs", $"n_tokens", $"n_dup_docs",
         $"dup_tokens",
         ($"n_tokens" - $"dup_tokens").as("effective_tokens"),
-        expr("dup_tokens * 1000000 div greatest(n_tokens, 1)")
+        // DECIMAL(38,0) product: at ~10^13 deployment tokens the BIGINT
+        // product dup_tokens*1e6 (~10^19) would wrap silently in
+        // non-ANSI Spark — same discipline as Curation.temperaturePlan
+        expr("CAST(CAST(dup_tokens AS DECIMAL(38,0)) * 1000000" +
+          " div greatest(n_tokens, 1) AS BIGINT)")
           .as("dup_ppm"))
       .orderBy($"source")
   }
@@ -1401,7 +1405,8 @@ object NearDup extends QueryModule {
           FROM dt GROUP BY source)
         SELECT source, n_docs, n_tokens, n_dup_docs, dup_tokens,
                n_tokens - dup_tokens AS effective_tokens,
-               dup_tokens * 1000000 // greatest(n_tokens, 1) AS dup_ppm
+               CAST(CAST(dup_tokens AS HUGEINT) * 1000000
+                 // greatest(n_tokens, 1) AS BIGINT) AS dup_ppm
         FROM agg ORDER BY source""")),
     QueryDef(
       "q_cluster_sizes", clusterSizes, Some(s"""

@@ -473,10 +473,16 @@ object StreamingPipeline {
             val sr = reference.getOrElse(b, 0.0)
             (id, b, n, sb, sr, math.abs(sb - sr), math.abs(sb - sr) >= alarmGap)
         }
+        // idempotent per-batch write: foreachBatch is at-least-once, so a
+        // retried micro-batch must OVERWRITE its own partition directory
+        // rather than append a second copy of its rows. The batch_id
+        // lands as a Hive-style partition column, so readers of
+        // monitorDir see the same schema as before.
         report
           .toDF("batch_id", "bucket", "n_batch", "share_batch",
             "share_ref", "gap", "alarm")
-          .write.mode("append").parquet(monitorDir)
+          .drop("batch_id")
+          .write.mode("overwrite").parquet(s"$monitorDir/batch_id=$id")
         ()
       }
       .start()
