@@ -5,42 +5,146 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{QueryDef, QueryModule, Tables}
 
-/** One decoded media record (the per-batch output row of the decode
-  * stage). */
-final case class MediaFeatures(
+/** One decoded image record (the per-batch output row of the decode
+  * stage): dimensions, per-channel pixel sums, and a 64-bit average
+  * perceptual hash — all derived from ACTUAL decoded pixel data. */
+final case class ImageFeatures(
     doc_id: Long,
     mime: String,
-    n_bytes: Long,
     width: Long,
     height: Long,
-    phash: String)
+    n_pixels: Long,
+    r_sum: Long,
+    g_sum: Long,
+    b_sum: Long,
+    ahash: Long)
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded/feature-extracted in partition-sized batches.
   *
-  * The container has no image/audio codecs, so [[MediaDecoder.decodeStub]]
-  * is a clearly-marked deterministic fake; everything around it — the
-  * binary payload column, metadata struct, `mapPartitions` batch shape
-  * (the Scala analogue of a pandas-batch UDF: one iterator per partition,
-  * codec state initialized once per partition, streaming through rows
-  * without materializing the partition), and the typed output schema — is
-  * the real production plumbing.
+  * The image path is a REAL codec round-trip: [[Multimodal.imageTable]]
+  * synthesizes a deterministic RGB PNG per document (the fixture — pixel
+  * values follow a closed-form integer formula, so the DuckDB oracle can
+  * recompute the expected features from first principles), and
+  * [[Multimodal.decodeImageFeatures]] decodes those bytes with
+  * `javax.imageio.ImageIO` and extracts dimensions, exact per-channel
+  * sums, and an aHash from the decoded pixels. The gate therefore proves
+  * the encode→decode round-trip preserved every pixel — real codec work
+  * on the operator side, independent recomputation on the oracle side.
+  *
+  * The `mapPartitions` batch shape (one iterator per partition, codec
+  * state initialized once per partition, streaming through rows without
+  * materializing the partition) is the Scala analogue of a pandas-batch
+  * UDF and is exactly how a libjpeg/ffmpeg JNI codec would slot in.
   *
   * Scale: decode is embarrassingly parallel per partition; payload bytes
   * never shuffle (features are extracted before any wide operation, so the
-  * shuffle carries ~50 bytes/row, not megabyte blobs). That ordering —
+  * shuffle carries ~70 bytes/row, not megabyte blobs). That ordering —
   * project-then-shuffle — is the whole game for multimodal at 100 TB.
   */
 object Multimodal extends QueryModule {
 
-  object MediaDecoder {
-    /** STUB — a real build would decode image bytes here (e.g. via a JNI
-      * codec). Deterministic fake: dimensions derived from byte length,
-      * perceptual hash from md5. Chosen to be reproducible in plain SQL so
-      * the DuckDB oracle can check the surrounding plumbing end-to-end. */
-    def decodeStub(payload: Array[Byte]): (Long, Long) = {
-      val n = payload.length.toLong
-      (n % 640L, (n * 7L) % 480L)
+  /** Real image codec stage built on `javax.imageio` (JDK-native, no
+    * external dependency). PNG is lossless, so decoded pixels equal the
+    * generated pixels bit-for-bit — which is what lets the DuckDB oracle
+    * verify the decode from the generation formula alone. */
+  object ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file spooling
+
+    /** Deterministic per-document test image (the FIXTURE side):
+      * w = 16 + id%17 (16..32), h = 16 + id%13 (16..28); channel values
+      * at (x,y) are (id·31 + 7x + 13y + {0,85,170}) mod 256. */
+    def makePng(docId: Long): Array[Byte] = {
+      val w = (16 + docId % 17).toInt
+      val h = (16 + docId % 13).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val base = docId * 31L + x * 7L + y * 13L
+          val r = (base % 256L).toInt
+          val g = ((base + 85L) % 256L).toInt
+          val b = ((base + 170L) % 256L).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** REAL decode: parse the compressed payload back into pixels. */
+    def decode(payload: Array[Byte]): java.awt.image.BufferedImage =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+
+    /** Feature extraction over DECODED pixels: exact channel sums plus a
+      * 64-bit average hash (8×8 nearest-neighbor grayscale, bit i set iff
+      * sample i is strictly above the integer mean) — the standard
+      * near-dup fingerprint for images, here in its integer-exact form so
+      * two engines can agree bit-for-bit. */
+    def features(docId: Long, mime: String,
+        img: java.awt.image.BufferedImage): ImageFeatures = {
+      val w = img.getWidth
+      val h = img.getHeight
+      var rs = 0L; var gs = 0L; var bs = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val gray = new Array[Long](64)
+      var ty = 0
+      while (ty < 8) {
+        var tx = 0
+        while (tx < 8) {
+          val p = img.getRGB(tx * w / 8, ty * h / 8)
+          gray(ty * 8 + tx) =
+            (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3L
+          tx += 1
+        }
+        ty += 1
+      }
+      val mean = gray.sum / 64L
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (gray(i) > mean) hash |= (1L << i)
+        i += 1
+      }
+      ImageFeatures(docId, mime, w.toLong, h.toLong, w.toLong * h,
+        rs, gs, bs, hash)
+    }
+
+    /** REAL nearest-neighbor resample of a decoded image: out(x,y) =
+      * in(x·w div outW, y·h div outH), emitted as packed RGB triplets. */
+    def resizeNearest(img: java.awt.image.BufferedImage,
+        outW: Int, outH: Int): Array[Byte] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Byte](outW * outH * 3)
+      var y = 0
+      while (y < outH) {
+        var x = 0
+        while (x < outW) {
+          val p = img.getRGB(x * w / outW, y * h / outH)
+          val i = (y * outW + x) * 3
+          out(i) = ((p >> 16) & 0xff).toByte
+          out(i + 1) = ((p >> 8) & 0xff).toByte
+          out(i + 2) = (p & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
   }
 
@@ -58,28 +162,45 @@ object Multimodal extends QueryModule {
           $"n_chars".as("content_hint")).as("meta"))
   }
 
-  /** The decode stage: partition-batched feature extraction over the
-    * binary column (Dataset[MediaFeatures] out). */
-  def decodeFeatures(s: SparkSession, d: String): Dataset[MediaFeatures] = {
+  /** Documents-as-images: a real PNG payload per document (deterministic
+    * fixture pixels, see [[ImageCodec.makePng]]), generated executor-side
+    * in partition batches so no image bytes ever touch the driver. */
+  def imageTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, d)
+    Tables.documents(s, d)
+      .select($"doc_id", $"source")
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, src) => (id, ImageCodec.makePng(id), src) }
+      }
+      .toDF("doc_id", "payload", "origin")
+      .select($"doc_id", $"payload",
+        struct(lit("image/png").as("mime"), $"origin").as("meta"))
+  }
+
+  /** The decode stage: partition-batched REAL `ImageIO` decode +
+    * feature extraction over the binary column. */
+  def decodeImageFeatures(s: SparkSession, d: String)
+      : Dataset[ImageFeatures] = {
+    import s.implicits._
+    imageTable(s, d)
       .select($"doc_id", $"payload", $"meta.mime".as("mime"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
         // per-partition init happens here (codec handles, model weights…)
+        java.awt.GraphicsEnvironment.isHeadless() // force AWT class init
         rows.map { case (id, payload, mime) =>
-          val (w, h) = MediaDecoder.decodeStub(payload)
-          MediaFeatures(id, mime, payload.length.toLong, w, h,
-            org.apache.commons.codec.digest.DigestUtils.md5Hex(payload))
+          ImageCodec.features(id, mime, ImageCodec.decode(payload))
         }
       }
   }
 
-  /** Registered query: decoded features, oracle-reproducible because the
-    * stub is pure integer arithmetic + md5. */
+  /** Registered query: features of actually-decoded pixels. The oracle
+    * recomputes every column from the pixel formula — a hash match
+    * proves the PNG encode→decode round-trip was pixel-exact. */
   def mediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    decodeFeatures(s, d).toDF().orderBy($"doc_id")
+    decodeImageFeatures(s, d).toDF().orderBy($"doc_id")
   }
 
   /** Frame sampling over a "video" payload: fixed-width frames on a
@@ -111,37 +232,44 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id")
   }
 
-  object MediaResizer {
-    /** STUB — a real build would decode + bilinear-resample here.
-      * Deterministic fake: truncate/cycle payload bytes to the target
-      * "pixel" count so output size is shape-correct. */
-    def resizeStub(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
-      val out = new Array[Byte](outW * outH)
-      if (payload.nonEmpty) {
-        var i = 0
-        while (i < out.length) {
-          out(i) = payload(i % payload.length)
-          i += 1
-        }
-      }
-      out
-    }
-  }
-
-  /** Resize stage: partition-batched like [[decodeFeatures]], emitting
-    * fixed-shape thumbnails (binary) + dims. */
+  /** Resize stage: partition-batched like [[decodeImageFeatures]] — REAL
+    * decode + nearest-neighbor resample — emitting fixed-shape RGB
+    * thumbnails (binary) + dims. */
   def resizeThumbnails(s: SparkSession, d: String, w: Int = 8, h: Int = 8)
       : DataFrame = {
     import s.implicits._
-    mediaTable(s, d)
+    imageTable(s, d)
       .select($"doc_id", $"payload")
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          (id, MediaResizer.resizeStub(payload, w, h), w, h)
+          (id, ImageCodec.resizeNearest(ImageCodec.decode(payload), w, h),
+            w, h)
         }
       }
       .toDF("doc_id", "thumb", "width", "height")
+  }
+
+  /** Registered query over [[resizeThumbnails]]: per-thumbnail channel
+    * sums — the oracle recomputes them from the fixture formula at the
+    * nearest-neighbor sample positions, gating the real resample path. */
+  def mediaResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    resizeThumbnails(s, d, 8, 8)
+      .as[(Long, Array[Byte], Int, Int)]
+      .map { case (id, thumb, w, h) =>
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var i = 0
+        while (i < thumb.length) {
+          rs += thumb(i) & 0xff
+          gs += thumb(i + 1) & 0xff
+          bs += thumb(i + 2) & 0xff
+          i += 3
+        }
+        (id, w.toLong, h.toLong, rs, gs, bs)
+      }
+      .toDF("doc_id", "out_w", "out_h", "r_sum", "g_sum", "b_sum")
+      .orderBy($"doc_id")
   }
 
   /** BINARY near-dup via content-defined chunking — the storage-dedup
@@ -239,14 +367,77 @@ object Multimodal extends QueryModule {
         HAVING count(*) >= 3
         ORDER BY id_a, id_b""")),
     QueryDef(
+      // the oracle recomputes width/height/channel sums/aHash from the
+      // fixture pixel formula (ImageCodec.makePng's scaladoc) — it never
+      // sees the PNG bytes, so agreement proves the ImageIO decode
+      // reproduced every generated pixel. Grid join bounds: w<=32, h<=28.
       "q_media_features", mediaFeatures, Some("""
-        SELECT doc_id,
-               'image/fake' AS mime,
-               CAST(strlen(text) AS BIGINT) AS n_bytes,
-               CAST(strlen(text) % 640 AS BIGINT) AS width,
-               CAST((strlen(text) * 7) % 480 AS BIGINT) AS height,
-               md5(text) AS phash
-        FROM documents ORDER BY doc_id""")),
+        WITH dims AS (
+          SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+          FROM documents),
+        px AS (
+          SELECT d.doc_id, d.w, d.h,
+                 (d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS r,
+                 (d.doc_id * 31 + x.x * 7 + y.y * 13 + 85) % 256 AS g,
+                 (d.doc_id * 31 + x.x * 7 + y.y * 13 + 170) % 256 AS b
+          FROM dims d
+          JOIN generate_series(0, 31) x(x) ON x.x < d.w
+          JOIN generate_series(0, 27) y(y) ON y.y < d.h),
+        tot AS (
+          SELECT doc_id, CAST(min(w) AS BIGINT) AS width,
+                 CAST(min(h) AS BIGINT) AS height,
+                 CAST(count(*) AS BIGINT) AS n_pixels,
+                 CAST(sum(r) AS BIGINT) AS r_sum,
+                 CAST(sum(g) AS BIGINT) AS g_sum,
+                 CAST(sum(b) AS BIGINT) AS b_sum
+          FROM px GROUP BY doc_id),
+        samp AS (
+          SELECT d.doc_id, ty.ty * 8 + tx.tx AS idx,
+                 ((d.doc_id * 31 + (tx.tx * d.w // 8) * 7
+                    + (ty.ty * d.h // 8) * 13) % 256
+                  + (d.doc_id * 31 + (tx.tx * d.w // 8) * 7
+                    + (ty.ty * d.h // 8) * 13 + 85) % 256
+                  + (d.doc_id * 31 + (tx.tx * d.w // 8) * 7
+                    + (ty.ty * d.h // 8) * 13 + 170) % 256) // 3 AS gray
+          FROM dims d, generate_series(0, 7) tx(tx),
+               generate_series(0, 7) ty(ty)),
+        mh AS (
+          SELECT s.doc_id,
+                 sum(CASE WHEN s.gray > m.mean
+                          THEN CAST(1 AS HUGEINT) << s.idx
+                          ELSE CAST(0 AS HUGEINT) END) AS hraw
+          FROM samp s
+          JOIN (SELECT doc_id, sum(gray) // 64 AS mean
+                FROM samp GROUP BY doc_id) m USING (doc_id)
+          GROUP BY s.doc_id)
+        SELECT t.doc_id, 'image/png' AS mime, t.width, t.height,
+               t.n_pixels, t.r_sum, t.g_sum, t.b_sum,
+               CAST(CASE WHEN mh.hraw >= CAST(1 AS HUGEINT) << 63
+                         THEN mh.hraw - (CAST(1 AS HUGEINT) << 64)
+                         ELSE mh.hraw END AS BIGINT) AS ahash
+        FROM tot t JOIN mh USING (doc_id) ORDER BY doc_id""")),
+    QueryDef(
+      // thumbnail channel sums from the fixture formula at the 8x8
+      // nearest-neighbor sample positions — gates the decode+resample
+      "q_media_resize", mediaResize, Some("""
+        WITH dims AS (
+          SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+          FROM documents),
+        samp AS (
+          SELECT d.doc_id,
+                 (d.doc_id * 31 + (tx.tx * d.w // 8) * 7
+                   + (ty.ty * d.h // 8) * 13) % 256 AS r,
+                 (d.doc_id * 31 + (tx.tx * d.w // 8) * 7
+                   + (ty.ty * d.h // 8) * 13 + 85) % 256 AS g,
+                 (d.doc_id * 31 + (tx.tx * d.w // 8) * 7
+                   + (ty.ty * d.h // 8) * 13 + 170) % 256 AS b
+          FROM dims d, generate_series(0, 7) tx(tx),
+               generate_series(0, 7) ty(ty))
+        SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+               CAST(sum(r) AS BIGINT) AS r_sum,
+               CAST(sum(g) AS BIGINT) AS g_sum,
+               CAST(sum(b) AS BIGINT) AS b_sum
+        FROM samp GROUP BY doc_id ORDER BY doc_id""")),
     QueryDef(
       // Oracle parity note: the Spark side slices BYTES of the UTF-8
       // payload while DuckDB substr/strlen count CHARACTERS — identical

@@ -19,26 +19,54 @@ class SessionMultimodalSpec extends SparkSpecBase {
     df.unpersist()
   }
 
-  test("multimodal decode: stub features consistent with payload bytes") {
+  test("image table payloads are genuine PNGs and ImageIO round-trips the pixels") {
     import spark.implicits._
-    val ds = Multimodal.decodeFeatures(spark, sfDir)
-    val bad = ds.filter(m =>
-      m.width != m.n_bytes % 640 || m.height != (m.n_bytes * 7) % 480
-        || m.phash.length != 32)
-    assert(bad.count() === 0)
+    val rows = Multimodal.imageTable(spark, sfDir)
+      .select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      .orderBy($"doc_id").take(5)
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, png) =>
+      // PNG magic bytes: a real container, not a fake payload
+      assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte &&
+        png(2) === 'N'.toByte && png(3) === 'G'.toByte, s"doc $id")
+      val img = Multimodal.ImageCodec.decode(png)
+      assert(img.getWidth === (16 + id % 17).toInt)
+      assert(img.getHeight === (16 + id % 13).toInt)
+      // lossless round-trip: every decoded pixel equals the formula
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val base = id * 31L + x * 7L + y * 13L
+        val want = (((base % 256) << 16) | (((base + 85) % 256) << 8) |
+          ((base + 170) % 256)).toInt
+        assert((img.getRGB(x, y) & 0xffffff) === want, s"doc $id ($x,$y)")
+      }
+    }
   }
 
-  test("media stubs survive empty payloads") {
-    assert(Multimodal.MediaDecoder.decodeStub(Array.emptyByteArray) === ((0L, 0L)))
-    assert(Multimodal.MediaResizer.resizeStub(Array.emptyByteArray, 4, 4)
-      .length === 16)
+  test("decoded features: ahash matches a direct recomputation from pixels") {
+    import spark.implicits._
+    val feats = Multimodal.decodeImageFeatures(spark, sfDir)
+      .orderBy($"doc_id").take(3)
+    feats.foreach { f =>
+      val img = Multimodal.ImageCodec.decode(
+        Multimodal.ImageCodec.makePng(f.doc_id))
+      val gray = for (ty <- 0 until 8; tx <- 0 until 8) yield {
+        val p = img.getRGB(tx * img.getWidth / 8, ty * img.getHeight / 8)
+        (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3L
+      }
+      val mean = gray.sum / 64L
+      val want = gray.zipWithIndex.foldLeft(0L) { case (acc, (g, i)) =>
+        if (g > mean) acc | (1L << i) else acc
+      }
+      assert(f.ahash === want, s"doc ${f.doc_id}")
+      assert(f.n_pixels === f.width * f.height)
+    }
   }
 
-  test("resize stub emits fixed-shape thumbnails") {
+  test("real resize emits fixed-shape RGB thumbnails") {
     import spark.implicits._
     val df = Multimodal.resizeThumbnails(spark, sfDir, 8, 8)
     val bad = df.where(org.apache.spark.sql.functions
-      .octet_length($"thumb") =!= 64)
+      .octet_length($"thumb") =!= 192) // 8*8 pixels * 3 channels
     assert(bad.count() === 0)
     assert(df.count() === graft.ops.Tables.documents(spark, sfDir).count())
   }
