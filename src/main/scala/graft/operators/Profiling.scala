@@ -214,7 +214,184 @@ object Profiling extends QueryModule {
       .orderBy($"event_type")
   }
 
+  // ----------------------------------------------- census-driven joins
+
+  /** The decision the census exists to inform, made explicit. */
+  final case class JoinDecision(
+      strategy: String, // broadcast | salted | shuffle
+      buildRows: Long,
+      probeRows: Long,
+      topSharePpm: Long)
+
+  /** Rows at or under this on the build side → broadcast (stands in for
+    * `spark.sql.autoBroadcastJoinThreshold`, but row-based so the
+    * decision is engine-reproducible). */
+  val BroadcastRowCap = 1000L
+  /** Probe-side top-key share at or above this (10%) → salt the key. */
+  val SkewSharePpm = 100000L
+  /** Salt fan-out for the skewed path. */
+  val NumSalts = 8
+
+  /** CLOSE THE PROFILING→PLAN LOOP: consume the join census ([[joinCensus]]
+    * / [[skewProfile]] are the diagnostic forms of these inputs) and CHOOSE
+    * the join strategy — broadcast when the build side is metadata-sized,
+    * salted when one probe key owns ≥ 10% of the rows (the straggler-task
+    * profile AQE's skew-join also targets, here decided deterministically
+    * ahead of time), plain shuffle otherwise.
+    *
+    * The two census aggregates are 1-row bounded collects — the same
+    * class of driver-side metadata as a broadcast threshold check; this
+    * is exactly the decision a cost-based optimizer or AQE makes, made
+    * explicit, logged, and testable. */
+  def decideJoin(build: DataFrame, probe: DataFrame): JoinDecision = {
+    val s = build.sparkSession
+    import s.implicits._
+    val nb = build.count()
+    val Array(np, top) = probe
+      .groupBy($"k").agg(count(lit(1)).as("c"))
+      .agg(sum($"c"), max($"c"))
+      .as[(Long, Long)].head() match { case (a, b) => Array(a, b) }
+    val share = top * 1000000L / math.max(np, 1L)
+    val strat =
+      if (nb <= BroadcastRowCap) "broadcast"
+      else if (share >= SkewSharePpm) "salted"
+      else "shuffle"
+    JoinDecision(strat, nb, np, share)
+  }
+
+  /** Execute the decided join: `build(k, p)` ⋈ `probe(k, v)`. All three
+    * shapes return identical rows — only the physical plan differs:
+    *   - broadcast: `broadcast()` hint on the build side
+    *   - salted: build exploded ×[[NumSalts]], probe salted
+    *     deterministically from `v`, equi-join on (k, salt) — the hot
+    *     key's rows spread across [[NumSalts]] tasks instead of one
+    *   - shuffle: merge hint (sort-merge — the scale-safe default) */
+  def executeDecided(build: DataFrame, probe: DataFrame,
+      decision: JoinDecision): DataFrame = {
+    val s = build.sparkSession
+    import s.implicits._
+    decision.strategy match {
+      case "broadcast" =>
+        probe.join(broadcast(build), Seq("k"))
+      case "salted" =>
+        val b = build.withColumn("salt",
+          explode(array((0 until NumSalts).map(lit): _*)))
+        val p = probe.withColumn("salt", pmod($"v", lit(NumSalts)).cast("int"))
+        p.join(b.hint("merge"), Seq("k", "salt")).drop("salt")
+      case _ =>
+        probe.join(build.hint("merge"), Seq("k"))
+    }
+  }
+
+  /** Gate query: three (build, probe) pairs engineered to hit all three
+    * decisions, each executed THROUGH its decision, reporting the census
+    * inputs, the choice, and a checksum over the executed join so the
+    * oracle verifies the chosen plan produced exactly the right rows:
+    *   - nation ⋈ customer — 25 build rows → broadcast
+    *   - orders ⋈ lineitem — large build, max 7 rows/key → shuffle
+    *   - orderkey%3-collapsed key (key 0 owns ~⅓ of lineitem) with a
+    *     DEDUPED build side → salted
+    * Decisions are stable across every test SF: nation is constant, and
+    * orders ≥ 1500 rows at sf ≥ 0.001. */
+  def adaptiveJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def onecase(name: String, build: DataFrame, probe: DataFrame)
+        : DataFrame = {
+      val dec = decideJoin(build, probe)
+      executeDecided(build, probe, dec)
+        .agg(count(lit(1)).as("join_rows"),
+          coalesce(sum($"p" + $"v"), lit(0L)).as("chk"))
+        .select(lit(name).as("case_name"), lit(dec.strategy).as("decision"),
+          lit(dec.buildRows).as("build_rows"), lit(dec.probeRows).as("probe_rows"),
+          lit(dec.topSharePpm).as("top_share_ppm"), $"join_rows", $"chk")
+    }
+    val aBuild = Tables.nation(s, d)
+      .select($"n_nationkey".cast("long").as("k"),
+        $"n_regionkey".cast("long").as("p"))
+    val aProbe = Tables.customer(s, d)
+      .select($"c_nationkey".cast("long").as("k"),
+        $"c_custkey".cast("long").as("v"))
+    val bBuild = Tables.orders(s, d)
+      .select($"o_orderkey".cast("long").as("k"),
+        $"o_custkey".cast("long").as("p"))
+    val bProbe = Tables.lineitem(s, d)
+      .select($"l_orderkey".cast("long").as("k"),
+        $"l_linenumber".cast("long").as("v"))
+    val skew = when($"l_orderkey" % 3 === 0, 0L).otherwise($"l_orderkey")
+    val cProbe = Tables.lineitem(s, d)
+      .select(skew.cast("long").as("k"), $"l_linenumber".cast("long").as("v"))
+    val cBuild = Tables.orders(s, d)
+      .select(when($"o_orderkey" % 3 === 0, 0L).otherwise($"o_orderkey")
+        .cast("long").as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("p"))
+    onecase("a_dim", aBuild, aProbe)
+      .unionByName(onecase("b_fact", bBuild, bProbe))
+      .unionByName(onecase("c_skew", cBuild, cProbe))
+      .orderBy($"case_name")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      // per case: census inputs, the decision under the same thresholds,
+      // and join_rows/chk recomputed with a plain SQL join — identical
+      // output regardless of the physical strategy the decision picked
+      "q_adaptive_join", adaptiveJoin, Some("""
+        WITH
+        a_build AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                           CAST(n_regionkey AS BIGINT) AS p FROM nation),
+        a_probe AS (SELECT CAST(c_nationkey AS BIGINT) AS k,
+                           CAST(c_custkey AS BIGINT) AS v FROM customer),
+        b_build AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                           CAST(o_custkey AS BIGINT) AS p FROM orders),
+        b_probe AS (SELECT CAST(l_orderkey AS BIGINT) AS k,
+                           CAST(l_linenumber AS BIGINT) AS v FROM lineitem),
+        c_build AS (SELECT k, CAST(count(*) AS BIGINT) AS p FROM
+                      (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 0
+                              ELSE o_orderkey END AS k FROM orders)
+                    GROUP BY k),
+        c_probe AS (SELECT CAST(CASE WHEN l_orderkey % 3 = 0 THEN 0
+                           ELSE l_orderkey END AS BIGINT) AS k,
+                           CAST(l_linenumber AS BIGINT) AS v FROM lineitem),
+        stats AS (
+          SELECT 'a_dim' AS case_name,
+                 (SELECT count(*) FROM a_build) AS build_rows,
+                 (SELECT count(*) FROM a_probe) AS probe_rows,
+                 (SELECT max(c) FROM (SELECT count(*) AS c FROM a_probe
+                    GROUP BY k)) AS top_cnt,
+                 (SELECT count(*) FROM a_probe JOIN a_build USING (k))
+                   AS join_rows,
+                 (SELECT coalesce(sum(p + v), 0) FROM a_probe
+                    JOIN a_build USING (k)) AS chk
+          UNION ALL
+          SELECT 'b_fact',
+                 (SELECT count(*) FROM b_build),
+                 (SELECT count(*) FROM b_probe),
+                 (SELECT max(c) FROM (SELECT count(*) AS c FROM b_probe
+                    GROUP BY k)),
+                 (SELECT count(*) FROM b_probe JOIN b_build USING (k)),
+                 (SELECT coalesce(sum(p + v), 0) FROM b_probe
+                    JOIN b_build USING (k))
+          UNION ALL
+          SELECT 'c_skew',
+                 (SELECT count(*) FROM c_build),
+                 (SELECT count(*) FROM c_probe),
+                 (SELECT max(c) FROM (SELECT count(*) AS c FROM c_probe
+                    GROUP BY k)),
+                 (SELECT count(*) FROM c_probe JOIN c_build USING (k)),
+                 (SELECT coalesce(sum(p + v), 0) FROM c_probe
+                    JOIN c_build USING (k)))
+        SELECT case_name,
+               CASE WHEN build_rows <= 1000 THEN 'broadcast'
+                    WHEN top_cnt * 1000000 // greatest(probe_rows, 1)
+                         >= 100000 THEN 'salted'
+                    ELSE 'shuffle' END AS decision,
+               CAST(build_rows AS BIGINT) AS build_rows,
+               CAST(probe_rows AS BIGINT) AS probe_rows,
+               CAST(top_cnt * 1000000 // greatest(probe_rows, 1) AS BIGINT)
+                 AS top_share_ppm,
+               CAST(join_rows AS BIGINT) AS join_rows,
+               CAST(chk AS BIGINT) AS chk
+        FROM stats ORDER BY case_name""")),
     QueryDef(
       "q_event_transitions", eventTransitions, Some("""
         WITH o AS (

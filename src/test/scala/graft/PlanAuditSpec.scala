@@ -33,6 +33,50 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("adaptive join executes the shape its census decided") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Profiling
+    val s = spark
+    import s.implicits._
+    val aBuild = graft.ops.Tables.nation(spark, sfDir)
+      .select($"n_nationkey".cast("long").as("k"),
+        $"n_regionkey".cast("long").as("p"))
+    val aProbe = graft.ops.Tables.customer(spark, sfDir)
+      .select($"c_nationkey".cast("long").as("k"),
+        $"c_custkey".cast("long").as("v"))
+    val dA = Profiling.decideJoin(aBuild, aProbe)
+    assert(dA.strategy === "broadcast", dA)
+    assert(plan(Profiling.executeDecided(aBuild, aProbe, dA))
+      .contains("BroadcastHashJoin"))
+
+    val bBuild = graft.ops.Tables.orders(spark, sfDir)
+      .select($"o_orderkey".cast("long").as("k"),
+        $"o_custkey".cast("long").as("p"))
+    val bProbe = graft.ops.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".cast("long").as("k"),
+        $"l_linenumber".cast("long").as("v"))
+    val dB = Profiling.decideJoin(bBuild, bProbe)
+    assert(dB.strategy === "shuffle", dB)
+    assert(plan(Profiling.executeDecided(bBuild, bProbe, dB))
+      .contains("SortMergeJoin"))
+
+    val cProbe = graft.ops.Tables.lineitem(spark, sfDir)
+      .select(when($"l_orderkey" % 3 === 0, 0L).otherwise($"l_orderkey")
+        .cast("long").as("k"), $"l_linenumber".cast("long").as("v"))
+    val cBuild = graft.ops.Tables.orders(spark, sfDir)
+      .select(when($"o_orderkey" % 3 === 0, 0L).otherwise($"o_orderkey")
+        .cast("long").as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("p"))
+    val dC = Profiling.decideJoin(cBuild, cProbe)
+    assert(dC.strategy === "salted", dC)
+    val pC = plan(Profiling.executeDecided(cBuild, cProbe, dC))
+    // the join carries BOTH the key and the salt — the hot key's rows
+    // land in NumSalts different sort-merge partitions
+    assert(pC.contains("SortMergeJoin"), pC)
+    assert("SortMergeJoin \\[k#\\d+L?, salt#\\d+".r.findFirstIn(pC).isDefined,
+      pC)
+  }
+
   test("semi/anti joins plan as semi/anti, not inner+distinct") {
     val p = plan(Relational.orderLineitemSemiAnti(spark, sfDir))
     assert(p.contains("LeftSemi"), p)
