@@ -327,6 +327,76 @@ object StreamingPipeline {
       .dropDuplicates("doc_id", "corpus_id")
   }
 
+  /** MAINTAINED band index: the deployment form of [[staticIndexHits]]
+    * where the persisted `(doc_id, bkey)` index table is also KEPT
+    * CURRENT by the stream — each micro-batch probes the standing index
+    * (plus its own keys, so batch-internal twins are seen), emits newly
+    * discovered candidate pairs, and UPSERTS its band keys into the
+    * index so later batches match against everything ingested so far.
+    *
+    * Exactly-once by construction under foreachBatch's at-least-once
+    * contract — neither write needs a transaction:
+    *  - hits: candidates are anti-joined against the hits table before
+    *    appending, so a retried batch re-derives the same candidates,
+    *    finds them already present, and appends nothing;
+    *  - index: (doc_id, bkey) rows are immutable FACTS — a retried
+    *    append leaves duplicate rows, which the candidate `.distinct()`
+    *    absorbs; they cost bytes, not correctness, and the next
+    *    [[graft.sources.Ddl.compact]] maintenance pass folds them away
+    *    (compose: stop-or-quiesce → `Ddl.compact(indexDir)` → resume —
+    *    the crash-safe two-rename swap keeps every row through it, and
+    *    [[graft.sources.Ddl.recover]] runs on every batch so a swap
+    *    crash never hides the index).
+    *
+    * Scale shape: the probe join is one-sided (|batch| × bands against
+    * the index — corpus × corpus never pairs); at deployment the index
+    * is bucketed on bkey ([[graft.sources.Ddl.createBucketedTable]]) so
+    * only the batch side shuffles, and the anti-join keys are
+    * constant-width (id_a, id_b) pairs. */
+  def indexedDedupStream(
+      docs: DataFrame, // streaming; columns: doc_id LONG, text STRING
+      indexDir: String,
+      hitsDir: String,
+      checkpointDir: String): StreamingQuery = {
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        def readIfExists(dir: String): Option[DataFrame] = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p) && fs.listStatus(p).exists(st =>
+              st.getPath.getName.endsWith(".parquet")))
+            Some(s.read.parquet(dir))
+          else None
+        }
+        graft.sources.Ddl.recover(s, indexDir)
+        val shingled = batch.select(col("doc_id"),
+          graft.functions.VectorExpressions
+            .text_shingles(col("text"), 3).as("sh"))
+        val batchIdx = graft.operators.NearDup.bandIndex(shingled)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val probeSide = readIfExists(indexDir)
+            .map(_.unionByName(batchIdx)).getOrElse(batchIdx)
+          val cand = batchIdx.select($"bkey", $"doc_id".as("id_p"))
+            .join(probeSide.select($"bkey", $"doc_id".as("id_i")), Seq("bkey"))
+            .where($"id_p" =!= $"id_i")
+            .select(least($"id_p", $"id_i").as("id_a"),
+              greatest($"id_p", $"id_i").as("id_b"))
+            .distinct()
+          val fresh = readIfExists(hitsDir)
+            .map(h => cand.join(h, Seq("id_a", "id_b"), "left_anti"))
+            .getOrElse(cand)
+          fresh.write.mode("append").parquet(hitsDir)
+          batchIdx.write.mode("append").parquet(indexDir)
+        } finally { batchIdx.unpersist(false); () }
+        ()
+      }
+      .start()
+  }
+
   /** Event-time windowed aggregation with watermark (the event-time
     * capability the reference lacks — SURVEY §2.6): counts per tumbling
     * window per key, late data bounded by the watermark. */
@@ -340,6 +410,66 @@ object StreamingPipeline {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"))
+
+  /** LATE-DATA ACCOUNTING census — the monitoring query every
+    * production stream pairs with [[windowedCounts]]: watermarked
+    * aggregations silently DROP rows older than the watermark, and
+    * nothing in the aggregate's output says how much was lost or which
+    * source lost it. This census reports, per source and micro-batch:
+    * rows seen, rows that arrived behind the source's watermark (batch
+    * and cumulative), and the worst lateness observed — the "source X
+    * delivers 3 h out of order, your watermark is eating it" readout
+    * that decides whether to widen the delay or fix the producer.
+    *
+    * Semantics mirror Spark's own watermark discipline: the threshold a
+    * batch is judged against is max(event_time) over PREVIOUS batches
+    * minus `delay` — advancing only at batch boundaries, exactly when
+    * the engine's global watermark advances. Kept per-source (each
+    * source judged against its own high-water mark) so one fast source
+    * cannot mask another's disorder; the per-source threshold trails the
+    * engine's global one, so a row flagged here is at risk, and counts
+    * are a conservative floor on cross-source drops.
+    *
+    * Scale shape: state is two longs per source — bounded by the source
+    * count, not the stream length; rows shuffle once to their source's
+    * state partition (the same exchange any per-source fold pays). */
+  def lateDataCensus(
+      events: DataFrame, // streaming; columns: (tsCol, srcCol)
+      tsCol: String,
+      srcCol: String,
+      delaySeconds: Long)
+      : org.apache.spark.sql.Dataset[(String, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .select(col(srcCol).cast("string").as("k"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Long)]) =>
+          val (prevMax, prevLate) =
+            state.getOption.getOrElse((Long.MinValue, 0L))
+          val wm =
+            if (prevMax == Long.MinValue) Long.MinValue
+            else prevMax - delaySeconds * 1000L
+          var nRows = 0L; var nLate = 0L; var worst = 0L; var mx = prevMax
+          rows.foreach { case (_, ts) =>
+            val t = ts.getTime
+            nRows += 1
+            if (t < wm) {
+              nLate += 1
+              worst = math.max(worst, (wm - t) / 1000L)
+            }
+            if (t > mx) mx = t
+          }
+          state.update((mx, prevLate + nLate))
+          // (source, rows in batch, late in batch, late since start,
+          //  worst lateness this batch in seconds)
+          Iterator((key, nRows, nLate, prevLate + nLate, worst))
+      }
+  }
 
   /** Streaming CUSUM rate monitor — the stateful form of the batch
     * [[graft.operators.Sessionize.rateCusum]]: per key, the one-sided

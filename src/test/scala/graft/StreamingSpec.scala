@@ -322,6 +322,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("late-data census: planted late rows are counted per source with their lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val census = StreamingPipeline.lateDataCensus(
+      stream.toDF().toDF("ts", "source"), "ts", "source", delaySeconds = 60L)
+    val q = census.toDF("source", "n_rows", "n_late", "total_late", "worst_s")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_census").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00").getTime
+      def ts(deltaS: Long) = new java.sql.Timestamp(t0 + deltaS * 1000L)
+      // batch 1: establishes each source's high-water mark; nothing can
+      // be late yet (no previous batches to be late against)
+      stream.addData((ts(0), "a"), (ts(100), "a"), (ts(0), "b"))
+      q.processAllAvailable()
+      // batch 2: a's watermark = t0+100-60 = t0+40; b's = t0-60
+      stream.addData(
+        (ts(0), "a"),   // 40 s behind a's watermark -> late
+        (ts(200), "a"), // on time
+        (ts(-120), "b")) // 60 s behind b's watermark -> late
+      q.processAllAvailable()
+      val rows = spark.table("late_census")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      // batch-1 emissions: zero late for both sources
+      assert(rows.contains(("a", 2L, 0L, 0L, 0L)), rows)
+      assert(rows.contains(("b", 1L, 0L, 0L, 0L)), rows)
+      // batch-2 emissions carry the planted lateness
+      assert(rows.contains(("a", 2L, 1L, 1L, 40L)), rows)
+      assert(rows.contains(("b", 1L, 1L, 1L, 60L)), rows)
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate keys across micro-batches emit once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -444,6 +477,58 @@ class StreamingSpec extends SparkSpecBase {
         .as[(Long, Long)].collect().toSet
       assert(got2 === Set((10L, 1L), (12L, 2L)), got2)
     } finally q.stop()
+  }
+
+  test("maintained band index: upsert, compaction, and restart lose and duplicate nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexDir = tmp(); val hitsDir = tmp(); val ckpt = tmp()
+    val stream = MemoryStream[(Long, String)]
+    def start() = StreamingPipeline.indexedDedupStream(
+      stream.toDF().toDF("doc_id", "text"), indexDir, hitsDir, ckpt)
+    val docA = (1 to 40).map(i => s"token$i").mkString(" ")
+    val docB = (100 to 140).map(i => s"word$i").mkString(" ")
+    val twinA = (1 to 40).map(i => if (i == 20) "EDITED" else s"token$i")
+      .mkString(" ")
+    val twinB = (100 to 140).map(i => if (i == 120) "EDITED" else s"word$i")
+      .mkString(" ")
+    def hits(): Set[(Long, Long)] =
+      spark.read.parquet(hitsDir).as[(Long, Long)].collect().toSet
+    val q1 = start()
+    try {
+      stream.addData((1L, docA), (2L, docB)) // seed the standing index
+      q1.processAllAvailable()
+      assert(hits() === Set.empty, hits())
+      stream.addData((3L, twinA)) // probes the UPSERTED index -> finds 1
+      q1.processAllAvailable()
+      assert(hits() === Set((1L, 3L)), hits())
+    } finally q1.stop()
+    // maintenance window: compact the index (fold small batch files);
+    // row content must survive the two-rename swap exactly
+    val before = spark.read.parquet(indexDir).count()
+    graft.sources.Ddl.compact(spark, indexDir, targetBytes = 1L << 30)
+    assert(spark.read.parquet(indexDir).count() === before)
+    // new process, same checkpoint: resumes after the refresh
+    val q2 = start()
+    try {
+      stream.addData((4L, twinB), (5L, twinB)) // batch-internal twins too
+      q2.processAllAvailable()
+      // doc 2 was only reachable through the COMPACTED index files; the
+      // (1,3) hit must not re-emit; 4 and 5 pair with 2 and each other
+      assert(hits() === Set((1L, 3L), (2L, 4L), (2L, 5L), (4L, 5L)), hits())
+    } finally q2.stop()
+    // retry-idempotency: replaying the last batch through a FRESH query
+    // (new checkpoint, same tables) re-derives only known pairs -> no
+    // new hit rows, and the duplicate index rows it appends are absorbed
+    val ckpt2 = tmp()
+    val stream2 = MemoryStream[(Long, String)]
+    val q3 = StreamingPipeline.indexedDedupStream(
+      stream2.toDF().toDF("doc_id", "text"), indexDir, hitsDir, ckpt2)
+    try {
+      stream2.addData((4L, twinB), (5L, twinB))
+      q3.processAllAvailable()
+      assert(hits() === Set((1L, 3L), (2L, 4L), (2L, 5L), (4L, 5L)), hits())
+    } finally q3.stop()
   }
 
   test("flatMapGroupsWithState: per-key highwater state persists across batches") {
