@@ -148,6 +148,108 @@ object Multimodal extends QueryModule {
     }
   }
 
+  /** Real audio codec stage built on `javax.sound.sampled` (JDK-native).
+    * Same design as [[ImageCodec]]: [[makeWav]] synthesizes a
+    * deterministic 16-bit mono PCM WAV per document (sample i of doc d
+    * is ((d·7 + i·11) mod 65536) − 32768 at 8 kHz; n = 800 + d mod 321
+    * samples), [[decodeSamples]] parses the RIFF container back through
+    * `AudioSystem`, and the oracle recomputes the waveform statistics
+    * from the sample formula — agreement proves the codec round-trip
+    * reproduced every sample. */
+  object AudioCodec {
+    val SampleRate = 8000f
+
+    def sampleCount(docId: Long): Int = (800 + docId % 321).toInt
+
+    private def sampleAt(docId: Long, i: Int): Int =
+      (((docId * 7L + i * 11L) % 65536L) - 32768L).toInt
+
+    def makeWav(docId: Long): Array[Byte] = {
+      val n = sampleCount(docId)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sampleAt(docId, i)
+        pcm(2 * i) = (s & 0xff).toByte // little-endian
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        SampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** REAL decode: parse the WAV container, return (sampleRate,
+      * samples). */
+    def decodeSamples(payload: Array[Byte]): (Long, Array[Int]) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = in.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+        !f.isBigEndian, s"unexpected decoded format $f")
+      val bytes = in.readAllBytes()
+      in.close()
+      val out = new Array[Int](bytes.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff))
+        i += 1
+      }
+      (f.getSampleRate.toLong, out)
+    }
+  }
+
+  /** Documents-as-audio: a real WAV payload per document, generated
+    * executor-side like [[imageTable]]. */
+  def audioTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"source")
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, src) => (id, AudioCodec.makeWav(id), src) }
+      }
+      .toDF("doc_id", "payload", "origin")
+      .select($"doc_id", $"payload",
+        struct(lit("audio/wav").as("mime"), $"origin").as("meta"))
+  }
+
+  /** Registered query: waveform statistics of actually-decoded samples —
+    * duration, amplitude sums, energy (Σs²), peak, and zero crossings —
+    * the standard audio-QA features (silence/clipping/level screens)
+    * computed in exact integers. Oracle parity proves the WAV
+    * encode→decode round-trip was sample-exact. */
+  def audioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioTable(s, d)
+      .select($"doc_id", $"payload", $"meta.mime".as("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mime) =>
+          val (rate, samp) = AudioCodec.decodeSamples(payload)
+          var sum = 0L; var sq = 0L; var peak = 0L; var zc = 0L
+          var i = 0
+          while (i < samp.length) {
+            val v = samp(i).toLong
+            sum += v
+            sq += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && (samp(i) >= 0) != (samp(i - 1) >= 0)) zc += 1
+            i += 1
+          }
+          (id, mime, samp.length.toLong, rate, sum, sq, peak, zc)
+        }
+      }
+      .toDF("doc_id", "mime", "n_samples", "sample_rate", "sum_samp",
+        "sum_sq", "peak_abs", "n_zero_cross")
+      .orderBy($"doc_id")
+  }
+
   /** Documents-as-media: text bytes standing in for an image payload, with
     * a typed metadata struct alongside. */
   def mediaTable(s: SparkSession, d: String): DataFrame = {
@@ -416,6 +518,29 @@ object Multimodal extends QueryModule {
                          THEN mh.hraw - (CAST(1 AS HUGEINT) << 64)
                          ELSE mh.hraw END AS BIGINT) AS ahash
         FROM tot t JOIN mh USING (doc_id) ORDER BY doc_id""")),
+    QueryDef(
+      // waveform stats recomputed from the sample formula; the zero-cross
+      // term compares each sample's sign against the formula at i-1
+      "q_audio_features", audioFeatures, Some("""
+        WITH d AS (
+          SELECT doc_id, 800 + doc_id % 321 AS n FROM documents),
+        s AS (
+          SELECT d.doc_id, d.n, i.i,
+                 ((d.doc_id * 7 + i.i * 11) % 65536) - 32768 AS samp,
+                 CASE WHEN i.i > 0 THEN
+                   ((d.doc_id * 7 + (i.i - 1) * 11) % 65536) - 32768
+                 END AS prev
+          FROM d JOIN generate_series(0, 1120) i(i) ON i.i < d.n)
+        SELECT doc_id, 'audio/wav' AS mime,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(sum(samp) AS BIGINT) AS sum_samp,
+               CAST(sum(samp * samp) AS BIGINT) AS sum_sq,
+               CAST(max(abs(samp)) AS BIGINT) AS peak_abs,
+               CAST(sum(CASE WHEN prev IS NOT NULL
+                             AND (samp >= 0) <> (prev >= 0)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+        FROM s GROUP BY doc_id ORDER BY doc_id""")),
     QueryDef(
       // thumbnail channel sums from the fixture formula at the 8x8
       // nearest-neighbor sample positions — gates the decode+resample

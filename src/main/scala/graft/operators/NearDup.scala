@@ -756,12 +756,24 @@ object NearDup extends QueryModule {
   }
 
   private[graft] def incrementalPairs(
-      corpus: DataFrame, fresh: DataFrame): DataFrame = {
+      corpus: DataFrame, fresh: DataFrame): DataFrame =
+    incrementalPairsIndexed(corpus, bandIndex(corpus), fresh)
+
+  /** [[incrementalPairs]] with the corpus' band index supplied as an
+    * ALREADY-MATERIALIZED table — the deployment form, where the index
+    * is a stored bucketed-on-bkey table ([[graft.sources.Ddl
+    * .createBucketedTable]]) built once and probed by every ingest
+    * batch with no index-side exchange (pinned by NearDupSpec's
+    * persisted-band-index plan test; timed at scale by ScaleBench's
+    * incremental_persisted probe). */
+  private[graft] def incrementalPairsIndexed(
+      corpus: DataFrame, corpusIndex: DataFrame, fresh: DataFrame)
+      : DataFrame = {
     import corpus.sparkSession.implicits._
     def banded(df: DataFrame): DataFrame = bandIndex(df)
     // the index side is what production keeps as a stored table; the
     // batch's own keys are unioned in so fresh×fresh dups are also seen
-    val index = banded(corpus).union(banded(fresh))
+    val index = corpusIndex.union(banded(fresh))
     val candidates = banded(fresh).select($"bkey", $"doc_id".as("id_p"))
       .join(index.select($"bkey", $"doc_id".as("id_i")), Seq("bkey"))
       .where($"id_p" =!= $"id_i")

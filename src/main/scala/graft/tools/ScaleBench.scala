@@ -183,6 +183,31 @@ object ScaleBench {
           .select($"doc_id", graft.functions.VectorExpressions
             .text_shingles($"text", 3).as("sh")))
     }
+    // incremental ingest, DEPLOYMENT form: the corpus index is a stored
+    // bucketed-on-bkey table built once; the probe pays only the batch's
+    // work against it. The build is timed separately — it's the one-time
+    // cost the recurring probe amortizes.
+    if (only.forall(_.contains("incremental_persisted_1pct"))) {
+      val corpusSh = spark.read.parquet(s"$dir/documents.parquet")
+        .where($"doc_id" % 100 =!= 1)
+        .select($"doc_id", graft.functions.VectorExpressions
+          .text_shingles($"text", 3).as("sh"))
+      val freshSh = spark.read.parquet(s"$dir/documents.parquet")
+        .where($"doc_id" % 100 === 1)
+        .select($"doc_id", graft.functions.VectorExpressions
+          .text_shingles($"text", 3).as("sh"))
+      val tb = System.nanoTime()
+      graft.sources.Ddl.createBucketedTable(
+        graft.operators.NearDup.bandIndex(corpusSh),
+        "scale_lsh_idx", "bkey", buckets = 32)
+      val secB = (System.nanoTime() - tb) / 1e9
+      println(f"""{"shape":"index_build_99pct","n":$n,"rows":-1,"sec":$secB%.2f}""")
+      time("incremental_persisted_1pct") {
+        graft.operators.NearDup.incrementalPairsIndexed(
+          corpusSh, spark.table("scale_lsh_idx"), freshSh)
+      }
+      spark.sql("DROP TABLE IF EXISTS scale_lsh_idx")
+    }
     // BPE training: the claim under test is that the merge loop runs at
     // VOCABULARY scale — the 4k-word synthetic vocab saturates long
     // before the corpus grows, so train time should be near-flat in n

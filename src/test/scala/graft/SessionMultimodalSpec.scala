@@ -62,6 +62,24 @@ class SessionMultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("audio payloads are genuine RIFF/WAVE files and decode sample-exact") {
+    import spark.implicits._
+    val rows = Multimodal.audioTable(spark, sfDir)
+      .select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      .orderBy($"doc_id").take(3)
+    rows.foreach { case (id, wav) =>
+      assert(new String(wav.slice(0, 4), "US-ASCII") === "RIFF", s"doc $id")
+      assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE", s"doc $id")
+      val (rate, samp) = Multimodal.AudioCodec.decodeSamples(wav)
+      assert(rate === 8000L)
+      assert(samp.length === Multimodal.AudioCodec.sampleCount(id))
+      samp.zipWithIndex.foreach { case (v, i) =>
+        val want = (((id * 7L + i * 11L) % 65536L) - 32768L).toInt
+        assert(v === want, s"doc $id sample $i")
+      }
+    }
+  }
+
   test("real resize emits fixed-shape RGB thumbnails") {
     import spark.implicits._
     val df = Multimodal.resizeThumbnails(spark, sfDir, 8, 8)
