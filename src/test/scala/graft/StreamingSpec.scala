@@ -479,6 +479,61 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("size-flush sink: chunks of exactly cap rows emit mid-interval, remainder carries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val chunksDir = tmp(); val carryDir = tmp(); val ckpt = tmp()
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.sizeFlushSink(
+      stream.toDF().toDF("seq", "payload"), "seq", cap = 3,
+      chunksDir, carryDir, ckpt)
+    def chunks(): Seq[(Long, Long, Seq[Long])] =
+      spark.read.parquet(chunksDir)
+        .select($"batch_id", $"chunk", $"seq")
+        .as[(Long, Long, Long)].collect().toSeq
+        .groupBy(r => (r._1, r._2)).toSeq
+        .map { case ((b, c), rs) => (b, c, rs.map(_._3).sorted) }
+        .sortBy(r => (r._1, r._2))
+    try {
+      // 5 rows, cap 3: ONE chunk flushes now (not at some later
+      // trigger); 2 rows carry
+      stream.addData((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e"))
+      q.processAllAvailable()
+      assert(chunks() === Seq((0L, 0L, Seq(0L, 1L, 2L))), chunks())
+      assert(spark.read.parquet(s"$carryDir/batch_id=0")
+        .as[(Long, String)].collect().map(_._1).sorted.toSeq === Seq(3L, 4L))
+      // 4 more rows: carry (3,4) + (5,6,7,8) = 6 buffered -> two full
+      // chunks, empty carry
+      stream.addData((5L, "f"), (6L, "g"), (7L, "h"), (8L, "i"))
+      q.processAllAvailable()
+      assert(chunks() === Seq(
+        (0L, 0L, Seq(0L, 1L, 2L)),
+        (1L, 0L, Seq(3L, 4L, 5L)),
+        (1L, 1L, Seq(6L, 7L, 8L))), chunks())
+      assert(spark.read.parquet(s"$carryDir/batch_id=1").count() === 0)
+      // every flushed chunk has EXACTLY cap rows — the reference's
+      // "emit the moment 128 rows buffer" contract
+      assert(chunks().forall(_._3.size === 3))
+    } finally q.stop()
+    // determinism / retry-idempotency: replaying the same input through
+    // a fresh checkpoint rewrites the same batch_id dirs with the same
+    // content instead of duplicating chunks
+    val stream2 = MemoryStream[(Long, String)]
+    val q2 = StreamingPipeline.sizeFlushSink(
+      stream2.toDF().toDF("seq", "payload"), "seq", cap = 3,
+      chunksDir, carryDir, tmp())
+    try {
+      stream2.addData((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e"))
+      q2.processAllAvailable()
+      stream2.addData((5L, "f"), (6L, "g"), (7L, "h"), (8L, "i"))
+      q2.processAllAvailable()
+      assert(chunks() === Seq(
+        (0L, 0L, Seq(0L, 1L, 2L)),
+        (1L, 0L, Seq(3L, 4L, 5L)),
+        (1L, 1L, Seq(6L, 7L, 8L))), chunks())
+    } finally q2.stop()
+  }
+
   test("maintained band index: upsert, compaction, and restart lose and duplicate nothing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
