@@ -250,6 +250,129 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Real video-container stage: a deterministic length-prefixed frame
+    * container per document (4-byte BE frame count, then per frame a
+    * 4-byte BE length + a REAL PNG produced by [[ImageCodec]]'s
+    * machinery), decoded with stride by SEEKING over the length
+    * prefixes — only sampled frames are ever handed to the codec, the
+    * skipped ones cost one length read each. That seek-don't-decode
+    * shape is the whole point of keyframe sampling at 100 TB: a video
+    * column's cost is the sampled frames, not the stored ones. */
+  object VideoCodec {
+    def frameCount(docId: Long): Int = (4 + docId % 5).toInt
+
+    private def frameDims(docId: Long, f: Int): (Int, Int) =
+      ((16 + ((docId + f) % 9)).toInt, (16 + ((docId + f) % 7)).toInt)
+
+    /** One REAL PNG frame; pixel base = id·31 + f·997 + 7x + 13y with
+      * the same {0,85,170} channel offsets as [[ImageCodec.makePng]]. */
+    def makeFrame(docId: Long, f: Int): Array[Byte] = {
+      val (w, h) = frameDims(docId, f)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val base = docId * 31L + f * 997L + x * 7L + y * 13L
+          img.setRGB(x, y,
+            (((base % 256L).toInt) << 16) |
+              ((((base + 85L) % 256L).toInt) << 8) |
+              ((base + 170L) % 256L).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def makeVideo(docId: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      val n = frameCount(docId)
+      out.writeInt(n)
+      var f = 0
+      while (f < n) {
+        val png = makeFrame(docId, f)
+        out.writeInt(png.length)
+        out.write(png)
+        f += 1
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Strided decode: parse the header, SKIP unsampled frames via
+      * their length prefix, ImageIO-decode only frames ≡ 0 mod
+      * `stride`. */
+    def decodeStrided(payload: Array[Byte], stride: Int)
+        : Seq[(Int, java.awt.image.BufferedImage)] = {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val n = in.readInt()
+      (0 until n).flatMap { f =>
+        val len = in.readInt()
+        if (f % stride == 0) {
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          Some(f -> javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(buf)))
+        } else {
+          in.skipNBytes(len.toLong) // seek past, never decode
+          None
+        }
+      }
+    }
+  }
+
+  /** Documents-as-video: a real frame container per document. */
+  def videoTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"source")
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, src) => (id, VideoCodec.makeVideo(id), src) }
+      }
+      .toDF("doc_id", "payload", "origin")
+      .select($"doc_id", $"payload",
+        struct(lit("video/x-graft-frames").as("mime"), $"origin").as("meta"))
+  }
+
+  /** Registered query: per SAMPLED frame (stride 2), dimensions and
+    * channel sums from the actually-decoded pixels — the oracle
+    * recomputes them from the frame formula, proving both the container
+    * seek arithmetic and the per-frame PNG round-trip. */
+  def videoFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videoTable(s, d)
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          VideoCodec.decodeStrided(payload, 2).map { case (f, img) =>
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            (id, f.toLong, img.getWidth.toLong, img.getHeight.toLong,
+              rs, gs, bs)
+          }
+        }
+      }
+      .toDF("doc_id", "frame", "width", "height", "r_sum", "g_sum", "b_sum")
+      .orderBy($"doc_id", $"frame")
+  }
+
   /** Documents-as-media: text bytes standing in for an image payload, with
     * a typed metadata struct alongside. */
   def mediaTable(s: SparkSession, d: String): DataFrame = {
@@ -518,6 +641,35 @@ object Multimodal extends QueryModule {
                          THEN mh.hraw - (CAST(1 AS HUGEINT) << 64)
                          ELSE mh.hraw END AS BIGINT) AS ahash
         FROM tot t JOIN mh USING (doc_id) ORDER BY doc_id""")),
+    QueryDef(
+      // sampled frames (stride 2) of the frame container: dims + channel
+      // sums from the per-frame pixel formula. Frame dims <= 24x22.
+      "q_video_frames", videoFrames, Some("""
+        WITH fr AS (
+          SELECT d.doc_id, f.f,
+                 16 + ((d.doc_id + f.f) % 9) AS w,
+                 16 + ((d.doc_id + f.f) % 7) AS h
+          FROM documents d
+          JOIN generate_series(0, 8) f(f)
+            ON f.f < 4 + d.doc_id % 5 AND f.f % 2 = 0),
+        px AS (
+          SELECT fr.doc_id, fr.f, fr.w, fr.h,
+                 (fr.doc_id * 31 + fr.f * 997 + x.x * 7 + y.y * 13) % 256
+                   AS r,
+                 (fr.doc_id * 31 + fr.f * 997 + x.x * 7 + y.y * 13 + 85)
+                   % 256 AS g,
+                 (fr.doc_id * 31 + fr.f * 997 + x.x * 7 + y.y * 13 + 170)
+                   % 256 AS b
+          FROM fr
+          JOIN generate_series(0, 23) x(x) ON x.x < fr.w
+          JOIN generate_series(0, 21) y(y) ON y.y < fr.h)
+        SELECT doc_id, CAST(f AS BIGINT) AS frame,
+               CAST(min(w) AS BIGINT) AS width,
+               CAST(min(h) AS BIGINT) AS height,
+               CAST(sum(r) AS BIGINT) AS r_sum,
+               CAST(sum(g) AS BIGINT) AS g_sum,
+               CAST(sum(b) AS BIGINT) AS b_sum
+        FROM px GROUP BY doc_id, f ORDER BY doc_id, frame""")),
     QueryDef(
       // waveform stats recomputed from the sample formula; the zero-cross
       // term compares each sample's sign against the formula at i-1

@@ -86,7 +86,10 @@ object DumpPlans {
     "q_leakage_split" -> "leakage-safe split: rides dedupClusters' labels; the md5-of-cluster-id split rule is row-local, so the only added node over the clustering is a projection before the presentation sort",
     "q_kcore" -> "k-core peel: 4 bounded rounds of degree-aggregate + semi-join edge filters over the near-dup-sized (not corpus-sized) edge list; the checkpointed symmetric edge table is reused every round",
     "q_effective_mix" -> "dedup-aware mixture weights: rides the effective-token census (LSH + CC + per-source rollup); the weight arithmetic runs on the source-count-bounded table against a 1-row broadcast",
-    "q_active_users" -> "DAU/WAU: events reduce first to distinct (day, user) pairs; the trailing-7-day distinct is an equi-groupable 7x explode of that reduced table -- no non-equi BroadcastNestedLoop range join")
+    "q_active_users" -> "DAU/WAU: events reduce first to distinct (day, user) pairs; the trailing-7-day distinct is an equi-groupable 7x explode of that reduced table -- no non-equi BroadcastNestedLoop range join",
+    "q_adaptive_join" -> "census-driven join choice: per case, the bounded census decides broadcast / salted / sort-merge and the join executes THROUGH the decision -- the skew case carries (k, salt) join keys so the hot key spreads over NumSalts tasks",
+    "q_media_features" -> "real-codec decode: PNG generation and ImageIO decode are two partition-batched narrow passes; payload bytes never shuffle -- features (70 bytes/row) are extracted before the presentation sort",
+    "q_video_frames" -> "frame container decode: strided seek + per-frame PNG decode in one mapPartitions pass; only sampled frames reach the codec, and only (doc, frame) stat rows reach the exchange")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -80,6 +80,30 @@ class SessionMultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("video container: strided decode seeks past unsampled frames and round-trips pixels") {
+    import spark.implicits._
+    val rows = Multimodal.videoTable(spark, sfDir)
+      .select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      .orderBy($"doc_id").take(3)
+    rows.foreach { case (id, video) =>
+      val n = Multimodal.VideoCodec.frameCount(id)
+      val sampled = Multimodal.VideoCodec.decodeStrided(video, 2)
+      // stride contract: frames 0,2,4,... only
+      assert(sampled.map(_._1) === (0 until n by 2).toSeq, s"doc $id")
+      sampled.foreach { case (f, img) =>
+        assert(img.getWidth === (16 + ((id + f) % 9)).toInt)
+        assert(img.getHeight === (16 + ((id + f) % 7)).toInt)
+        val base = id * 31L + f * 997L
+        val want = ((((base % 256L).toInt) << 16) |
+          ((((base + 85L) % 256L).toInt) << 8) |
+          ((base + 170L) % 256L).toInt)
+        assert((img.getRGB(0, 0) & 0xffffff) === want, s"doc $id frame $f")
+      }
+      // stride 1 decodes every frame — the container holds them all
+      assert(Multimodal.VideoCodec.decodeStrided(video, 1).size === n)
+    }
+  }
+
   test("real resize emits fixed-shape RGB thumbnails") {
     import spark.implicits._
     val df = Multimodal.resizeThumbnails(spark, sfDir, 8, 8)
