@@ -283,7 +283,66 @@ object Sessionize extends QueryModule {
       .orderBy($"day")
   }
 
+  /** LATE-ARRIVAL census, batch form — the oracle-gated analogue of
+    * [[graft.streaming.StreamingPipeline.lateDataCensus]]: with arrival
+    * order = event_id (the ingest sequence) and event time = ts, an
+    * event is LATE when it arrives more than `delay` behind its
+    * source's (event_type's) event-time high-water mark over strictly
+    * earlier arrivals — exactly what a watermarked streaming aggregate
+    * would have dropped at that delay. Per source: events, late events,
+    * late share ppm, and the worst lateness in seconds — the readout
+    * that calibrates the watermark delay BEFORE deploying the stream.
+    *
+    * Scale shape: one event_type exchange feeds the running-max window
+    * (the same partitioning sessionize uses); the rollup is map-side
+    * combined to a row per source. Exact integers: epoch micros,
+    * ppm floor-division. */
+  def lateArrivalCensus(s: SparkSession, d: String,
+      delaySeconds: Long = 3600L): DataFrame = {
+    import s.implicits._
+    val wArr = Window.partitionBy($"event_type").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select($"event_type", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("hwm", max($"us").over(wArr))
+      .withColumn("late",
+        $"hwm".isNotNull && $"us" < $"hwm" - delaySeconds * 1000000L)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when($"late", 1L).otherwise(0L)).as("n_late"),
+        max(when($"late", ($"hwm" - delaySeconds * 1000000L - $"us")
+          .cast("long")).otherwise(0L)).as("worst_us"))
+      .select($"event_type", $"n_events", $"n_late",
+        expr("n_late * 1000000 div n_events").as("late_ppm"),
+        expr("worst_us div 1000000").as("worst_s"))
+      .orderBy($"event_type")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_late_census", (s, d) => lateArrivalCensus(s, d), Some("""
+        WITH e AS (
+          SELECT event_type, event_id, epoch_us(ts) AS us,
+                 max(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS hwm
+          FROM events),
+        f AS (
+          SELECT event_type, us, hwm,
+                 (hwm IS NOT NULL AND us < hwm - 3600000000::BIGINT)
+                   AS late
+          FROM e)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_late,
+               CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) * 1000000
+                 // count(*) AS BIGINT) AS late_ppm,
+               CAST(max(CASE WHEN late THEN hwm - 3600000000::BIGINT - us
+                        ELSE 0 END) // 1000000 AS BIGINT) AS worst_s
+        FROM f GROUP BY event_type ORDER BY event_type""")),
     QueryDef(
       "q_growth_accounting", growthAccounting, Some("""
         WITH pr AS (
