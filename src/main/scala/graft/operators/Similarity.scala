@@ -375,6 +375,102 @@ object Similarity extends QueryModule {
       .orderBy($"q_id", $"rank")
   }
 
+  /** ANN RECALL@K eval — the index-quality monitor every approximate
+    * search deployment runs on a probe sample before trusting the
+    * index: for each probe, the EXACT top-K neighbors (brute-force over
+    * the full corpus — the deliberate baseline, one broadcast-probe
+    * scan) against the [[ivfTopK]] candidates, reporting hits and
+    * recall as integer ppm. A single-cell IVF probe trades recall for
+    * the ~K× candidate-set shrink; this query MEASURES that trade
+    * instead of assuming it, and is the regression gate to re-run after
+    * every [[codebookUpdate]] round.
+    *
+    * Scale shape: truth is |probes| × corpus through one broadcast join
+    * (probe samples are small by design); the approx side rides the
+    * IVF machinery (narrow assignment + inverted-list join); the
+    * compare is (probe × K)-grain — trivial at any corpus size. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 3
+    val e = vecs(s, d)
+    val probes = broadcast(
+      e.where($"vec_id" >= 8 && $"vec_id" < 18)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn")))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id")
+    val truth = e.join(probes, $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= K)
+      .select($"q_id", $"neighbor_id")
+    val approx = ivfTopK(s, d).select($"q_id", $"neighbor_id")
+      .withColumn("hit", lit(1L))
+    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .select($"q_id", $"n_true", $"n_hit",
+        expr("n_hit * 1000000 div n_true").as("recall_ppm"))
+      .orderBy($"q_id")
+  }
+
+  /** MULTI-PROBE recall@K — the deployment knob [[annRecall]] exists to
+    * calibrate: probing the `nprobe` nearest cells instead of one
+    * multiplies the candidate set by ~nprobe/K_cells and buys recall
+    * back (FAISS's `nprobe`). The probe side ranks cells through a
+    * tiny broadcast cross join (|probes| × K rows — probe samples are
+    * small by design); the corpus side is untouched: still ONE narrow
+    * assignment scan, candidates still come from the inverted-list
+    * equi-join, now on nprobe cells per probe. */
+  def annRecallMultiprobe(s: SparkSession, d: String, nprobe: Int = 3)
+      : DataFrame = {
+    import s.implicits._
+    val K = 3
+    val e = vecs(s, d)
+    val indexed = assignTo(e, centroids(e))
+      .select($"vec_id", $"v", $"nrm", $"centroid_id")
+    val centDf = broadcast(e.where($"vec_id" < 8)
+      .select($"vec_id".as("centroid_id"), $"v".as("cv"), $"nrm".as("cn")))
+    val wCell = Window.partitionBy($"q_id").orderBy($"ccos".desc, $"centroid_id")
+    val probeCells = broadcast(
+      e.where($"vec_id" >= 8 && $"vec_id" < 18)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+        .crossJoin(centDf)
+        .withColumn("ccos", cosineWithNorms($"qv", $"cv", $"qn", $"cn"))
+        .withColumn("crn", row_number().over(wCell))
+        .where($"crn" <= nprobe)
+        .select($"q_id", $"qv", $"qn", $"centroid_id"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id")
+    val approx = indexed.join(probeCells, Seq("centroid_id"))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= K)
+      .select($"q_id", $"neighbor_id")
+      .withColumn("hit", lit(1L))
+    val wT = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id")
+    val truthProbes = broadcast(
+      e.where($"vec_id" >= 8 && $"vec_id" < 18)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn")))
+    val truth = e.join(truthProbes, $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
+      .withColumn("rank", row_number().over(wT))
+      .where($"rank" <= K)
+      .select($"q_id", $"neighbor_id")
+    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .select($"q_id", lit(nprobe.toLong).as("nprobe"), $"n_true", $"n_hit",
+        expr("n_hit * 1000000 div n_true").as("recall_ppm"))
+      .orderBy($"q_id")
+  }
+
   /** One Lloyd UPDATE step of the IVF codebook, in exact arithmetic —
     * the trainable half of the index-build story as an oracle-gated
     * query. Assignment is the same narrow [[assignTo]] pass as
@@ -953,6 +1049,106 @@ object Similarity extends QueryModule {
               FROM p)
         SELECT q_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3
         ORDER BY q_id, rank""")),
+    QueryDef(
+      // recall@3 of the single-cell IVF probe vs the exact brute top-3:
+      // both sides rebuilt from scratch (brute all-pairs for the probe
+      // rows; cell assignment + inverted-list ranking), compared by set
+      "q_ann_recall", annRecall, Some(s"""
+        $oracleVecs,
+        c AS (SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cn
+              FROM e WHERE vec_id < 8),
+        a AS (
+          SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
+                     / (e.nrm * c.cn) DESC, c.centroid_id) AS rn
+          FROM e CROSS JOIN c),
+        asg AS (SELECT vec_id, centroid_id FROM a WHERE rn = 1),
+        tp AS (
+          SELECT qa.vec_id AS q_id, b.vec_id AS neighbor_id,
+                 ${oracleDot("qa", "b")} / (qa.nrm * b.nrm) AS cosine
+          FROM e qa JOIN e b ON b.vec_id <> qa.vec_id
+          WHERE qa.vec_id >= 8 AND qa.vec_id < 18),
+        t3 AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM tp) WHERE rank <= 3),
+        ip AS (
+          SELECT pa.vec_id AS q_id, ea.vec_id AS neighbor_id,
+                 ${oracleDot("pe", "ee")} / (pe.nrm * ee.nrm) AS cosine
+          FROM asg pa
+          JOIN e pe ON pe.vec_id = pa.vec_id
+          JOIN asg ea ON ea.centroid_id = pa.centroid_id
+                     AND ea.vec_id <> pa.vec_id
+          JOIN e ee ON ee.vec_id = ea.vec_id
+          WHERE pa.vec_id >= 8 AND pa.vec_id < 18),
+        i3 AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM ip) WHERE rank <= 3)
+        SELECT t.q_id,
+               CAST(count(*) AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_hit,
+               CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0
+                        END) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+        FROM t3 t LEFT JOIN i3 i USING (q_id, neighbor_id)
+        GROUP BY t.q_id ORDER BY q_id""")),
+    QueryDef(
+      // same compare with nprobe=3 cells per probe — the recall knob
+      "q_ann_recall_multiprobe", (s, d) => annRecallMultiprobe(s, d),
+      Some(s"""
+        $oracleVecs,
+        c AS (SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cn
+              FROM e WHERE vec_id < 8),
+        a AS (
+          SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
+                     / (e.nrm * c.cn) DESC, c.centroid_id) AS rn
+          FROM e CROSS JOIN c),
+        asg AS (SELECT vec_id, centroid_id FROM a WHERE rn = 1),
+        pc AS (SELECT vec_id AS q_id, centroid_id FROM a
+               WHERE vec_id >= 8 AND vec_id < 18 AND rn <= 3),
+        tp AS (
+          SELECT qa.vec_id AS q_id, b.vec_id AS neighbor_id,
+                 ${oracleDot("qa", "b")} / (qa.nrm * b.nrm) AS cosine
+          FROM e qa JOIN e b ON b.vec_id <> qa.vec_id
+          WHERE qa.vec_id >= 8 AND qa.vec_id < 18),
+        t3 AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM tp) WHERE rank <= 3),
+        ip AS (
+          SELECT pc.q_id, ea.vec_id AS neighbor_id,
+                 ${oracleDot("pe", "ee")} / (pe.nrm * ee.nrm) AS cosine
+          FROM pc
+          JOIN e pe ON pe.vec_id = pc.q_id
+          JOIN asg ea ON ea.centroid_id = pc.centroid_id
+                     AND ea.vec_id <> pc.q_id
+          JOIN e ee ON ee.vec_id = ea.vec_id),
+        i3 AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM ip) WHERE rank <= 3)
+        SELECT t.q_id, CAST(3 AS BIGINT) AS nprobe,
+               CAST(count(*) AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_hit,
+               CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0
+                        END) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+        FROM t3 t LEFT JOIN i3 i USING (q_id, neighbor_id)
+        GROUP BY t.q_id ORDER BY q_id""")),
     QueryDef(
       "q_codebook_update", codebookUpdate, Some(s"""
         $oracleVecs,
