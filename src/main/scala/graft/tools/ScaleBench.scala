@@ -183,6 +183,22 @@ object ScaleBench {
           .select($"doc_id", graft.functions.VectorExpressions
             .text_shingles($"text", 3).as("sh")))
     }
+    // real-codec multimodal family: PNG/WAV/frame-container encode +
+    // decode per doc is embarrassingly parallel partition work with no
+    // shuffle until the ~70-byte feature rows — throughput should be
+    // linear in n (codec-bound, so probed at 10^5 where a run is
+    // minutes, not the 10^6+ rungs the pair family needs)
+    if (n <= 100000L) {
+      time("media_features") {
+        graft.operators.Multimodal.mediaFeatures(spark, dir)
+      }
+      time("audio_features") {
+        graft.operators.Multimodal.audioFeatures(spark, dir)
+      }
+      time("video_frames") {
+        graft.operators.Multimodal.videoFrames(spark, dir)
+      }
+    }
     // incremental ingest, DEPLOYMENT form: the corpus index is a stored
     // bucketed-on-bkey table built once; the probe pays only the batch's
     // work against it. The build is timed separately — it's the one-time
