@@ -566,13 +566,13 @@ object Curation extends QueryModule {
     QueryDef(
       "q_effective_mix", effectiveMix, Some(s"""
         ${NearDup.oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},
-        p AS (
+        p AS MATERIALIZED (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM s a JOIN s b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                 >= 0.8),
-        e AS (SELECT id_a AS src, id_b AS dst FROM p
+        e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
               UNION ALL SELECT id_b, id_a FROM p),
         reach(a, b) AS (
           SELECT doc_id, doc_id FROM documents

@@ -1167,15 +1167,19 @@ object NearDup extends QueryModule {
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef(
+      // p/e MATERIALIZED: the peel rounds reference e repeatedly, and
+      // DuckDB inlines plain CTEs per reference — without the hint the
+      // all-pairs verification join recomputes once per round (hours at
+      // sf0.1 instead of minutes)
       "q_kcore", kcore, Some(s"""
         $oracleShingles,
-        p AS (
+        p AS MATERIALIZED (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM s a JOIN s b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                 >= 0.8),
-        e AS (SELECT id_a AS src, id_b AS dst FROM p
+        e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
               UNION ALL SELECT id_b, id_a FROM p),
         ${kcoreOracleRounds(4, 2)},
         ef AS (SELECT e.src, e.dst FROM e
@@ -1195,15 +1199,17 @@ object NearDup extends QueryModule {
         HAVING count(*) >= $WinnowMinShared
         ORDER BY id_a, id_b""")),
     QueryDef(
+      // p/e MATERIALIZED for the same reason as q_kcore: five unrolled
+      // rounds each join e, and plain CTEs re-inline the all-pairs join
       "q_pagerank", pageRank, Some(s"""
         $oracleShingles,
-        p AS (
+        p AS MATERIALIZED (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM s a JOIN s b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                 >= 0.8),
-        e AS (SELECT id_a AS src, id_b AS dst FROM p
+        e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
               UNION ALL SELECT id_b, id_a FROM p),
         deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
                 FROM e GROUP BY src),
@@ -1216,7 +1222,7 @@ object NearDup extends QueryModule {
     QueryDef(
       "q_edit_distance", editDistance, Some(s"""
         $oracleShingles,
-        p AS (
+        p AS MATERIALIZED (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM s a JOIN s b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -1237,7 +1243,7 @@ object NearDup extends QueryModule {
     QueryDef(
       "q_graph_stats", graphStats, Some(s"""
         $oracleShingles,
-        p AS (
+        p AS MATERIALIZED (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM s a JOIN s b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -1263,7 +1269,7 @@ object NearDup extends QueryModule {
     QueryDef(
       "q_minhash_neardup", minhashNearDup, Some(s"""
         $oracleShingles,
-        p AS (
+        p AS MATERIALIZED (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -1275,7 +1281,7 @@ object NearDup extends QueryModule {
     QueryDef(
       "q_dedup_tau_sweep", thresholdSweep, Some(s"""
         $oracleShingles,
-        p AS (
+        p AS MATERIALIZED (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
@@ -1319,13 +1325,13 @@ object NearDup extends QueryModule {
     QueryDef(
       "q_dedup_clusters", dedupClusters, Some(s"""
         ${oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},
-        p AS (
+        p AS MATERIALIZED (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM s a JOIN s b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                 >= 0.8),
-        e AS (SELECT id_a AS src, id_b AS dst FROM p
+        e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
               UNION ALL SELECT id_b, id_a FROM p),
         reach(a, b) AS (
           SELECT doc_id, doc_id FROM documents
@@ -1336,7 +1342,7 @@ object NearDup extends QueryModule {
     QueryDef(
       "q_cross_source_dup", crossSourceDup, Some(s"""
         $oracleShingles,
-        p AS (
+        p AS MATERIALIZED (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM s a JOIN s b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -1355,13 +1361,13 @@ object NearDup extends QueryModule {
     QueryDef(
       "q_leakage_split", leakageSafeSplit, Some(s"""
         ${oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},
-        p AS (
+        p AS MATERIALIZED (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM s a JOIN s b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                 >= 0.8),
-        e AS (SELECT id_a AS src, id_b AS dst FROM p
+        e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
               UNION ALL SELECT id_b, id_a FROM p),
         reach(a, b) AS (
           SELECT doc_id, doc_id FROM documents
@@ -1386,13 +1392,13 @@ object NearDup extends QueryModule {
     QueryDef(
       "q_effective_tokens", effectiveTokens, Some(s"""
         ${oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},
-        p AS (
+        p AS MATERIALIZED (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM s a JOIN s b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                 >= 0.8),
-        e AS (SELECT id_a AS src, id_b AS dst FROM p
+        e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
               UNION ALL SELECT id_b, id_a FROM p),
         reach(a, b) AS (
           SELECT doc_id, doc_id FROM documents
@@ -1423,13 +1429,13 @@ object NearDup extends QueryModule {
     QueryDef(
       "q_cluster_sizes", clusterSizes, Some(s"""
         ${oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},
-        p AS (
+        p AS MATERIALIZED (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM s a JOIN s b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                 >= 0.8),
-        e AS (SELECT id_a AS src, id_b AS dst FROM p
+        e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
               UNION ALL SELECT id_b, id_a FROM p),
         reach(a, b) AS (
           SELECT doc_id, doc_id FROM documents
@@ -1448,13 +1454,13 @@ object NearDup extends QueryModule {
     QueryDef(
       "q_dedup_survivor", dedupSurvivor, Some(s"""
         ${oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},
-        p AS (
+        p AS MATERIALIZED (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM s a JOIN s b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                 >= 0.8),
-        e AS (SELECT id_a AS src, id_b AS dst FROM p
+        e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
               UNION ALL SELECT id_b, id_a FROM p),
         reach(a, b) AS (
           SELECT doc_id, doc_id FROM documents
@@ -1493,7 +1499,7 @@ object NearDup extends QueryModule {
     QueryDef(
       "q_incremental_neardup", incrementalNearDup, Some(s"""
         $oracleShingles,
-        p AS (
+        p AS MATERIALIZED (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -1506,7 +1512,7 @@ object NearDup extends QueryModule {
     QueryDef(
       "q_simjoin_prefix", prefixSimJoin, Some(s"""
         $oracleShingles,
-        p AS (
+        p AS MATERIALIZED (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
