@@ -153,4 +153,48 @@ class VecOpsPropertySpec extends AnyFunSuite {
         (0 until a.numElements()).forall(i => a.getLong(i) == b.getLong(i))
     })
   }
+
+  test("ImageCodec: PNG round-trip is pixel-exact for arbitrary doc ids") {
+    import graft.operators.Multimodal.ImageCodec
+    check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 1024)) { id =>
+      val img = ImageCodec.decode(ImageCodec.makePng(id))
+      val w = (16 + id % 17).toInt
+      val h = (16 + id % 13).toInt
+      img.getWidth == w && img.getHeight == h &&
+        (0 until h).forall { y =>
+          (0 until w).forall { x =>
+            val base = id * 31L + x * 7L + y * 13L
+            (img.getRGB(x, y) & 0xffffff) ==
+              ((((base % 256) << 16) | (((base + 85) % 256) << 8) |
+                ((base + 170) % 256)).toInt)
+          }
+        }
+    })
+  }
+
+  test("AudioCodec: WAV round-trip is sample-exact for arbitrary doc ids") {
+    import graft.operators.Multimodal.AudioCodec
+    check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 1024)) { id =>
+      val (rate, samp) = AudioCodec.decodeSamples(AudioCodec.makeWav(id))
+      rate == 8000L && samp.length == AudioCodec.sampleCount(id) &&
+        samp.indices.forall { i =>
+          samp(i) == (((id * 7L + i * 11L) % 65536L) - 32768L).toInt
+        }
+    })
+  }
+
+  test("VideoCodec: container holds frameCount frames; stride s decodes every s-th") {
+    import graft.operators.Multimodal.VideoCodec
+    check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 1024),
+        Gen.chooseNum(1, 4)) { (id, stride) =>
+      val video = VideoCodec.makeVideo(id)
+      val n = VideoCodec.frameCount(id)
+      val sampled = VideoCodec.decodeStrided(video, stride)
+      sampled.map(_._1) == (0 until n by stride).toSeq &&
+        sampled.forall { case (f, img) =>
+          img.getWidth == (16 + ((id + f) % 9)).toInt &&
+            img.getHeight == (16 + ((id + f) % 7)).toInt
+        }
+    })
+  }
 }
