@@ -415,6 +415,43 @@ object Similarity extends QueryModule {
       .orderBy($"q_id")
   }
 
+  /** SEMANTIC DECONTAMINATION — the embedding-space member of the
+    * decontamination family ([[graft.operators.Corpus]] has the exact /
+    * bloom / n-gram forms): eval-benchmark vectors (vec_id ≡ 0 mod 50,
+    * the deterministic stand-in for a held-out test set) are probed
+    * against the corpus through the SHARED IVF cells, flagging corpus
+    * vectors whose cosine to any benchmark vector in their cell clears
+    * `tau` — paraphrased eval contamination that no n-gram overlap
+    * catches. Per benchmark vector: its cell, the corpus population
+    * probed, the flag count, and the max cosine seen (the margin
+    * readout that calibrates tau).
+    *
+    * Scale shape: ONE narrow assignment scan of the corpus (codebook in
+    * the expression, no join); the pair stage joins the tiny benchmark
+    * side to its own cells only — work ∝ |bench| × |cell|, never
+    * corpus², exactly [[incrementalSemanticDedup]]'s one-sided probe
+    * with the roles relabeled. */
+  def semanticDecontaminate(s: SparkSession, d: String, tau: Double = 0.9)
+      : DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val cells = assignTo(e, centroids(e))
+      .select($"vec_id", $"v", $"nrm", $"centroid_id")
+    val bench = broadcast(cells.where($"vec_id" % 50 === 0)
+      .select($"vec_id".as("bench_id"), $"v".as("bv"), $"nrm".as("bn"),
+        $"centroid_id"))
+    cells.where($"vec_id" % 50 =!= 0)
+      .join(bench, Seq("centroid_id"))
+      .select($"bench_id", $"centroid_id", $"vec_id",
+        cosineWithNorms($"bv", $"v", $"bn", $"nrm").as("cos"))
+      .groupBy($"bench_id")
+      .agg(min($"centroid_id").as("centroid_id"),
+        count(lit(1)).as("n_probed"),
+        sum(when($"cos" >= tau, 1L).otherwise(0L)).as("n_flagged"),
+        max($"cos").as("max_cos"))
+      .orderBy($"bench_id")
+  }
+
   /** MULTI-PROBE recall@K — the deployment knob [[annRecall]] exists to
     * calibrate: probing the `nprobe` nearest cells instead of one
     * multiplies the candidate set by ~nprobe/K_cells and buys recall
@@ -1099,6 +1136,38 @@ object Similarity extends QueryModule {
                         END) * 1000000 // count(*) AS BIGINT) AS recall_ppm
         FROM t3 t LEFT JOIN i3 i USING (q_id, neighbor_id)
         GROUP BY t.q_id ORDER BY q_id""")),
+    QueryDef(
+      // benchmark vectors vs their IVF cellmates; max_cos is the one
+      // double column (a single correctly-rounded division per pair,
+      // max is order-free) — engine-reproducible like q_cosine_topk
+      "q_decontaminate_semantic", (s, d) => semanticDecontaminate(s, d),
+      Some(s"""
+        $oracleVecs,
+        c AS (SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cn
+              FROM e WHERE vec_id < 8),
+        a AS (
+          SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
+                     / (e.nrm * c.cn) DESC, c.centroid_id) AS rn
+          FROM e CROSS JOIN c),
+        asg AS (SELECT vec_id, centroid_id FROM a WHERE rn = 1),
+        p AS (
+          SELECT b.vec_id AS bench_id, b.centroid_id, x.vec_id,
+                 ${oracleDot("be", "xe")} / (be.nrm * xe.nrm) AS cos
+          FROM asg b
+          JOIN asg x ON x.centroid_id = b.centroid_id
+                    AND x.vec_id % 50 <> 0
+          JOIN e be ON be.vec_id = b.vec_id
+          JOIN e xe ON xe.vec_id = x.vec_id
+          WHERE b.vec_id % 50 = 0)
+        SELECT bench_id, CAST(min(centroid_id) AS BIGINT) AS centroid_id,
+               CAST(count(*) AS BIGINT) AS n_probed,
+               CAST(sum(CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               max(cos) AS max_cos
+        FROM p GROUP BY bench_id ORDER BY bench_id""")),
     QueryDef(
       // same compare with nprobe=3 cells per probe — the recall knob
       "q_ann_recall_multiprobe", (s, d) => annRecallMultiprobe(s, d),
