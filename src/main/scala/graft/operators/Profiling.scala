@@ -247,9 +247,12 @@ object Profiling extends QueryModule {
     val s = build.sparkSession
     import s.implicits._
     val nb = build.count()
+    // coalesce: an empty probe yields NULL sum/max from the group-less
+    // aggregate — decide (broadcast-or-shuffle, 0, 0) instead of
+    // throwing on the non-nullable decode
     val Array(np, top) = probe
       .groupBy($"k").agg(count(lit(1)).as("c"))
-      .agg(sum($"c"), max($"c"))
+      .agg(coalesce(sum($"c"), lit(0L)), coalesce(max($"c"), lit(0L)))
       .as[(Long, Long)].head() match { case (a, b) => Array(a, b) }
     val share = top * 1000000L / math.max(np, 1L)
     val strat =
@@ -276,7 +279,12 @@ object Profiling extends QueryModule {
       case "salted" =>
         val b = build.withColumn("salt",
           explode(array((0 until NumSalts).map(lit): _*)))
-        val p = probe.withColumn("salt", pmod($"v", lit(NumSalts)).cast("int"))
+        // salt from a HASH of v, not v's residue: v values stuck in one
+        // residue class (constant status codes, small line numbers)
+        // would otherwise re-concentrate the hot key on few salts while
+        // still paying the full build-side explode
+        val p = probe.withColumn("salt",
+          pmod(xxhash64($"v"), lit(NumSalts.toLong)).cast("int"))
         p.join(b.hint("merge"), Seq("k", "salt")).drop("salt")
       case _ =>
         probe.join(build.hint("merge"), Seq("k"))

@@ -375,6 +375,25 @@ object Similarity extends QueryModule {
       .orderBy($"q_id", $"rank")
   }
 
+  /** The exact top-K ground truth both recall gates measure against:
+    * brute-force cosine top-K for probes (vec_id 8..17) over the full
+    * corpus, one broadcast-probe scan. Shared so [[annRecall]] and
+    * [[annRecallMultiprobe]] can never drift to different baselines. */
+  private def bruteTruthTopK(e: DataFrame, k: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val probes = broadcast(
+      e.where($"vec_id" >= 8 && $"vec_id" < 18)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn")))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id")
+    e.join(probes, $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"q_id", $"neighbor_id")
+  }
+
   /** ANN RECALL@K eval — the index-quality monitor every approximate
     * search deployment runs on a probe sample before trusting the
     * index: for each probe, the EXACT top-K neighbors (brute-force over
@@ -391,19 +410,8 @@ object Similarity extends QueryModule {
     * compare is (probe × K)-grain — trivial at any corpus size. */
   def annRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val K = 3
     val e = vecs(s, d)
-    val probes = broadcast(
-      e.where($"vec_id" >= 8 && $"vec_id" < 18)
-        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn")))
-    val w = Window.partitionBy($"q_id")
-      .orderBy($"cosine".desc, $"neighbor_id")
-    val truth = e.join(probes, $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id".as("neighbor_id"),
-        cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .where($"rank" <= K)
-      .select($"q_id", $"neighbor_id")
+    val truth = bruteTruthTopK(e, 3)
     val approx = ivfTopK(s, d).select($"q_id", $"neighbor_id")
       .withColumn("hit", lit(1L))
     truth.join(approx, Seq("q_id", "neighbor_id"), "left")
@@ -488,17 +496,7 @@ object Similarity extends QueryModule {
       .where($"rank" <= K)
       .select($"q_id", $"neighbor_id")
       .withColumn("hit", lit(1L))
-    val wT = Window.partitionBy($"q_id")
-      .orderBy($"cosine".desc, $"neighbor_id")
-    val truthProbes = broadcast(
-      e.where($"vec_id" >= 8 && $"vec_id" < 18)
-        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn")))
-    val truth = e.join(truthProbes, $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id".as("neighbor_id"),
-        cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
-      .withColumn("rank", row_number().over(wT))
-      .where($"rank" <= K)
-      .select($"q_id", $"neighbor_id")
+    val truth = bruteTruthTopK(e, K)
     truth.join(approx, Seq("q_id", "neighbor_id"), "left")
       .groupBy($"q_id")
       .agg(count(lit(1)).as("n_true"),

@@ -382,20 +382,33 @@ object StreamingPipeline {
         val carried = prev
           .map(p => s.read.parquet(s"$carryDir/batch_id=$p"))
           .getOrElse(batch.limit(0))
-        val all = carried.unionByName(batch)
+        val unioned = carried.unionByName(batch)
+        // order by (seqCol, full-row hash): ties on seqCol alone would
+        // let the chunk and carry actions rank rows differently across
+        // their independent executions (duplicating one row, dropping
+        // another); the hash tiebreaker makes the rank deterministic up
+        // to fully identical rows, which are interchangeable. The
+        // persist makes the three actions (count + two writes) share
+        // one carry-read + sort instead of re-running it.
+        val all = unioned
           .withColumn("rn",
             row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy(col(seqCol))) - 1)
-        val n = all.count()
-        val emit = n / cap * cap // whole chunks only; remainder carries
-        all.where($"rn" < emit)
-          .withColumn("chunk", ($"rn" / cap).cast("long"))
-          .drop("rn")
-          .repartition(1) // each chunk is one sink call's body
-          .write.mode("overwrite").partitionBy("chunk")
-          .parquet(s"$chunksDir/batch_id=$id")
-        all.where($"rn" >= emit).drop("rn")
-          .write.mode("overwrite").parquet(s"$carryDir/batch_id=$id")
+              .orderBy(col(seqCol),
+                xxhash64(struct(unioned.columns.toIndexedSeq.map(col): _*))))
+              - 1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = all.count()
+          val emit = n / cap * cap // whole chunks only; remainder carries
+          all.where($"rn" < emit)
+            .withColumn("chunk", ($"rn" / cap).cast("long"))
+            .drop("rn")
+            .repartition(1) // each chunk is one sink call's body
+            .write.mode("overwrite").partitionBy("chunk")
+            .parquet(s"$chunksDir/batch_id=$id")
+          all.where($"rn" >= emit).drop("rn")
+            .write.mode("overwrite").parquet(s"$carryDir/batch_id=$id")
+        } finally { all.unpersist(false); () }
         ()
       }
       .start()
@@ -679,9 +692,12 @@ object StreamingPipeline {
         }
         // idempotent per-batch write: foreachBatch is at-least-once, so a
         // retried micro-batch must OVERWRITE its own partition directory
-        // rather than append a second copy of its rows. The batch_id
-        // lands as a Hive-style partition column, so readers of
-        // monitorDir see the same schema as before.
+        // rather than append a second copy of its rows. batch_id comes
+        // back to monitorDir readers as a Hive-style PARTITION column
+        // (integer-inferred, appended last) — same columns by NAME as
+        // the old flat layout, but positional or strict-dtype consumers
+        // must select by name, and a read of one batch_id=N dir alone
+        // has no batch_id column.
         report
           .toDF("batch_id", "bucket", "n_batch", "share_batch",
             "share_ref", "gap", "alarm")

@@ -46,6 +46,9 @@ def run_one(args):
                 time.time() - t0)
     for c in got.columns:
         g, w = got[c], want[c]
+        if str(g.dtype) != str(w.dtype):
+            print(f"WARN {name}.{c}: dtype {g.dtype} vs {w.dtype}",
+                  flush=True)
         try:
             both_na = pd.isna(g).values & pd.isna(w).values
             eq = (g.astype(object) == w.astype(object)).values | both_na
