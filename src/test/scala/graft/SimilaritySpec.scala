@@ -288,4 +288,22 @@ class SimilaritySpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect()
     assert(again.sortBy(_._1).toSeq === sample.sortBy(_._1).toSeq)
   }
+
+  test("ann recall: multi-probe dominates single-cell per probe (superset candidates)") {
+    import spark.implicits._
+    // nprobe=3's candidate set is a superset of nprobe=1's, and any
+    // candidate displacing a true-top-3 member from the approx top-3
+    // must itself be in the true top-3 — so per-probe hits can only go
+    // up. A violation means the two gates rank against different truth.
+    val single = Similarity.annRecall(spark, sfDir)
+      .select($"q_id", $"n_hit").as[(Long, Long)].collect().toMap
+    val multi = Similarity.annRecallMultiprobe(spark, sfDir)
+      .select($"q_id", $"n_hit").as[(Long, Long)].collect().toMap
+    assert(single.keySet === multi.keySet)
+    single.foreach { case (q, h) =>
+      assert(multi(q) >= h, s"probe $q: multiprobe ${multi(q)} < single $h")
+    }
+    assert(multi.values.sum > single.values.sum,
+      "nprobe=3 should strictly improve total recall on these fixtures")
+  }
 }
