@@ -242,8 +242,12 @@ object Profiling extends QueryModule {
     * The two census aggregates are 1-row bounded collects — the same
     * class of driver-side metadata as a broadcast threshold check; this
     * is exactly the decision a cost-based optimizer or AQE makes, made
-    * explicit, logged, and testable. */
-  def decideJoin(build: DataFrame, probe: DataFrame): JoinDecision = {
+    * explicit, logged, and testable.
+    *
+    * `keyCol` names the equi-join key present on BOTH sides (default
+    * `"k"`, the gate query's shape). */
+  def decideJoin(build: DataFrame, probe: DataFrame,
+      keyCol: String = "k"): JoinDecision = {
     val s = build.sparkSession
     import s.implicits._
     val nb = build.count()
@@ -251,7 +255,7 @@ object Profiling extends QueryModule {
     // aggregate — decide (broadcast-or-shuffle, 0, 0) instead of
     // throwing on the non-nullable decode
     val Array(np, top) = probe
-      .groupBy($"k").agg(count(lit(1)).as("c"))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum($"c"), lit(0L)), coalesce(max($"c"), lit(0L)))
       .as[(Long, Long)].head() match { case (a, b) => Array(a, b) }
     val share = top * 1000000L / math.max(np, 1L)
@@ -262,32 +266,39 @@ object Profiling extends QueryModule {
     JoinDecision(strat, nb, np, share)
   }
 
-  /** Execute the decided join: `build(k, p)` ⋈ `probe(k, v)`. All three
-    * shapes return identical rows — only the physical plan differs:
+  /** Execute the decided join: `build(keyCol, …)` ⋈ `probe(keyCol, …)`.
+    * All three shapes return identical rows — only the physical plan
+    * differs:
     *   - broadcast: `broadcast()` hint on the build side
     *   - salted: build exploded ×[[NumSalts]], probe salted
-    *     deterministically from `v`, equi-join on (k, salt) — the hot
-    *     key's rows spread across [[NumSalts]] tasks instead of one
-    *   - shuffle: merge hint (sort-merge — the scale-safe default) */
+    *     deterministically from `saltSourceCol`, equi-join on
+    *     (keyCol, salt) — the hot key's rows spread across [[NumSalts]]
+    *     tasks instead of one
+    *   - shuffle: merge hint (sort-merge — the scale-safe default)
+    *
+    * `saltSourceCol` must be a probe-side column that VARIES within the
+    * hot key (a line number, a payload hash — anything non-constant per
+    * row); salting from a constant would put the whole hot key back on
+    * one task. Defaults are the gate query's `(k, v)` shape. */
   def executeDecided(build: DataFrame, probe: DataFrame,
-      decision: JoinDecision): DataFrame = {
-    val s = build.sparkSession
-    import s.implicits._
+      decision: JoinDecision, keyCol: String = "k",
+      saltSourceCol: String = "v"): DataFrame = {
     decision.strategy match {
       case "broadcast" =>
-        probe.join(broadcast(build), Seq("k"))
+        probe.join(broadcast(build), Seq(keyCol))
       case "salted" =>
         val b = build.withColumn("salt",
           explode(array((0 until NumSalts).map(lit): _*)))
-        // salt from a HASH of v, not v's residue: v values stuck in one
-        // residue class (constant status codes, small line numbers)
-        // would otherwise re-concentrate the hot key on few salts while
-        // still paying the full build-side explode
+        // salt from a HASH of the source column, not its residue: values
+        // stuck in one residue class (constant status codes, small line
+        // numbers) would otherwise re-concentrate the hot key on few
+        // salts while still paying the full build-side explode
         val p = probe.withColumn("salt",
-          pmod(xxhash64($"v"), lit(NumSalts.toLong)).cast("int"))
-        p.join(b.hint("merge"), Seq("k", "salt")).drop("salt")
+          pmod(xxhash64(col(saltSourceCol)), lit(NumSalts.toLong))
+            .cast("int"))
+        p.join(b.hint("merge"), Seq(keyCol, "salt")).drop("salt")
       case _ =>
-        probe.join(build.hint("merge"), Seq("k"))
+        probe.join(build.hint("merge"), Seq(keyCol))
     }
   }
 

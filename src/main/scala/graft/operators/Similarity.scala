@@ -615,6 +615,156 @@ object Similarity extends QueryModule {
     out.orderBy($"iter", $"centroid_id")
   }
 
+  /** One spherical-Lloyd update of `cb` over `e` (must carry v, nrm):
+    * assign with the narrow [[assignTo]] scan, then re-center each cell
+    * on the mean of its unit vectors. K×D bounded collect — index
+    * metadata, same class as [[trainCodebook]]'s inline step (which
+    * additionally interleaves its per-iter quality report; this helper
+    * is the report-free form the deployment-geometry eval trains with).
+    * Empty cells keep their centroid. */
+  private def lloydStep(e: DataFrame, cb: Codebook): Codebook = {
+    import e.sparkSession.implicits._
+    val means = assignTo(e, cb)
+      .select($"centroid_id", $"nrm", posexplode($"v"))
+      .select($"centroid_id", $"pos",
+        ($"col".cast("double") / $"nrm").as("u"))
+      .groupBy($"centroid_id", $"pos")
+      .agg(avg($"u").as("m"))
+      .collect()
+      .groupBy(_.getLong(0))
+    val kept = cb.ids.zipWithIndex.map { case (id, i) =>
+      means.get(id) match {
+        case Some(rows) =>
+          val v = new Array[Double](cb.cents(i).length)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+          (id, v)
+        case None => (id, cb.cents(i))
+      }
+    }
+    Codebook(kept.map(_._1), kept.map(_._2),
+      kept.map(p => math.sqrt(p._2.map(x => x * x).sum)))
+  }
+
+  /** DEPLOYMENT-GEOMETRY recall@K eval — [[annRecall]] /
+    * [[annRecallMultiprobe]] run the gate fixture's toy geometry (8
+    * cells, corpus-row centroids); this is the same measurement at the
+    * geometry a deployment actually ships: a codebook of `k` cells
+    * (seeded from the first `k` vectors, then `iters` spherical-Lloyd
+    * rounds over the corpus), probes selected by `probePred`, and
+    * recall@`topK` against the brute-force truth for every `nprobe` in
+    * `nprobes` — the recall-vs-nprobe curve that calibrates the FAISS
+    * `nprobe` knob before anyone trusts the index.
+    *
+    * Scale shape, per stage:
+    *  - training: `iters` narrow assignment scans (codebook rides the
+    *    expression), each reduced map-side to K×D cells;
+    *  - corpus assignment for search: ONE more narrow scan, persisted;
+    *  - truth: |probes| × corpus through one broadcast join — the
+    *    deliberate exact baseline, priced by the probe sample size;
+    *  - probe→cell ranking: computed on the DRIVER (|probes| × K × D
+    *    multiplies — bounded index metadata, the same class as the
+    *    codebook collect itself);
+    *  - candidates: inverted-list equi-join per nprobe, work ∝
+    *    Σ|probed cells|, never corpus².
+    * Returns one row per nprobe: (nprobe, n_probes, n_true, n_hit,
+    * recall_ppm) — recall_ppm = Σhits·10⁶ div Σtruth over all probes. */
+  private[graft] def recallEval(
+      vectors: DataFrame, // columns: vec_id LONG, v ARRAY<FLOAT>
+      k: Int,
+      iters: Int,
+      probePred: org.apache.spark.sql.Column,
+      topK: Int,
+      nprobes: Seq[Int]): DataFrame = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = vectors.select($"vec_id", $"v")
+      .withColumn("nrm", l2Norm($"v")).persist(lvl)
+    try {
+      var cb = {
+        val rows = e.where($"vec_id" < k)
+          .select($"vec_id", $"v", $"nrm").orderBy($"vec_id").collect()
+        Codebook(rows.map(_.getLong(0)),
+          rows.map(_.getSeq[Float](1).toArray.map(_.toDouble)),
+          rows.map(_.getDouble(2)))
+      }
+      (1 to iters).foreach(_ => cb = lloydStep(e, cb))
+      val indexed = assignTo(e, cb)
+        .select($"vec_id", $"v", $"nrm", $"centroid_id").persist(lvl)
+      try {
+        val probes = e.where(probePred)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+        val wT = Window.partitionBy($"q_id")
+          .orderBy($"cosine".desc, $"neighbor_id")
+        val truth = e.join(broadcast(probes), $"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id".as("neighbor_id"),
+            cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
+          .withColumn("rank", row_number().over(wT))
+          .where($"rank" <= topK)
+          .select($"q_id", $"neighbor_id").persist(lvl)
+        try {
+          truth.count()
+          // probe→cell ranking on the driver: |probes| × K × D
+          val pRows = probes.collect()
+          val rankedCells: Array[(Long, Array[Float], Double, Array[Long])] =
+            pRows.map { r =>
+              val qid = r.getLong(0)
+              val qv = r.getSeq[Float](1).toArray
+              val qn = r.getDouble(2)
+              val byCos = cb.ids.indices.map { i =>
+                var dotv = 0.0
+                var j = 0
+                while (j < qv.length) {
+                  dotv += qv(j) * cb.cents(i)(j); j += 1
+                }
+                (cb.ids(i), dotv / math.max(qn * cb.norms(i), 1e-300))
+              }.sortBy { case (id, c) => (-c, id) }.map(_._1).toArray
+              (qid, qv, qn, byCos)
+            }
+          val perNprobe = nprobes.map { np =>
+            val pc = broadcast(s.createDataFrame(
+              s.sparkContext.parallelize(
+                rankedCells.flatMap { case (qid, qv, qn, cells) =>
+                  cells.take(np).map(c => (qid, qv.toSeq, qn, c))
+                }.toSeq, 1)
+                .map { case (a, b, c, dd) =>
+                  org.apache.spark.sql.Row(a, b, c, dd) },
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("q_id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("qv",
+                  org.apache.spark.sql.types.ArrayType(
+                    org.apache.spark.sql.types.FloatType)),
+                org.apache.spark.sql.types.StructField("qn",
+                  org.apache.spark.sql.types.DoubleType),
+                org.apache.spark.sql.types.StructField("centroid_id",
+                  org.apache.spark.sql.types.LongType)))))
+            val wA = Window.partitionBy($"q_id")
+              .orderBy($"cosine".desc, $"neighbor_id")
+            val approx = indexed.join(pc, Seq("centroid_id"))
+              .where($"vec_id" =!= $"q_id")
+              .select($"q_id", $"vec_id".as("neighbor_id"),
+                cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
+              .withColumn("rank", row_number().over(wA))
+              .where($"rank" <= topK)
+              .select($"q_id", $"neighbor_id")
+              .withColumn("hit", lit(1L))
+            truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+              .agg(countDistinct($"q_id").as("n_probes"),
+                count(lit(1)).as("n_true"),
+                sum(coalesce($"hit", lit(0L))).as("n_hit"))
+              .select(lit(np.toLong).as("nprobe"), $"n_probes", $"n_true",
+                $"n_hit",
+                expr("n_hit * 1000000 div n_true").as("recall_ppm"))
+          }
+          val out = perNprobe.reduce(_ unionByName _).collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(out.toSeq, 1), perNprobe.head.schema)
+        } finally { truth.unpersist(false); () }
+      } finally { indexed.unpersist(false); () }
+    } finally { e.unpersist(false); () }
+  }
+
   /** Product-quantization sub-codebooks: M contiguous subspaces of the
     * 64-d embedding, each with a small deterministic codebook (the
     * sub-vectors of vec_id < PqK, same data-derived-seed convention as

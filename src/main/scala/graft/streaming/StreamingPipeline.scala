@@ -53,6 +53,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingPipeline {
 
+  /** Test-only crash injection for the exactly-once sinks — the Spark
+    * analogue of the reference's failure-injecting mock writer
+    * (`test_fail_on_flush`, `src/lib.rs:1498-1665`): each hook runs at
+    * the sink's ugliest mid-write point (after the first write of a
+    * pair, before the second), so a spec can kill the query exactly
+    * there and assert the restart replays to the exact same state.
+    * No-ops in production; only specs assign them. */
+  private[graft] object Faults {
+    @volatile var sizeFlushAfterChunks: Long => Unit = _ => ()
+    @volatile var indexedDedupAfterHits: Long => Unit = _ => ()
+    def reset(): Unit = {
+      sizeFlushAfterChunks = _ => ()
+      indexedDedupAfterHits = _ => ()
+    }
+  }
+
   /** A declarative parse/validate stage: `valid` decides ok-vs-DLQ,
     * `parsed` is the projected payload for the ok branch. Both are Column
     * expressions — codegen'd, no UDF in the hot path. */
@@ -353,15 +369,32 @@ object StreamingPipeline {
     * sequential stage, not a wide operator; use it for the small
     * ordered control streams the reference built it for, not for bulk
     * data). Chunk files carry (batch_id, chunk) so a consumer can
-    * replay them in order. */
+    * replay them in order.
+    *
+    * `maxBufferedRows` ENFORCES that scope instead of merely advising
+    * it: a batch whose carry+input exceeds the cap fails fast with a
+    * message naming this knob, before any write — misuse (pointing the
+    * sink at a bulk stream) surfaces as a loud error on the first
+    * oversized trigger, not as a silently serialized total sort.
+    *
+    * Housekeeping: after a successful batch, carry dirs older than the
+    * one this batch READ are deleted — two retained dirs (this batch's
+    * own + the immutable one it read) cover the at-least-once retry,
+    * everything older is unreachable by construction (a retry of batch
+    * N reads the latest carry < N, which is exactly the retained one).
+    * Without this the carry dir grows one subdir per micro-batch
+    * forever, and the per-batch listStatus scan grows with it. */
   def sizeFlushSink(
       rows: DataFrame, // streaming; must carry an ordering column seqCol
       seqCol: String,
       cap: Int,
       chunksDir: String,
       carryDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      maxBufferedRows: Long = 1000000L): StreamingQuery = {
     require(cap > 0, "cap must be positive")
+    require(maxBufferedRows >= cap,
+      "maxBufferedRows must be at least cap")
     rows.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -399,6 +432,14 @@ object StreamingPipeline {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val n = all.count()
+          if (n > maxBufferedRows)
+            throw new IllegalStateException(
+              s"sizeFlushSink: micro-batch $id buffers $n rows " +
+                s"(carry + input) > maxBufferedRows=$maxBufferedRows. " +
+                "This sink is a SEQUENTIAL total-order stage for small " +
+                "ordered control streams (see scaladoc); route bulk data " +
+                "through dualWrite, or raise maxBufferedRows explicitly " +
+                "if the stream really is this large.")
           val emit = n / cap * cap // whole chunks only; remainder carries
           all.where($"rn" < emit)
             .withColumn("chunk", ($"rn" / cap).cast("long"))
@@ -406,8 +447,19 @@ object StreamingPipeline {
             .repartition(1) // each chunk is one sink call's body
             .write.mode("overwrite").partitionBy("chunk")
             .parquet(s"$chunksDir/batch_id=$id")
+          Faults.sizeFlushAfterChunks(id)
           all.where($"rn" >= emit).drop("rn")
             .write.mode("overwrite").parquet(s"$carryDir/batch_id=$id")
+          // GC: everything older than the carry this batch read is
+          // unreachable (a retry of ANY future batch M > id reads the
+          // latest carry < M, which is >= prev) — delete it. Keep prev
+          // (a retry of THIS batch re-reads it) and this batch's own.
+          val keep = Set(Some(id), prev).flatten
+          fs.listStatus(new org.apache.hadoop.fs.Path(carryDir)).toSeq
+            .filter(_.getPath.getName.startsWith("batch_id="))
+            .filter(st => !keep.contains(
+              st.getPath.getName.stripPrefix("batch_id=").toLong))
+            .foreach(st => fs.delete(st.getPath, true))
         } finally { all.unpersist(false); () }
         ()
       }
@@ -477,6 +529,7 @@ object StreamingPipeline {
             .map(h => cand.join(h, Seq("id_a", "id_b"), "left_anti"))
             .getOrElse(cand)
           fresh.write.mode("append").parquet(hitsDir)
+          Faults.indexedDedupAfterHits(id)
           batchIdx.write.mode("append").parquet(indexDir)
         } finally { batchIdx.unpersist(false); () }
         ()

@@ -1,0 +1,164 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.pipeline.Record
+import graft.streaming.StreamingPipeline
+import graft.streaming.StreamingPipeline.ParseStage
+
+/** Sustained-load streaming bench — the measurement the reference is
+  * BUILT around (throughput-oriented consumer framework: per-partition
+  * parallelism, 1024-msg buffers, 128-row/2-s batching —
+  * `src/lib.rs:254`, `src/main.rs:115-116`) that the batch bench cannot
+  * see. Drives the three durable sinks from a MemoryStream at a fixed
+  * rows-per-trigger admission (the `maxOffsetsPerTrigger` analogue) and
+  * records, per sink: total rows, wall seconds, rows/s, and the
+  * per-micro-batch latency distribution (p50/p95/max ms).
+  *
+  * Sinks measured:
+  *  - dual_write      — parse → ok/DLQ parquet dual-write (the
+  *                      reference demo's main path)
+  *  - size_flush      — exact 128-row size-triggered chunk flush (the
+  *                      reference's `ReducerWhenFullBehaviour::Flush`)
+  *  - indexed_dedup   — maintained-band-index near-dup ingest (probe +
+  *                      hits/index upsert per batch)
+  *
+  * The dual_write/indexed_dedup rows-per-sec ratio is emitted as a
+  * sanity figure: the indexed path pays minhash + band join + anti-join
+  * + two appends per batch, so plain delivery must be ≥10× faster —
+  * if it isn't, the plain path regressed.
+  *
+  * One JSON line to stdout (and `streambench.json` when
+  * SPARK_GRAFT_STREAMBENCH_OUT is set), same spirit as
+  * [[graft.Bench]]. Batch sizes are the knobs at the top; defaults run
+  * ≥10⁵ rows through dual_write in ~20 micro-batches.
+  */
+object StreamBench {
+
+  final case class Fig(rows: Long, secs: Double, batchMs: Seq[Double]) {
+    def rowsPerSec: Double = if (secs > 0) rows / secs else 0.0
+    def pct(p: Double): Double = {
+      val s = batchMs.sorted
+      s(math.max(0, math.min(s.size - 1,
+        math.ceil(p / 100.0 * s.size).toInt - 1)))
+    }
+    def json: String =
+      f"""{"rows":$rows,"secs":$secs%.3f,"rows_per_sec":$rowsPerSec%.1f,""" +
+        f""""batch_ms_p50":${pct(50)}%.1f,"batch_ms_p95":${pct(95)}%.1f,""" +
+        f""""batch_ms_max":${batchMs.max}%.1f,"n_batches":${batchMs.size}}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      // micro-batches here are 10³-10⁴ rows: 8 shuffle partitions keep
+      // per-trigger task overhead from dominating what is a
+      // latency-per-batch measurement (the batch bench uses 32 for its
+      // sf0.1 scans; a real cluster sizes this to executor count)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "false") // fixed plans per batch
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-streambench")
+    def tmp(n: String): String = root.resolve(n).toString
+
+    /** Feed `batches` one micro-batch each (warmup first, untimed — the
+      * first trigger pays query start + codegen), timing
+      * addData→processAllAvailable per batch. */
+    def drive[T](stream: MemoryStream[T], q: StreamingQuery,
+        warmup: Seq[T], batches: Seq[Seq[T]]): Fig = {
+      try {
+        stream.addData(warmup: _*)
+        q.processAllAvailable()
+        val times = batches.map { b =>
+          val t0 = System.nanoTime()
+          stream.addData(b: _*)
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e6
+        }
+        Fig(batches.map(_.size.toLong).sum, times.sum / 1000.0, times)
+      } finally q.stop()
+    }
+
+    // ---- dual_write: 20 batches x 10k records, 5% poison to the DLQ
+    val payload = "x" * 100
+    def rec(i: Long): Record = Record("bench", (i % 32).toInt, i,
+      1700000000000L + i, None,
+      (if (i % 20 == 19) s"poison-$i" else s"$payload-$i").getBytes("UTF-8"))
+    val dwFig = {
+      val stream = MemoryStream[Record]
+      val stage = ParseStage(
+        valid = !decode(col("value"), "UTF-8").startsWith("poison"),
+        parsed = Seq(col("partition"), col("offset"),
+          decode(col("value"), "UTF-8").as("payload")))
+      // ProcessingTime(0): a long-lived query that fires as data arrives
+      // (AvailableNow would stop after the warmup drain)
+      val q = StreamingPipeline.dualWrite(stream.toDF(), stage,
+        tmp("ok"), tmp("dlq"), tmp("ckpt_dw"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      drive(stream, q,
+        warmup = (0L until 2000L).map(rec),
+        batches = (0 until 20).map(b =>
+          (0L until 10000L).map(i => rec(2000L + b * 10000L + i))))
+    }
+
+    // ---- size_flush: 10 batches x 5k ordered control rows, cap 128
+    val sfFig = {
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamingPipeline.sizeFlushSink(
+        stream.toDF().toDF("seq", "payload"), "seq", cap = 128,
+        tmp("chunks"), tmp("carry"), tmp("ckpt_sf"))
+      def rows(from: Long, n: Int) =
+        (0 until n).map(i => (from + i, s"ctl-${from + i}"))
+      drive(stream, q,
+        warmup = rows(0L, 1000),
+        batches = (0 until 10).map(b => rows(1000L + b * 5000L, 5000)))
+    }
+
+    // ---- indexed_dedup: 10 batches x 1k docs (40 tokens), 1% twins
+    val idFig = {
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamingPipeline.indexedDedupStream(
+        stream.toDF().toDF("doc_id", "text"),
+        tmp("index"), tmp("hits"), tmp("ckpt_id"))
+      def doc(i: Long): (Long, String) =
+        if (i % 100 == 99) // near-twin of the previous doc: one token edit
+          (i, (0 until 40).map(j =>
+            if (j == 7) "EDITED" else s"w${i - 1}_$j").mkString(" "))
+        else (i, (0 until 40).map(j => s"w${i}_$j").mkString(" "))
+      drive(stream, q,
+        warmup = (0L until 200L).map(doc),
+        batches = (0 until 10).map(b =>
+          (0L until 1000L).map(i => doc(200L + b * 1000L + i))))
+    }
+
+    val ratio = dwFig.rowsPerSec / math.max(idFig.rowsPerSec, 1e-9)
+    val total = dwFig.secs + sfFig.secs + idFig.secs
+    val line =
+      f"""{"metric":"stream_total","value":$total%.2f,"unit":"sec",""" +
+        s""""sinks":{"dual_write":${dwFig.json},""" +
+        s""""size_flush":${sfFig.json},""" +
+        s""""indexed_dedup":${idFig.json}},""" +
+        f""""dual_over_indexed_ratio":$ratio%.1f}"""
+    println(line)
+    sys.env.get("SPARK_GRAFT_STREAMBENCH_OUT").foreach { p =>
+      Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+      ()
+    }
+    if (ratio < 10.0)
+      System.err.println(s"WARN: dual_write only ${ratio}x indexed_dedup " +
+        "(expected >=10x) — the plain delivery path may have regressed")
+    spark.stop()
+  }
+}

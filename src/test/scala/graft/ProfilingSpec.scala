@@ -93,6 +93,58 @@ class ProfilingSpec extends SparkSpecBase {
     }
   }
 
+  test("census-driven join: parameterized columns; salted plan and AQE " +
+    "skew handling return identical rows, both timed") {
+    import spark.implicits._
+    // the c_skew shape under DOMAIN column names — exercises the
+    // (keyCol, saltSourceCol) parameters instead of the gate's (k, v)
+    val cProbe = graft.ops.Tables.lineitem(spark, sfDir)
+      .select(when($"l_orderkey" % 3 === 0, 0L).otherwise($"l_orderkey")
+        .cast("long").as("order_k"),
+        $"l_linenumber".cast("long").as("line_no"))
+    val cBuild = graft.ops.Tables.orders(spark, sfDir)
+      .select(when($"o_orderkey" % 3 === 0, 0L).otherwise($"o_orderkey")
+        .cast("long").as("order_k"))
+      .groupBy($"order_k").agg(count(lit(1)).as("n_ord"))
+    val dec = Profiling.decideJoin(cBuild, cProbe, keyCol = "order_k")
+    assert(dec.strategy === "salted", dec)
+    def canon(df: org.apache.spark.sql.DataFrame)
+        : (Long, Set[(Long, Long, Long, Long)]) = {
+      val t0 = System.nanoTime()
+      val rows = df.groupBy($"order_k", $"line_no", $"n_ord")
+        .agg(count(lit(1)).as("m"))
+        .as[(Long, Long, Long, Long)].collect()
+      ((System.nanoTime() - t0) / 1000000L, rows.toSet)
+    }
+    val (tSalted, salted) = canon(Profiling.executeDecided(
+      cBuild, cProbe, dec, keyCol = "order_k", saltSourceCol = "line_no"))
+    // AQE path: the same logical join, skew handled at RUNTIME by
+    // adaptive execution (thresholds forced low so the hot key
+    // qualifies at sf0.001; broadcast disabled so the join stays
+    // sort-merge, the shape AQE's skew-join targets)
+    val aqeConfs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = aqeConfs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    try {
+      aqeConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val (tAqe, aqe) = canon(cProbe.join(cBuild, Seq("order_k")))
+      // the pre-decided salted plan and AQE's runtime re-plan are the
+      // SAME relation — identical multiset of rows
+      assert(salted === aqe)
+      info(s"salted(pre-decided): ${tSalted} ms; AQE skew-join: ${tAqe} ms")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("anomaly MAD: medians match a single-node recount; outliers obey " +
     "the 3-MAD rule exactly") {
     import spark.implicits._

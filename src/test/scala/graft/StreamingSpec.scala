@@ -737,6 +737,206 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("size-flush sink housekeeping: stale carry dirs are GC'd; an oversized batch fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val chunksDir = tmp(); val carryDir = tmp(); val ckpt = tmp()
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.sizeFlushSink(
+      stream.toDF().toDF("seq", "payload"), "seq", cap = 3,
+      chunksDir, carryDir, ckpt, maxBufferedRows = 8L)
+    def carryDirs(): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(carryDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id=")).toSet
+    }
+    try {
+      stream.addData((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e"))
+      q.processAllAvailable() // batch 0: chunk (0,1,2), carry (3,4)
+      assert(carryDirs() === Set("batch_id=0"), carryDirs())
+      stream.addData((5L, "f"), (6L, "g"), (7L, "h"), (8L, "i"))
+      q.processAllAvailable() // batch 1: two chunks, empty carry
+      // latest two retained (batch 1 + the batch-0 carry it read)
+      assert(carryDirs() === Set("batch_id=0", "batch_id=1"), carryDirs())
+      stream.addData((9L, "j"), (10L, "k"))
+      q.processAllAvailable() // batch 2: no chunk, carry (9,10)
+      // batch_id=0 is now unreachable by any replay -> GC'd
+      assert(carryDirs() === Set("batch_id=1", "batch_id=2"), carryDirs())
+      // misuse guard: carry(2) + 7 incoming = 9 > maxBufferedRows=8 ->
+      // the batch fails FAST with a message naming the knob, before any
+      // chunk or carry write
+      stream.addData((11L to 17L).map(i => (i, s"x$i")): _*)
+      val err = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      val cause = (chain(err) ++ q.exception.toSeq.flatMap(chain))
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(cause.contains("maxBufferedRows"), cause)
+      // the oversized batch wrote NOTHING: chunks and carry untouched
+      assert(spark.read.parquet(chunksDir).count() === 9L)
+      assert(carryDirs() === Set("batch_id=1", "batch_id=2"), carryDirs())
+    } finally q.stop()
+  }
+
+  test("size-flush sink: crash between chunk and carry write replays to a gapless, dup-free chunk stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val chunksDir = tmp(); val carryDir = tmp(); val ckpt = tmp()
+    val stream = MemoryStream[(Long, String)]
+    def start() = StreamingPipeline.sizeFlushSink(
+      stream.toDF().toDF("seq", "payload"), "seq", cap = 3,
+      chunksDir, carryDir, ckpt)
+    def chunks(): Seq[(Long, Long, Seq[Long])] =
+      spark.read.parquet(chunksDir)
+        .select($"batch_id", $"chunk", $"seq")
+        .as[(Long, Long, Long)].collect().toSeq
+        .groupBy(r => (r._1, r._2)).toSeq
+        .map { case ((b, c), rs) => (b, c, rs.map(_._3).sorted) }
+        .sortBy(r => (r._1, r._2))
+    val q1 = start()
+    try {
+      stream.addData((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e"))
+      q1.processAllAvailable() // batch 0 commits: chunk (0,1,2), carry (3,4)
+      // arm the reference's test_fail_on_flush point: batch 1 dies AFTER
+      // its chunks land but BEFORE its carry (and offset commit) do
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      StreamingPipeline.Faults.sizeFlushAfterChunks = _ =>
+        if (armed.getAndSet(false))
+          throw new RuntimeException("injected crash: killed between " +
+            "chunk write and carry write")
+      stream.addData((5L, "f"), (6L, "g"), (7L, "h"), (8L, "i"))
+      intercept[Exception] { q1.processAllAvailable() }
+      assert(q1.exception.isDefined)
+    } finally { q1.stop(); StreamingPipeline.Faults.reset() }
+    // mid-crash state on disk: batch 1's chunks exist, its carry doesn't
+    val fs = new org.apache.hadoop.fs.Path(carryDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$carryDir/batch_id=1")))
+    // restart on the same checkpoint: batch 1 replays (its offsets were
+    // never committed), overwrites its own chunk dir with identical
+    // content, and completes the carry — no gap, no duplicate
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(chunks() === Seq(
+        (0L, 0L, Seq(0L, 1L, 2L)),
+        (1L, 0L, Seq(3L, 4L, 5L)),
+        (1L, 1L, Seq(6L, 7L, 8L))), chunks())
+      assert(spark.read.parquet(s"$carryDir/batch_id=1").count() === 0L)
+      // and the stream keeps flowing correctly past the recovery
+      stream.addData((9L, "j"), (10L, "k"), (11L, "l"))
+      q2.processAllAvailable()
+      assert(chunks().last === ((2L, 0L, Seq(9L, 10L, 11L))), chunks())
+      assert(chunks().forall(_._3.size === 3)) // every chunk exactly cap
+      assert(chunks().flatMap(_._3) === (0L to 11L)) // gapless, dup-free
+    } finally q2.stop()
+  }
+
+  test("maintained band index: crash between hits append and index append replays to an exact hit set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexDir = tmp(); val hitsDir = tmp(); val ckpt = tmp()
+    val stream = MemoryStream[(Long, String)]
+    def start() = StreamingPipeline.indexedDedupStream(
+      stream.toDF().toDF("doc_id", "text"), indexDir, hitsDir, ckpt)
+    val docA = (1 to 40).map(i => s"token$i").mkString(" ")
+    val docB = (100 to 140).map(i => s"word$i").mkString(" ")
+    val twinA = (1 to 40).map(i => if (i == 20) "EDITED" else s"token$i")
+      .mkString(" ")
+    def hits(): Set[(Long, Long)] =
+      spark.read.parquet(hitsDir).as[(Long, Long)].collect().toSet
+    val q1 = start()
+    try {
+      stream.addData((1L, docA), (2L, docB)) // batch 0 seeds the index
+      q1.processAllAvailable()
+      // batch 1 dies AFTER appending its hits, BEFORE indexing its docs
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      StreamingPipeline.Faults.indexedDedupAfterHits = _ =>
+        if (armed.getAndSet(false))
+          throw new RuntimeException("injected crash: killed between " +
+            "hits append and index append")
+      stream.addData((3L, twinA))
+      intercept[Exception] { q1.processAllAvailable() }
+      assert(q1.exception.isDefined)
+    } finally { q1.stop(); StreamingPipeline.Faults.reset() }
+    // mid-crash state: the hit row is already on disk, doc 3 is NOT in
+    // the index, offsets were never committed
+    assert(hits() === Set((1L, 3L)), hits())
+    // restart: batch 1 replays, re-derives (1,3), the anti-join against
+    // the hits table absorbs it (no duplicate row), and the index append
+    // completes this time
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(hits() === Set((1L, 3L)), hits())
+      assert(spark.read.parquet(hitsDir).count() === 1L) // dup-free, not just set-equal
+      // doc 3 really is in the index now: a new twin pairs with BOTH
+      // doc 1 (original) and doc 3 (indexed only by the replay)
+      stream.addData((4L, twinA))
+      q2.processAllAvailable()
+      assert(hits() === Set((1L, 3L), (1L, 4L), (3L, 4L)), hits())
+    } finally q2.stop()
+  }
+
+  test("late-census parity: streamed fixture replay equals the oracle-gated batch census") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val delay = 3600L
+    // the batch form is the DuckDB-gated authority (q_late_census)
+    val want = graft.operators.Sessionize
+      .lateArrivalCensus(spark, sfDir, delay)
+      .select($"event_type", $"n_events", $"n_late", $"worst_s")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // replay arrivals so each micro-batch holds at most ONE row per
+    // source: the streaming threshold (max event time over PREVIOUS
+    // batches − delay) then coincides exactly with the batch form's
+    // strictly-earlier-arrivals running max — the two disciplines are
+    // the same function, evaluated per-row there and per-batch here
+    val bySrc = graft.ops.Tables.events(spark, sfDir)
+      .select($"event_type", $"event_id", $"ts")
+      .as[(String, Long, java.sql.Timestamp)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(e => (e._3, e._1)).toIndexedSeq).toMap
+    val maxLen = bySrc.values.map(_.size).max
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val census = StreamingPipeline.lateDataCensus(
+      stream.toDF().toDF("ts", "source"), "ts", "source", delay)
+    // hundreds of 5-row micro-batches: 1 shuffle partition keeps the
+    // per-trigger overhead to one task (restored below)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val q = census.toDF("source", "n_rows", "n_late", "total_late", "worst_s")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_parity").start()
+    try {
+      var r = 0
+      while (r < maxLen) {
+        val batch = bySrc.values.flatMap(s =>
+          if (r < s.size) Some(s(r)) else None).toSeq
+        stream.addData(batch: _*)
+        q.processAllAvailable()
+        r += 1
+      }
+      val got = spark.table("late_parity")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues { es =>
+          (es.map(_._2).sum, es.map(_._4).max, es.map(_._5).max)
+        }.toMap
+      assert(got.keySet === want.keySet)
+      want.foreach { case (src, (nEvents, nLate, worst)) =>
+        val (gN, gLate, gWorst) = got(src)
+        assert(gN === nEvents, s"$src n_events")
+        assert(gLate === nLate, s"$src n_late")
+        assert(gWorst === worst, s"$src worst_s")
+      }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("streaming sessionization: session_window groups by gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
