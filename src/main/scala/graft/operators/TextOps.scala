@@ -48,6 +48,21 @@ object TextOps extends QueryModule {
   private[operators] def tokenOccurrences(s: Column, w: String): Column =
     size(filter(split(s, " "), t => t === w)).cast("long")
 
+  /** #tokens in any of `words` — the set form of [[tokenOccurrences]],
+    * computed by the native single-pass zero-allocation kernel
+    * ([[graft.functions.TokenSetCount]]) instead of split+filter: the
+    * split array may be shared across counts by subexpression
+    * elimination, but it is still one array allocation + interpreted
+    * HOF lambda per row; the kernel scans the raw bytes once. Counts
+    * are identical to Σ_w tokenOccurrences(s, w) on any input. */
+  private[operators] def tokenSetCount(s: Column, words: Seq[String]): Column =
+    graft.functions.TokenSetCount.token_set_count(s, words)
+
+  /** The library-wide stopword-count rule (the 4-word English set every
+    * quality filter uses), one native pass. */
+  private[operators] def stopwordCount(s: Column): Column =
+    tokenSetCount(s, Seq("the", "a", "of", "and"))
+
   /** Whitespace token count for single-space-separated text:
     * #spaces + 1 (0 for empty/blank). */
   private[graft] def tokenCount(s: Column): Column =
@@ -60,8 +75,7 @@ object TextOps extends QueryModule {
     * the calibration can never silently diverge from the stats. */
   private[operators] def qualityScore(t: Column): Column = {
     val nTokens = tokenCount(t)
-    val nStop = (tokenOccurrences(t, "the") + tokenOccurrences(t, "a")
-      + tokenOccurrences(t, "of") + tokenOccurrences(t, "and"))
+    val nStop = stopwordCount(t)
     when(nTokens === 0, 0.0).otherwise(
       (nStop.cast("double") / nTokens) * 2.0
         + when(nTokens >= 20 && nTokens <= 1000, 1.0).otherwise(0.0))
@@ -104,8 +118,7 @@ object TextOps extends QueryModule {
     import s.implicits._
     val t = $"text"
     val nTokens = tokenCount(t)
-    val nStop = (tokenOccurrences(t, "the") + tokenOccurrences(t, "a")
-      + tokenOccurrences(t, "of") + tokenOccurrences(t, "and"))
+    val nStop = stopwordCount(t)
     val nPunct = length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
     Tables.documents(s, d)
       .select(
@@ -150,10 +163,10 @@ object TextOps extends QueryModule {
   def langId(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val lowered = lower($"text")
-    val cEn = tokenOccurrences(lowered, "the")
-    val cDe = tokenOccurrences(lowered, "der") + tokenOccurrences(lowered, "und")
-    val cFr = tokenOccurrences(lowered, "le") + tokenOccurrences(lowered, "et")
-    val cEs = tokenOccurrences(lowered, "el") + tokenOccurrences(lowered, "y")
+    val cEn = tokenSetCount(lowered, Seq("the"))
+    val cDe = tokenSetCount(lowered, Seq("der", "und"))
+    val cFr = tokenSetCount(lowered, Seq("le", "et"))
+    val cEs = tokenSetCount(lowered, Seq("el", "y"))
     Tables.documents(s, d)
       .select($"doc_id", $"lang".as("labeled_lang"),
         cEn.as("c_en"), cDe.as("c_de"), cFr.as("c_fr"), cEs.as("c_es"))
@@ -197,8 +210,7 @@ object TextOps extends QueryModule {
     import s.implicits._
     val t = $"text"
     val nTokens = tokenCount(t)
-    val nStop = (tokenOccurrences(t, "the") + tokenOccurrences(t, "a")
-      + tokenOccurrences(t, "of") + tokenOccurrences(t, "and"))
+    val nStop = stopwordCount(t)
     val keepRank = Window.partitionBy($"fp").orderBy($"doc_id")
     Tables.documents(s, d)
       .select($"doc_id", $"lang", $"source",
@@ -232,8 +244,7 @@ object TextOps extends QueryModule {
     import s.implicits._
     val t = $"text"
     val nTokens = tokenCount(t)
-    val nStop = (tokenOccurrences(t, "the") + tokenOccurrences(t, "a")
-      + tokenOccurrences(t, "of") + tokenOccurrences(t, "and"))
+    val nStop = stopwordCount(t)
     val preReason = when(!$"lang".isin("en", "de", "es", "fr"), "lang")
       .when($"n_tokens" < 20, "too_short")
       .when($"n_tokens" > 1000, "too_long")
@@ -758,38 +769,91 @@ object TextOps extends QueryModule {
     * row-local rules fuse into the scan, the fp window and the band
     * join shuffle only survivor rows, and the CC rounds run on the
     * (orders smaller) near-dup pair graph. */
-  def curateCorpus(s: SparkSession, d: String): DataFrame = {
+  /** The cascade's stage-1/2 table: row-local quality rules + exact
+    * fingerprint dedup, as (doc_id, text, n_tokens, reason12) where
+    * reason12 ∈ {rule name, 'exact_dup', NULL = survivor}.
+    *
+    * `narrowFpExchange` selects the physical shape of the fingerprint
+    * dedup (both produce IDENTICAL rows — first-by-doc_id per fp
+    * survives; the ScaleBench `curate_stages` probe measured both,
+    * hash-equal, at 10^6 docs):
+    *
+    *  - `false` (DEFAULT — the measured winner): the original
+    *    one-scan form — a row_number window over (fp, passed) that
+    *    shuffles every full row on fp. 54 s at 10^6 all-pass, 52 s
+    *    with 30% planted rule failures.
+    *  - `true`: quality filter AHEAD of the fingerprint stage (the
+    *    window already partitioned failed docs apart, so excluding
+    *    them is a plan change, not a semantic one); the fp exchange
+    *    becomes the map-side-combined aggregate fp → (min doc_id,
+    *    count) and only duplicating fps join back — text bytes cross
+    *    NO exchange. MEASURED SLOWER here: 161 s / 111 s on the same
+    *    corpora — the three separate evaluations of the scan+token
+    *    statistics (groupBy side, join side, fail branch; Catalyst
+    *    does not CSE across DataFrame branches) cost ~3x more than
+    *    the local text-width shuffle they avoid. The shape is kept
+    *    (flag, probe) because its trade reverses exactly when
+    *    shuffle, not CPU, binds — a network-bound multi-rack
+    *    cluster — and the probe prints both figures plus row hashes
+    *    so the adjudication can be re-run on the target fabric.
+    */
+  private[graft] def curateStagedTable(s: SparkSession, d: String,
+      narrowFpExchange: Boolean = false): DataFrame = {
     import s.implicits._
     val t = $"text"
     val nTokens = tokenCount(t)
-    val nStop = (tokenOccurrences(t, "the") + tokenOccurrences(t, "a")
-      + tokenOccurrences(t, "of") + tokenOccurrences(t, "and"))
+    val nStop = stopwordCount(t)
     val preReason = when(!$"lang".isin("en", "de", "es", "fr"), "lang")
       .when($"n_tokens" < 20, "too_short")
       .when($"n_tokens" > 1000, "too_long")
       .when($"n_stop" * 100L < $"n_tokens", "low_stopword")
-    val w = Window.partitionBy($"fp", $"pre_reason".isNull)
-      .orderBy($"doc_id")
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"lang", t,
+        nTokens.as("n_tokens"), nStop.as("n_stop"))
+      .withColumn("pre_reason", preReason)
+    if (narrowFpExchange) {
+      val pass = base.where($"pre_reason".isNull)
+        .select($"doc_id", $"text", $"n_tokens", md5(normalize(t)).as("fp"))
+      val dupFirst = pass
+        .groupBy($"fp")
+        .agg(min($"doc_id").as("first_id"), count(lit(1)).as("n_fp"))
+        .where($"n_fp" > 1)
+        .select($"fp", $"first_id")
+      val passTagged = pass
+        .join(dupFirst, Seq("fp"), "left")
+        .select($"doc_id", $"text", $"n_tokens",
+          when($"first_id".isNotNull && $"doc_id" =!= $"first_id",
+            "exact_dup").as("reason12"))
+      val fail = base.where($"pre_reason".isNotNull)
+        .select($"doc_id", $"text", $"n_tokens",
+          $"pre_reason".as("reason12"))
+      passTagged.unionByName(fail)
+    } else {
+      val w = Window.partitionBy($"fp", $"pre_reason".isNull)
+        .orderBy($"doc_id")
+      base
+        .withColumn("fp", md5(normalize(t)))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("reason12",
+          coalesce($"pre_reason", when($"rn" > 1, "exact_dup")))
+        .select($"doc_id", $"text", $"n_tokens", $"reason12")
+    }
+  }
+
+  def curateCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     // The staged table is consumed by several downstream subtrees
     // (survivor text feeds the band join TWICE — banding and verify —
     // plus the node list and the final verdict join) and Catalyst does
     // not CSE across DataFrame reuse, so without materialization every
-    // consumer re-runs the scan + fingerprint window: measured 184 s vs
+    // consumer re-runs the scan + fingerprint stage: measured 184 s vs
     // ~60 s of component cost at 10^6 docs. One-slot unpersist-first
     // caches (the library-wide serial-consumer discipline) pin the scan
     // to one evaluation per stage; at deployment scale this
     // materialization point is where a pipeline would checkpoint
     // between stages anyway.
     Option(lastCurate.getAndSet(null)).foreach(_.unpersist(false))
-    val staged = Tables.documents(s, d)
-      .select($"doc_id", $"lang", t,
-        nTokens.as("n_tokens"), nStop.as("n_stop"),
-        md5(normalize(t)).as("fp"))
-      .withColumn("pre_reason", preReason)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("reason12",
-        coalesce($"pre_reason", when($"rn" > 1, "exact_dup")))
-      .select($"doc_id", $"text", $"n_tokens", $"reason12")
+    val staged = curateStagedTable(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lastCurate.set(staged)
     val survivors = staged.where($"reason12".isNull)

@@ -58,6 +58,27 @@ object ScaleBench {
     v
   }
 
+  /** Clustered 64-dim vector with PLANTED neighbor structure for the
+    * deployment-geometry recall rung: 256 latent clusters, cluster
+    * chosen by HASH of the id (deliberately not `id % 256`: the
+    * codebook seeds are the first 256 rows, and modulo assignment
+    * would hand training a perfect one-seed-per-cluster start —
+    * hashing makes Lloyd do real work from a lumpy seed), center ± a
+    * small per-component noise. Intra-cluster cosine ≈ 0.98,
+    * inter-cluster ≈ N(0, 0.125) — a probe's true top-10 is
+    * in-cluster, so recall measures whether the trained IVF actually
+    * recovered the latent cells. */
+  private def clusteredVec(id: Long): Array[Float] = {
+    val c = java.lang.Math.floorMod(mix(id * 31 + 17), 256)
+    Array.tabulate(64) { d =>
+      val center =
+        (java.lang.Math.floorMod(mix(c * 53L + d), 2001) - 1000) / 1000.0f
+      val noise =
+        (java.lang.Math.floorMod(mix(id * 977 + d), 2001) - 1000) / 1000.0f
+      center + noise * 0.15f
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(100000L)
     val spark = SparkSession.builder()
@@ -168,6 +189,85 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$curDir/documents.parquet")
     time("curate_corpus") {
       graft.operators.TextOps.curateCorpus(spark, curDir)
+    }
+    // stage attribution + fingerprint-exchange A/B for the cascade —
+    // explicit opt-in (SPARK_GRAFT_SCALE_ONLY=curate_stages): it re-runs
+    // the cascade's stages with materialization barriers between them,
+    // deliberately paying persist costs the fused plan avoids, to ATTRIBUTE
+    // the fused figure, not to add to the default sweep.
+    if (only.exists(_.contains("curate_stages"))) {
+      import org.apache.spark.storage.StorageLevel
+      def timed[T](name: String)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"""{"shape":"curate_stage_$name","n":$n,""" +
+          f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        r
+      }
+      // A/B the two staged forms on the all-pass probe corpus and on a
+      // variant with 30% planted rule failures (the regime the
+      // filter-before-exchange order exists for)
+      val curDir30 = s"$dir-curate30"
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text",
+          when($"doc_id" % 10 < 3, $"text") // no stopwords -> low_stopword
+            .otherwise(concat($"text", lit(" the a of and"))))
+        .write.mode("overwrite").parquet(s"$curDir30/documents.parquet")
+      Seq(("allpass", curDir), ("fail30", curDir30)).foreach { case (tag, cd) =>
+        Seq(("narrow", true), ("window", false)).foreach { case (form, flag) =>
+          val t0 = System.nanoTime()
+          val df = graft.operators.TextOps
+            .curateStagedTable(spark, cd, narrowFpExchange = flag)
+          val r = df.select(xxhash64(
+              struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
+            .agg(count(lit(1)), bit_xor($"h")).collect().head
+          // rows+hash printed so the two forms' row-identity is ON RECORD,
+          // not just asserted: same corpus -> same (rows, hash) pair
+          println(f"""{"shape":"curate_stage_staged_${form}_$tag",""" +
+            f""""n":$n,"rows":${r.getLong(0)},"hash":${r.getLong(1)},""" +
+            f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        }
+      }
+      // stage attribution of the cascade (default staged form), with a
+      // barrier after each stage so the clock isolates it
+      val staged = timed("filter_fp") {
+        val df = graft.operators.TextOps.curateStagedTable(spark, curDir)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        df.count(); df
+      }
+      val survivors = staged.where(col("reason12").isNull)
+        .select(col("doc_id"), col("text"))
+      val pairs = timed("lsh_pairs") {
+        val df = graft.operators.NearDup.pairsOver(survivors)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        df.count(); df
+      }
+      val labels = timed("cc") {
+        val df = graft.operators.NearDup.connectedComponents(
+          survivors.select(col("doc_id")), pairs)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        df.count(); df
+      }
+      timed("survivor_verdict") {
+        val wSurv = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc, col("doc_id"))
+        val nd = labels
+          .join(graft.operators.TextOps.textStats(spark, curDir)
+            .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+          .withColumn("survivor_id", first(col("doc_id")).over(wSurv))
+          .select(col("doc_id"),
+            when(col("doc_id") =!= col("survivor_id"), "near_dup")
+              .as("nd_reason"))
+        staged.select(col("doc_id"), col("n_tokens"), col("reason12"))
+          .join(nd, Seq("doc_id"), "left")
+          .select(coalesce(col("reason12"), col("nd_reason"), lit("kept"))
+            .as("verdict"))
+          .groupBy(col("verdict")).agg(count(lit(1))).collect()
+      }
+      staged.unpersist(false)
+      pairs.unpersist(false)
+      labels.unpersist(false)
     }
     // incremental ingest: a 1% batch probed against the other 99% — the
     // claim under test is that this costs ~one corpus scan (index build)
@@ -294,6 +394,29 @@ object ScaleBench {
     }
     time("label_affinity") {
       graft.operators.Spectral.labelAffinity(spark, dir)
+    }
+    // deployment-geometry ANN recall: the gate's q_ann_recall* run 8
+    // cells over 500 vectors — this rung trains K=256 via spherical
+    // Lloyd over the clustered synthetic corpus and records the
+    // recall@10-vs-nprobe curve against brute-force truth on a ~100-
+    // probe sample. The monotonicity the gate pins should hold, and
+    // recall@10 at nprobe=16 should clear 0.9 at recoverable geometry.
+    if (only.forall(_.contains("ann_recall_deploy"))) {
+      val vecsDf = spark.range(0, n, 1, 32)
+        .map(i => (i, clusteredVec(i)))
+        .toDF("vec_id", "v")
+      val t0 = System.nanoTime()
+      val curve = graft.operators.Similarity.recallEval(
+        vecsDf, k = 256, iters = 3,
+        probePred = col("vec_id") % lit(math.max(n / 100L, 1L)) === 37L,
+        topK = 10, nprobes = Seq(1, 4, 16)).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      curve.foreach { r =>
+        println(f"""{"shape":"ann_recall_deploy","n":$n,"k":256,""" +
+          f""""nprobe":${r.getLong(0)},"n_probes":${r.getLong(1)},""" +
+          f""""n_true":${r.getLong(2)},"n_hit":${r.getLong(3)},""" +
+          f""""recall_ppm":${r.getLong(4)},"sec_total":$sec%.2f}""")
+      }
     }
     spark.stop()
   }
