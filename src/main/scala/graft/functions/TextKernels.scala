@@ -61,6 +61,71 @@ object TokenSetCount {
       words.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray))
 }
 
+/** Fingerprint normalization in one byte pass.
+  *
+  * `normalize_text(s)` ≡ trim(regexp_replace(regexp_replace(lower(s),
+  * "[^a-z0-9 ]", ""), " +", " ")) — the canonicalization every exact-
+  * fingerprint site feeds into md5 — without the two regex engines:
+  * ASCII rows (every row of the gate fixtures and the scale corpora)
+  * take a single zero-regex scan that lowercases A-Z, keeps [a-z0-9],
+  * collapses space runs, and drops everything else with leading/
+  * trailing spaces never emitted. Rows containing ANY non-ASCII byte
+  * take the exact Java fallback (Locale.ROOT lowercase + the same two
+  * regexes) instead — full-Unicode lowercasing can map non-ASCII
+  * codepoints INTO [a-z] (U+212A KELVIN SIGN → k), so a byte-level
+  * fast path is only provably identical when it refuses non-ASCII
+  * input rather than guessing at it.
+  */
+object NormalizeText {
+
+  /** Codegen entry point (called from generated Java). */
+  def eval(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var i = 0
+    while (i < n && bytes(i) >= 0) i += 1
+    if (i < n) { // non-ASCII byte: exact slow path
+      return UTF8String.fromString(
+        s.toString.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim)
+    }
+    val out = new Array[Byte](n)
+    var k = 0
+    var pendingSpace = false
+    i = 0
+    while (i < n) {
+      var b = bytes(i)
+      if (b >= 'A'.toByte && b <= 'Z'.toByte) b = (b + 32).toByte
+      if (b == ' '.toByte) {
+        if (k > 0) pendingSpace = true
+      } else if ((b >= 'a'.toByte && b <= 'z'.toByte) ||
+          (b >= '0'.toByte && b <= '9'.toByte)) {
+        if (pendingSpace) { out(k) = ' '.toByte; k += 1; pendingSpace = false }
+        out(k) = b
+        k += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, k)
+  }
+
+  /** Column-level API: `normalize_text($"text")`. */
+  def normalize_text(c: Column): Column =
+    GraftShims.column(NormalizeTextExpr(GraftShims.toExpression(c)))
+}
+
+/** Native Catalyst expression form of [[NormalizeText]]. */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullSafeEval(v: Any): Any =
+    NormalizeText.eval(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeText.eval($c)")
+  override protected def withNewChildInternal(c: Expression): NormalizeTextExpr =
+    copy(child = c)
+}
+
 /** Native Catalyst expression: stays inside whole-stage codegen
   * (doGenCode emits a static call with the word set as a codegen
   * reference object), unlike the split/filter composition it replaces. */

@@ -113,8 +113,7 @@ object Corpus extends QueryModule {
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     def fp(c: org.apache.spark.sql.Column) =
-      md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""),
-        " +", " ")))
+      md5(graft.functions.NormalizeText.normalize_text(c))
     val docs = Tables.documents(s, d)
     val benchmark = broadcast(
       docs.where($"doc_id" % 25 === 0).select(fp($"text").as("bfp")))
@@ -138,8 +137,7 @@ object Corpus extends QueryModule {
   def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     def fp(c: org.apache.spark.sql.Column) =
-      md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""),
-        " +", " ")))
+      md5(graft.functions.NormalizeText.normalize_text(c))
     val docs = Tables.documents(s, d)
     val benchmark = docs.where($"doc_id" % 25 === 0).select(fp($"text").as("bfp"))
     val sketch = graft.functions.BloomSketch.build(benchmark, $"bfp", 100000L)

@@ -82,9 +82,12 @@ object TextOps extends QueryModule {
   }
 
   /** Normalization for fingerprinting: lowercase, strip non-alphanumerics
-    * (keeping spaces), collapse runs of whitespace. */
+    * (keeping spaces), collapse runs of whitespace. Native one-pass
+    * kernel ([[graft.functions.NormalizeText]]) — identical output to
+    * the regex chain it replaced (exact Java fallback for rows with
+    * non-ASCII bytes), without two regex engines per row. */
   private def normalize(s: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", ""), " +", " "))
+    graft.functions.NormalizeText.normalize_text(s)
 
   /** Exact deduplication: hash-groupBy on the full text. At scale this is
     * one shuffle on the dedup key with map-side partial aggregation; the

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{size, split}
+import org.apache.spark.sql.functions.{filter, lower, regexp_replace, size, split, trim}
 
 import graft.operators.TextOps
 
@@ -294,5 +294,37 @@ class TextOpsSpec extends SparkSpecBase {
     // novelty, and fully-unique docs must exist — both tails populated
     assert(rows.exists(r => r._2 > 0L && r._4 < 1.0))
     assert(rows.exists(r => r._4 === 1.0))
+  }
+
+  test("native text kernels match their regex/split reference forms exactly") {
+    import spark.implicits._
+    import graft.functions.{NormalizeText, TokenSetCount}
+    // adversarial hand-picks: empty/blank, runs of spaces and symbols,
+    // mixed case, non-ASCII that lowercases OUT of the kept set, and
+    // non-ASCII that lowercases INTO it (U+212A KELVIN SIGN -> k, the
+    // case that forces the kernel's exact slow path)
+    val picked = Seq("", " ", "   ", "Hello, World!  the A of-and ",
+      "a!? b", "Ümlaut Örtlich the", "K the a",
+      "MiXeD 42 c0de the a of and", "the  the   the", " of ", "and",
+      "a\tb", "İstanbul the")
+    val rng = new scala.util.Random(8)
+    val alphabet = "ab E!?.09 ZéK  the of and "
+    val fuzz = (1 to 300).map(_ =>
+      (1 to rng.nextInt(60)).map(_ =>
+        alphabet(rng.nextInt(alphabet.length))).mkString)
+    val words = Seq("the", "a", "of", "and")
+    val rows = (picked ++ fuzz).toDF("t")
+      .select(
+        trim(regexp_replace(regexp_replace(lower($"t"), "[^a-z0-9 ]", ""),
+          " +", " ")).as("norm_ref"),
+        NormalizeText.normalize_text($"t").as("norm_k"),
+        words.map(w => size(filter(split($"t", " "), x => x === w))
+          .cast("long")).reduce(_ + _).as("cnt_ref"),
+        TokenSetCount.token_set_count($"t", words).as("cnt_k"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) === r.getString(1), r)
+      assert(r.getLong(2) === r.getLong(3), r)
+    }
   }
 }
