@@ -667,7 +667,11 @@ object Similarity extends QueryModule {
     *  - candidates: inverted-list equi-join per nprobe, work ∝
     *    Σ|probed cells|, never corpus².
     * Returns one row per nprobe: (nprobe, n_probes, n_true, n_hit,
-    * recall_ppm) — recall_ppm = Σhits·10⁶ div Σtruth over all probes. */
+    * recall_ppm, scanned_ppm) — recall_ppm = Σhits·10⁶ div Σtruth over
+    * all probes; scanned_ppm = the mean fraction of the corpus the
+    * probed cells cover (from the K-row cell histogram, driver-side) —
+    * the COST axis of the recall-vs-nprobe curve, so the trade reads
+    * directly: recall bought per corpus-fraction scanned. */
   private[graft] def recallEval(
       vectors: DataFrame, // columns: vec_id LONG, v ARRAY<FLOAT>
       k: Int,
@@ -704,6 +708,12 @@ object Similarity extends QueryModule {
           .select($"q_id", $"neighbor_id").persist(lvl)
         try {
           truth.count()
+          // K-row cell-population histogram (index metadata): prices
+          // each nprobe's candidate volume without re-running the join
+          val cellSize: Map[Long, Long] = indexed
+            .groupBy($"centroid_id").agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val corpusN = math.max(cellSize.values.sum, 1L)
           // probe→cell ranking on the driver: |probes| × K × D
           val pRows = probes.collect()
           val rankedCells: Array[(Long, Array[Float], Double, Array[Long])] =
@@ -722,6 +732,11 @@ object Similarity extends QueryModule {
               (qid, qv, qn, byCos)
             }
           val perNprobe = nprobes.map { np =>
+            val scannedPpm =
+              if (rankedCells.isEmpty) 0L
+              else rankedCells.map(_._4.take(np)
+                .map(c => cellSize.getOrElse(c, 0L)).sum * 1000000L / corpusN)
+                .sum / rankedCells.length
             val pc = broadcast(s.createDataFrame(
               s.sparkContext.parallelize(
                 rankedCells.flatMap { case (qid, qv, qn, cells) =>
@@ -755,7 +770,8 @@ object Similarity extends QueryModule {
                 sum(coalesce($"hit", lit(0L))).as("n_hit"))
               .select(lit(np.toLong).as("nprobe"), $"n_probes", $"n_true",
                 $"n_hit",
-                expr("n_hit * 1000000 div n_true").as("recall_ppm"))
+                expr("n_hit * 1000000 div n_true").as("recall_ppm"),
+                lit(scannedPpm).as("scanned_ppm"))
           }
           val out = perNprobe.reduce(_ unionByName _).collect()
           s.createDataFrame(

@@ -415,7 +415,8 @@ object ScaleBench {
         println(f"""{"shape":"ann_recall_deploy","n":$n,"k":256,""" +
           f""""nprobe":${r.getLong(0)},"n_probes":${r.getLong(1)},""" +
           f""""n_true":${r.getLong(2)},"n_hit":${r.getLong(3)},""" +
-          f""""recall_ppm":${r.getLong(4)},"sec_total":$sec%.2f}""")
+          f""""recall_ppm":${r.getLong(4)},""" +
+          f""""scanned_ppm":${r.getLong(5)},"sec_total":$sec%.2f}""")
       }
     }
     spark.stop()
