@@ -27,6 +27,8 @@ import graft.streaming.StreamingPipeline.ParseStage
   *                      reference's `ReducerWhenFullBehaviour::Flush`)
   *  - indexed_dedup   — maintained-band-index near-dup ingest (probe +
   *                      hits/index upsert per batch)
+  *  - stateful_neardup — the state-store form of the same detection
+  *                      (flatMapGroupsWithState per band bucket)
   *
   * The dual_write/indexed_dedup rows-per-sec ratio is emitted as a
   * sanity figure: the indexed path pays minhash + band join + anti-join
@@ -161,14 +163,40 @@ object StreamBench {
           (0L until 1000L).map(i => doc(200L + b * 1000L + i))))
     }
 
+    // ---- stateful near-dup (stream-internal state, no durable index):
+    // the flatMapGroupsWithState path — per batch: minhash, band
+    // explode, per-bucket state probe+insert. Complements indexed_dedup
+    // (same detection semantics, state store instead of parquet index).
+    val ndFig = {
+      val stream = MemoryStream[(Long, String)]
+      val hits = StreamingPipeline.nearDupHits(
+        stream.toDF().toDF("doc_id", "text"))
+      val q = hits.toDF("doc_id", "dup_of", "est_jaccard")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("streambench_neardup")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+        .start()
+      def doc(i: Long): (Long, String) =
+        if (i % 100 == 99)
+          (i, (0 until 40).map(j =>
+            if (j == 7) "EDITED" else s"w${i - 1}_$j").mkString(" "))
+        else (i, (0 until 40).map(j => s"w${i}_$j").mkString(" "))
+      drive(stream, q,
+        warmup = (0L until 200L).map(doc),
+        batches = (0 until 10).map(b =>
+          (0L until 1000L).map(i => doc(200L + b * 1000L + i))))
+    }
+
     val ratio = dwFig.rowsPerSec / math.max(idFig.rowsPerSec, 1e-9)
-    val total = dwFig.secs + dwBigFig.secs + sfFig.secs + idFig.secs
+    val total = dwFig.secs + dwBigFig.secs + sfFig.secs + idFig.secs +
+      ndFig.secs
     val line =
       f"""{"metric":"stream_total","value":$total%.2f,"unit":"sec",""" +
         s""""sinks":{"dual_write":${dwFig.json},""" +
         s""""dual_write_50k":${dwBigFig.json},""" +
         s""""size_flush":${sfFig.json},""" +
-        s""""indexed_dedup":${idFig.json}},""" +
+        s""""indexed_dedup":${idFig.json},""" +
+        s""""stateful_neardup":${ndFig.json}},""" +
         f""""dual_over_indexed_ratio":$ratio%.1f}"""
     println(line)
     sys.env.get("SPARK_GRAFT_STREAMBENCH_OUT").foreach { p =>
