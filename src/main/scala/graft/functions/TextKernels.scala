@@ -11,7 +11,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * `token_set_count(text, words)` counts whitespace-separated tokens of
   * `text` equal to ANY word in the (query-constant) set — exactly
-  * Σ_w size(filter(split(text, " "), t => t = w)), the stopword-ratio
+  * Σ_w size(filter(split(text, " "), t => t = w)) for DISTINCT
+  * non-empty words (the Column API dedups and drops empty entries, so
+  * the set semantics hold by construction — a token matches at most
+  * one set member), the stopword-ratio
   * shape every quality rule in the library uses, but in ONE pass over
   * the raw UTF-8 bytes with ZERO allocation: the split form builds a
   * fresh array of token strings per WORD per row (4 stopwords = 4
@@ -55,10 +58,12 @@ object TokenSetCount {
     count
   }
 
-  /** Column-level API: `token_set_count($"text", Seq("the", "a"))`. */
+  /** Column-level API: `token_set_count($"text", Seq("the", "a"))`.
+    * Duplicate and empty entries are ignored (set semantics). */
   def token_set_count(c: Column, words: Seq[String]): Column =
     GraftShims.column(TokenSetCountExpr(GraftShims.toExpression(c),
-      words.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray))
+      words.distinct.filter(_.nonEmpty)
+        .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray))
 }
 
 /** Fingerprint normalization in one byte pass.
@@ -85,8 +90,14 @@ object NormalizeText {
     var i = 0
     while (i < n && bytes(i) >= 0) i += 1
     if (i < n) { // non-ASCII byte: exact slow path
+      // no-arg toLowerCase deliberately: Spark's lower() lowers via
+      // String.toLowerCase() with the JVM default locale
+      // (UTF8String.toLowerCaseSlow), so matching the replaced
+      // lower()+regex chain byte-for-byte on EVERY JVM — including a
+      // Turkish-locale one, where I lowers to dotless ı — requires the
+      // same locale choice, not Locale.ROOT
       return UTF8String.fromString(
-        s.toString.toLowerCase(java.util.Locale.ROOT)
+        s.toString.toLowerCase()
           .replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim)
     }
     val out = new Array[Byte](n)

@@ -737,23 +737,10 @@ object Similarity extends QueryModule {
               else rankedCells.map(_._4.take(np)
                 .map(c => cellSize.getOrElse(c, 0L)).sum * 1000000L / corpusN)
                 .sum / rankedCells.length
-            val pc = broadcast(s.createDataFrame(
-              s.sparkContext.parallelize(
-                rankedCells.flatMap { case (qid, qv, qn, cells) =>
-                  cells.take(np).map(c => (qid, qv.toSeq, qn, c))
-                }.toSeq, 1)
-                .map { case (a, b, c, dd) =>
-                  org.apache.spark.sql.Row(a, b, c, dd) },
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("q_id",
-                  org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField("qv",
-                  org.apache.spark.sql.types.ArrayType(
-                    org.apache.spark.sql.types.FloatType)),
-                org.apache.spark.sql.types.StructField("qn",
-                  org.apache.spark.sql.types.DoubleType),
-                org.apache.spark.sql.types.StructField("centroid_id",
-                  org.apache.spark.sql.types.LongType)))))
+            val pc = broadcast(
+              rankedCells.flatMap { case (qid, qv, qn, cells) =>
+                cells.take(np).map(c => (qid, qv.toSeq, qn, c))
+              }.toSeq.toDF("q_id", "qv", "qn", "centroid_id"))
             val wA = Window.partitionBy($"q_id")
               .orderBy($"cosine".desc, $"neighbor_id")
             val approx = indexed.join(pc, Seq("centroid_id"))
@@ -764,13 +751,17 @@ object Similarity extends QueryModule {
               .where($"rank" <= topK)
               .select($"q_id", $"neighbor_id")
               .withColumn("hit", lit(1L))
+            // coalesce + greatest: an EMPTY probe set (probePred matched
+            // nothing) must report a 0-row recall of 0, not NULL-decode
             truth.join(approx, Seq("q_id", "neighbor_id"), "left")
               .agg(countDistinct($"q_id").as("n_probes"),
                 count(lit(1)).as("n_true"),
-                sum(coalesce($"hit", lit(0L))).as("n_hit"))
+                coalesce(sum(coalesce($"hit", lit(0L))), lit(0L))
+                  .as("n_hit"))
               .select(lit(np.toLong).as("nprobe"), $"n_probes", $"n_true",
                 $"n_hit",
-                expr("n_hit * 1000000 div n_true").as("recall_ppm"),
+                expr("n_hit * 1000000 div greatest(n_true, 1)")
+                  .as("recall_ppm"),
                 lit(scannedPpm).as("scanned_ppm"))
           }
           val out = perNprobe.reduce(_ unionByName _).collect()

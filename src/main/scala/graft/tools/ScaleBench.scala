@@ -406,9 +406,12 @@ object ScaleBench {
         .map(i => (i, clusteredVec(i)))
         .toDF("vec_id", "v")
       val t0 = System.nanoTime()
+      // target residue taken mod the modulus so the probe set is
+      // non-empty at ANY n (at n < 3800 a bare 37 would select nothing)
+      val mod = math.max(n / 100L, 1L)
       val curve = graft.operators.Similarity.recallEval(
         vecsDf, k = 256, iters = 3,
-        probePred = col("vec_id") % lit(math.max(n / 100L, 1L)) === 37L,
+        probePred = col("vec_id") % lit(mod) === lit(37L % mod),
         topK = 10, nprobes = Seq(1, 4, 16)).collect()
       val sec = (System.nanoTime() - t0) / 1e9
       curve.foreach { r =>

@@ -97,15 +97,23 @@ object StreamBench {
     def rec(i: Long): Record = Record("bench", (i % 32).toInt, i,
       1700000000000L + i, None,
       (if (i % 20 == 19) s"poison-$i" else s"$payload-$i").getBytes("UTF-8"))
+    // ONE parse stage and ONE twin-doc generator shared by every lane:
+    // the cross-lane ratios are only meaningful if the lanes measure
+    // the same workload definition
+    val parseStage = ParseStage(
+      valid = !decode(col("value"), "UTF-8").startsWith("poison"),
+      parsed = Seq(col("partition"), col("offset"),
+        decode(col("value"), "UTF-8").as("payload")))
+    def doc(i: Long): (Long, String) =
+      if (i % 100 == 99) // near-twin of the previous doc: one token edit
+        (i, (0 until 40).map(j =>
+          if (j == 7) "EDITED" else s"w${i - 1}_$j").mkString(" "))
+      else (i, (0 until 40).map(j => s"w${i}_$j").mkString(" "))
     val dwFig = {
       val stream = MemoryStream[Record]
-      val stage = ParseStage(
-        valid = !decode(col("value"), "UTF-8").startsWith("poison"),
-        parsed = Seq(col("partition"), col("offset"),
-          decode(col("value"), "UTF-8").as("payload")))
       // ProcessingTime(0): a long-lived query that fires as data arrives
       // (AvailableNow would stop after the warmup drain)
-      val q = StreamingPipeline.dualWrite(stream.toDF(), stage,
+      val q = StreamingPipeline.dualWrite(stream.toDF(), parseStage,
         tmp("ok"), tmp("dlq"), tmp("ckpt_dw"),
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       drive(stream, q,
@@ -120,11 +128,7 @@ object StreamBench {
     // latency does too. Both points recorded.
     val dwBigFig = {
       val stream = MemoryStream[Record]
-      val stage = ParseStage(
-        valid = !decode(col("value"), "UTF-8").startsWith("poison"),
-        parsed = Seq(col("partition"), col("offset"),
-          decode(col("value"), "UTF-8").as("payload")))
-      val q = StreamingPipeline.dualWrite(stream.toDF(), stage,
+      val q = StreamingPipeline.dualWrite(stream.toDF(), parseStage,
         tmp("ok_big"), tmp("dlq_big"), tmp("ckpt_dw_big"),
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       drive(stream, q,
@@ -152,11 +156,6 @@ object StreamBench {
       val q = StreamingPipeline.indexedDedupStream(
         stream.toDF().toDF("doc_id", "text"),
         tmp("index"), tmp("hits"), tmp("ckpt_id"))
-      def doc(i: Long): (Long, String) =
-        if (i % 100 == 99) // near-twin of the previous doc: one token edit
-          (i, (0 until 40).map(j =>
-            if (j == 7) "EDITED" else s"w${i - 1}_$j").mkString(" "))
-        else (i, (0 until 40).map(j => s"w${i}_$j").mkString(" "))
       drive(stream, q,
         warmup = (0L until 200L).map(doc),
         batches = (0 until 10).map(b =>
@@ -176,11 +175,6 @@ object StreamBench {
         .format("memory").queryName("streambench_neardup")
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
         .start()
-      def doc(i: Long): (Long, String) =
-        if (i % 100 == 99)
-          (i, (0 until 40).map(j =>
-            if (j == 7) "EDITED" else s"w${i - 1}_$j").mkString(" "))
-        else (i, (0 until 40).map(j => s"w${i}_$j").mkString(" "))
       drive(stream, q,
         warmup = (0L until 200L).map(doc),
         batches = (0 until 10).map(b =>
