@@ -181,16 +181,46 @@ object StreamBench {
           (0L until 1000L).map(i => doc(200L + b * 1000L + i))))
     }
 
+    // ---- restart/catch-up (the recovery-time figure): run dual_write
+    // to steady state, STOP the query, let a 50k-row backlog accumulate
+    // while the consumer is down, restart from the same checkpoint and
+    // time the drain — end-to-end from process start (checkpoint read +
+    // replanning) to caught-up. The backlog drains as one oversized
+    // micro-batch, so catch-up rows/s should EXCEED the steady-state
+    // 10k-cap figure: trigger overhead amortizes over the whole backlog.
+    // This is the at-least-once contract priced: being down costs only
+    // the catch-up time, never data.
+    val recFig = {
+      val stream = MemoryStream[Record]
+      def start() = StreamingPipeline.dualWrite(stream.toDF(), parseStage,
+        tmp("ok_rec"), tmp("dlq_rec"), tmp("ckpt_rec"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      val q1 = start()
+      stream.addData((0L until 20000L).map(rec): _*)
+      q1.processAllAvailable()
+      q1.stop()
+      val backlog = (0 until 5).flatMap(b =>
+        (0L until 10000L).map(i => rec(20000L + b * 10000L + i)))
+      stream.addData(backlog: _*) // arrives while the consumer is DOWN
+      val t0 = System.nanoTime()
+      val q2 = start() // same checkpoint: resumes past the committed 20k
+      q2.processAllAvailable()
+      val ms = (System.nanoTime() - t0) / 1e6
+      q2.stop()
+      Fig(backlog.size.toLong, ms / 1000.0, Seq(ms))
+    }
+
     val ratio = dwFig.rowsPerSec / math.max(idFig.rowsPerSec, 1e-9)
     val total = dwFig.secs + dwBigFig.secs + sfFig.secs + idFig.secs +
-      ndFig.secs
+      ndFig.secs + recFig.secs
     val line =
       f"""{"metric":"stream_total","value":$total%.2f,"unit":"sec",""" +
         s""""sinks":{"dual_write":${dwFig.json},""" +
         s""""dual_write_50k":${dwBigFig.json},""" +
         s""""size_flush":${sfFig.json},""" +
         s""""indexed_dedup":${idFig.json},""" +
-        s""""stateful_neardup":${ndFig.json}},""" +
+        s""""stateful_neardup":${ndFig.json},""" +
+        s""""restart_catchup_50k":${recFig.json}},""" +
         f""""dual_over_indexed_ratio":$ratio%.1f}"""
     println(line)
     sys.env.get("SPARK_GRAFT_STREAMBENCH_OUT").foreach { p =>
