@@ -77,6 +77,23 @@ class PlanAuditSpec extends SparkSpecBase {
       pC)
   }
 
+  test("native text kernels stay inside whole-stage codegen") {
+    // the kernels' doGenCode emits a static call; the row-local quality
+    // stage must plan as a codegen'd ('*(N)') Project over the scan —
+    // an interpreted fallback would silently re-open the 4x-split cost
+    // the kernels were measured to remove
+    val df = TextOps.textStats(spark, sfDir)
+    df.collect() // finalize THIS df's adaptive plan (count() would plan anew)
+    val p = plan(df).toLowerCase
+    assert("\\*\\(\\d+\\) project [^\\n]*tokensetcount".r
+      .findFirstIn(p).isDefined, p.take(2000))
+    val dff = TextOps.fingerprint(spark, sfDir)
+    dff.collect()
+    val pf = plan(dff).toLowerCase
+    assert("\\*\\(\\d+\\) [^\\n]*normalizetext".r
+      .findFirstIn(pf).isDefined, pf.take(2000))
+  }
+
   test("semi/anti joins plan as semi/anti, not inner+distinct") {
     val p = plan(Relational.orderLineitemSemiAnti(spark, sfDir))
     assert(p.contains("LeftSemi"), p)
