@@ -287,16 +287,21 @@ object Profiling extends QueryModule {
       case "broadcast" =>
         probe.join(broadcast(build), Seq(keyCol))
       case "salted" =>
-        val b = build.withColumn("salt",
+        // collision-proof internal name: a user frame may legitimately
+        // carry a column called "salt", and clobbering it only on the
+        // salted decision would make the three strategies return
+        // different schemas depending on the runtime census
+        val saltCol = "__graft_salt"
+        val b = build.withColumn(saltCol,
           explode(array((0 until NumSalts).map(lit): _*)))
         // salt from a HASH of the source column, not its residue: values
         // stuck in one residue class (constant status codes, small line
         // numbers) would otherwise re-concentrate the hot key on few
         // salts while still paying the full build-side explode
-        val p = probe.withColumn("salt",
+        val p = probe.withColumn(saltCol,
           pmod(xxhash64(col(saltSourceCol)), lit(NumSalts.toLong))
             .cast("int"))
-        p.join(b.hint("merge"), Seq(keyCol, "salt")).drop("salt")
+        p.join(b.hint("merge"), Seq(keyCol, saltCol)).drop(saltCol)
       case _ =>
         probe.join(build.hint("merge"), Seq(keyCol))
     }

@@ -588,8 +588,10 @@ object Similarity extends QueryModule {
       // spherical update: mean of unit vectors per cell, per dimension
       val means = assigned
         .select($"centroid_id", $"nrm", posexplode($"v"))
+        // same zero-norm guard as lloydStep (NULL-skipping avg / NPE)
         .select($"centroid_id", $"pos",
-          ($"col".cast("double") / $"nrm").as("u"))
+          when($"nrm" > 0, $"col".cast("double") / $"nrm")
+            .otherwise(0.0).as("u"))
         .groupBy($"centroid_id", $"pos")
         .agg(avg($"u").as("m"))
         .collect() // K×D rows, index metadata
@@ -626,8 +628,12 @@ object Similarity extends QueryModule {
     import e.sparkSession.implicits._
     val means = assignTo(e, cb)
       .select($"centroid_id", $"nrm", posexplode($"v"))
+      // zero-norm guard: /0 yields NULL, which avg would silently skip
+      // (biased mean) and an all-zero cell would NPE the driver decode;
+      // a zero vector instead contributes a zero direction — neutral
       .select($"centroid_id", $"pos",
-        ($"col".cast("double") / $"nrm").as("u"))
+        when($"nrm" > 0, $"col".cast("double") / $"nrm")
+          .otherwise(0.0).as("u"))
       .groupBy($"centroid_id", $"pos")
       .agg(avg($"u").as("m"))
       .collect()

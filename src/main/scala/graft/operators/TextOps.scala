@@ -783,14 +783,15 @@ object TextOps extends QueryModule {
     *
     *  - `false` (DEFAULT — the measured winner): the original
     *    one-scan form — a row_number window over (fp, passed) that
-    *    shuffles every full row on fp. 54 s at 10^6 all-pass, 52 s
-    *    with 30% planted rule failures.
+    *    shuffles every full row on fp. 51 s at 10^6 all-pass, 50 s
+    *    with 30% planted rule failures (post-kernel probe — the
+    *    figure of record, same run as COVERAGE round 8).
     *  - `true`: quality filter AHEAD of the fingerprint stage (the
     *    window already partitioned failed docs apart, so excluding
     *    them is a plan change, not a semantic one); the fp exchange
     *    becomes the map-side-combined aggregate fp → (min doc_id,
     *    count) and only duplicating fps join back — text bytes cross
-    *    NO exchange. MEASURED SLOWER here: 161 s / 111 s on the same
+    *    NO exchange. MEASURED SLOWER here: 155 s / 108 s on the same
     *    corpora — the three separate evaluations of the scan+token
     *    statistics (groupBy side, join side, fail branch; Catalyst
     *    does not CSE across DataFrame branches) cost ~3x more than
@@ -822,10 +823,14 @@ object TextOps extends QueryModule {
         .agg(min($"doc_id").as("first_id"), count(lit(1)).as("n_fp"))
         .where($"n_fp" > 1)
         .select($"fp", $"first_id")
+      // null-SAFE fp equality: groupBy groups NULL fps into one group,
+      // so the join-back must match them too — a plain equi-join would
+      // null-reject and silently diverge from the window form on any
+      // corpus with NULL text
       val passTagged = pass
-        .join(dupFirst, Seq("fp"), "left")
-        .select($"doc_id", $"text", $"n_tokens",
-          when($"first_id".isNotNull && $"doc_id" =!= $"first_id",
+        .join(dupFirst, pass("fp") <=> dupFirst("fp"), "left")
+        .select(pass("doc_id"), pass("text"), pass("n_tokens"),
+          when($"first_id".isNotNull && pass("doc_id") =!= $"first_id",
             "exact_dup").as("reason12"))
       val fail = base.where($"pre_reason".isNotNull)
         .select($"doc_id", $"text", $"n_tokens",

@@ -416,13 +416,26 @@ object StreamingPipeline {
           .map(p => s.read.parquet(s"$carryDir/batch_id=$p"))
           .getOrElse(batch.limit(0))
         val unioned = carried.unionByName(batch)
+        // misuse guard BEFORE the window: counting the pre-sort union
+        // is a cheap narrow action, so an oversized batch fails in
+        // O(count) — tripping it after the persist would first pay the
+        // very single-partition total sort the cap exists to prevent
+        val n = unioned.count()
+        if (n > maxBufferedRows)
+          throw new IllegalStateException(
+            s"sizeFlushSink: micro-batch $id buffers $n rows " +
+              s"(carry + input) > maxBufferedRows=$maxBufferedRows. " +
+              "This sink is a SEQUENTIAL total-order stage for small " +
+              "ordered control streams (see scaladoc); route bulk data " +
+              "through dualWrite, or raise maxBufferedRows explicitly " +
+              "if the stream really is this large.")
         // order by (seqCol, full-row hash): ties on seqCol alone would
         // let the chunk and carry actions rank rows differently across
         // their independent executions (duplicating one row, dropping
         // another); the hash tiebreaker makes the rank deterministic up
         // to fully identical rows, which are interchangeable. The
-        // persist makes the three actions (count + two writes) share
-        // one carry-read + sort instead of re-running it.
+        // persist makes the two write actions share one carry-read +
+        // sort instead of re-running it.
         val all = unioned
           .withColumn("rn",
             row_number().over(org.apache.spark.sql.expressions.Window
@@ -431,15 +444,6 @@ object StreamingPipeline {
               - 1)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val n = all.count()
-          if (n > maxBufferedRows)
-            throw new IllegalStateException(
-              s"sizeFlushSink: micro-batch $id buffers $n rows " +
-                s"(carry + input) > maxBufferedRows=$maxBufferedRows. " +
-                "This sink is a SEQUENTIAL total-order stage for small " +
-                "ordered control streams (see scaladoc); route bulk data " +
-                "through dualWrite, or raise maxBufferedRows explicitly " +
-                "if the stream really is this large.")
           val emit = n / cap * cap // whole chunks only; remainder carries
           all.where($"rn" < emit)
             .withColumn("chunk", ($"rn" / cap).cast("long"))

@@ -73,7 +73,7 @@ class PlanAuditSpec extends SparkSpecBase {
     // the join carries BOTH the key and the salt — the hot key's rows
     // land in NumSalts different sort-merge partitions
     assert(pC.contains("SortMergeJoin"), pC)
-    assert("SortMergeJoin \\[k#\\d+L?, salt#\\d+".r.findFirstIn(pC).isDefined,
+    assert("SortMergeJoin \\[k#\\d+L?, __graft_salt#\\d+".r.findFirstIn(pC).isDefined,
       pC)
   }
 
