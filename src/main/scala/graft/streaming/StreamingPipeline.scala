@@ -63,9 +63,11 @@ object StreamingPipeline {
   private[graft] object Faults {
     @volatile var sizeFlushAfterChunks: Long => Unit = _ => ()
     @volatile var indexedDedupAfterHits: Long => Unit = _ => ()
+    @volatile var dualWriteAfterOk: Long => Unit = _ => ()
     def reset(): Unit = {
       sizeFlushAfterChunks = _ => ()
       indexedDedupAfterHits = _ => ()
+      dualWriteAfterOk = _ => ()
     }
   }
 
@@ -103,6 +105,7 @@ object StreamingPipeline {
         try {
           writeBatchOnce(staged.where(col("_ok")).select(stage.parsed: _*),
             s"$okDir/batch=$id")
+          Faults.dualWriteAfterOk(id)
           writeBatchOnce(staged.where(!col("_ok")).drop("_ok"),
             s"$dlqDir/batch=$id")
         } finally staged.unpersist()

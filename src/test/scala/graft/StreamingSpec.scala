@@ -833,6 +833,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("dual-write: crash between ok and DLQ writes replays without duplicating the ok batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (okDir, dlqDir, ckpt) = (tmp(), tmp(), tmp())
+    val stream = MemoryStream[Record]
+    def start() = StreamingPipeline.dualWrite(
+      stream.toDF(), stage, okDir, dlqDir, ckpt,
+      trigger = Trigger.ProcessingTime(0L))
+    val q1 = start()
+    try {
+      stream.addData(rec(0, 0, "a"), rec(0, 1, "b"))
+      q1.processAllAvailable() // batch 0 commits both branches
+      // batch 1 dies AFTER its ok branch landed (with _SUCCESS), BEFORE
+      // its DLQ branch — the split-write torn-batch point
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      StreamingPipeline.Faults.dualWriteAfterOk = _ =>
+        if (armed.getAndSet(false))
+          throw new RuntimeException("injected crash: killed between " +
+            "ok write and DLQ write")
+      stream.addData(rec(0, 2, "c"), rec(1, 0, "poison"))
+      intercept[Exception] { q1.processAllAvailable() }
+      assert(q1.exception.isDefined)
+    } finally { q1.stop(); StreamingPipeline.Faults.reset() }
+    // mid-crash: ok/batch=1 is complete on disk, dlq/batch=1 absent
+    val fs = new org.apache.hadoop.fs.Path(okDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$okDir/batch=1/_SUCCESS")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dlqDir/batch=1")))
+    // restart: batch 1 replays; writeBatchOnce SKIPS the completed ok
+    // dir (its _SUCCESS marker) and completes the DLQ branch — content
+    // exactly-once on both branches, no torn batch
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(okDir).select($"payload").as[String]
+        .collect().sorted.toSeq === Seq("a", "b", "c"))
+      val dlq = spark.read.parquet(dlqDir)
+      assert(dlq.count() === 1)
+      assert(new String(dlq.select("value").head().getAs[Array[Byte]](0),
+        "UTF-8") === "poison")
+    } finally q2.stop()
+  }
+
   test("maintained band index: crash between hits append and index append replays to an exact hit set") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
