@@ -62,8 +62,7 @@ object TokenSetCount {
     * Duplicate and empty entries are ignored (set semantics). */
   def token_set_count(c: Column, words: Seq[String]): Column =
     GraftShims.column(TokenSetCountExpr(GraftShims.toExpression(c),
-      words.distinct.filter(_.nonEmpty)
-        .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray))
+      words.distinct.filter(_.nonEmpty)))
 }
 
 /** Fingerprint normalization in one byte pass.
@@ -139,14 +138,24 @@ case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
 
 /** Native Catalyst expression: stays inside whole-stage codegen
   * (doGenCode emits a static call with the word set as a codegen
-  * reference object), unlike the split/filter composition it replaces. */
-case class TokenSetCountExpr(child: Expression, words: Array[Array[Byte]])
+  * reference object), unlike the split/filter composition it replaces.
+  *
+  * The word set is held as `Seq[String]` so the case class keeps
+  * structural equality — Catalyst canonicalization and subexpression
+  * elimination compare expressions by equals/hashCode, and an
+  * `Array[Array[Byte]]` field compares by reference, which would make
+  * two identical `token_set_count` calls in one plan never dedupe.
+  * The UTF-8 byte form the kernel scans against is derived lazily and
+  * excluded from equality. */
+case class TokenSetCountExpr(child: Expression, words: Seq[String])
     extends UnaryExpression {
+  @transient private lazy val wordBytes: Array[Array[Byte]] =
+    words.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
-    TokenSetCount.eval(v.asInstanceOf[UTF8String], words)
+    TokenSetCount.eval(v.asInstanceOf[UTF8String], wordBytes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("words", words, "byte[][]")
+    val ref = ctx.addReferenceObj("words", wordBytes, "byte[][]")
     defineCodeGen(ctx, ev, c => s"graft.functions.TokenSetCount.eval($c, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): TokenSetCountExpr =

@@ -408,12 +408,31 @@ object StreamingPipeline {
         val prev = {
           val base = new org.apache.hadoop.fs.Path(carryDir)
           if (!fs.exists(base)) None
-          else fs.listStatus(base).toSeq
-            .map(_.getPath.getName)
-            .filter(_.startsWith("batch_id="))
-            .map(_.stripPrefix("batch_id=").toLong)
-            .filter(_ < id) // a retried batch must not read its own carry
-            .sorted.lastOption
+          else {
+            val ids = fs.listStatus(base).toSeq
+              .map(_.getPath.getName)
+              .filter(_.startsWith("batch_id="))
+              // foreign entries (a non-numeric suffix someone dropped in
+              // the dir) are ignored, not a query-killing parse error
+              .flatMap(n => scala.util.Try(
+                n.stripPrefix("batch_id=").toLong).toOption)
+            // ids > id can only exist when the checkpoint was reset while
+            // carry dirs were kept: batch numbering restarted below dirs
+            // from the old incarnation. Proceeding would silently GC the
+            // NEWER carries and union stale rows — fail loudly instead.
+            // (id itself is fine: that is this batch's own carry from a
+            // prior attempt of the same micro-batch.)
+            val stale = ids.filter(_ > id)
+            if (stale.nonEmpty)
+              throw new IllegalStateException(
+                s"sizeFlushSink: carry dir $carryDir holds batch ids " +
+                  s"${stale.sorted.mkString(",")} NEWER than current " +
+                  s"micro-batch $id — the checkpoint was reset while " +
+                  "carry state was kept. Clear the carry dir (or restore " +
+                  "the matching checkpoint) before restarting.")
+            ids.filter(_ < id) // a retried batch must not read its own carry
+              .sorted.lastOption
+          }
         }
         val carried = prev
           .map(p => s.read.parquet(s"$carryDir/batch_id=$p"))
@@ -464,8 +483,12 @@ object StreamingPipeline {
           val keep = Set(Some(id), prev).flatten
           fs.listStatus(new org.apache.hadoop.fs.Path(carryDir)).toSeq
             .filter(_.getPath.getName.startsWith("batch_id="))
-            .filter(st => !keep.contains(
-              st.getPath.getName.stripPrefix("batch_id=").toLong))
+            // delete only entries that parse AND are strictly older than
+            // a kept id: foreign names and anything newer are retained
+            // (best-effort GC never deletes what it cannot prove stale)
+            .filter(st => scala.util.Try(
+              st.getPath.getName.stripPrefix("batch_id=").toLong).toOption
+              .exists(n => !keep.contains(n) && n < id))
             .foreach(st => fs.delete(st.getPath, true))
         } finally { all.unpersist(false); () }
         ()

@@ -517,7 +517,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
     // determinism / retry-idempotency: replaying the same input through
     // a fresh checkpoint rewrites the same batch_id dirs with the same
-    // content instead of duplicating chunks
+    // content instead of duplicating chunks. A checkpoint reset with
+    // RETAINED carry state fails fast (batch numbering restarted below
+    // existing carry ids is ambiguous intent — pinned below), so the
+    // documented replay procedure clears the carry dir first; chunk
+    // output is what the determinism contract is about.
+    val streamStale = MemoryStream[(Long, String)]
+    val qStale = StreamingPipeline.sizeFlushSink(
+      streamStale.toDF().toDF("seq", "payload"), "seq", cap = 3,
+      chunksDir, carryDir, tmp())
+    try {
+      streamStale.addData((0L, "a"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qStale.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("NEWER than current micro-batch"),
+        ex.getMessage)
+    } finally qStale.stop()
+    val carryPath = new org.apache.hadoop.fs.Path(carryDir)
+    val cfs = carryPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cfs.delete(carryPath, true)
     val stream2 = MemoryStream[(Long, String)]
     val q2 = StreamingPipeline.sizeFlushSink(
       stream2.toDF().toDF("seq", "payload"), "seq", cap = 3,
