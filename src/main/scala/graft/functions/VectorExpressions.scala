@@ -132,6 +132,62 @@ object VecOps {
     new GenericArrayData(out)
   }
 
+  /** LSH band keys from a minhash signature: one 64-bit key per band,
+    * fmix64-folded over the band's `rows` signature slice from a
+    * per-band seed. Replaces the 32-expression xxhash64-over-element_at
+    * chain the band explode used to evaluate per row — one primitive
+    * pass over the signature array, zero element_at null machinery.
+    * Key VALUES differ from the old chain; keys are internal (candidate
+    * buckets, streaming state keys, stored band indexes), so only
+    * recall — a property of the banding math, not the hash family —
+    * carries to any gated output. */
+  def bandKeys(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = fmix64(permSeed(b))
+      var r = 0
+      while (r < rows) { acc = fmix64(acc ^ sig.getLong(b * rows + r)); r += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fused shingles→minhash→band-keys kernel: the whole banding
+    * projection (the narrow floor of every LSH pair stage) in one call —
+    * the `perms`-wide minima live in a local primitive array instead of
+    * a materialized intermediate column, and the band fold runs in the
+    * same pass. Identical keys to `bandKeys(minhashSig(sh, perms),
+    * bands, perms/bands)` by construction. */
+  def minhashBandKeys(sh: ArrayData, perms: Int, bands: Int): ArrayData = {
+    val n = sh.numElements()
+    val mins = new Array[Long](perms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = sh.getLong(i)
+      var p = 0
+      while (p < perms) {
+        val v = fmix64(h ^ permSeed(p))
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    val rows = perms / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = fmix64(permSeed(b))
+      var r = 0
+      while (r < rows) { acc = fmix64(acc ^ mins(b * rows + r)); r += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Nearest-centroid assignment of one vector against a small codebook:
     * argmax of cosine over `cents`, ties to the LOWEST centroid id (ids
     * are sorted ascending and the comparison is strict — identical to
@@ -773,6 +829,31 @@ case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
     copy(c)
 }
 
+/** Band keys from an existing minhash signature column. */
+case class BandKeysExpr(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecOps.bandKeys(v.asInstanceOf[ArrayData], bands, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.bandKeys($c, $bands, $rows)")
+  override protected def withNewChildInternal(c: Expression): BandKeysExpr =
+    copy(c)
+}
+
+/** Fused shingles→minhash→band-keys kernel (see [[VecOps.minhashBandKeys]]). */
+case class MinHashBandKeysExpr(child: Expression, perms: Int, bands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecOps.minhashBandKeys(v.asInstanceOf[ArrayData], perms, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecOps.minhashBandKeys($c, $perms, $bands)")
+  override protected def withNewChildInternal(c: Expression): MinHashBandKeysExpr =
+    copy(c)
+}
+
 /** Sorted-distinct hashed word n-gram shingles of a text column. */
 case class TextShinglesExpr(child: Expression, n: Int)
     extends UnaryExpression {
@@ -794,6 +875,11 @@ object VectorExpressions {
     GraftShims.column(LshBucketsExpr(GraftShims.toExpression(v), tables, bits))
   def minhash_sig(sh: Column, perms: Int): Column =
     GraftShims.column(MinHashSigExpr(GraftShims.toExpression(sh), perms))
+  def band_keys(sig: Column, bands: Int, rows: Int): Column =
+    GraftShims.column(BandKeysExpr(GraftShims.toExpression(sig), bands, rows))
+  def minhash_band_keys(sh: Column, perms: Int, bands: Int): Column =
+    GraftShims.column(MinHashBandKeysExpr(GraftShims.toExpression(sh), perms,
+      bands))
   def intersect_count(a: Column, b: Column): Column =
     GraftShims.column(IntersectCountExpr(GraftShims.toExpression(a),
       GraftShims.toExpression(b)))

@@ -44,44 +44,72 @@ object NearDup extends QueryModule {
         graft.functions.VectorExpressions.text_shingles($"text", 3).as("sh"))
   }
 
-  /** MinHash signatures: the whole Perms-wide (128) signature comes from
-    * one native-expression pass over the hashed shingle array (no explode,
-    * no per-permutation aggregate — see [[graft.functions.MinHashSigExpr]]). */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    hashedShingles(s, d)
-      .select($"doc_id",
-        graft.functions.VectorExpressions.minhash_sig($"sh", Perms).as("mh"))
-  }
-
-  /** One 64-bit LSH band key per band: each band's Rows-wide signature
-    * slice collapsed to xxhash64(band index, slice values). Identical
-    * slices always produce identical keys, so recall is unaffected; a
-    * hash collision can only add a false candidate, which the
-    * exact-verify stage discards. Shared by the batch pair join and the
+  /** One 64-bit LSH band key per band, as an array column: each band's
+    * Rows-wide signature slice fmix64-folded from a per-band seed
+    * (native [[graft.functions.BandKeysExpr]] — one primitive pass,
+    * replacing a 32-expression xxhash64 chain that dominated the
+    * banding projection's cost at 10⁷). Identical slices always produce
+    * identical keys, so recall is unaffected; a hash collision can only
+    * add a false candidate, which the exact-verify stage discards.
+    * Shared by the batch pair join, the persisted band index, and the
     * streaming near-dup dedup state key. */
-  private[graft] def bandKeyColumns(sig: org.apache.spark.sql.Column)
-      : Seq[org.apache.spark.sql.Column] =
-    (0 until Bands).map { b =>
-      xxhash64(lit(b) +:
-        (0 until Rows).map(r => element_at(sig, b * Rows + r + 1)): _*)
-    }
+  private[graft] def bandKeysOf(sig: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.functions.VectorExpressions.band_keys(sig, Bands, Rows)
 
   /** Signature width shared with the streaming dedup. */
   private[graft] def permCount: Int = Perms
 
-  /** Candidate pairs from LSH banding: a self-join on the single-long
-    * band keys — the shuffle carries one long per (doc, band). */
+  /** Distinct candidate pairs from a banded (doc_id, bkey) table.
+    *
+    * Default form ("bucket"): ONE shuffle — group the banded stream by
+    * bkey, collect each bucket's (tiny) id list, and emit the ordered
+    * pairs map-side from the sorted list. The band self-join it
+    * replaces shuffled the 32-per-doc band stream TWICE (both join
+    * sides) and sorted both for the merge join; here the same volume
+    * moves once into the aggregate and pair emission is narrow. The
+    * per-bucket list is bounded by the duplicate-family size (LSH
+    * buckets are near-dup clusters, not corpus partitions), and
+    * singleton buckets — the overwhelming majority — are filtered
+    * before any pair arithmetic. A/B'd at 10⁶/10⁷ against the join
+    * form (ScaleBench `lsh_anatomy`), hash-identical output; the join
+    * form is kept selectable for re-adjudication via
+    * SPARK_GRAFT_LSH_PAIRS=join. */
+  private[graft] def candidatesFromBands(banded: DataFrame,
+      form: String = sys.env.getOrElse("SPARK_GRAFT_LSH_PAIRS", "bucket"))
+      : DataFrame = {
+    val s = banded.sparkSession
+    import s.implicits._
+    if (form == "join") {
+      val a = banded.select($"bkey", $"doc_id".as("id_a"))
+      val b = banded.select($"bkey", $"doc_id".as("id_b"))
+      a.join(b, Seq("bkey"))
+        .where($"id_a" < $"id_b")
+        .select($"id_a", $"id_b")
+        .distinct()
+    } else {
+      banded.groupBy($"bkey")
+        .agg(collect_list($"doc_id").as("ids"))
+        .where(size($"ids") > 1)
+        .select(array_sort($"ids").as("ids"))
+        // ordered pairs (i < j) from the sorted list; the lambda runs
+        // only on non-singleton buckets, so its interpreted evaluation
+        // is off the hot path (the hot path is the aggregate above)
+        .select(explode(flatten(transform($"ids", (x, i) =>
+          transform(
+            slice($"ids", i + lit(2),
+              greatest(size($"ids") - i - lit(1), lit(0))),
+            y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+        .select($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
+        .distinct()
+    }
+  }
+
+  /** Candidate pairs from LSH banding over the documents table. */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val banded = signatures(s, d)
-      .select($"doc_id", explode(array(bandKeyColumns($"mh"): _*)).as("bkey"))
-    val a = banded.select($"bkey", $"doc_id".as("id_a"))
-    val b = banded.select($"bkey", $"doc_id".as("id_b"))
-    a.join(b, Seq("bkey"))
-      .where($"id_a" < $"id_b")
-      .select($"id_a", $"id_b")
-      .distinct()
+    candidatesFromBands(bandedOver(
+      Tables.documents(s, d).select($"doc_id", $"text")))
   }
 
   /** Near-duplicate pairs: LSH candidates verified with exact shingle
@@ -190,6 +218,18 @@ object NearDup extends QueryModule {
       .orderBy($"tau_pct")
   }
 
+  /** The banded (doc_id, bkey) stream over an arbitrary (doc_id, text)
+    * set — shingles → signature → 32 band keys, all narrow; exposed
+    * for the ScaleBench candidate-stage anatomy probe. */
+  private[graft] def bandedOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id",
+      explode(graft.functions.VectorExpressions.minhash_band_keys(
+        graft.functions.VectorExpressions.text_shingles($"text", 3),
+        Perms, Bands)).as("bkey"))
+  }
+
   /** Near-dup pairs (LSH banding + exact-Jaccard verify, same knobs as
     * [[minhashNearDup]]) over an ARBITRARY (doc_id, text) set — the
     * building block composed stages use on a filtered corpus.
@@ -201,15 +241,7 @@ object NearDup extends QueryModule {
     import s.implicits._
     val sh = docs.select($"doc_id",
       graft.functions.VectorExpressions.text_shingles($"text", 3).as("sh"))
-    val banded = sh
-      .select($"doc_id",
-        graft.functions.VectorExpressions.minhash_sig($"sh", Perms).as("mh"))
-      .select($"doc_id", explode(array(bandKeyColumns($"mh"): _*)).as("bkey"))
-    banded.select($"bkey", $"doc_id".as("id_a"))
-      .join(banded.select($"bkey", $"doc_id".as("id_b")), Seq("bkey"))
-      .where($"id_a" < $"id_b")
-      .select($"id_a", $"id_b")
-      .distinct()
+    candidatesFromBands(bandedOver(docs))
       .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
       .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
       .withColumn("n_common",
@@ -751,8 +783,8 @@ object NearDup extends QueryModule {
   private[graft] def bandIndex(sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
     sh.select($"doc_id",
-        graft.functions.VectorExpressions.minhash_sig($"sh", Perms).as("mh"))
-      .select($"doc_id", explode(array(bandKeyColumns($"mh"): _*)).as("bkey"))
+      explode(graft.functions.VectorExpressions.minhash_band_keys(
+        $"sh", Perms, Bands)).as("bkey"))
   }
 
   private[graft] def incrementalPairs(

@@ -62,10 +62,12 @@ object StreamingPipeline {
     * No-ops in production; only specs assign them. */
   private[graft] object Faults {
     @volatile var sizeFlushAfterChunks: Long => Unit = _ => ()
+    @volatile var sizeFlushAfterCarry: Long => Unit = _ => ()
     @volatile var indexedDedupAfterHits: Long => Unit = _ => ()
     @volatile var dualWriteAfterOk: Long => Unit = _ => ()
     def reset(): Unit = {
       sizeFlushAfterChunks = _ => ()
+      sizeFlushAfterCarry = _ => ()
       indexedDedupAfterHits = _ => ()
       dualWriteAfterOk = _ => ()
     }
@@ -267,7 +269,7 @@ object StreamingPipeline {
     val banded = docs
       .select(col("doc_id"), sig.as("sig"))
       .select(col("doc_id"), col("sig"),
-        explode(array(graft.operators.NearDup.bandKeyColumns(col("sig")): _*))
+        explode(graft.operators.NearDup.bandKeysOf(col("sig")))
           .as("bkey"))
       .as[(Long, Array[Long], Long)]
     val timeoutConf =
@@ -338,7 +340,7 @@ object StreamingPipeline {
     docs
       .select(col("doc_id"), sig.as("s"))
       .select(col("doc_id"),
-        explode(array(graft.operators.NearDup.bandKeyColumns(col("s")): _*))
+        explode(graft.operators.NearDup.bandKeysOf(col("s")))
           .as("bkey"))
       .join(corpusIndex.withColumnRenamed("doc_id", "corpus_id"), Seq("bkey"))
       .where(col("doc_id") =!= col("corpus_id"))
@@ -386,7 +388,10 @@ object StreamingPipeline {
     * everything older is unreachable by construction (a retry of batch
     * N reads the latest carry < N, which is exactly the retained one).
     * Without this the carry dir grows one subdir per micro-batch
-    * forever, and the per-batch listStatus scan grows with it. */
+    * forever, and the per-batch listStatus scan grows with it.
+    * Chunk dirs are OUTPUT and are retained until the consumer
+    * acknowledges them via `ackedChunks` (see the parameter note) —
+    * the producer cannot know on its own when a chunk is consumed. */
   def sizeFlushSink(
       rows: DataFrame, // streaming; must carry an ordering column seqCol
       seqCol: String,
@@ -394,7 +399,17 @@ object StreamingPipeline {
       chunksDir: String,
       carryDir: String,
       checkpointDir: String,
-      maxBufferedRows: Long = 1000000L): StreamingQuery = {
+      maxBufferedRows: Long = 1000000L,
+      // Consumer-acknowledged retention watermark: chunk batch_id dirs
+      // <= this value are deleted after each successful batch. Default
+      // retains everything (the chunks dir is the sink's OUTPUT — only
+      // the consumer knows when it is done with a chunk; the reference's
+      // durable home is the ClickHouse table, `src/clickhouse.rs:86-89`,
+      // ours needs the consumer to say so). A consumer that acks batch N
+      // before the producer's offset commit can see N replayed once
+      // after a crash — at-least-once delivery downstream, same contract
+      // as every sink here.
+      ackedChunks: () => Long = () => Long.MinValue): StreamingQuery = {
     require(cap > 0, "cap must be positive")
     require(maxBufferedRows >= cap,
       "maxBufferedRows must be at least cap")
@@ -476,6 +491,7 @@ object StreamingPipeline {
           Faults.sizeFlushAfterChunks(id)
           all.where($"rn" >= emit).drop("rn")
             .write.mode("overwrite").parquet(s"$carryDir/batch_id=$id")
+          Faults.sizeFlushAfterCarry(id)
           // GC: everything older than the carry this batch read is
           // unreachable (a retry of ANY future batch M > id reads the
           // latest carry < M, which is >= prev) — delete it. Keep prev
@@ -490,6 +506,19 @@ object StreamingPipeline {
               st.getPath.getName.stripPrefix("batch_id=").toLong).toOption
               .exists(n => !keep.contains(n) && n < id))
             .foreach(st => fs.delete(st.getPath, true))
+          // chunk retention: drop output dirs the CONSUMER has finished
+          // with (never this batch's own — its commit is still pending)
+          val acked = math.min(ackedChunks(), id - 1)
+          if (acked >= 0L) {
+            val cbase = new org.apache.hadoop.fs.Path(chunksDir)
+            if (fs.exists(cbase))
+              fs.listStatus(cbase).toSeq
+                .filter(_.getPath.getName.startsWith("batch_id="))
+                .filter(st => scala.util.Try(
+                  st.getPath.getName.stripPrefix("batch_id=").toLong)
+                  .toOption.exists(_ <= acked))
+                .foreach(st => fs.delete(st.getPath, true))
+          }
         } finally { all.unpersist(false); () }
         ()
       }

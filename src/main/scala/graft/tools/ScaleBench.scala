@@ -190,6 +190,69 @@ object ScaleBench {
     time("curate_corpus") {
       graft.operators.TextOps.curateCorpus(spark, curDir)
     }
+    // LSH candidate-stage anatomy — explicit opt-in
+    // (SPARK_GRAFT_SCALE_ONLY=lsh_anatomy): A/Bs the two candidate-pair
+    // forms (band self-join vs single-shuffle bucket aggregation) on
+    // the same banded stream, with the narrow signature pass timed
+    // alone as the floor, plus the full verified pairsOver under each
+    // form. Row-count + xxhash identity is printed per form — the
+    // adjudication record for which form candidatesFromBands defaults
+    // to.
+    if (only.exists(_.contains("lsh_anatomy"))) {
+      // same checksum materialization as `time`, minus the name filter
+      // (the opt-in gate for this rung is the lsh_anatomy key itself)
+      def timeA(name: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val d = body
+        val Array(rows, h) = d
+          .select(xxhash64(struct(d.columns.toIndexedSeq.map(col): _*)).as("h"))
+          .agg(count(lit(1)), bit_xor($"h")).collect()
+          .head.toSeq.map(v => Option(v).map(_.toString).getOrElse("0")).toArray
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"shape":"$name","n":$n,"rows":$rows,"xor":"$h","sec":$sec%.2f}""")
+      }
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"text")
+      timeA("lsh_scan_only") {
+        docs.select($"doc_id", length($"text").as("len"))
+      }
+      timeA("lsh_shingles_narrow") {
+        docs.select($"doc_id", graft.functions.VectorExpressions
+          .text_shingles($"text", 3).as("sh"))
+      }
+      timeA("lsh_sig_narrow") {
+        docs.select($"doc_id", graft.functions.VectorExpressions
+          .minhash_sig(graft.functions.VectorExpressions
+            .text_shingles($"text", 3), graft.operators.NearDup.permCount)
+          .as("mh"))
+      }
+      timeA("lsh_banded_narrow") {
+        graft.operators.NearDup.bandedOver(docs)
+      }
+      for (form <- Seq("join", "bucket")) {
+        timeA(s"lsh_candidates_$form") {
+          graft.operators.NearDup.candidatesFromBands(
+            graft.operators.NearDup.bandedOver(docs), form)
+        }
+      }
+      for (form <- Seq("join", "bucket")) {
+        timeA(s"lsh_verified_pairs_$form") {
+          graft.operators.NearDup.candidatesFromBands(
+            graft.operators.NearDup.bandedOver(docs), form)
+            .join(docs.select($"doc_id".as("id_a"),
+              graft.functions.VectorExpressions
+                .text_shingles($"text", 3).as("sh_a")), Seq("id_a"))
+            .join(docs.select($"doc_id".as("id_b"),
+              graft.functions.VectorExpressions
+                .text_shingles($"text", 3).as("sh_b")), Seq("id_b"))
+            .withColumn("n_common", graft.functions.VectorExpressions
+              .intersect_count($"sh_a", $"sh_b"))
+            .where($"n_common".cast("double") /
+              (size($"sh_a") + size($"sh_b") - $"n_common") >= 0.8)
+            .select($"id_a", $"id_b")
+        }
+      }
+    }
     // stage attribution + fingerprint-exchange A/B for the cascade —
     // explicit opt-in (SPARK_GRAFT_SCALE_ONLY=curate_stages): it re-runs
     // the cascade's stages with materialization barriers between them,

@@ -852,6 +852,197 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("size-flush sink: the SAME crash firing again during replay still converges (replay path is itself idempotent)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val chunksDir = tmp(); val carryDir = tmp(); val ckpt = tmp()
+    val stream = MemoryStream[(Long, String)]
+    def start() = StreamingPipeline.sizeFlushSink(
+      stream.toDF().toDF("seq", "payload"), "seq", cap = 3,
+      chunksDir, carryDir, ckpt)
+    def chunks(): Seq[(Long, Long, Seq[Long])] =
+      spark.read.parquet(chunksDir)
+        .select($"batch_id", $"chunk", $"seq")
+        .as[(Long, Long, Long)].collect().toSeq
+        .groupBy(r => (r._1, r._2)).toSeq
+        .map { case ((b, c), rs) => (b, c, rs.map(_._3).sorted) }
+        .sortBy(r => (r._1, r._2))
+    val q1 = start()
+    // the fault fires TWICE: once on the original batch 1, once on its
+    // replay — a first-retry-only pin would miss a replay path that
+    // only works because the crash site was disarmed
+    val remaining = new java.util.concurrent.atomic.AtomicInteger(2)
+    StreamingPipeline.Faults.sizeFlushAfterChunks = id =>
+      if (id == 1L && remaining.getAndDecrement() > 0)
+        throw new RuntimeException("injected crash: killed between " +
+          "chunk write and carry write (fires on replay too)")
+    try {
+      stream.addData((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e"))
+      q1.processAllAvailable() // batch 0 commits
+      stream.addData((5L, "f"), (6L, "g"), (7L, "h"), (8L, "i"))
+      intercept[Exception] { q1.processAllAvailable() } // crash #1
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      intercept[Exception] { q2.processAllAvailable() } // crash #2, mid-replay
+    } finally q2.stop()
+    assert(remaining.get() <= 0, "fault must have fired twice")
+    StreamingPipeline.Faults.reset()
+    // third incarnation: replay of a twice-crashed batch converges to
+    // the exact same gapless stream a clean run produces
+    val q3 = start()
+    try {
+      q3.processAllAvailable()
+      assert(chunks() === Seq(
+        (0L, 0L, Seq(0L, 1L, 2L)),
+        (1L, 0L, Seq(3L, 4L, 5L)),
+        (1L, 1L, Seq(6L, 7L, 8L))), chunks())
+      stream.addData((9L, "j"), (10L, "k"), (11L, "l"))
+      q3.processAllAvailable()
+      assert(chunks().flatMap(_._3) === (0L to 11L)) // gapless, dup-free
+    } finally q3.stop()
+  }
+
+  test("size-flush sink: crash between carry write and carry GC retains stale dirs but never loses a needed one") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val chunksDir = tmp(); val carryDir = tmp(); val ckpt = tmp()
+    val stream = MemoryStream[(Long, String)]
+    def start() = StreamingPipeline.sizeFlushSink(
+      stream.toDF().toDF("seq", "payload"), "seq", cap = 3,
+      chunksDir, carryDir, ckpt)
+    def carryIds(): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(carryDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).sorted
+    }
+    def chunkSeqs(): Seq[Long] =
+      spark.read.parquet(chunksDir).select($"seq")
+        .as[Long].collect().toSeq.sorted
+    val q1 = start()
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    StreamingPipeline.Faults.sizeFlushAfterCarry = id =>
+      if (id == 2 && armed.compareAndSet(false, true))
+        throw new RuntimeException("injected crash: killed between " +
+          "carry write and carry GC")
+    try {
+      stream.addData((0L until 5L).map(i => (i, s"v$i")): _*)
+      q1.processAllAvailable() // batch 0: carry {3,4}
+      stream.addData((5L until 9L).map(i => (i, s"v$i")): _*)
+      q1.processAllAvailable() // batch 1: GC'able state exists
+      stream.addData((9L until 13L).map(i => (i, s"v$i")): _*)
+      intercept[Exception] { q1.processAllAvailable() } // batch 2 crash
+    } finally { q1.stop(); StreamingPipeline.Faults.reset() }
+    // mid-crash: batch 2's carry landed, GC never ran — batch 1's carry
+    // (the one a replay of batch 2 READS) must still be on disk
+    assert(carryIds().contains(1L), carryIds())
+    assert(carryIds().contains(2L), carryIds())
+    // restart: batch 2 replays (offsets uncommitted), re-reads carry 1,
+    // overwrites its own dirs, and this time completes GC
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // 13 rows total, cap 3 → 12 chunked, {12} carried
+      assert(chunkSeqs() === (0L to 11L), chunkSeqs())
+      // GC completed on the replay: only {prev, own} dirs remain
+      assert(carryIds() === Seq(1L, 2L), carryIds())
+      // the stream continues past the recovery and GC keeps rolling
+      stream.addData((13L until 17L).map(i => (i, s"v$i")): _*)
+      q2.processAllAvailable()
+      assert(carryIds() === Seq(2L, 3L), carryIds())
+    } finally q2.stop()
+  }
+
+  test("size-flush sink: restart AFTER a completed GC finds the retained carry sufficient") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val chunksDir = tmp(); val carryDir = tmp(); val ckpt = tmp()
+    val stream = MemoryStream[(Long, String)]
+    def start() = StreamingPipeline.sizeFlushSink(
+      stream.toDF().toDF("seq", "payload"), "seq", cap = 3,
+      chunksDir, carryDir, ckpt)
+    def carryIds(): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(carryDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).sorted
+    }
+    val q1 = start()
+    try {
+      // three committed batches: GC has deleted batch 0's carry by now
+      stream.addData((0L until 5L).map(i => (i, s"v$i")): _*)
+      q1.processAllAvailable()
+      stream.addData((5L until 9L).map(i => (i, s"v$i")): _*)
+      q1.processAllAvailable()
+      stream.addData((9L until 13L).map(i => (i, s"v$i")): _*)
+      q1.processAllAvailable()
+      assert(carryIds() === Seq(1L, 2L), carryIds()) // 0 was GC'd
+    } finally q1.stop()
+    // cold restart on the GC'd state: batch 3 reads the retained carry
+    // (batch 2's) — the GC'd dirs were provably unreachable
+    val q2 = start()
+    try {
+      stream.addData((13L until 17L).map(i => (i, s"v$i")): _*)
+      q2.processAllAvailable()
+      val all = spark.read.parquet(chunksDir).select($"seq")
+        .as[Long].collect().toSeq.sorted
+      // 17 rows total, cap 3 → 15 chunked, {15,16} carried
+      assert(all === (0L to 14L), all)
+      assert(spark.read.parquet(s"$carryDir/batch_id=3")
+        .as[(Long, String)].collect().map(_._1).sorted.toSeq === Seq(15L, 16L))
+    } finally q2.stop()
+  }
+
+  test("size-flush sink: acknowledged chunk dirs are retired, unacknowledged ones survive restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val chunksDir = tmp(); val carryDir = tmp(); val ckpt = tmp()
+    val ack = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val stream = MemoryStream[(Long, String)]
+    def start() = StreamingPipeline.sizeFlushSink(
+      stream.toDF().toDF("seq", "payload"), "seq", cap = 3,
+      chunksDir, carryDir, ckpt, ackedChunks = () => ack.get())
+    def chunkBatchIds(): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(chunksDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).sorted
+    }
+    val q1 = start()
+    try {
+      stream.addData((0L until 5L).map(i => (i, s"v$i")): _*)
+      q1.processAllAvailable() // batch 0
+      stream.addData((5L until 9L).map(i => (i, s"v$i")): _*)
+      q1.processAllAvailable() // batch 1
+      assert(chunkBatchIds() === Seq(0L, 1L)) // nothing acked: all retained
+      ack.set(0L) // consumer finished batch 0's chunks
+      stream.addData((9L until 13L).map(i => (i, s"v$i")): _*)
+      q1.processAllAvailable() // batch 2 retires batch 0's output
+      assert(chunkBatchIds() === Seq(1L, 2L), chunkBatchIds())
+    } finally q1.stop()
+    // restart: unacknowledged chunks (1, 2) survive; the stream resumes
+    // and an ack that covers everything committed retires all but the
+    // newest batch's own output
+    val q2 = start()
+    try {
+      assert(chunkBatchIds() === Seq(1L, 2L))
+      ack.set(Long.MaxValue) // consumer caught all the way up
+      stream.addData((13L until 17L).map(i => (i, s"v$i")): _*)
+      q2.processAllAvailable() // batch 3: acked capped at id-1 = 2
+      assert(chunkBatchIds() === Seq(3L), chunkBatchIds())
+      // the data in the surviving dirs is still the correct tail
+      val rows = spark.read.parquet(s"$chunksDir/batch_id=3")
+        .select($"seq").as[Long].collect().toSeq.sorted
+      assert(rows === Seq(12L, 13L, 14L), rows)
+    } finally q2.stop()
+  }
+
   test("dual-write: crash between ok and DLQ writes replays without duplicating the ok batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
