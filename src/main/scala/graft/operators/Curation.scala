@@ -28,11 +28,13 @@ object Curation extends QueryModule {
     size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
 
   /** Conservative RE2-subset patterns (no lookaround, no backreference)
-    * so Java regex (Spark) and RE2 (DuckDB) agree match-for-match. */
-  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private[graft] val IpRe =
-    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  private[graft] val PhoneRe = "\\b555-[0-9]{4}\\b"
+    * so Java regex (Spark) and RE2 (DuckDB) agree match-for-match.
+    * The strings live on [[graft.functions.PiiScan]] (the fused kernel
+    * compiles them once); these aliases keep the oracle SQL and the
+    * regex-chain fallback reading from the same source. */
+  private[graft] val EmailRe = graft.functions.PiiScan.EmailRe
+  private[graft] val IpRe = graft.functions.PiiScan.IpRe
+  private[graft] val PhoneRe = graft.functions.PiiScan.PhoneRe
 
   /** Redaction pipeline over a text column: emails, then IPv4s, then
     * phone-shaped numbers, each replaced by a typed tag. Email runs
@@ -60,15 +62,30 @@ object Curation extends QueryModule {
       lit(" mail u"), $"doc_id", lit("@ex"), $"doc_id" % 7,
       lit(".org tel 555-0"), lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
       lit(" ip 10.2."), $"doc_id" % 256, lit("."), $"doc_id" % 100)
-    Tables.documents(s, d)
-      .select($"doc_id", planted.as("aug"))
-      .select(
+    val base = Tables.documents(s, d).select($"doc_id", planted.as("aug"))
+    // default: the fused single-expression kernel (same java.util.regex
+    // engine, one string conversion instead of six — see
+    // [[graft.functions.PiiScan]]); SPARK_GRAFT_PII=regex selects the
+    // 6-expression chain for re-adjudication (A/B'd hash-identical,
+    // figures in COVERAGE.md)
+    if (sys.env.getOrElse("SPARK_GRAFT_PII", "kernel") == "regex")
+      base.select(
         $"doc_id",
         nMatches($"aug", EmailRe).as("n_emails"),
         nMatches($"aug", IpRe).as("n_ips"),
         nMatches($"aug", PhoneRe).as("n_phones"),
         md5(redactPii($"aug")).as("red_fp"))
-      .orderBy($"doc_id")
+        .orderBy($"doc_id")
+    else
+      base.select($"doc_id",
+          graft.functions.PiiScan.pii_scan($"aug").as("p"))
+        .select(
+          $"doc_id",
+          $"p.n_emails".as("n_emails"),
+          $"p.n_ips".as("n_ips"),
+          $"p.n_phones".as("n_phones"),
+          md5($"p.redacted").as("red_fp"))
+        .orderBy($"doc_id")
   }
 
   // ---------------------------------------------------- mixture sampling

@@ -511,20 +511,37 @@ object TextOps extends QueryModule {
       .groupBy($"doc_id")
       .agg(collect_list(struct($"s", $"e")).as("iv"),
         sum($"e" - $"s" + 1L).as("covered"))
-    docs
+    val joined = docs
       .join(islands, Seq("doc_id"), "left")
-      .select($"doc_id",
-        split($"text", " ").as("t"),
+      .select($"doc_id", $"text",
         coalesce($"iv", array().cast("array<struct<s:int,e:int>>")).as("iv"),
         coalesce($"covered", lit(0L)).as("n_covered"))
-      .select($"doc_id",
-        size($"t").cast("long").as("n_tokens"),
-        $"n_covered",
-        array_join(
-          filter($"t", (x, idx) =>
-            !exists($"iv", v => idx + 1 >= v("s") && idx + 1 <= v("e"))),
-          " ").as("clean_text"))
-      .orderBy($"doc_id")
+    // default: the native interval-walk rewrite (one pass per row —
+    // see [[graft.functions.ScrubSpans]]); SPARK_GRAFT_SCRUB=hof selects
+    // the nested higher-order-function form for re-adjudication (its
+    // filter/exists lambda evaluates interpreted, tokens × intervals
+    // per row; A/B'd hash-identical, figures in COVERAGE.md)
+    if (sys.env.getOrElse("SPARK_GRAFT_SCRUB", "kernel") == "hof")
+      joined
+        .select($"doc_id", split($"text", " ").as("t"), $"iv", $"n_covered")
+        .select($"doc_id",
+          size($"t").cast("long").as("n_tokens"),
+          $"n_covered",
+          array_join(
+            filter($"t", (x, idx) =>
+              !exists($"iv", v => idx + 1 >= v("s") && idx + 1 <= v("e"))),
+            " ").as("clean_text"))
+        .orderBy($"doc_id")
+    else
+      joined
+        .select($"doc_id",
+          graft.functions.ScrubSpans.scrub_spans($"text", $"iv").as("sc"),
+          $"n_covered")
+        .select($"doc_id",
+          $"sc.n_tokens".as("n_tokens"),
+          $"n_covered",
+          $"sc.clean_text".as("clean_text"))
+        .orderBy($"doc_id")
   }
 
   /** Per-document NOVELTY score — the fraction of a document's DISTINCT

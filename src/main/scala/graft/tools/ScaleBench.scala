@@ -171,6 +171,11 @@ object ScaleBench {
     time("span_scrub") {
       graft.operators.TextOps.spanScrub(spark, dir)
     }
+    // PII scan+redact: row-local regex work — the fused-kernel-vs-chain
+    // A/B runs this shape under SPARK_GRAFT_PII=kernel|regex
+    time("pii_redact") {
+      graft.operators.Curation.piiRedact(spark, dir)
+    }
     time("dedup_survivor") {
       graft.operators.NearDup.dedupSurvivor(spark, dir)
     }
@@ -198,19 +203,21 @@ object ScaleBench {
     // form. Row-count + xxhash identity is printed per form — the
     // adjudication record for which form candidatesFromBands defaults
     // to.
+    // same checksum materialization as `time`, minus the name filter —
+    // for rungs (lsh_anatomy, salt_vs_aqe) whose opt-in gate is the rung
+    // key itself and whose inner shapes print rows + xor for identity
+    // comparison across variants
+    def timeA(name: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val d = body
+      val Array(rows, h) = d
+        .select(xxhash64(struct(d.columns.toIndexedSeq.map(col): _*)).as("h"))
+        .agg(count(lit(1)), bit_xor($"h")).collect()
+        .head.toSeq.map(v => Option(v).map(_.toString).getOrElse("0")).toArray
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"shape":"$name","n":$n,"rows":$rows,"xor":"$h","sec":$sec%.2f}""")
+    }
     if (only.exists(_.contains("lsh_anatomy"))) {
-      // same checksum materialization as `time`, minus the name filter
-      // (the opt-in gate for this rung is the lsh_anatomy key itself)
-      def timeA(name: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
-        val t0 = System.nanoTime()
-        val d = body
-        val Array(rows, h) = d
-          .select(xxhash64(struct(d.columns.toIndexedSeq.map(col): _*)).as("h"))
-          .agg(count(lit(1)), bit_xor($"h")).collect()
-          .head.toSeq.map(v => Option(v).map(_.toString).getOrElse("0")).toArray
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"shape":"$name","n":$n,"rows":$rows,"xor":"$h","sec":$sec%.2f}""")
-      }
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select($"doc_id", $"text")
       timeA("lsh_scan_only") {
@@ -250,6 +257,82 @@ object ScaleBench {
             .where($"n_common".cast("double") /
               (size($"sh_a") + size($"sh_b") - $"n_common") >= 0.8)
             .select($"id_a", $"id_b")
+        }
+      }
+    }
+    // salted-vs-AQE-vs-plain adjudication at a REAL skew scale —
+    // explicit opt-in (SPARK_GRAFT_SCALE_ONLY=salt_vs_aqe): n probe rows
+    // with ONE key owning ~30% of them (the straggler profile the census
+    // flags at SkewSharePpm=10%), a build side far over any broadcast
+    // threshold, three executions of the identical logical join:
+    //   - salted:   the census-decided pre-salted form (NumSalts spread)
+    //   - aqe_skew: sort-merge under AQE's runtime skew splitter, with
+    //     its byte thresholds scaled to this probe (defaults are sized
+    //     for 256 MB cluster partitions; the RATIO — split when a
+    //     partition is ≥ 5x median — is what is under test)
+    //   - plain_smj: sort-merge with skew handling off — the straggler
+    //     baseline both contenders must beat
+    // Row count + xor are printed per variant: all three must be
+    // row-identical, the times + the decision rule go to COVERAGE.md.
+    if (only.exists(_.contains("salt_vs_aqe"))) {
+      val nKeys = math.max(n / 5L, 1000L)
+      val joinDir = s"$dir-saltjoin"
+      spark.range(0L, nKeys, 1L, 32)
+        .select($"id".as("k"),
+          concat(lit("payload_" * 8), $"id").as("payload"))
+        .write.mode("overwrite").parquet(s"$joinDir/build.parquet")
+      // ~30% of probe rows hash onto key 0, the rest spread uniformly
+      spark.range(0L, n, 1L, 32)
+        .select(
+          when(pmod(xxhash64($"id"), lit(10L)) < 3L, 0L)
+            .otherwise(pmod(xxhash64($"id" + lit(n)), lit(nKeys)))
+            .as("k"),
+          $"id".as("v"))
+        .write.mode("overwrite").parquet(s"$joinDir/probe.parquet")
+      val build = spark.read.parquet(s"$joinDir/build.parquet")
+      val probe = spark.read.parquet(s"$joinDir/probe.parquet")
+      // warm the page cache so the first variant doesn't pay the only
+      // cold read
+      build.count(); probe.count()
+      val census = graft.operators.Profiling.decideJoin(build, probe)
+      println(s"""{"shape":"salt_vs_aqe_census","n":$n,""" +
+        s""""decision":"${census.strategy}",""" +
+        s""""top_share_ppm":${census.topSharePpm}}""")
+      def withConf(kv: (String, String)*)(body: => Unit): Unit = {
+        val saved = kv.map { case (k, _) =>
+          k -> scala.util.Try(spark.conf.get(k)).toOption }
+        kv.foreach { case (k, v) => spark.conf.set(k, v) }
+        try body
+        finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+      withConf("spark.sql.adaptive.skewJoin.enabled" -> "false") {
+        timeA("salt_vs_aqe_salted") {
+          graft.operators.Profiling.executeDecided(build, probe,
+            graft.operators.Profiling.JoinDecision(
+              "salted", census.buildRows, census.probeRows,
+              census.topSharePpm))
+        }
+      }
+      withConf(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+        // scale the byte thresholds to this probe: the hot key is
+        // ~30% of n rows ≈ n*0.3*16B; defaults (256 MB) would only
+        // trigger past ~5x10^8 rows — the ratio under test (≥ 5x
+        // median partition) is scale-free, the floor is not
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+          "4MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2MB") {
+        timeA("salt_vs_aqe_aqe") {
+          probe.join(build.hint("merge"), Seq("k"))
+        }
+      }
+      withConf("spark.sql.adaptive.skewJoin.enabled" -> "false") {
+        timeA("salt_vs_aqe_plain") {
+          probe.join(build.hint("merge"), Seq("k"))
         }
       }
     }
