@@ -48,6 +48,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TextShinglesExpr].getName, "text_shingles"),
       (args: Seq[Expression]) => TextShinglesExpr(args(0),
         intArg(args(1), "n"))))
+    ext.injectFunction((
+      new FunctionIdentifier("band_keys"),
+      new ExpressionInfo(classOf[BandKeysExpr].getName, "band_keys"),
+      (args: Seq[Expression]) => BandKeysExpr(args(0),
+        intArg(args(1), "bands"), intArg(args(2), "rows"))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_band_keys"),
+      new ExpressionInfo(classOf[MinHashBandKeysExpr].getName,
+        "minhash_band_keys"),
+      (args: Seq[Expression]) => MinHashBandKeysExpr(args(0),
+        intArg(args(1), "perms"), intArg(args(2), "bands"))))
+    ext.injectFunction((
+      new FunctionIdentifier("pii_scan"),
+      new ExpressionInfo(classOf[PiiScanExpr].getName, "pii_scan"),
+      (args: Seq[Expression]) => PiiScanExpr(args.head)))
   }
 }
 
@@ -77,5 +92,13 @@ object GraftExtensions {
       args => IntersectCountExpr(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("text_shingles",
       args => TextShinglesExpr(args(0), intArg(args(1), "n")), "built-in")
+    reg.createOrReplaceTempFunction("band_keys",
+      args => BandKeysExpr(args(0), intArg(args(1), "bands"),
+        intArg(args(2), "rows")), "built-in")
+    reg.createOrReplaceTempFunction("minhash_band_keys",
+      args => MinHashBandKeysExpr(args(0), intArg(args(1), "perms"),
+        intArg(args(2), "bands")), "built-in")
+    reg.createOrReplaceTempFunction("pii_scan",
+      args => PiiScanExpr(args.head), "built-in")
   }
 }

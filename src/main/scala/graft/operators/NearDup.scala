@@ -62,21 +62,29 @@ object NearDup extends QueryModule {
 
   /** Distinct candidate pairs from a banded (doc_id, bkey) table.
     *
-    * Default form ("bucket"): ONE shuffle — group the banded stream by
-    * bkey, collect each bucket's (tiny) id list, and emit the ordered
-    * pairs map-side from the sorted list. The band self-join it
-    * replaces shuffled the 32-per-doc band stream TWICE (both join
-    * sides) and sorted both for the merge join; here the same volume
-    * moves once into the aggregate and pair emission is narrow. The
-    * per-bucket list is bounded by the duplicate-family size (LSH
-    * buckets are near-dup clusters, not corpus partitions), and
-    * singleton buckets — the overwhelming majority — are filtered
-    * before any pair arithmetic. A/B'd at 10⁶/10⁷ against the join
-    * form (ScaleBench `lsh_anatomy`), hash-identical output; the join
-    * form is kept selectable for re-adjudication via
-    * SPARK_GRAFT_LSH_PAIRS=join. */
+    * Two hash-identical forms, A/B'd at 10⁶ AND 10⁷ (ScaleBench
+    * `lsh_anatomy`, xor-checksum equal):
+    *
+    *  - "join" (DEFAULT — the measured 10⁷ winner): self-join on the
+    *    single-long band key. The two sides are canonically identical,
+    *    so Spark's ReuseExchange computes the shuffle ONCE; the sorted
+    *    merge join streams runs without materializing per-bucket lists.
+    *    10⁷: candidates 52.8 s, verified pairs 79.2 s.
+    *  - "bucket" (SPARK_GRAFT_LSH_PAIRS=bucket): one explicit shuffle —
+    *    groupBy bkey, collect each bucket's id list, emit ordered pairs
+    *    map-side. Wins slightly at 10⁶ (5.6 vs 6.3 s) but loses at 10⁷
+    *    (verified 102.1 vs 79.2 s): at 10⁷ rows per partition the
+    *    collect_list object aggregate falls back to sort-based with a
+    *    per-bucket array allocation, costing more than the merge join
+    *    it avoids. Kept selectable — on a network-bound fabric where
+    *    moving the band stream into TWO join-side sorts is the binding
+    *    cost, the trade can reverse; re-adjudicate with the rung.
+    *
+    * Either way the per-bucket candidate count is governed by the
+    * duplicate-family size (LSH buckets are near-dup clusters, not
+    * corpus partitions), never a corpus² product. */
   private[graft] def candidatesFromBands(banded: DataFrame,
-      form: String = sys.env.getOrElse("SPARK_GRAFT_LSH_PAIRS", "bucket"))
+      form: String = sys.env.getOrElse("SPARK_GRAFT_LSH_PAIRS", "join"))
       : DataFrame = {
     val s = banded.sparkSession
     import s.implicits._

@@ -888,9 +888,15 @@ object TextOps extends QueryModule {
       graft.operators.NearDup.pairsOver(survivors))
     val wSurv = Window.partitionBy($"cluster_id")
       .orderBy($"quality_score".desc, $"doc_id")
+    // quality scores from the PERSISTED staged table, not a second
+    // parquet scan through textStats (whose trailing presentation sort
+    // and six sibling statistics this join never needed): qualityScore
+    // is text-local, staged carries the text, and the cache already
+    // paid for it — at 10⁷ this removes a full corpus re-read +
+    // re-tokenize from the fused pass
     val nd = labels
-      .join(textStats(s, d).select($"doc_id", $"quality_score"),
-        Seq("doc_id"))
+      .join(staged.select($"doc_id",
+        qualityScore($"text").as("quality_score")), Seq("doc_id"))
       .withColumn("survivor_id", first($"doc_id").over(wSurv))
       .select($"doc_id",
         when($"doc_id" =!= $"survivor_id", "near_dup").as("nd_reason"))

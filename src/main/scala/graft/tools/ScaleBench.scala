@@ -569,5 +569,15 @@ object ScaleBench {
       }
     }
     spark.stop()
+    // the synthetic corpora are GiB-sized at 10⁷ — delete them on exit
+    // (a KILLED run still leaks its dirs; `rm -rf /tmp/graft-scale*`
+    // between sessions is the manual sweep for that)
+    def rmrf(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
+      f.delete(); ()
+    }
+    Seq(dir, s"$dir-curate", s"$dir-curate30", s"$dir-saltjoin")
+      .foreach(rmrf)
   }
 }
