@@ -216,12 +216,17 @@ object Profiling extends QueryModule {
 
   // ----------------------------------------------- census-driven joins
 
-  /** The decision the census exists to inform, made explicit. */
+  /** The decision the census exists to inform, made explicit.
+    * `hotKeys` is the census' skew evidence: every key owning ≥
+    * [[SkewSharePpm]] of the probe — bounded at 10⁶/SkewSharePpm (= 10)
+    * keys by construction, driver-side metadata like a broadcast
+    * threshold check. Empty for non-salted decisions. */
   final case class JoinDecision(
       strategy: String, // broadcast | salted | shuffle
       buildRows: Long,
       probeRows: Long,
-      topSharePpm: Long)
+      topSharePpm: Long,
+      hotKeys: Seq[Long] = Nil)
 
   /** Rows at or under this on the build side → broadcast (stands in for
     * `spark.sql.autoBroadcastJoinThreshold`, but row-based so the
@@ -263,7 +268,15 @@ object Profiling extends QueryModule {
       if (nb <= BroadcastRowCap) "broadcast"
       else if (share >= SkewSharePpm) "salted"
       else "shuffle"
-    JoinDecision(strat, nb, np, share)
+    // hot-key set only on the skewed path: ≤ 10⁶/SkewSharePpm keys can
+    // each own ≥ SkewSharePpm of the probe, so this collect is bounded
+    // metadata regardless of corpus size
+    val hot =
+      if (strat != "salted") Nil
+      else probe.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+        .where($"c" * 1000000L >= lit(SkewSharePpm) * lit(np))
+        .select(col(keyCol).cast("long")).as[Long].collect().toSeq.sorted
+    JoinDecision(strat, nb, np, share, hot)
   }
 
   /** Execute the decided join: `build(keyCol, …)` ⋈ `probe(keyCol, …)`.
@@ -286,21 +299,59 @@ object Profiling extends QueryModule {
     decision.strategy match {
       case "broadcast" =>
         probe.join(broadcast(build), Seq(keyCol))
+      case "salted"
+          if probe.sparkSession.conf
+            .get("spark.sql.adaptive.skewJoin.enabled", "true") == "true"
+            && probe.sparkSession.conf
+            .get("spark.sql.adaptive.enabled", "true") == "true" =>
+        // DEFER TO AQE: the 10⁶/10⁷/10⁸ adjudication (ScaleBench
+        // salt_vs_aqe, planted 30%-share hot key, row-identical xor
+        // across all forms) measured AQE's runtime skew split ahead of
+        // every manual form at every scale — 10⁸: AQE 8.4 s vs plain
+        // 13.6 s vs targeted-salt 15.4 s vs full-salt 26.9 s; at
+        // 10⁶/10⁷ the hot partition is under the split threshold and
+        // AQE's no-op overhead is ~0. The census still DETECTS the skew
+        // (the decision string stays "salted" — it is the evidence an
+        // operator of this name must surface); execution hands the
+        // split to the engine layer that can size it at runtime.
+        probe.join(build.hint("merge"), Seq(keyCol))
       case "salted" =>
-        // collision-proof internal name: a user frame may legitimately
+        // No runtime skew splitting available: TARGETED manual salting,
+        // the measured-best manual form (15.4 s vs full-salt 26.9 s at
+        // 10⁸ — the full explode's cost scales with the build, the
+        // targeted one's with the skew).
+        // Collision-proof internal name: a user frame may legitimately
         // carry a column called "salt", and clobbering it only on the
         // salted decision would make the three strategies return
         // different schemas depending on the runtime census
         val saltCol = "__graft_salt"
+        // TARGETED salting: only rows of the census-identified hot keys
+        // are spread — non-hot rows keep salt 0 on both sides, so the
+        // build-side explode costs hot-build-rows × NumSalts, not
+        // build × NumSalts. The 10⁶/10⁷/10⁸ adjudication (ScaleBench
+        // salt_vs_aqe) showed the FULL explode is what made pre-salting
+        // lose to AQE's runtime skew split at every scale: its cost
+        // scales with the build, while the straggler it buys back
+        // scales with the skew. The hot set is driver metadata (≤ 10
+        // keys by the SkewSharePpm bound) riding into codegen as an
+        // isin literal — no broadcast join stage needed.
+        val hotSet = decision.hotKeys
+        val isHot: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          k => if (hotSet.isEmpty) lit(true) // no census detail: salt all
+          else k.isin(hotSet: _*)
         val b = build.withColumn(saltCol,
-          explode(array((0 until NumSalts).map(lit): _*)))
+          explode(when(isHot(col(keyCol)),
+            sequence(lit(0), lit(NumSalts - 1)))
+            .otherwise(sequence(lit(0), lit(0)))))
         // salt from a HASH of the source column, not its residue: values
         // stuck in one residue class (constant status codes, small line
         // numbers) would otherwise re-concentrate the hot key on few
-        // salts while still paying the full build-side explode
+        // salts
         val p = probe.withColumn(saltCol,
-          pmod(xxhash64(col(saltSourceCol)), lit(NumSalts.toLong))
-            .cast("int"))
+          when(isHot(col(keyCol)),
+            pmod(xxhash64(col(saltSourceCol)), lit(NumSalts.toLong))
+              .cast("int"))
+            .otherwise(lit(0)))
         p.join(b.hint("merge"), Seq(keyCol, saltCol)).drop(saltCol)
       case _ =>
         probe.join(build.hint("merge"), Seq(keyCol))

@@ -93,14 +93,23 @@ object ScaleBench {
     import spark.implicits._
 
     val dir = java.nio.file.Files.createTempDirectory("graft-scale").toString
-    spark.range(0, n, 1, 32)
-      .map { i => (i, docText(i), "en", s"src${i % 20}", 0L) }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    spark.range(0, n, 1, 32)
-      .map { i => (i, vec(i), (i % 10).toInt) }
-      .toDF("vec_id", "embedding", "label")
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // the text/embedding corpora are only generated when a requested
+    // shape reads them — the salt_vs_aqe rung builds its own join
+    // tables and can therefore probe row counts (10⁸) whose document
+    // corpus would not fit the disk
+    val needCorpus = !sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .exists(_.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        .subsetOf(Set("salt_vs_aqe")))
+    if (needCorpus) {
+      spark.range(0, n, 1, 32)
+        .map { i => (i, docText(i), "en", s"src${i % 20}", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      spark.range(0, n, 1, 32)
+        .map { i => (i, vec(i), (i % 10).toInt) }
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
 
     // Materialize by CHECKSUMMING every column of every row: a bare
     // count() lets Catalyst prune row-local work and left-join branches
@@ -189,9 +198,10 @@ object ScaleBench {
     // adds ~4 shared shingles out of ~84 — far below any near-dup
     // threshold — while letting the corpus through the rules.
     val curDir = s"$dir-curate"
-    spark.read.parquet(s"$dir/documents.parquet")
-      .withColumn("text", concat($"text", lit(" the a of and")))
-      .write.mode("overwrite").parquet(s"$curDir/documents.parquet")
+    if (needCorpus)
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text", concat($"text", lit(" the a of and")))
+        .write.mode("overwrite").parquet(s"$curDir/documents.parquet")
     time("curate_corpus") {
       graft.operators.TextOps.curateCorpus(spark, curDir)
     }
@@ -310,10 +320,7 @@ object ScaleBench {
       }
       withConf("spark.sql.adaptive.skewJoin.enabled" -> "false") {
         timeA("salt_vs_aqe_salted") {
-          graft.operators.Profiling.executeDecided(build, probe,
-            graft.operators.Profiling.JoinDecision(
-              "salted", census.buildRows, census.probeRows,
-              census.topSharePpm))
+          graft.operators.Profiling.executeDecided(build, probe, census)
         }
       }
       withConf(

@@ -69,12 +69,25 @@ class PlanAuditSpec extends SparkSpecBase {
       .groupBy($"k").agg(count(lit(1)).as("p"))
     val dC = Profiling.decideJoin(cBuild, cProbe)
     assert(dC.strategy === "salted", dC)
+    // the census names the hot key it found
+    assert(dC.hotKeys === Seq(0L), dC)
+    // with AQE's skew join available (the default), the salted decision
+    // DEFERS to the runtime split: plain sort-merge on the key alone
+    // (the 10⁸ adjudication: AQE 8.4 s vs targeted-salt 15.4 s)
     val pC = plan(Profiling.executeDecided(cBuild, cProbe, dC))
+    assert(pC.contains("SortMergeJoin"), pC)
+    assert("SortMergeJoin \\[k#\\d+L?, __graft_salt#\\d+".r.findFirstIn(pC).isEmpty,
+      pC)
+    // without runtime skew splitting, the manual TARGETED salt engages:
     // the join carries BOTH the key and the salt — the hot key's rows
     // land in NumSalts different sort-merge partitions
-    assert(pC.contains("SortMergeJoin"), pC)
-    assert("SortMergeJoin \\[k#\\d+L?, __graft_salt#\\d+".r.findFirstIn(pC).isDefined,
-      pC)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try {
+      val pS = plan(Profiling.executeDecided(cBuild, cProbe, dC))
+      assert(pS.contains("SortMergeJoin"), pS)
+      assert("SortMergeJoin \\[k#\\d+L?, __graft_salt#\\d+".r.findFirstIn(pS).isDefined,
+        pS)
+    } finally spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
   }
 
   test("native text kernels stay inside whole-stage codegen") {
