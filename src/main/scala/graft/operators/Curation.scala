@@ -63,12 +63,17 @@ object Curation extends QueryModule {
       lit(".org tel 555-0"), lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
       lit(" ip 10.2."), $"doc_id" % 256, lit("."), $"doc_id" % 100)
     val base = Tables.documents(s, d).select($"doc_id", planted.as("aug"))
-    // default: the fused single-expression kernel (same java.util.regex
-    // engine, one string conversion instead of six — see
-    // [[graft.functions.PiiScan]]); SPARK_GRAFT_PII=regex selects the
-    // 6-expression chain for re-adjudication (A/B'd hash-identical,
-    // figures in COVERAGE.md)
-    if (sys.env.getOrElse("SPARK_GRAFT_PII", "kernel") == "regex")
+    // DEFAULT: the 6-expression regexp chain. The fused
+    // single-expression kernel ([[graft.functions.PiiScan]] — same
+    // java.util.regex engine, one string conversion instead of six) was
+    // built and A/B'd per the round-9 plan and measured a WASH: sf0.1
+    // min-of-3 0.930 vs 0.928 s, 10⁶ single-run 4.41 vs 4.77 s (±8%
+    // host band) — the regex traversals dominate and Spark's regexp
+    // machinery already caches compiled patterns, so the plumbing the
+    // fusion removes wasn't the cost. Landed per the "only if faster"
+    // rule: chain stays default, kernel selectable
+    // (SPARK_GRAFT_PII=kernel) and fuzz-pinned for re-adjudication.
+    if (sys.env.getOrElse("SPARK_GRAFT_PII", "regex") == "regex")
       base.select(
         $"doc_id",
         nMatches($"aug", EmailRe).as("n_emails"),

@@ -516,12 +516,16 @@ object TextOps extends QueryModule {
       .select($"doc_id", $"text",
         coalesce($"iv", array().cast("array<struct<s:int,e:int>>")).as("iv"),
         coalesce($"covered", lit(0L)).as("n_covered"))
-    // default: the native interval-walk rewrite (one pass per row —
-    // see [[graft.functions.ScrubSpans]]); SPARK_GRAFT_SCRUB=hof selects
-    // the nested higher-order-function form for re-adjudication (its
-    // filter/exists lambda evaluates interpreted, tokens × intervals
-    // per row; A/B'd hash-identical, figures in COVERAGE.md)
-    if (sys.env.getOrElse("SPARK_GRAFT_SCRUB", "kernel") == "hof")
+    // DEFAULT: the higher-order-function rewrite. The native
+    // interval-walk kernel ([[graft.functions.ScrubSpans]]) was built
+    // and A/B'd per the round-9 plan and did NOT win — sf0.1 min-of-3
+    // 1.305 (hof) vs 1.294 s (kernel), 10⁶ single-run 23.4 vs 25.1 s:
+    // this query's cost is the duplicated-span join, and the covered
+    // interval lists are short enough that the interpreted
+    // filter/exists lambda never shows. Landed per the "only if
+    // faster" rule: HOF stays default, kernel selectable
+    // (SPARK_GRAFT_SCRUB=kernel) and fuzz-pinned for re-adjudication.
+    if (sys.env.getOrElse("SPARK_GRAFT_SCRUB", "hof") == "hof")
       joined
         .select($"doc_id", split($"text", " ").as("t"), $"iv", $"n_covered")
         .select($"doc_id",
