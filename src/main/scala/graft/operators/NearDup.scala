@@ -113,19 +113,54 @@ object NearDup extends QueryModule {
     }
   }
 
-  /** Candidate pairs from LSH banding over the documents table. */
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    candidatesFromBands(bandedOver(
-      Tables.documents(s, d).select($"doc_id", $"text")))
-  }
-
   /** Near-duplicate pairs: LSH candidates verified with exact shingle
     * Jaccard >= tau. */
   def minhashNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = hashedShingles(s, d)
-    candidatePairs(s, d)
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    verifiedCandidates(docs, candidatesFromBands(bandedOver(docs)))
+      .where($"jaccard" >= Tau)
+      .select($"id_a", $"id_b", $"n_common", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** One-slot free list for the candidate-pair checkpoint the returned
+    * (lazy) verify plan still reads — same swap discipline as
+    * [[lastLabels]]. */
+  private val lastCand =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** Distinct-id count at or under this → the candidate ids broadcast-
+    * semi-filter the shingle side (8 B/id ⇒ ≤ ~40 MB broadcast at the
+    * cap). Above it (adversarial corpora where a large fraction of
+    * documents collide in some band) the full-corpus join shape is
+    * kept: a semi-filter that cannot broadcast would shuffle the
+    * text-width table and cost more than it saves. */
+  private[graft] val VerifyIdsBroadcastCap =
+    sys.env.get("SPARK_GRAFT_VERIFY_IDS_CAP").map(_.toLong)
+      .getOrElse(5000000L)
+
+  /** The shared exact-verify stage: candidate pairs joined with both
+    * sides' shingle sets plus the intersection / Jaccard columns.
+    *
+    * Scale shape: the candidate list is localCheckpoint'ed (it is
+    * near-dup-family-bounded — orders smaller than the corpus — and is
+    * otherwise re-evaluated once per consumer subtree, the single most
+    * expensive recompute in the cascade), and its distinct doc_ids,
+    * when they fit [[VerifyIdsBroadcastCap]], semi-filter the document
+    * side BEFORE the shingle projection: shingle computation and the
+    * verify join then cost work ∝ the candidate set, never ∝ the
+    * corpus — at 10⁷ docs the old shape computed and shuffled 10⁷
+    * shingle arrays twice to serve ~2·10⁵ verified pairs. */
+  private[graft] def verifiedCandidates(
+      docs: DataFrame, cand0: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val cand = cand0.localCheckpoint(true)
+    Option(lastCand.getAndSet(cand)).foreach(freeLocalCheckpoint)
+    val sh = candidateBounded(docs, cand).select($"doc_id",
+      graft.functions.VectorExpressions.text_shingles($"text", 3).as("sh"))
+    cand
       .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
       .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
       .withColumn("n_common",
@@ -133,9 +168,28 @@ object NearDup extends QueryModule {
       .withColumn("jaccard",
         $"n_common".cast("double") /
           (size($"sh_a") + size($"sh_b") - $"n_common"))
-      .where($"jaccard" >= Tau)
-      .select($"id_a", $"id_b", $"n_common", $"jaccard")
-      .orderBy($"id_a", $"id_b")
+  }
+
+  /** The verify-side input restricted to ids that actually appear in a
+    * candidate pair: a broadcast semi-filter BEFORE any per-document
+    * projection, so downstream feature computation and join shuffles
+    * cost work ∝ the candidate set, never ∝ the corpus. `cand` must be
+    * cheap to re-evaluate (checkpointed or cache-backed) — the id
+    * census is one bounded driver-side count, the same class of
+    * decision input as a broadcast threshold check. Above
+    * [[VerifyIdsBroadcastCap]] the input passes through unfiltered:
+    * a semi-filter that cannot broadcast would shuffle the full
+    * document-width table and cost more than it saves. */
+  private[graft] def candidateBounded(
+      docs: DataFrame, cand: DataFrame,
+      cap: Long = VerifyIdsBroadcastCap): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ids = cand.select($"id_a".as("doc_id"))
+      .union(cand.select($"id_b".as("doc_id"))).distinct()
+    if (ids.count() <= cap)
+      docs.join(broadcast(ids), Seq("doc_id"), "leftsemi")
+    else docs
   }
 
   /** Character-level verification of the near-dup pairs: Levenshtein
@@ -247,15 +301,8 @@ object NearDup extends QueryModule {
   private[graft] def pairsOver(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val sh = docs.select($"doc_id",
-      graft.functions.VectorExpressions.text_shingles($"text", 3).as("sh"))
-    candidatesFromBands(bandedOver(docs))
-      .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
-      .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
-      .withColumn("n_common",
-        graft.functions.VectorExpressions.intersect_count($"sh_a", $"sh_b"))
-      .where($"n_common".cast("double") /
-        (size($"sh_a") + size($"sh_b") - $"n_common") >= Tau)
+    verifiedCandidates(docs, candidatesFromBands(bandedOver(docs)))
+      .where($"jaccard" >= Tau)
       .select($"id_a", $"id_b")
   }
 
@@ -432,14 +479,32 @@ object NearDup extends QueryModule {
     * small by construction, so the per-partition sort is bounded. */
   def dedupSurvivor(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"cluster_id")
+    // Survivor selection runs on the TOUCHED label set (documents with
+    // a verified near-dup edge — near-dup-family-bounded, checkpointed):
+    // a singleton's survivor is itself, so windowing the full corpus —
+    // and paying that subtree AGAIN under the final orderBy's
+    // range-partition sampling pass — only re-derives that identity n
+    // times. The capped broadcast keeps the quality scan and the node
+    // list from re-shuffling on the small side's account; above the cap
+    // (adversarial mostly-duplicate corpora) the joins fall back to
+    // shuffle.
+    val labels = touchedLabels(
+      minhashNearDup(s, d).select($"id_a", $"id_b"))
+    val small = labels.count() <= VerifyIdsBroadcastCap
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val w = Window.partitionBy($"comp")
       .orderBy($"quality_score".desc, $"doc_id")
-    dedupClusters(s, d)
+    val surv = hinted(labels)
       .join(TextOps.textStats(s, d).select($"doc_id", $"quality_score"),
         Seq("doc_id"))
       .withColumn("survivor_id", first($"doc_id").over(w))
-      .select($"doc_id", $"cluster_id", $"survivor_id",
-        ($"doc_id" === $"survivor_id").as("keep"))
+      .select($"doc_id", $"comp".as("cluster_id"), $"survivor_id")
+    Tables.documents(s, d).select($"doc_id")
+      .join(hinted(surv), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"cluster_id", $"doc_id").as("cluster_id"),
+        coalesce($"survivor_id", $"doc_id").as("survivor_id"))
+      .withColumn("keep", $"doc_id" === $"survivor_id")
       .orderBy($"doc_id")
   }
 
@@ -626,15 +691,29 @@ object NearDup extends QueryModule {
       propagationRoundCap: Int = 50
   ): DataFrame = {
     import nodes.sparkSession.implicits._
+    val labels = touchedLabels(pairs, starContraction, propagationRoundCap)
+    nodes.select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"comp", $"doc_id").as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** Component labels (doc_id, comp) for nodes that HAVE a near-dup
+    * edge — localCheckpoint'ed, near-dup-family-bounded (orders smaller
+    * than the corpus). Exposed for cascade stages that only need the
+    * touched set: a document with no verified edge can never receive a
+    * near_dup verdict, so expanding labels to the full corpus (the
+    * [[connectedComponents]] left join + total sort) just to window
+    * mostly-singleton rows is pure overhead there. */
+  private[graft] def touchedLabels(pairs: DataFrame,
+      starContraction: Boolean = false,
+      propagationRoundCap: Int = 50): DataFrame = {
     val labels =
       if (starContraction) starLabels(pairs)
       else propagateLabels(pairs, propagationRoundCap)
         .getOrElse(starLabels(pairs))
     Option(lastLabels.getAndSet(labels)).foreach(freeLocalCheckpoint)
-    nodes.select($"doc_id")
-      .join(labels, Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"comp", $"doc_id").as("cluster_id"))
-      .orderBy($"doc_id")
+    labels
   }
 
   /** Min-label propagation: (doc_id, comp) for every node with an edge.

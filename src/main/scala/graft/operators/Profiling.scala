@@ -255,14 +255,27 @@ object Profiling extends QueryModule {
       keyCol: String = "k"): JoinDecision = {
     val s = build.sparkSession
     import s.implicits._
-    val nb = build.count()
+    // ONE action for both censuses: the build count and the probe
+    // (total, top-key) aggregate union into a single 2-row collect —
+    // one job instead of two driver round-trips (each census is still
+    // its own map-side-combined stage; only the scheduling round-trip
+    // and its latency are merged).
     // coalesce: an empty probe yields NULL sum/max from the group-less
     // aggregate — decide (broadcast-or-shuffle, 0, 0) instead of
     // throwing on the non-nullable decode
-    val Array(np, top) = probe
+    val buildRow = build
+      .agg(count(lit(1)).as("a"))
+      .select(lit(0).as("side"), $"a", lit(0L).as("b"))
+    val probeRow = probe
       .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum($"c"), lit(0L)), coalesce(max($"c"), lit(0L)))
-      .as[(Long, Long)].head() match { case (a, b) => Array(a, b) }
+      .agg(coalesce(sum($"c"), lit(0L)).as("a"),
+        coalesce(max($"c"), lit(0L)).as("b"))
+      .select(lit(1).as("side"), $"a", $"b")
+    val census = buildRow.unionByName(probeRow)
+      .as[(Int, Long, Long)].collect()
+      .map { case (k, a, b) => k -> (a, b) }.toMap
+    val nb = census(0)._1
+    val (np, top) = census(1)
     val share = top * 1000000L / math.max(np, 1L)
     val strat =
       if (nb <= BroadcastRowCap) "broadcast"

@@ -171,6 +171,12 @@ object Similarity extends QueryModule {
     * vec_id and is a small broadcast side in practice. */
   private val SemDedupTau = 0.3
 
+  /** One-slot free list for [[cascadeDedup]]'s candidate checkpoint —
+    * same swap discipline as [[graft.operators.NearDup]].lastCand. */
+  private val lastSemCand =
+    new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.DataFrame](null)
+
   private val lastSemCells =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
@@ -239,11 +245,21 @@ object Similarity extends QueryModule {
       $"v".as("va"), $"nrm".as("na"))
     val b = cells.select($"centroid_id", $"vec_id".as("id_b"),
       $"v".as("vb"), $"nrm".as("nb"))
+    // checkpointed: the cell-bounded cosine join is the expensive
+    // stage-1 pass and would otherwise re-run once per verify-join
+    // consumer subtree; the candidate ids then bound the text side
+    // BEFORE the token-array projection (NearDup.candidateBounded), so
+    // the exact-verify stage costs work ∝ the candidate set, never a
+    // second full-corpus tokenize + two corpus-width shuffles
     val cand = a.join(b, Seq("centroid_id"))
       .select($"id_a", $"id_b",
         cosineWithNorms($"va", $"vb", $"na", $"nb").as("cosine"))
       .where($"id_a" < $"id_b" && $"cosine" >= lit(tau))
-    val docs = Tables.documents(s, d)
+      .localCheckpoint(true)
+    Option(lastSemCand.getAndSet(cand))
+      .foreach(graft.operators.NearDup.freeLocalCheckpoint)
+    val docs = graft.operators.NearDup.candidateBounded(
+        Tables.documents(s, d), cand)
       .select($"doc_id", array_distinct(split($"text", " ")).as("types"))
     cand
       .join(docs.select($"doc_id".as("id_a"), $"types".as("ta")), Seq("id_a"))

@@ -73,7 +73,7 @@ object TextOps extends QueryModule {
     * bonus) — ONE definition shared by [[textStats]] and
     * [[Curation.qualityCalibrate]] (and mirrored in both oracles), so
     * the calibration can never silently diverge from the stats. */
-  private[operators] def qualityScore(t: Column): Column = {
+  private[graft] def qualityScore(t: Column): Column = {
     val nTokens = tokenCount(t)
     val nStop = stopwordCount(t)
     when(nTokens === 0, 0.0).otherwise(
@@ -887,25 +887,39 @@ object TextOps extends QueryModule {
     lastCurate.set(staged)
     val survivors = staged.where($"reason12".isNull)
       .select($"doc_id", $"text")
-    val labels = graft.operators.NearDup.connectedComponents(
-      survivors.select($"doc_id"),
+    // Only documents with at least one VERIFIED near-dup edge can
+    // receive a near_dup verdict, so the survivor-selection stage runs
+    // on the TOUCHED label set (near-dup-family-bounded, checkpointed),
+    // not the corpus: the previous form expanded labels to every
+    // survivor through connectedComponents' left join + total sort,
+    // windowed 10⁷ mostly-singleton rows, and then paid that subtree
+    // AGAIN when the final orderBy's range-partition sampling pass
+    // re-executed it — the dominant unattributed cost between the
+    // stage-barrier figures and the fused figure at 10⁷.
+    val labels = graft.operators.NearDup.touchedLabels(
       graft.operators.NearDup.pairsOver(survivors))
-    val wSurv = Window.partitionBy($"cluster_id")
-      .orderBy($"quality_score".desc, $"doc_id")
+    // checkpointed → the count is cheap driver metadata; under the cap
+    // the label side broadcasts (the cached staged table never
+    // re-shuffles), above it (adversarial mostly-duplicate corpora)
+    // the joins fall back to shuffle
+    val labelsSmall =
+      labels.count() <= graft.operators.NearDup.VerifyIdsBroadcastCap
+    def hinted(df: DataFrame): DataFrame =
+      if (labelsSmall) broadcast(df) else df
     // quality scores from the PERSISTED staged table, not a second
-    // parquet scan through textStats (whose trailing presentation sort
-    // and six sibling statistics this join never needed): qualityScore
-    // is text-local, staged carries the text, and the cache already
-    // paid for it — at 10⁷ this removes a full corpus re-read +
-    // re-tokenize from the fused pass
-    val nd = labels
-      .join(staged.select($"doc_id",
-        qualityScore($"text").as("quality_score")), Seq("doc_id"))
+    // parquet scan through textStats: the label set filters the join
+    // BEFORE the text-local qualityScore projection, so scoring work
+    // is touched-rows-only
+    val wSurv = Window.partitionBy($"comp")
+      .orderBy($"quality_score".desc, $"doc_id")
+    val nd = hinted(labels)
+      .join(staged.select($"doc_id", $"text"), Seq("doc_id"))
+      .withColumn("quality_score", qualityScore($"text"))
       .withColumn("survivor_id", first($"doc_id").over(wSurv))
-      .select($"doc_id",
-        when($"doc_id" =!= $"survivor_id", "near_dup").as("nd_reason"))
+      .where($"doc_id" =!= $"survivor_id")
+      .select($"doc_id", lit("near_dup").as("nd_reason"))
     staged.select($"doc_id", $"n_tokens", $"reason12")
-      .join(nd, Seq("doc_id"), "left")
+      .join(hinted(nd), Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens",
         coalesce($"reason12", $"nd_reason", lit("kept")).as("verdict"))
       .orderBy($"doc_id")

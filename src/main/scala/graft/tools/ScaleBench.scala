@@ -97,14 +97,24 @@ object ScaleBench {
     // shape reads them — the salt_vs_aqe rung builds its own join
     // tables and can therefore probe row counts (10⁸) whose document
     // corpus would not fit the disk
-    val needCorpus = !sys.env.get("SPARK_GRAFT_SCALE_ONLY")
-      .exists(_.split(",").map(_.trim).filter(_.nonEmpty).toSet
-        .subsetOf(Set("salt_vs_aqe")))
+    val requested = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val needCorpus = !requested.exists(_.subsetOf(Set("salt_vs_aqe")))
+    // shapes that never read embeddings.parquet — a text-only probe
+    // (e.g. the 10⁸ pair-family rung) skips the vector table's
+    // generation cost and disk footprint entirely
+    val embeddingShapes = Set("semantic_dedup", "cascade_dedup_tau95",
+      "pca_project", "pca_project_sampled", "label_affinity",
+      "ann_recall_deploy")
+    val needEmbeddings =
+      needCorpus && !requested.exists(_.intersect(embeddingShapes).isEmpty)
     if (needCorpus) {
       spark.range(0, n, 1, 32)
         .map { i => (i, docText(i), "en", s"src${i % 20}", 0L) }
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    if (needEmbeddings) {
       spark.range(0, n, 1, 32)
         .map { i => (i, vec(i), (i % 10).toInt) }
         .toDF("vec_id", "embedding", "label")
@@ -253,6 +263,9 @@ object ScaleBench {
         }
       }
       for (form <- Seq("join", "bucket")) {
+        // the historical UNBOUNDED verify shape (full-corpus shingle
+        // join on both sides) — kept as the comparison record for the
+        // candidate-bounded default below
         timeA(s"lsh_verified_pairs_$form") {
           graft.operators.NearDup.candidatesFromBands(
             graft.operators.NearDup.bandedOver(docs), form)
@@ -268,6 +281,12 @@ object ScaleBench {
               (size($"sh_a") + size($"sh_b") - $"n_common") >= 0.8)
             .select($"id_a", $"id_b")
         }
+      }
+      // the deployed verify (candidate checkpoint + broadcast-capped
+      // id semi-filter ahead of the shingle projection) — what
+      // pairsOver/minhashNearDup actually run
+      timeA("lsh_verified_bounded") {
+        graft.operators.NearDup.pairsOver(docs)
       }
     }
     // salted-vs-AQE-vs-plain adjudication at a REAL skew scale —
@@ -395,32 +414,37 @@ object ScaleBench {
           .persist(StorageLevel.MEMORY_AND_DISK)
         df.count(); df
       }
+      // mirrors the fused pass's TOUCHED-labels survivor stage
+      // (TextOps.curateCorpus): labels cover only docs with a verified
+      // edge, quality is scored post-join on touched rows only, and
+      // the small side broadcasts under the cap
       val labels = timed("cc") {
-        val df = graft.operators.NearDup.connectedComponents(
-          survivors.select(col("doc_id")), pairs)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        df.count(); df
+        val df = graft.operators.NearDup.touchedLabels(pairs)
+        df.count(); df // checkpoint-backed; the count pins the clock
       }
       timed("survivor_verdict") {
+        val small = labels.count() <=
+          graft.operators.NearDup.VerifyIdsBroadcastCap
+        def hinted(df: org.apache.spark.sql.DataFrame) =
+          if (small) broadcast(df) else df
         val wSurv = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster_id"))
+          .partitionBy(col("comp"))
           .orderBy(col("quality_score").desc, col("doc_id"))
-        val nd = labels
-          .join(graft.operators.TextOps.textStats(spark, curDir)
-            .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+        val nd = hinted(labels)
+          .join(staged.select(col("doc_id"), col("text")), Seq("doc_id"))
+          .withColumn("quality_score",
+            graft.operators.TextOps.qualityScore(col("text")))
           .withColumn("survivor_id", first(col("doc_id")).over(wSurv))
-          .select(col("doc_id"),
-            when(col("doc_id") =!= col("survivor_id"), "near_dup")
-              .as("nd_reason"))
+          .where(col("doc_id") =!= col("survivor_id"))
+          .select(col("doc_id"), lit("near_dup").as("nd_reason"))
         staged.select(col("doc_id"), col("n_tokens"), col("reason12"))
-          .join(nd, Seq("doc_id"), "left")
+          .join(hinted(nd), Seq("doc_id"), "left")
           .select(coalesce(col("reason12"), col("nd_reason"), lit("kept"))
             .as("verdict"))
           .groupBy(col("verdict")).agg(count(lit(1))).collect()
       }
       staged.unpersist(false)
       pairs.unpersist(false)
-      labels.unpersist(false)
     }
     // incremental ingest: a 1% batch probed against the other 99% — the
     // claim under test is that this costs ~one corpus scan (index build)

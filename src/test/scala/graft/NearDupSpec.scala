@@ -534,4 +534,52 @@ class NearDupSpec extends SparkSpecBase {
     assert(got.columns.toSeq === Seq("doc_id", "pr_scaled", "deg"))
     assert(got.count() === 0L)
   }
+
+  test("candidate-bounded verify: under the cap docs shrink to candidate " +
+      "ids via a broadcast semi-join; over the cap docs pass through") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val n = docs.count()
+    val cand = Seq((3L, 7L), (7L, 11L)).toDF("id_a", "id_b")
+    // under the cap: exactly the ids appearing in a pair survive, and
+    // the filter is a broadcast semi-join (no shuffle on the doc side)
+    val bounded = NearDup.candidateBounded(docs, cand)
+    assert(bounded.select($"doc_id").as[Long].collect().sorted
+      === Array(3L, 7L, 11L))
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan)
+    // over the cap (cap=0 forces it): unfiltered passthrough — a
+    // semi-filter that cannot broadcast would shuffle the corpus-width
+    // table and cost more than it saves
+    val over = NearDup.candidateBounded(docs, cand, cap = 0L)
+    assert(over.count() === n)
+    // the bounded verify itself returns the same verified pairs as the
+    // corpus-wide gate query (the semi-filter is candidate-complete:
+    // every id the verify join needs appears in some pair by
+    // construction)
+    val full = NearDup.minhashNearDup(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val viaPairs = NearDup.pairsOver(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(viaPairs === full)
+  }
+
+  test("touched labels: exactly the nodes with a verified edge, matching " +
+      "connectedComponents on that subgraph") {
+    import spark.implicits._
+    val pairs = NearDup.minhashNearDup(spark, sfDir)
+      .select($"id_a", $"id_b")
+    val touched = pairs.as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq(a, b) }.toSet
+    val labels = NearDup.touchedLabels(
+      NearDup.minhashNearDup(spark, sfDir).select($"id_a", $"id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(labels.keySet === touched)
+    // agreement with the corpus-expanded form on the touched subset
+    val cc = NearDup.dedupClusters(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    touched.foreach(id => assert(labels(id) === cc(id), s"doc $id"))
+  }
 }
