@@ -692,8 +692,18 @@ object NearDup extends QueryModule {
   ): DataFrame = {
     import nodes.sparkSession.implicits._
     val labels = touchedLabels(pairs, starContraction, propagationRoundCap)
+    // The labels side is near-dup-family-bounded but checkpoint-backed
+    // (LogicalRDD — no size stats), so Spark would plan the corpus-wide
+    // left join as sort-merge: a full exchange of every node, paid
+    // AGAIN under the final sort's range-partition sampling pass. The
+    // label count is a bounded read off the checkpoint; under the cap,
+    // hint the broadcast the stats would have earned. Above it, fall
+    // back to the shuffle — same discipline as [[candidateBounded]].
+    val hinted =
+      if (labels.count() <= VerifyIdsBroadcastCap) broadcast(labels)
+      else labels
     nodes.select($"doc_id")
-      .join(labels, Seq("doc_id"), "left")
+      .join(hinted, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"comp", $"doc_id").as("cluster_id"))
       .orderBy($"doc_id")
   }
