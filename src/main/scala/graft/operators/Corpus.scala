@@ -604,6 +604,13 @@ object Corpus extends QueryModule {
   private val lastBpeVocab =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** Free every transient this module still pins — see
+    * [[graft.Release]] for the session-hygiene contract. */
+  private[graft] def releaseTransients(): Unit =
+    Seq(lastBpeVocab, lastBigrams).foreach { r =>
+      Option(r.getAndSet(null)).foreach(_.unpersist(false))
+    }
+
   /** BPE ENCODING audit — the tokenizer-fertility report over the corpus
     * under the merges [[bpeMerges]] just induced: per document, the
     * whitespace word count and the BPE token count after K merges, plus

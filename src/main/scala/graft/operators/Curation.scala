@@ -170,6 +170,14 @@ object Curation extends QueryModule {
   private val lastKeyed =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** Free every transient this module still pins — see
+    * [[graft.Release]] for the session-hygiene contract. */
+  private[graft] def releaseTransients(): Unit = {
+    Option(lastKeyed.getAndSet(null)).foreach(_.unpersist(false))
+    Option(lastRelease.getAndSet(null))
+      .foreach(_.foreach(NearDup.freeLocalCheckpoint))
+  }
+
   def globalShuffle(s: SparkSession, d: String, parts: Int = 32): DataFrame = {
     import s.implicits._
     // within-partition rank as a STREAMING walk over the range-sorted

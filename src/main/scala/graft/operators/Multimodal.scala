@@ -522,6 +522,11 @@ object Multimodal extends QueryModule {
   private val lastChunks =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** Free every transient this module still pins — see
+    * [[graft.Release]] for the session-hygiene contract. */
+  private[graft] def releaseTransients(): Unit =
+    Option(lastChunks.getAndSet(null)).foreach(_.unpersist(false))
+
   def mediaChunkDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val MinShared = 3

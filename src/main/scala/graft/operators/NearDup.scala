@@ -494,9 +494,16 @@ object NearDup extends QueryModule {
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val w = Window.partitionBy($"comp")
       .orderBy($"quality_score".desc, $"doc_id")
+    // quality_score is row-LOCAL (length/punct/stopword heuristic), so
+    // it is computed only for the touched set: a semi-filter on the
+    // (checkpointed, capped-broadcast) label ids BEFORE the scoring
+    // scan — the full-corpus textStats pass tokenized 10⁷ documents to
+    // serve the ~2% with a near-dup edge.
+    val scored = Tables.documents(s, d)
+      .join(hinted(labels.select($"doc_id")), Seq("doc_id"), "leftsemi")
+      .select($"doc_id", TextOps.qualityScore($"text").as("quality_score"))
     val surv = hinted(labels)
-      .join(TextOps.textStats(s, d).select($"doc_id", $"quality_score"),
-        Seq("doc_id"))
+      .join(scored, Seq("doc_id"))
       .withColumn("survivor_id", first($"doc_id").over(w))
       .select($"doc_id", $"comp".as("cluster_id"), $"survivor_id")
     Tables.documents(s, d).select($"doc_id")
@@ -651,6 +658,15 @@ object NearDup extends QueryModule {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Free every transient this module still pins — see
+    * [[graft.Release]] for the session-hygiene contract. */
+  private[graft] def releaseTransients(): Unit = {
+    Seq(lastCand, lastRank, lastCore, lastLabels).foreach { r =>
+      Option(r.getAndSet(null)).foreach(freeLocalCheckpoint)
+    }
+    Option(lastWinnowFps.getAndSet(null)).foreach(_.unpersist(false))
+  }
 
   /** The FINAL label checkpoint of the previous [[connectedComponents]]
     * run: the returned plan still reads it (the caller has not

@@ -123,6 +123,16 @@ object Similarity extends QueryModule {
   private val lastCells =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** Free every transient this module still pins — see
+    * [[graft.Release]] for the session-hygiene contract. */
+  private[graft] def releaseTransients(): Unit = {
+    Option(lastSemCand.getAndSet(null))
+      .foreach(graft.operators.NearDup.freeLocalCheckpoint)
+    Seq(lastCells, lastSemCells).foreach { r =>
+      Option(r.getAndSet(null)).foreach(_.unpersist(false))
+    }
+  }
+
   def labelBucketTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Option(lastCells.getAndSet(null)).foreach(_.unpersist(false))

@@ -646,6 +646,13 @@ object TextOps extends QueryModule {
   private val lastSketch =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** Free every transient this module still pins — see
+    * [[graft.Release]] for the session-hygiene contract. */
+  private[graft] def releaseTransients(): Unit =
+    Seq(lastGrams, lastSketch, lastSketchOnly, lastCurate).foreach { r =>
+      Option(r.getAndSet(null)).foreach(_.unpersist(false))
+    }
+
   /** 5-token-gram OCCURRENCES as (source, md5-hex) — the shared scan
     * stage of both overlap paths; md5 is the engine-portable key. */
   private def gramOccurrences(docs: DataFrame): DataFrame = {

@@ -139,6 +139,10 @@ object ScaleBench {
         .agg(count(lit(1)), bit_xor($"h")).collect().head.getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"shape":"$name","n":$n,"rows":$rows,"sec":$sec%.2f}""")
+      // each rung measured from a clean slate: without this, the
+      // previous rung's pinned blocks squeeze the execution pool and
+      // inflated a following rung ~2× at 10⁷ (see graft.Release)
+      graft.Release.transients()
     }
 
     time("minhash_neardup") {
@@ -236,6 +240,7 @@ object ScaleBench {
         .head.toSeq.map(v => Option(v).map(_.toString).getOrElse("0")).toArray
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"shape":"$name","n":$n,"rows":$rows,"xor":"$h","sec":$sec%.2f}""")
+      graft.Release.transients()
     }
     if (only.exists(_.contains("lsh_anatomy"))) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -582,4 +582,21 @@ class NearDupSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     touched.foreach(id => assert(labels(id) === cc(id), s"doc $id"))
   }
+
+  test("Release.transients frees every block the operator family pins " +
+      "and is idempotent") {
+    val sc = spark.sparkContext
+    graft.Release.transients() // clear whatever earlier tests pinned
+    val before = sc.getPersistentRDDs.keySet
+    // checkpoint-backed (cand + labels) and window paths both exercised
+    NearDup.dedupClusters(spark, sfDir).count()
+    NearDup.dedupSurvivor(spark, sfDir).count()
+    assert(sc.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "expected the run to pin checkpoint blocks")
+    graft.Release.transients()
+    assert(sc.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "release must drop every block the run pinned")
+    graft.Release.transients() // idempotent on an empty slate
+    assert(sc.getPersistentRDDs.keySet.diff(before).isEmpty)
+  }
 }
