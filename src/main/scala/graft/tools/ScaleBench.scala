@@ -81,10 +81,31 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    // Shuffle partitions scale with the probe size so per-task sort
+    // state fits in execution memory: at 5·10⁷ docs the LSH band
+    // self-join sorts bands×n rows, and 32 partitions put ~1.2 GB of
+    // unsafe rows in each task's sorter — the spill files (~65 GB)
+    // filled the disk before the memory ceiling ever mattered. ~312k
+    // base-table rows per partition (≈10M band rows ≈ 240 MB of sort
+    // state) keeps each sorter in memory; AQE coalesces the stages
+    // where that over-partitions. ≤10⁷ stays at exactly 32, so all
+    // prior figures' conditions are unchanged.
+    val shuffleParts = math.max(32L, n / 312500L).toString
+    // Past 10⁷ the cumulative text-width exchanges of the curation
+    // cascade outgrow this single host's scratch disk under lz4 (the
+    // 5·10⁷ rung filled ~65 GB of shuffle files); zstd shrinks shuffle
+    // and spill blocks ~40% for ~10% stage CPU. A real cluster
+    // distributes shuffle storage across executors — this is a
+    // single-host harness bound, not an engine shape. ≤10⁷ keeps lz4
+    // so prior figures' conditions are unchanged.
+    val shuffleCodec = if (n > 10000000L) "zstd" else "lz4"
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scale")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", shuffleParts))
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", shuffleCodec))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -108,9 +129,15 @@ object ScaleBench {
       "ann_recall_deploy")
     val needEmbeddings =
       needCorpus && !requested.exists(_.intersect(embeddingShapes).isEmpty)
+    // when ONLY curate shapes were requested, the stopworded text the
+    // curate copy would produce is generated directly — at 5·10⁷ docs
+    // the duplicate corpus is 14 GB of scratch the probe can't spare
+    val curateOnly = requested.exists(r =>
+      r.nonEmpty && r.subsetOf(Set("curate_corpus", "curate_stages")))
     if (needCorpus) {
+      val suffix = if (curateOnly) " the a of and" else ""
       spark.range(0, n, 1, 32)
-        .map { i => (i, docText(i), "en", s"src${i % 20}", 0L) }
+        .map { i => (i, docText(i) + suffix, "en", s"src${i % 20}", 0L) }
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
@@ -211,8 +238,8 @@ object ScaleBench {
     // variant with a 4-stopword suffix: identical for every doc, so it
     // adds ~4 shared shingles out of ~84 — far below any near-dup
     // threshold — while letting the corpus through the rules.
-    val curDir = s"$dir-curate"
-    if (needCorpus)
+    val curDir = if (curateOnly) dir else s"$dir-curate"
+    if (needCorpus && !curateOnly)
       spark.read.parquet(s"$dir/documents.parquet")
         .withColumn("text", concat($"text", lit(" the a of and")))
         .write.mode("overwrite").parquet(s"$curDir/documents.parquet")
