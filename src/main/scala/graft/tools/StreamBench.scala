@@ -78,7 +78,11 @@ object StreamBench {
     idBatches = 50, ndBatches = 50)
   /** Per-round gate load: same per-trigger row counts (so rows/s is
     * comparable to the calibrated gates), fewer samples. ~1 min. */
-  val Smoke = Load(dwBatches = 12, dwBigBatches = 4, sfBatches = 12,
+  // dwBigBatches: 8, not 4 — at 4 samples a single hypervisor-stall
+  // batch (observed: one 1.25 s batch among 572 ms peers) drags the
+  // lane's rows/s under its 35%-headroom gate; 8 halves the
+  // sensitivity for ~4 s of smoke cost
+  val Smoke = Load(dwBatches = 12, dwBigBatches = 8, sfBatches = 12,
     idBatches = 12, ndBatches = 12)
 
   /** Run every lane at `load`; returns figures keyed by lane name. */
