@@ -1246,15 +1246,33 @@ object NearDup extends QueryModule {
     // the postings table is consumed THREE times (df filter + both join
     // sides); persisted, the narrow extraction runs one corpus scan
     // instead of three — at deployment scale the fingerprint table is a
-    // stored index, exactly like the LSH band index
+    // stored index, exactly like the LSH band index.
+    //
+    // The md5 STRING exists only inside the kernel, where its lex
+    // order picks the window minima (matching the oracle); every
+    // downstream stage is pure key equality, so the posting carries
+    // the string's 64-bit fold — the same hash-identity semantics the
+    // LSH band keys already live on. Measured: the string form's
+    // postings crossed five exchange/sort stages at 56 B/row and
+    // filled >73 GB of scratch at 10⁷ docs (the run died); the 24-byte
+    // long-keyed posting fits the same pipeline in memory.
     val f = winnowFingerprints(
       Tables.documents(s, d).select($"doc_id", $"text"))
+      .select($"doc_id", $"n_fps", xxhash64($"fp").as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lastWinnowFps.set(f)
-    val keep = f.groupBy($"fp").agg(count(lit(1)).as("df"))
-      .where($"df" <= WinnowDfCap)
+    // df cap as a broadcast ANTI-join on the HOT set: hot fingerprints
+    // (boilerplate head) are few by construction, so the cached
+    // postings never re-sort against a corpus-sized keep-list — same
+    // capped-broadcast discipline as [[candidateBounded]], with the
+    // sort-merge fallback above the cap.
+    val hot = f.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .where($"df" > WinnowDfCap)
       .select($"fp")
-    val ff = f.join(keep, Seq("fp"))
+    val ff =
+      if (hot.count() <= VerifyIdsBroadcastCap)
+        f.join(broadcast(hot), Seq("fp"), "left_anti")
+      else f.join(hot, Seq("fp"), "left_anti")
     ff.select($"fp", $"doc_id".as("id_a"), $"n_fps".as("nf_a"))
       .join(ff.select($"fp", $"doc_id".as("id_b"), $"n_fps".as("nf_b")),
         Seq("fp"))
