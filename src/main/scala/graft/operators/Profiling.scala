@@ -220,13 +220,16 @@ object Profiling extends QueryModule {
     * `hotKeys` is the census' skew evidence: every key owning ≥
     * [[SkewSharePpm]] of the probe — bounded at 10⁶/SkewSharePpm (= 10)
     * keys by construction, driver-side metadata like a broadcast
-    * threshold check. Empty for non-salted decisions. */
+    * threshold check. Empty for non-salted decisions. Values carry the
+    * key column's NATIVE type (Long, String, …) so the isin literals in
+    * [[executeDecided]] compare exactly — a cast-to-long here would NPE
+    * on non-numeric keys and silently mismatch on lossy ones. */
   final case class JoinDecision(
       strategy: String, // broadcast | salted | shuffle
       buildRows: Long,
       probeRows: Long,
       topSharePpm: Long,
-      hotKeys: Seq[Long] = Nil)
+      hotKeys: Seq[Any] = Nil)
 
   /** Rows at or under this on the build side → broadcast (stands in for
     * `spark.sql.autoBroadcastJoinThreshold`, but row-based so the
@@ -283,12 +286,16 @@ object Profiling extends QueryModule {
       else "shuffle"
     // hot-key set only on the skewed path: ≤ 10⁶/SkewSharePpm keys can
     // each own ≥ SkewSharePpm of the probe, so this collect is bounded
-    // metadata regardless of corpus size
-    val hot =
+    // metadata regardless of corpus size. Collected in the key's NATIVE
+    // type (untyped Row values): a cast-to-long would NPE on string keys
+    // and silently never match in executeDecided's isin for lossy key
+    // types. Sorted by string form only for a deterministic Seq order.
+    val hot: Seq[Any] =
       if (strat != "salted") Nil
       else probe.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
         .where($"c" * 1000000L >= lit(SkewSharePpm) * lit(np))
-        .select(col(keyCol).cast("long")).as[Long].collect().toSeq.sorted
+        .select(col(keyCol)).collect().toSeq
+        .map(_.get(0)).sortBy(String.valueOf(_))
     JoinDecision(strat, nb, np, share, hot)
   }
 

@@ -145,6 +145,38 @@ class ProfilingSpec extends SparkSpecBase {
     }
   }
 
+  test("census-driven join: non-numeric (string) keys — native-type hot " +
+    "keys, salted decision, row parity with a plain join") {
+    import spark.implicits._
+    // string-keyed shape: a cast-to-long hot-key census would NPE here
+    // (cast yields null) — the census must carry the key's native type
+    val build = spark.range(1500)
+      .select(concat(lit("k"), $"id").as("k"), ($"id" * 7L).as("p"))
+    val probe = spark.range(6000)
+      .select(when($"id" % 2 === 0, lit("k13"))
+        .otherwise(concat(lit("k"), $"id" % 1500)).as("k"),
+        $"id".as("v"))
+    val dec = Profiling.decideJoin(build, probe)
+    assert(dec.strategy === "salted", dec)
+    assert(dec.hotKeys === Seq("k13"), dec)
+    // force the MANUAL targeted-salt branch (AQE deferral off) so the
+    // string hot key rides the isin literal + salted equi-join path
+    val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"k", $"v", $"p").agg(count(lit(1)).as("m"))
+          .as[(String, Long, Long, Long)].collect().toSet
+      val got = canon(Profiling.executeDecided(build, probe, dec))
+      val want = canon(probe.join(build, Seq("k")))
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("anomaly MAD: medians match a single-node recount; outliers obey " +
     "the 3-MAD rule exactly") {
     import spark.implicits._
