@@ -142,10 +142,14 @@ object VecOps {
     * recall — a property of the banding math, not the hash family —
     * carries to any gated output. */
   def bandKeys(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val perms = bands * rows
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
-      var acc = fmix64(permSeed(b))
+      // band fold seeded from permSeed(perms + b): DISJOINT from the
+      // permutation seeds permSeed(0..perms-1) that derived the minima
+      // being folded (scheme v2 — see [[BandKeySchemeVersion]])
+      var acc = fmix64(permSeed(perms + b))
       var r = 0
       while (r < rows) { acc = fmix64(acc ^ sig.getLong(b * rows + r)); r += 1 }
       out(b) = acc
@@ -179,7 +183,9 @@ object VecOps {
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
-      var acc = fmix64(permSeed(b))
+      // disjoint band-fold seed range — identical to [[bandKeys]] by
+      // construction (scheme v2, see [[BandKeySchemeVersion]])
+      var acc = fmix64(permSeed(perms + b))
       var r = 0
       while (r < rows) { acc = fmix64(acc ^ mins(b * rows + r)); r += 1 }
       out(b) = acc
@@ -327,6 +333,24 @@ object VecOps {
     }
     acc
   }
+
+  /** Version of the LSH band-key SCHEME (hash family + seed derivation +
+    * band fold). Band keys are internal hash identities, so the gated
+    * query surface is invariant to this — but anything PERSISTED under
+    * the keys is not: a stored band index table
+    * ([[graft.operators.NearDup.bandIndex]] written via
+    * `Ddl.createBucketedTable`) or a streaming dedup state checkpoint
+    * keyed on `bkey` built under a previous version probes to ZERO
+    * matches with no error. Bump this whenever key values change and
+    * rebuild those artifacts (catalog tables carry the version as the
+    * `graft.band_key_scheme` property — see `Ddl.stampBandScheme` /
+    * `Ddl.assertBandScheme`; streaming checkpoints must be discarded).
+    *
+    * v2: band fold seeded from the disjoint `permSeed(perms + b)` range —
+    * v1 reused `permSeed(b)`, overlapping the permutation seeds of the
+    * minima being folded (harmless under fmix64's avalanche, but the
+    * seed spaces are trivially separable, so they now are). */
+  val BandKeySchemeVersion = 2
 
   /** Distinct odd multiplier per permutation (golden-ratio stride). */
   def permSeed(p: Int): Long = 0x9E3779B97F4A7C15L * (p + 1)

@@ -1250,15 +1250,22 @@ object NearDup extends QueryModule {
     //
     // The md5 STRING exists only inside the kernel, where its lex
     // order picks the window minima (matching the oracle); every
-    // downstream stage is pure key equality, so the posting carries
-    // the string's 64-bit fold — the same hash-identity semantics the
-    // LSH band keys already live on. Measured: the string form's
+    // downstream stage is pure key equality, so the posting carries a
+    // TWO-long (128-bit) fold of the string. Unlike the LSH band keys —
+    // whose collisions a downstream Jaccard verify discards — winnow
+    // output has NO verify stage: a posting-key collision would
+    // directly inflate n_shared and could merge df counts across the
+    // WinnowDfCap, so the key keeps the md5's effective width (joint
+    // 64+64-bit collision, birthday bound ~2⁻⁶⁴·n² — negligible at any
+    // target scale, where a single-long key's ~2⁻⁶⁴ pairwise rate
+    // starts to bite at 10⁹⁺ postings). Measured: the string form's
     // postings crossed five exchange/sort stages at 56 B/row and
-    // filled >73 GB of scratch at 10⁷ docs (the run died); the 24-byte
-    // long-keyed posting fits the same pipeline in memory.
+    // filled >73 GB of scratch at 10⁷ docs (the run died); the 32-byte
+    // two-long posting fits the same pipeline in memory.
     val f = winnowFingerprints(
       Tables.documents(s, d).select($"doc_id", $"text"))
-      .select($"doc_id", $"n_fps", xxhash64($"fp").as("fp"))
+      .select($"doc_id", $"n_fps", xxhash64($"fp").as("fp"),
+        xxhash64(lit(0x5851F42D4C957F2DL), $"fp").as("fp2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lastWinnowFps.set(f)
     // df cap as a broadcast ANTI-join on the HOT set: hot fingerprints
@@ -1266,16 +1273,17 @@ object NearDup extends QueryModule {
     // postings never re-sort against a corpus-sized keep-list — same
     // capped-broadcast discipline as [[candidateBounded]], with the
     // sort-merge fallback above the cap.
-    val hot = f.groupBy($"fp").agg(count(lit(1)).as("df"))
+    val hot = f.groupBy($"fp", $"fp2").agg(count(lit(1)).as("df"))
       .where($"df" > WinnowDfCap)
-      .select($"fp")
+      .select($"fp", $"fp2")
     val ff =
       if (hot.count() <= VerifyIdsBroadcastCap)
-        f.join(broadcast(hot), Seq("fp"), "left_anti")
-      else f.join(hot, Seq("fp"), "left_anti")
-    ff.select($"fp", $"doc_id".as("id_a"), $"n_fps".as("nf_a"))
-      .join(ff.select($"fp", $"doc_id".as("id_b"), $"n_fps".as("nf_b")),
-        Seq("fp"))
+        f.join(broadcast(hot), Seq("fp", "fp2"), "left_anti")
+      else f.join(hot, Seq("fp", "fp2"), "left_anti")
+    ff.select($"fp", $"fp2", $"doc_id".as("id_a"), $"n_fps".as("nf_a"))
+      .join(ff.select($"fp", $"fp2", $"doc_id".as("id_b"),
+        $"n_fps".as("nf_b")),
+        Seq("fp", "fp2"))
       .where($"id_a" < $"id_b")
       .groupBy($"id_a", $"id_b")
       .agg(count(lit(1)).as("n_shared"),

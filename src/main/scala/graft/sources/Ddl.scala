@@ -205,6 +205,41 @@ object Ddl {
       .saveAsTable(table)
   }
 
+  /** Key for the band-key-scheme version table property — see
+    * [[graft.functions.VecOps.BandKeySchemeVersion]]. */
+  private val BandSchemeProp = "graft.band_key_scheme"
+
+  /** Stamp a stored LSH band index table with the band-key scheme
+    * version it was built under. Band keys are internal hash values, so
+    * a scheme change (new hash family, new seeds) silently invalidates
+    * every persisted `bkey`: a probe against an old-scheme index finds
+    * ZERO matches with no error. The stamp turns that silent miss into
+    * the loud [[assertBandScheme]] failure. */
+  def stampBandScheme(spark: SparkSession, table: String): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('" + BandSchemeProp +
+      s"' = '${graft.functions.VecOps.BandKeySchemeVersion}')")
+
+  /** Fail fast if `table` was stamped under a DIFFERENT band-key scheme
+    * version than this build computes (probing it would silently return
+    * zero matches). Unstamped tables pass — they may be foreign or
+    * pre-versioning; the stamp is opt-in evidence, not a gate on every
+    * bucketed table. */
+  def assertBandScheme(spark: SparkSession, table: String): Unit = {
+    val cur = graft.functions.VecOps.BandKeySchemeVersion.toString
+    val stamped = spark.sql(s"SHOW TBLPROPERTIES $table")
+      .collect().collectFirst {
+        case r if r.getString(0) == BandSchemeProp => r.getString(1)
+      }
+    stamped.filter(_ != cur).foreach { v =>
+      throw new IllegalStateException(
+        s"band index '$table' was built under band-key scheme $v but " +
+        s"this build computes scheme $cur — probes would silently " +
+        "match zero rows. Rebuild the index (NearDup.bandIndex + " +
+        "createBucketedTable + stampBandScheme) under the current " +
+        "scheme.")
+    }
+  }
+
   /** DELIVERY writer: the curated corpus as `shards` training shards
     * plus a verifiable MANIFEST — the handoff artifact a training run
     * consumes. Shard assignment is the library's deterministic md5 rule

@@ -550,7 +550,15 @@ object StreamingPipeline {
     * the index — corpus × corpus never pairs); at deployment the index
     * is bucketed on bkey ([[graft.sources.Ddl.createBucketedTable]]) so
     * only the batch side shuffles, and the anti-join keys are
-    * constant-width (id_a, id_b) pairs. */
+    * constant-width (id_a, id_b) pairs.
+    *
+    * Versioning: the index rows and any state carried across restarts
+    * are keyed on `bkey` — values of the band-key SCHEME
+    * ([[graft.functions.VecOps.BandKeySchemeVersion]]). A
+    * build with a different scheme probes an old index/checkpoint to
+    * zero matches with no error: rebuild the index dir (and stamp
+    * catalog copies via [[graft.sources.Ddl.stampBandScheme]]) and
+    * start from a fresh checkpoint after any scheme bump. */
   def indexedDedupStream(
       docs: DataFrame, // streaming; columns: doc_id LONG, text STRING
       indexDir: String,

@@ -525,8 +525,10 @@ object ScaleBench {
       graft.sources.Ddl.createBucketedTable(
         graft.operators.NearDup.bandIndex(corpusSh),
         "scale_lsh_idx", "bkey", buckets = 32)
+      graft.sources.Ddl.stampBandScheme(spark, "scale_lsh_idx")
       val secB = (System.nanoTime() - tb) / 1e9
       println(f"""{"shape":"index_build_99pct","n":$n,"rows":-1,"sec":$secB%.2f}""")
+      graft.sources.Ddl.assertBandScheme(spark, "scale_lsh_idx")
       time("incremental_persisted_1pct") {
         graft.operators.NearDup.incrementalPairsIndexed(
           corpusSh, spark.table("scale_lsh_idx"), freshSh)

@@ -281,6 +281,35 @@ class NearDupSpec extends SparkSpecBase {
     }
   }
 
+  test("band-key scheme stamp: current-version index passes, a foreign " +
+    "version fails loud, unstamped tables pass") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.text_shingles
+    val sh = graft.ops.Tables.documents(spark, sfDir)
+      .limit(50)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        text_shingles(org.apache.spark.sql.functions.col("text"), 3)
+          .as("sh"))
+    try {
+      graft.sources.Ddl.createBucketedTable(
+        NearDup.bandIndex(sh), "lsh_index_ver", "bkey")
+      // unstamped (foreign / pre-versioning): assert must pass
+      graft.sources.Ddl.assertBandScheme(spark, "lsh_index_ver")
+      // stamped under the CURRENT scheme: passes
+      graft.sources.Ddl.stampBandScheme(spark, "lsh_index_ver")
+      graft.sources.Ddl.assertBandScheme(spark, "lsh_index_ver")
+      // stamped under a DIFFERENT scheme: a probe would silently match
+      // zero rows — the assert must turn that into a loud failure
+      spark.sql("ALTER TABLE lsh_index_ver SET TBLPROPERTIES " +
+        "('graft.band_key_scheme' = '1')")
+      val e = intercept[IllegalStateException] {
+        graft.sources.Ddl.assertBandScheme(spark, "lsh_index_ver")
+      }
+      assert(e.getMessage.contains("scheme 1"))
+      assert(e.getMessage.contains("Rebuild"))
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_index_ver")
+  }
+
   test("dedup clusters: every near-dup pair shares a label, labels are minima") {
     import spark.implicits._
     val labels = NearDup.dedupClusters(spark, sfDir)
