@@ -114,7 +114,15 @@ object NearDup extends QueryModule {
   }
 
   /** Near-duplicate pairs: LSH candidates verified with exact shingle
-    * Jaccard >= tau. */
+    * Jaccard >= tau.
+    *
+    * Eager + one-slot transient: calling this LAUNCHES jobs at once
+    * (the candidate set is localCheckpoint'ed and counted before the
+    * lazy verify plan is returned) and frees the PREVIOUS invocation's
+    * candidate checkpoint — materialize each returned frame before the
+    * next near-dup-family call, or the earlier frame fails with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (see [[graft.Release]] for the
+    * session contract). */
   def minhashNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
@@ -328,7 +336,12 @@ object NearDup extends QueryModule {
     * The min-label fixpoint is UNIQUE, so the result is deterministic
     * regardless of execution order; the oracle recomputes it as a
     * recursive-CTE transitive closure over the brute-force pair
-    * definition. */
+    * definition.
+    *
+    * Eager + one-slot transient: launches jobs at call time (candidate
+    * checkpoint, label iteration) and frees the previous invocation's
+    * checkpoints — materialize each returned frame before the next
+    * near-dup-family call (see [[graft.Release]]). */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     connectedComponents(
@@ -476,7 +489,12 @@ object NearDup extends QueryModule {
     * join SUBTREE TWICE (Catalyst does not CSE it) and adds a second
     * full shuffle of the membership; the window form is one computation
     * of the join and one exchange on cluster_id. Near-dup clusters are
-    * small by construction, so the per-partition sort is bounded. */
+    * small by construction, so the per-partition sort is bounded.
+    *
+    * Eager + one-slot transient: launches jobs at call time and frees
+    * the previous near-dup invocation's checkpoints — materialize each
+    * returned frame before the next family call (see
+    * [[graft.Release]]). */
   def dedupSurvivor(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // Survivor selection runs on the TOUCHED label set (documents with

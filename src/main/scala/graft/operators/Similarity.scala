@@ -233,7 +233,13 @@ object Similarity extends QueryModule {
     * candidate set that reaches the text join is orders of magnitude
     * smaller than the corpus, and the documents side joins on doc_id —
     * an equi-join Spark plans hash-partitioned (or broadcast when the
-    * candidate set is small, the common case). */
+    * candidate set is small, the common case).
+    *
+    * Eager + one-slot transient: launches jobs at call time (cell
+    * assignments persist, the text-verify candidate set checkpoints)
+    * and frees the previous invocation's transients — materialize each
+    * returned frame before the next dedup-family call (see
+    * [[graft.Release]]). */
   def cascadeDedup(s: SparkSession, d: String): DataFrame =
     cascadeDedup(s, d, SemDedupTau)
 
