@@ -64,11 +64,13 @@ object StreamingPipeline {
     @volatile var sizeFlushAfterChunks: Long => Unit = _ => ()
     @volatile var sizeFlushAfterCarry: Long => Unit = _ => ()
     @volatile var indexedDedupAfterHits: Long => Unit = _ => ()
+    @volatile var semanticDedupAfterHits: Long => Unit = _ => ()
     @volatile var dualWriteAfterOk: Long => Unit = _ => ()
     def reset(): Unit = {
       sizeFlushAfterChunks = _ => ()
       sizeFlushAfterCarry = _ => ()
       indexedDedupAfterHits = _ => ()
+      semanticDedupAfterHits = _ => ()
       dualWriteAfterOk = _ => ()
     }
   }
@@ -599,6 +601,120 @@ object StreamingPipeline {
           Faults.indexedDedupAfterHits(id)
           batchIdx.write.mode("append").parquet(indexDir)
         } finally { batchIdx.unpersist(false); () }
+        ()
+      }
+      .start()
+  }
+
+  /** MAINTAINED IVF cell index — the embedding-side mirror of
+    * [[indexedDedupStream]], streaming the semantics of
+    * [[graft.operators.Similarity.incrementalSemanticDedup]]: each
+    * micro-batch of (vec_id, v) embeddings is assigned to its coarse
+    * IVF cell (a NARROW codegen'd codebook scan — no join, no
+    * shuffle), probes the standing cell index PLUS its own assignments
+    * (so batch-internal twins are seen), emits (vec_id, matched_id,
+    * cosine) hit rows for every fresh vector with a cell-mate at
+    * cosine ≥ `tau`, and UPSERTS its assignments into the index so
+    * later batches match against everything ingested so far.
+    *
+    * Winner semantics match the batch operator exactly: a standing
+    * corpus member always wins (its verdict is immutable — the hit
+    * reports the FRESH vector as the duplicate), and within a batch
+    * the lower vec_id wins.
+    *
+    * Exactly-once the same storage-level way as [[indexedDedupStream]]:
+    * hits are anti-joined on (vec_id, matched_id) before appending, so
+    * a replayed batch re-derives the same hits and appends nothing;
+    * index rows are immutable facts whose replay duplicates the final
+    * hit `.distinct()` absorbs and [[graft.sources.Ddl.compact]] folds
+    * away.
+    *
+    * Scale shape: the probe join is one-sided and CELL-BOUNDED
+    * (|batch-cell| × |cell| — corpus × corpus never pairs); the
+    * codebook is K-row driver metadata riding into codegen
+    * ([[graft.functions.NearestCentroidExpr]]), never a join side; the
+    * stored index carries precomputed norms so probes never rescan
+    * vector payloads to renormalize. The codebook must be FROZEN for
+    * the life of the index: cell ids are only comparable under the
+    * codebook that assigned them — retrain ⇒ rebuild the index dir and
+    * start a fresh checkpoint (same contract as the band-key scheme
+    * version on [[indexedDedupStream]]).
+    *
+    * `codebook` rows are (centroid_id, centroid); ids must be strictly
+    * ascending (nearest-centroid ties break toward the EARLIEST entry,
+    * which must mean the lowest id). */
+  def semanticDedupStream(
+      vecs: DataFrame, // streaming; columns: vec_id LONG, v ARRAY<FLOAT>
+      codebook: Seq[(Long, Array[Float])],
+      indexDir: String,
+      hitsDir: String,
+      checkpointDir: String,
+      tau: Double = 0.9): StreamingQuery = {
+    require(codebook.nonEmpty, "semanticDedupStream: empty codebook")
+    require(codebook.map(_._1).sliding(2).forall(
+      p => p.length < 2 || p(0) < p(1)),
+      "semanticDedupStream: codebook ids must be strictly ascending " +
+        "(nearest-centroid ties break toward the lowest id)")
+    val cbIds = codebook.map(_._1).toArray
+    val cbCents = codebook.map(_._2.map(_.toDouble)).toArray
+    val cbNorms = cbCents.map(c => math.sqrt(c.map(x => x * x).sum))
+    vecs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        def readIfExists(dir: String): Option[DataFrame] = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p) && fs.listStatus(p).exists(st =>
+              st.getPath.getName.endsWith(".parquet")))
+            Some(s.read.parquet(dir))
+          else None
+        }
+        graft.sources.Ddl.recover(s, indexDir)
+        val assigned = batch
+          .withColumn("nrm", graft.functions.VectorFunctions.l2Norm($"v"))
+          .withColumn("_best", graft.functions.VectorExpressions
+            .nearest_centroid($"v", $"nrm", cbIds, cbCents, cbNorms))
+          .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
+            $"v", $"nrm")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val batchSide = assigned.select($"centroid_id",
+            $"vec_id".as("id_i"), $"v".as("vi"), $"nrm".as("ni"),
+            lit(false).as("standing"))
+          // the standing side EXCLUDES this batch's own ids: a batch
+          // whose index append landed but whose checkpoint commit did
+          // not is replayed with its own rows already standing, and
+          // without the exclusion a batch-internal pair (a < b) would
+          // re-emit as the reversed (a, matched=b) "standing wins" hit
+          // — replay must derive exactly the first attempt's rows
+          val probeSide = readIfExists(indexDir)
+            .map(_.join(assigned.select($"vec_id"), Seq("vec_id"),
+                "left_anti")
+              .select($"centroid_id", $"vec_id".as("id_i"),
+                $"v".as("vi"), $"nrm".as("ni"), lit(true).as("standing"))
+              .unionByName(batchSide))
+            .getOrElse(batchSide)
+          val hits = assigned
+            .select($"centroid_id", $"vec_id", $"v".as("vp"),
+              $"nrm".as("np"))
+            .join(probeSide, Seq("centroid_id"))
+            .where($"id_i" =!= $"vec_id" &&
+              ($"standing" || $"id_i" < $"vec_id"))
+            .withColumn("cosine", graft.functions.VectorFunctions
+              .cosineWithNorms($"vp", $"vi", $"np", $"ni"))
+            .where($"cosine" >= lit(tau))
+            .select($"vec_id", $"id_i".as("matched_id"), $"cosine")
+            .distinct()
+          val fresh = readIfExists(hitsDir)
+            .map(h => hits.join(h.select($"vec_id", $"matched_id"),
+              Seq("vec_id", "matched_id"), "left_anti"))
+            .getOrElse(hits)
+          fresh.write.mode("append").parquet(hitsDir)
+          Faults.semanticDedupAfterHits(id)
+          assigned.write.mode("append").parquet(indexDir)
+        } finally { assigned.unpersist(false); () }
         ()
       }
       .start()

@@ -1133,6 +1133,110 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("maintained IVF cell index: streaming semantic dedup upserts, " +
+    "survives compaction+restart, and replays exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexDir = tmp(); val hitsDir = tmp(); val ckpt = tmp()
+    // two well-separated coarse cells; ids deliberately non-contiguous
+    val codebook = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (5L, Array(0f, 1f, 0f, 0f)))
+    val stream = MemoryStream[(Long, Array[Float])]
+    def start(cp: String = ckpt,
+        st: MemoryStream[(Long, Array[Float])] = stream) =
+      StreamingPipeline.semanticDedupStream(
+        st.toDF().toDF("vec_id", "v"), codebook,
+        indexDir, hitsDir, cp, tau = 0.95)
+    val a1 = (1L, Array(0.9f, 0.1f, 0f, 0f)) // cell 0
+    val b2 = (2L, Array(0.1f, 0.9f, 0f, 0f)) // cell 5
+    val twinA3 = (3L, Array(0.45f, 0.05f, 0f, 0f)) // = a1 scaled: cos 1
+    val twinB4 = (4L, Array(0.2f, 1.8f, 0f, 0f)) // = b2 scaled: cos 1
+    val twinB5 = (5L, Array(0.05f, 0.45f, 0f, 0f)) // colinear with b2, 4
+    def hits(): Set[(Long, Long)] = spark.read.parquet(hitsDir)
+      .select($"vec_id", $"matched_id").as[(Long, Long)].collect().toSet
+    val q1 = start()
+    try {
+      stream.addData(a1, b2) // seed the standing cell index
+      q1.processAllAvailable()
+      assert(hits() === Set.empty, hits())
+      stream.addData(twinA3) // probes the UPSERTED index -> matches 1
+      q1.processAllAvailable()
+      assert(hits() === Set((3L, 1L)), hits())
+    } finally q1.stop()
+    // maintenance window: compact the index; content must survive
+    val before = spark.read.parquet(indexDir).count()
+    graft.sources.Ddl.compact(spark, indexDir, targetBytes = 1L << 30)
+    assert(spark.read.parquet(indexDir).count() === before)
+    // new process, same checkpoint: standing member always wins (4 and
+    // 5 both report matched_id 2), batch-internal lower id wins (5
+    // reports 4, never the reverse)
+    val q2 = start()
+    try {
+      stream.addData(twinB4, twinB5)
+      q2.processAllAvailable()
+      assert(hits() === Set((3L, 1L), (4L, 2L), (5L, 2L), (5L, 4L)),
+        hits())
+    } finally q2.stop()
+    // fresh-checkpoint replay of the last batch with its rows ALREADY
+    // standing in the index: the self-exclusion filter must keep the
+    // batch-internal winner orientation — no reversed (4, matched=5)
+    // hit — and the anti-join must append nothing
+    val stream2 = MemoryStream[(Long, Array[Float])]
+    val q3 = start(cp = tmp(), st = stream2)
+    try {
+      stream2.addData(twinB4, twinB5)
+      q3.processAllAvailable()
+      assert(hits() === Set((3L, 1L), (4L, 2L), (5L, 2L), (5L, 4L)),
+        hits())
+      assert(spark.read.parquet(hitsDir).count() === 4L)
+    } finally q3.stop()
+  }
+
+  test("maintained IVF cell index: crash between hits append and index " +
+    "append replays to an exact hit set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexDir = tmp(); val hitsDir = tmp(); val ckpt = tmp()
+    val codebook = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (5L, Array(0f, 1f, 0f, 0f)))
+    val stream = MemoryStream[(Long, Array[Float])]
+    def start() = StreamingPipeline.semanticDedupStream(
+      stream.toDF().toDF("vec_id", "v"), codebook,
+      indexDir, hitsDir, ckpt, tau = 0.95)
+    def hits(): Set[(Long, Long)] = spark.read.parquet(hitsDir)
+      .select($"vec_id", $"matched_id").as[(Long, Long)].collect().toSet
+    val q1 = start()
+    try {
+      stream.addData((1L, Array(0.9f, 0.1f, 0f, 0f)),
+        (2L, Array(0.1f, 0.9f, 0f, 0f)))
+      q1.processAllAvailable()
+      // batch 1 dies AFTER appending its hits, BEFORE indexing itself
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      StreamingPipeline.Faults.semanticDedupAfterHits = _ =>
+        if (armed.getAndSet(false))
+          throw new RuntimeException("injected crash: killed between " +
+            "hits append and index append")
+      stream.addData((3L, Array(0.45f, 0.05f, 0f, 0f)))
+      intercept[Exception] { q1.processAllAvailable() }
+      assert(q1.exception.isDefined)
+    } finally { q1.stop(); StreamingPipeline.Faults.reset() }
+    // mid-crash state: hit row on disk, vec 3 NOT in the index
+    assert(hits() === Set((3L, 1L)), hits())
+    assert(spark.read.parquet(indexDir).count() === 2L)
+    // restart: the replay re-derives (3,1), the anti-join absorbs it,
+    // and the index append completes this time
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(hits() === Set((3L, 1L)), hits())
+      assert(spark.read.parquet(hitsDir).count() === 1L)
+      // vec 3 really is indexed now: a new twin matches BOTH 1 and 3
+      stream.addData((4L, Array(1.8f, 0.2f, 0f, 0f)))
+      q2.processAllAvailable()
+      assert(hits() === Set((3L, 1L), (4L, 1L), (4L, 3L)), hits())
+    } finally q2.stop()
+  }
+
   test("late-census parity: streamed fixture replay equals the oracle-gated batch census") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
