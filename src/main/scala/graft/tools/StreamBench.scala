@@ -69,13 +69,13 @@ object StreamBench {
     * FIXED across loads — they define the workload the gates were
     * calibrated on; a load only chooses how many samples to take). */
   final case class Load(dwBatches: Int, dwBigBatches: Int, sfBatches: Int,
-      idBatches: Int, ndBatches: Int)
+      idBatches: Int, ndBatches: Int, sdBatches: Int)
   /** The figures-of-record load (BENCH_BASELINE.md streaming table):
     * ≥50 timed batches on every latency-quoted lane. dual_write_50k is
     * the throughput end of the admission-cap trade — its gate is
     * rows/s, so 8 batches suffice. */
   val Full = Load(dwBatches = 50, dwBigBatches = 8, sfBatches = 50,
-    idBatches = 50, ndBatches = 50)
+    idBatches = 50, ndBatches = 50, sdBatches = 50)
   /** Per-round gate load: same per-trigger row counts (so rows/s is
     * comparable to the calibrated gates), fewer samples. ~1 min. */
   // dwBigBatches: 8, not 4 — at 4 samples a single hypervisor-stall
@@ -83,7 +83,7 @@ object StreamBench {
   // lane's rows/s under its 35%-headroom gate; 8 halves the
   // sensitivity for ~4 s of smoke cost
   val Smoke = Load(dwBatches = 12, dwBigBatches = 8, sfBatches = 12,
-    idBatches = 12, ndBatches = 12)
+    idBatches = 12, ndBatches = 12, sdBatches = 12)
 
   /** Run every lane at `load`; returns figures keyed by lane name. */
   def run(spark: SparkSession, load: Load): Map[String, Fig] = {
@@ -200,6 +200,48 @@ object StreamBench {
           (0L until 1000L).map(i => doc(200L + b * 1000L + i))))
     }
 
+    // ---- semantic_dedup: N batches x 1k 64-dim vectors, 1% planted
+    // twins — the embedding-side mirror of indexed_dedup (codebook
+    // assignment + cell-bounded probe + hits/index upsert per batch).
+    // Cluster noise is sized so intra-cluster cosine (~0.75) sits well
+    // below tau=0.95 while planted twins (exact colinear, cos 1.0)
+    // clear it: the hits volume stays at the planted rate, not
+    // quadratic in the standing index.
+    val sdFig = {
+      def smix(z0: Long): Long = { // splitmix64 finalizer
+        var z = z0 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      def svec(i: Long): (Long, Array[Float]) = {
+        val base = if (i % 100 == 99) i - 1 else i
+        val c = java.lang.Math.floorMod(smix(base * 31 + 17), 64)
+        val v = Array.tabulate(64) { d =>
+          val center =
+            (java.lang.Math.floorMod(smix(c * 53L + d), 2001) - 1000) / 1000.0f
+          val noise =
+            (java.lang.Math.floorMod(smix(base * 977 + d), 2001) - 1000) / 1000.0f
+          center + noise * 0.6f
+        }
+        // twin = predecessor SCALED (cosine exactly 1): same cell, hit
+        if (i % 100 == 99) (i, v.map(_ * 0.5f)) else (i, v)
+      }
+      val codebook = (0L until 64L).map { c =>
+        (c, Array.tabulate(64) { d =>
+          (java.lang.Math.floorMod(smix(c * 53L + d), 2001) - 1000) / 1000.0f
+        })
+      }
+      val stream = MemoryStream[(Long, Array[Float])]
+      val q = StreamingPipeline.semanticDedupStream(
+        stream.toDF().toDF("vec_id", "v"), codebook,
+        tmp("sem_index"), tmp("sem_hits"), tmp("ckpt_sd"), tau = 0.95)
+      drive(stream, q,
+        warmup = (0L until 200L).map(svec),
+        batches = (0 until load.sdBatches).map(b =>
+          (0L until 1000L).map(i => svec(200L + b * 1000L + i))))
+    }
+
     // ---- restart/catch-up (the recovery-time figure): run dual_write
     // to steady state, STOP the query, let a 50k-row backlog accumulate
     // while the consumer is down, restart from the same checkpoint and
@@ -235,6 +277,7 @@ object StreamBench {
       "size_flush" -> sfFig,
       "indexed_dedup" -> idFig,
       "stateful_neardup" -> ndFig,
+      "semantic_dedup" -> sdFig,
       "restart_catchup_50k" -> recFig)
   }
 
@@ -305,6 +348,7 @@ object StreamGate {
     "size_flush" -> 3300.0,
     "indexed_dedup" -> 850.0,
     "stateful_neardup" -> 900.0,
+    "semantic_dedup" -> 800.0,
     "restart_catchup_50k" -> 55000.0)
   /** dual_write must stay ≥ this × indexed_dedup (sanity invariant). */
   val MinDualOverIndexed = 10.0
