@@ -720,9 +720,14 @@ object Similarity extends QueryModule {
     val s = vectors.sparkSession
     import s.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = vectors.select($"vec_id", $"v")
-      .withColumn("nrm", l2Norm($"v")).persist(lvl)
-    try {
+    // NOT persisted: the source is scanned iters+2 times (seed collect,
+    // Lloyd rounds, final assignment) — narrow scans of the stored
+    // table, the deployment shape. Persisting it alongside `indexed`
+    // held TWO full corpus copies in the storage pool at once; the
+    // second copy (plus the truth sort it fed, below) is what ran the
+    // 10⁸-vector rung out of single-host scratch.
+    val e = vectors.select($"vec_id", $"v").withColumn("nrm", l2Norm($"v"))
+    locally {
       var cb = {
         val rows = e.where($"vec_id" < k)
           .select($"vec_id", $"v", $"nrm").orderBy($"vec_id").collect()
@@ -734,16 +739,22 @@ object Similarity extends QueryModule {
       val indexed = assignTo(e, cb)
         .select($"vec_id", $"v", $"nrm", $"centroid_id").persist(lvl)
       try {
-        val probes = e.where(probePred)
+        val probes = indexed.where(probePred)
           .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
-        val wT = Window.partitionBy($"q_id")
-          .orderBy($"cosine".desc, $"neighbor_id")
-        val truth = e.join(broadcast(probes), $"vec_id" =!= $"q_id")
+        // exact top-K per probe via the BOUNDED aggregate — identical
+        // selection+tie semantics to the row_number window it replaces
+        // (TopKCosineAgg scaladoc has the scale argument: the window
+        // sorted the full probes × corpus candidate volume)
+        val tk = udaf(new graft.pipeline.Aggregators.TopKCosineAgg(topK),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(Long, Double)]())
+        val truth = indexed.join(broadcast(probes), $"vec_id" =!= $"q_id")
           .select($"q_id", $"vec_id".as("neighbor_id"),
             cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
-          .withColumn("rank", row_number().over(wT))
-          .where($"rank" <= topK)
-          .select($"q_id", $"neighbor_id").persist(lvl)
+          .groupBy($"q_id")
+          .agg(tk($"neighbor_id", $"cosine").as("nbrs"))
+          .select($"q_id", explode($"nbrs").as("neighbor_id"))
+          .persist(lvl)
         try {
           truth.count()
           // K-row cell-population histogram (index metadata): prices
@@ -779,15 +790,16 @@ object Similarity extends QueryModule {
               rankedCells.flatMap { case (qid, qv, qn, cells) =>
                 cells.take(np).map(c => (qid, qv.toSeq, qn, c))
               }.toSeq.toDF("q_id", "qv", "qn", "centroid_id"))
-            val wA = Window.partitionBy($"q_id")
-              .orderBy($"cosine".desc, $"neighbor_id")
+            // same bounded top-K aggregate as the truth side: the
+            // candidate volume here is cell-bounded but still grows
+            // with the corpus (|probes| × nprobe × n/K rows)
             val approx = indexed.join(pc, Seq("centroid_id"))
               .where($"vec_id" =!= $"q_id")
               .select($"q_id", $"vec_id".as("neighbor_id"),
                 cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
-              .withColumn("rank", row_number().over(wA))
-              .where($"rank" <= topK)
-              .select($"q_id", $"neighbor_id")
+              .groupBy($"q_id")
+              .agg(tk($"neighbor_id", $"cosine").as("nbrs"))
+              .select($"q_id", explode($"nbrs").as("neighbor_id"))
               .withColumn("hit", lit(1L))
             // coalesce + greatest: an EMPTY probe set (probePred matched
             // nothing) must report a 0-row recall of 0, not NULL-decode
@@ -807,7 +819,7 @@ object Similarity extends QueryModule {
             s.sparkContext.parallelize(out.toSeq, 1), perNprobe.head.schema)
         } finally { truth.unpersist(false); () }
       } finally { indexed.unpersist(false); () }
-    } finally { e.unpersist(false); () }
+    }
   }
 
   /** Product-quantization sub-codebooks: M contiguous subspaces of the

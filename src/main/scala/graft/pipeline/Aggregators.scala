@@ -95,6 +95,60 @@ object Aggregators {
     *
     * reduce is O(log k) for the common miss (value above the current
     * k-th) and O(k) for a hit — fine for k in the hundreds. */
+  /** Exact top-K by (cosine DESC, neighbor_id ASC) — the bounded-state
+    * form of `row_number() OVER (ORDER BY cosine DESC, neighbor_id)
+    * <= k`, with IDENTICAL selection and tie semantics. The window form
+    * SORTS every candidate row of a group; on a probes × corpus truth
+    * join that sort is the engine's largest transient (10¹⁰ rows at
+    * 10⁸ vectors × 100 probes — its spill files, not the data, are
+    * what die first on a single host, and on a cluster it is a full
+    * extra exchange+sort of the candidate volume). This aggregate
+    * carries a K-entry sorted buffer per group instead: map-side
+    * partial aggregation reduces each partition to ≤ K rows per probe
+    * before anything shuffles, so the exchange is |probes| × K × tasks
+    * — kilobytes — and nothing ever sorts more than K entries.
+    *
+    * Output: neighbor ids in rank order (ties already resolved).
+    * reduce is O(k) worst case; k is the top-K ask (≤ tens). */
+  class TopKCosineAgg(k: Int)
+      extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[Long]] {
+    // strict total order on (neighbor_id, cosine) entries with distinct
+    // ids: rank better = higher cosine, then lower id
+    private def better(a: (Long, Double), b: (Long, Double)): Boolean =
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+    def zero: Seq[(Long, Double)] = Vector.empty
+    def reduce(buf: Seq[(Long, Double)], x: (Long, Double))
+        : Seq[(Long, Double)] = {
+      if (buf.size >= k && !better(x, buf.last)) buf
+      else {
+        val i = buf.indexWhere(e => better(x, e)) match {
+          case -1 => buf.size
+          case p => p
+        }
+        val v = buf.toVector
+        ((v.take(i) :+ x) ++ v.drop(i)).take(k)
+      }
+    }
+    def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)])
+        : Seq[(Long, Double)] = {
+      val out = Vector.newBuilder[(Long, Double)]
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < a.size || j < b.size)) {
+        if (j >= b.size || (i < a.size && better(a(i), b(j)))) {
+          out += a(i); i += 1
+        } else { out += b(j); j += 1 }
+        n += 1
+      }
+      out.result()
+    }
+    def finish(buf: Seq[(Long, Double)]): Seq[Long] = buf.map(_._1)
+    def bufferEncoder: Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Long, Double)]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   class BottomKAgg(k: Int)
       extends Aggregator[String, Seq[String], Seq[String]] {
     def zero: Seq[String] = Vector.empty

@@ -120,7 +120,12 @@ object ScaleBench {
     // corpus would not fit the disk
     val requested = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val needCorpus = !requested.exists(_.subsetOf(Set("salt_vs_aqe")))
+    // ann_recall_deploy builds its clustered vectors inline (the
+    // codebook-planted geometry, not the generic embedding table) — a
+    // run restricted to it must not pay the corpus write (~27 GB of
+    // unread parquet at 5·10⁷)
+    val needCorpus = !requested.exists(
+      _.subsetOf(Set("salt_vs_aqe", "ann_recall_deploy")))
     // shapes that never read embeddings.parquet — a text-only probe
     // (e.g. the 10⁸ pair-family rung) skips the vector table's
     // generation cost and disk footprint entirely

@@ -289,6 +289,43 @@ class SimilaritySpec extends SparkSpecBase {
     assert(again.sortBy(_._1).toSeq === sample.sortBy(_._1).toSeq)
   }
 
+  test("TopKCosineAgg reproduces the row_number window exactly, " +
+    "cosine ties included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 8+ neighbors share each cosine level, so tie-break order (lowest
+    // neighbor_id first) decides membership at the rank-10 boundary —
+    // the aggregate must reproduce
+    // row_number() OVER (ORDER BY cosine DESC, neighbor_id) <= 10
+    val rows = for {
+      q <- 0L until 5L
+      nb <- 0L until 57L
+    } yield (q, nb, (nb % 7).toDouble / 7.0)
+    val df = rows.toDF("q_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id")
+    val want = df.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 10).select($"q_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val tk = udaf(new graft.pipeline.Aggregators.TopKCosineAgg(10),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Double)]())
+    val agged = df.groupBy($"q_id")
+      .agg(tk($"neighbor_id", $"cosine").as("nbrs"))
+    val got = agged
+      .select($"q_id", explode($"nbrs").as("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === want)
+    // finish() returns ids in RANK order, not merely the right set
+    val ordered = agged.where($"q_id" === 0)
+      .select($"nbrs").as[Seq[Long]].head()
+    val wantOrdered = df.where($"q_id" === 0)
+      .orderBy($"cosine".desc, $"neighbor_id")
+      .select($"neighbor_id").as[Long].take(10).toSeq
+    assert(ordered === wantOrdered)
+  }
+
   test("ann recall: multi-probe dominates single-cell per probe (superset candidates)") {
     import spark.implicits._
     // nprobe=3's candidate set is a superset of nprobe=1's, and any
