@@ -46,6 +46,20 @@ object Similarity extends QueryModule {
       .withColumn("nrm", l2Norm($"v"))
   }
 
+  /** Bounded top-K UDAF columns shared by every top-K query surface —
+    * the (score DESC, id ASC) semantics of a `row_number` window with
+    * K-entry state instead of a full candidate sort (the scale
+    * argument lives on
+    * [[graft.pipeline.Aggregators.TopKByScoreBase]]). */
+  private def topKIds(k: Int) =
+    udaf(new graft.pipeline.Aggregators.TopKCosineAgg(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Double)]())
+  private def topKPairs(k: Int) =
+    udaf(new graft.pipeline.Aggregators.TopKScorePairsAgg(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Double)]())
+
   /** Brute-force-exact top-5 neighbors for a small probe set (vec_id < 20),
     * probe side broadcast. */
   def cosineTopK(s: SparkSession, d: String): DataFrame = {
@@ -54,14 +68,18 @@ object Similarity extends QueryModule {
     val probes = broadcast(
       e.where($"vec_id" < 20)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn")))
-    val w = Window.partitionBy($"q_id")
-      .orderBy($"cosine".desc, $"neighbor_id")
+    // bounded top-K aggregate, not a row_number window: the candidate
+    // volume is |probes| × corpus, and the window form sorts ALL of it
+    // (see TopKByScoreBase — map-side partials cap every task's
+    // contribution at K rows per probe)
     e.join(probes, $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
         cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where($"rank" <= 5)
-      .select($"q_id", $"rank", $"neighbor_id", $"cosine")
+      .groupBy($"q_id")
+      .agg(topKPairs(5)($"neighbor_id", $"cosine").as("nbrs"))
+      .select($"q_id", posexplode($"nbrs"))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._1".as("neighbor_id"), $"col._2".as("cosine"))
       .orderBy($"q_id", $"rank")
   }
 
@@ -396,14 +414,17 @@ object Similarity extends QueryModule {
       assignTo(e.where($"vec_id" >= 8 && $"vec_id" < 18), cents)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
           $"centroid_id"))
-    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"neighbor_id")
+    // bounded top-K aggregate (cell-bounded candidates, but cells grow
+    // with the corpus — same sort-elimination as cosineTopK)
     indexed.join(probes, Seq("centroid_id"))
       .where($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
         cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where($"rank" <= 3)
-      .select($"q_id", $"rank", $"neighbor_id", $"cosine")
+      .groupBy($"q_id")
+      .agg(topKPairs(3)($"neighbor_id", $"cosine").as("nbrs"))
+      .select($"q_id", posexplode($"nbrs"))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._1".as("neighbor_id"), $"col._2".as("cosine"))
       .orderBy($"q_id", $"rank")
   }
 
@@ -416,14 +437,14 @@ object Similarity extends QueryModule {
     val probes = broadcast(
       e.where($"vec_id" >= 8 && $"vec_id" < 18)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn")))
-    val w = Window.partitionBy($"q_id")
-      .orderBy($"cosine".desc, $"neighbor_id")
+    // bounded top-K aggregate over the |probes| × corpus candidate
+    // volume — the window form sorted all of it (TopKByScoreBase)
     e.join(probes, $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
         cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .where($"rank" <= k)
-      .select($"q_id", $"neighbor_id")
+      .groupBy($"q_id")
+      .agg(topKIds(k)($"neighbor_id", $"cosine").as("nbrs"))
+      .select($"q_id", explode($"nbrs").as("neighbor_id"))
   }
 
   /** ANN RECALL@K eval — the index-quality monitor every approximate
@@ -518,15 +539,15 @@ object Similarity extends QueryModule {
         .withColumn("crn", row_number().over(wCell))
         .where($"crn" <= nprobe)
         .select($"q_id", $"qv", $"qn", $"centroid_id"))
-    val w = Window.partitionBy($"q_id")
-      .orderBy($"cosine".desc, $"neighbor_id")
+    // same bounded top-K aggregate as the truth side (the wCell window
+    // above ranks a K_cells-bounded broadcast — that one is fine)
     val approx = indexed.join(probeCells, Seq("centroid_id"))
       .where($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
         cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .where($"rank" <= K)
-      .select($"q_id", $"neighbor_id")
+      .groupBy($"q_id")
+      .agg(topKIds(K)($"neighbor_id", $"cosine").as("nbrs"))
+      .select($"q_id", explode($"nbrs").as("neighbor_id"))
       .withColumn("hit", lit(1L))
     val truth = bruteTruthTopK(e, K)
     truth.join(approx, Seq("q_id", "neighbor_id"), "left")
@@ -743,11 +764,9 @@ object Similarity extends QueryModule {
           .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
         // exact top-K per probe via the BOUNDED aggregate — identical
         // selection+tie semantics to the row_number window it replaces
-        // (TopKCosineAgg scaladoc has the scale argument: the window
+        // (TopKByScoreBase scaladoc has the scale argument: the window
         // sorted the full probes × corpus candidate volume)
-        val tk = udaf(new graft.pipeline.Aggregators.TopKCosineAgg(topK),
-          org.apache.spark.sql.catalyst.encoders
-            .ExpressionEncoder[(Long, Double)]())
+        val tk = topKIds(topK)
         val truth = indexed.join(broadcast(probes), $"vec_id" =!= $"q_id")
           .select($"q_id", $"vec_id".as("neighbor_id"),
             cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
@@ -881,14 +900,19 @@ object Similarity extends QueryModule {
     val probes = broadcast(
       e.where($"vec_id" >= 20 && $"vec_id" < 30)
         .select($"vec_id".as("q_id"), $"v".as("qv")))
-    val w = Window.partitionBy($"q_id").orderBy($"adist", $"neighbor_id")
+    // bounded top-K aggregate over the |probes| × corpus ADC scan; the
+    // aggregate ranks by score DESC, so the ASCENDING distance rides in
+    // negated (exact: adist is a sum of squares, always +0.0-or-more,
+    // and -(-x) is bit-identical for finite doubles)
     enc.join(probes, $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
         graft.functions.VectorExpressions.pq_adc($"qv", $"codes", cb)
           .as("adist"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where($"rank" <= 5)
-      .select($"q_id", $"rank", $"neighbor_id", $"adist")
+      .groupBy($"q_id")
+      .agg(topKPairs(5)($"neighbor_id", -$"adist").as("nbrs"))
+      .select($"q_id", posexplode($"nbrs"))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._1".as("neighbor_id"), (-$"col._2").as("adist"))
       .orderBy($"q_id", $"rank")
   }
 

@@ -110,10 +110,10 @@ object Aggregators {
     *
     * Output: neighbor ids in rank order (ties already resolved).
     * reduce is O(k) worst case; k is the top-K ask (≤ tens). */
-  class TopKCosineAgg(k: Int)
-      extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[Long]] {
-    // strict total order on (neighbor_id, cosine) entries with distinct
-    // ids: rank better = higher cosine, then lower id
+  abstract class TopKByScoreBase[OUT](k: Int)
+      extends Aggregator[(Long, Double), Seq[(Long, Double)], OUT] {
+    // strict total order on (id, score) entries with distinct ids:
+    // rank better = higher score, then lower id
     private def better(a: (Long, Double), b: (Long, Double)): Boolean =
       a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
     def zero: Seq[(Long, Double)] = Vector.empty
@@ -141,12 +141,26 @@ object Aggregators {
       }
       out.result()
     }
-    def finish(buf: Seq[(Long, Double)]): Seq[Long] = buf.map(_._1)
     def bufferEncoder: Encoder[Seq[(Long, Double)]] =
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[Seq[(Long, Double)]]()
+  }
+
+  /** Ids-only top-K (recall truth sets, hit joins). */
+  class TopKCosineAgg(k: Int) extends TopKByScoreBase[Seq[Long]](k) {
+    def finish(buf: Seq[(Long, Double)]): Seq[Long] = buf.map(_._1)
     def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** (id, score) top-K, rank-ordered — for query surfaces that emit the
+    * rank AND the score (`posexplode` the result: rank = pos + 1). */
+  class TopKScorePairsAgg(k: Int)
+      extends TopKByScoreBase[Seq[(Long, Double)]](k) {
+    def finish(buf: Seq[(Long, Double)]): Seq[(Long, Double)] = buf
+    def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Long, Double)]]()
   }
 
   class BottomKAgg(k: Int)
