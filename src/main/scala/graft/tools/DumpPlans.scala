@@ -20,7 +20,7 @@ object DumpPlans {
     "q_revenue_by_nation" -> "pre-aggregated fact + broadcast dimension joins",
     "q_minhash_neardup" -> "LSH band equi-join on single-long keys + verify joins",
     "q_embed_neardup" -> "native LSH signatures, bucket equi-join, no cartesian",
-    "q_cosine_topk" -> "broadcast probe set over corpus scan (BNLJ) + window top-k",
+    "q_cosine_topk" -> "broadcast probe set over corpus scan (BNLJ) + bounded top-k aggregate (no candidate-volume sort: the window form's WindowGroupLimit already bounded the exchange, but its partial phase still SORTED every task's full candidate slice — the K-entry aggregate state replaces that local sort)",
     "q_ivf_assign" -> "IVF index build as a NARROW codegen'd pass: nearestcentroidexpr carries the codebook, no join / window / shuffle before the presentation sort",
     "q_ivf_topk" -> "inverted-list probe: one narrow corpus assignment; probe side assigned from a vec_id-filter-pushed 10-row scan",
     "q_ngram_jaccard" -> "inverted-index count join on (source, shingle-hash) — no block self-join, no shingle arrays in any shuffle",
