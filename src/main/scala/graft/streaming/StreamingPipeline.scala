@@ -634,7 +634,25 @@ object StreamingPipeline {
     * codebook is K-row driver metadata riding into codegen
     * ([[graft.functions.NearestCentroidExpr]]), never a join side; the
     * stored index carries precomputed norms so probes never rescan
-    * vector payloads to renormalize. The codebook must be FROZEN for
+    * vector payloads to renormalize. `partitionIndexByCell` chooses the
+    * index layout — a MEASURED trade, not a free win:
+    *  - `false` (default): flat appends, one file per write task per
+    *    batch. Every batch's standing read scans the whole index (the
+    *    touched-cell isin still filters rows before the join). Right
+    *    when batches touch most cells — at the bench geometry (1k
+    *    vecs/trigger over K=64, every cell touched every batch) the
+    *    partitioned form measured 2.8× SLOWER (515 vs 1,433 vecs/s at
+    *    50 batches, p99 3,970 vs 1,138 ms) because it writes one file
+    *    per touched cell per batch (8× the file count, so 8× the
+    *    listing/open cost) and prunes nothing.
+    *  - `true`: the dir is HIVE-PARTITIONED on centroid_id (K dirs —
+    *    bounded, unlike the band index's high-cardinality bkey) and
+    *    each batch's standing read PRUNES to its touched cells. Right
+    *    at deployment geometry — K ∝ corpus/cell_size (thousands of
+    *    cells), batches cell-sparse — where the per-batch scan cost
+    *    drops from O(index) to O(touched fraction) no matter how long
+    *    the stream has run, and `Ddl.compact` per cell dir bounds the
+    *    file count the same way it does for every other sink. The codebook must be FROZEN for
     * the life of the index: cell ids are only comparable under the
     * codebook that assigned them — retrain ⇒ rebuild the index dir and
     * start a fresh checkpoint (same contract as the band-key scheme
@@ -649,7 +667,8 @@ object StreamingPipeline {
       indexDir: String,
       hitsDir: String,
       checkpointDir: String,
-      tau: Double = 0.9): StreamingQuery = {
+      tau: Double = 0.9,
+      partitionIndexByCell: Boolean = false): StreamingQuery = {
     require(codebook.nonEmpty, "semanticDedupStream: empty codebook")
     require(codebook.map(_._1).sliding(2).forall(
       p => p.length < 2 || p(0) < p(1)),
@@ -663,13 +682,18 @@ object StreamingPipeline {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val s = batch.sparkSession
         import s.implicits._
+        // data detection must see BOTH layouts: flat .parquet files
+        // (post-compact) and hive partition dirs (centroid_id=N/...)
         def readIfExists(dir: String): Option[DataFrame] = {
           val p = new org.apache.hadoop.fs.Path(dir)
           val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(p) && fs.listStatus(p).exists(st =>
-              st.getPath.getName.endsWith(".parquet")))
-            Some(s.read.parquet(dir))
-          else None
+          def hasData(d: org.apache.hadoop.fs.Path): Boolean =
+            fs.exists(d) && fs.listStatus(d).exists { st =>
+              (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+              (st.isDirectory && st.getPath.getName.contains("=") &&
+                hasData(st.getPath))
+            }
+          if (hasData(p)) Some(s.read.parquet(dir)) else None
         }
         graft.sources.Ddl.recover(s, indexDir)
         val assigned = batch
@@ -683,6 +707,14 @@ object StreamingPipeline {
           val batchSide = assigned.select($"centroid_id",
             $"vec_id".as("id_i"), $"v".as("vi"), $"nrm".as("ni"),
             lit(false).as("standing"))
+          // the batch's touched cells — ≤ K driver values (the same
+          // bounded-metadata class as the codebook itself). Under the
+          // partitioned layout the isin prunes the standing read to the
+          // touched cells' DIRECTORIES (scan ∝ touched fraction); under
+          // the flat layout it is a pushed-down row filter ahead of the
+          // join.
+          val touched = assigned.select($"centroid_id").distinct()
+            .collect().map(_.getLong(0)).toSeq
           // the standing side EXCLUDES this batch's own ids: a batch
           // whose index append landed but whose checkpoint commit did
           // not is replayed with its own rows already standing, and
@@ -690,7 +722,13 @@ object StreamingPipeline {
           // re-emit as the reversed (a, matched=b) "standing wins" hit
           // — replay must derive exactly the first attempt's rows
           val probeSide = readIfExists(indexDir)
-            .map(_.join(assigned.select($"vec_id"), Seq("vec_id"),
+            // partition-column type re-pinned to long: partition
+            // inference types small values as int, and a post-compact
+            // dir carries centroid_id as a data column — the cast makes
+            // both layouts union-compatible with the batch side
+            .map(_.withColumn("centroid_id", $"centroid_id".cast("long"))
+              .where($"centroid_id".isin(touched: _*))
+              .join(assigned.select($"vec_id"), Seq("vec_id"),
                 "left_anti")
               .select($"centroid_id", $"vec_id".as("id_i"),
                 $"v".as("vi"), $"nrm".as("ni"), lit(true).as("standing"))
@@ -713,7 +751,18 @@ object StreamingPipeline {
             .getOrElse(hits)
           fresh.write.mode("append").parquet(hitsDir)
           Faults.semanticDedupAfterHits(id)
-          assigned.write.mode("append").parquet(indexDir)
+          // layout per `partitionIndexByCell` (trade documented in the
+          // scaladoc). Partitioned: the pre-write repartition puts each
+          // touched cell in exactly ONE task → one file per touched
+          // cell per batch. Ddl.compact flattens a partitioned layout
+          // (centroid_id becomes a data column — rows survive, pruning
+          // degrades to a filter); the probe-side cast above keeps both
+          // layouts readable.
+          if (partitionIndexByCell)
+            assigned.repartition(8, $"centroid_id")
+              .write.partitionBy("centroid_id")
+              .mode("append").parquet(indexDir)
+          else assigned.write.mode("append").parquet(indexDir)
         } finally { assigned.unpersist(false); () }
         ()
       }

@@ -345,7 +345,12 @@ object StreamGate {
   val Gates: Map[String, Double] = Map(
     "dual_write" -> 14000.0,
     "dual_write_50k" -> 65000.0,
-    "size_flush" -> 3300.0,
+    // 2800, not 3300: round-10 smoke runs on a steal-spiked host
+    // measured 3,021-4,965 rows/s on IDENTICAL code (two of ten runs
+    // tripped 3300, both passing on immediate re-run) — the gate keeps
+    // headroom under the weakest OBSERVED run, and a real halving
+    // still fails loudly
+    "size_flush" -> 2800.0,
     "indexed_dedup" -> 850.0,
     "stateful_neardup" -> 900.0,
     "semantic_dedup" -> 800.0,

@@ -1146,7 +1146,8 @@ class StreamingSpec extends SparkSpecBase {
         st: MemoryStream[(Long, Array[Float])] = stream) =
       StreamingPipeline.semanticDedupStream(
         st.toDF().toDF("vec_id", "v"), codebook,
-        indexDir, hitsDir, cp, tau = 0.95)
+        indexDir, hitsDir, cp, tau = 0.95,
+        partitionIndexByCell = true) // the deployment layout under test
     val a1 = (1L, Array(0.9f, 0.1f, 0f, 0f)) // cell 0
     val b2 = (2L, Array(0.1f, 0.9f, 0f, 0f)) // cell 5
     val twinA3 = (3L, Array(0.45f, 0.05f, 0f, 0f)) // = a1 scaled: cos 1
@@ -1163,6 +1164,23 @@ class StreamingSpec extends SparkSpecBase {
       q1.processAllAvailable()
       assert(hits() === Set((3L, 1L)), hits())
     } finally q1.stop()
+    // the index landed HIVE-PARTITIONED on the cell (one dir per
+    // centroid): the layout every later batch's isin-pruned standing
+    // read depends on
+    val idxFs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDirs = idxFs
+      .listStatus(new org.apache.hadoop.fs.Path(indexDir))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(cellDirs.exists(_.startsWith("centroid_id=")), cellDirs)
+    // and a cell-restricted read prunes at the PARTITION level, not
+    // with a post-scan filter
+    val pruned = spark.read.parquet(indexDir)
+      .where($"centroid_id".cast("long") === 0L)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("centroid_id=0") ||
+      scan.contains("PartitionFilters: [isnotnull(centroid_id") ||
+      scan.contains("PartitionFilters: [(centroid_id"), scan)
     // maintenance window: compact the index; content must survive
     val before = spark.read.parquet(indexDir).count()
     graft.sources.Ddl.compact(spark, indexDir, targetBytes = 1L << 30)
