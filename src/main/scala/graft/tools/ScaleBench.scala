@@ -79,6 +79,25 @@ object ScaleBench {
     }
   }
 
+  /** Deployment-geometry vector for the semdedup rung: `k` latent
+    * clusters (same analytic centers as [[clusteredVec]]'s formula),
+    * noise 0.6 (intra-cluster cosine ~0.74 — under any dedup τ), and
+    * every id ≡ 1 (mod 1000) a ×0.5-scaled colinear twin (cosine
+    * exactly 1) of its predecessor. Object-level so the Dataset map
+    * closure serializes without dragging the driver scope along. */
+  private def deployVec(id: Long, k: Int): Array[Float] = {
+    val base = if (id % 1000 == 1) id - 1 else id
+    val c = java.lang.Math.floorMod(mix(base * 31 + 17), k)
+    val v = Array.tabulate(64) { d =>
+      val center =
+        (java.lang.Math.floorMod(mix(c * 53L + d), 2001) - 1000) / 1000.0f
+      val noise =
+        (java.lang.Math.floorMod(mix(base * 977 + d), 2001) - 1000) / 1000.0f
+      center + noise * 0.6f
+    }
+    if (id % 1000 == 1) v.map(_ * 0.5f) else v
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(100000L)
     // Shuffle partitions scale with the probe size so per-task sort
@@ -125,7 +144,8 @@ object ScaleBench {
     // run restricted to it must not pay the corpus write (~27 GB of
     // unread parquet at 5·10⁷)
     val needCorpus = !requested.exists(
-      _.subsetOf(Set("salt_vs_aqe", "ann_recall_deploy")))
+      _.subsetOf(Set("salt_vs_aqe", "ann_recall_deploy",
+        "semdedup_deploy")))
     // shapes that never read embeddings.parquet — a text-only probe
     // (e.g. the 10⁸ pair-family rung) skips the vector table's
     // generation cost and disk footprint entirely
@@ -617,6 +637,62 @@ object ScaleBench {
     // recall@10-vs-nprobe curve against brute-force truth on a ~100-
     // probe sample. The monotonicity the gate pins should hold, and
     // recall@10 at nprobe=16 should clear 0.9 at recoverable geometry.
+    // incremental SEMANTIC dedup at deployment geometry: a 0.2% fresh
+    // batch (the daily-ingest shape) probes the standing corpus
+    // one-sided through K=256 coarse cells. Planted ground truth the
+    // run must recover EXACTLY: fresh ids ≡ 1 (mod 1000) are colinear
+    // twins (×0.5 scale, cosine exactly 1) of their standing
+    // predecessor — every one must flag; fresh ids ≡ 2 (mod 1000) are
+    // ordinary cluster members (noise 0.6 ⇒ intra-cluster cosine ~0.74,
+    // far under τ=0.95) — none may flag. Cell geometry: the latent
+    // centers are ANALYTIC (the generator's own formula), so the
+    // codebook is exact index metadata and the rung prices pure
+    // assignment + one-sided probe cost, not training.
+    if (only.forall(_.contains("semdedup_deploy"))) {
+      val sdK = 256
+      val cbIds = (0L until sdK.toLong).toArray
+      val cbCents = Array.tabulate(sdK) { c =>
+        Array.tabulate(64) { d =>
+          ((java.lang.Math.floorMod(mix(c * 53L + d), 2001) - 1000) /
+            1000.0f).toDouble
+        }
+      }
+      val cbNorms = cbCents.map(c => math.sqrt(c.map(x => x * x).sum))
+      val t0 = System.nanoTime()
+      val assigned = spark.range(0, n, 1, 32)
+        .map(i => (i, deployVec(i, sdK)))
+        .toDF("vec_id", "v")
+        .withColumn("nrm", graft.functions.VectorFunctions.l2Norm($"v"))
+        .withColumn("_best", graft.functions.VectorExpressions
+          .nearest_centroid($"v", $"nrm", cbIds, cbCents, cbNorms))
+        .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
+          $"v", $"nrm")
+      val isFresh = $"vec_id" % 1000 === 1 || $"vec_id" % 1000 === 2
+      val standing = assigned.where(!isFresh)
+        .select($"centroid_id", $"vec_id".as("id_i"),
+          $"v".as("vi"), $"nrm".as("ni"))
+      val fresh = assigned.where(isFresh)
+        .select($"centroid_id", $"vec_id", $"v".as("vp"), $"nrm".as("np"))
+      val flagged = fresh.join(standing, Seq("centroid_id"))
+        .where(graft.functions.VectorFunctions
+          .cosineWithNorms($"vp", $"vi", $"np", $"ni") >= lit(0.95))
+        .select($"vec_id").distinct()
+      val counts = flagged
+        .agg(count(lit(1)).as("n_flagged"),
+          sum(when($"vec_id" % 1000 === 1, 1L).otherwise(0L))
+            .as("n_twin_flagged"),
+          sum(when($"vec_id" % 1000 === 2, 1L).otherwise(0L))
+            .as("n_control_flagged"))
+        .collect().head
+      val sec = (System.nanoTime() - t0) / 1e9
+      val nTwins = (1L to n - 1L by 1000L).size // ids ≡1 (mod 1000), ≥1
+      println(f"""{"shape":"semdedup_deploy","n":$n,"k":$sdK,""" +
+        f""""n_twins_planted":$nTwins,""" +
+        f""""n_twin_flagged":${counts.getLong(1)},""" +
+        f""""n_control_flagged":${counts.getLong(2)},""" +
+        f""""n_flagged":${counts.getLong(0)},"sec":$sec%.2f}""")
+      graft.Release.transients()
+    }
     if (only.forall(_.contains("ann_recall_deploy"))) {
       val vecsDf = spark.range(0, n, 1, 32)
         .map(i => (i, clusteredVec(i)))
