@@ -647,12 +647,18 @@ object StreamingPipeline {
     *    listing/open cost) and prunes nothing.
     *  - `true`: the dir is HIVE-PARTITIONED on centroid_id (K dirs —
     *    bounded, unlike the band index's high-cardinality bkey) and
-    *    each batch's standing read PRUNES to its touched cells. Right
-    *    at deployment geometry — K ∝ corpus/cell_size (thousands of
-    *    cells), batches cell-sparse — where the per-batch scan cost
-    *    drops from O(index) to O(touched fraction) no matter how long
-    *    the stream has run, and `Ddl.compact` per cell dir bounds the
-    *    file count the same way it does for every other sink. The codebook must be FROZEN for
+    *    each batch's standing read PRUNES to its touched cells: scan
+    *    cost O(touched fraction) instead of O(index), at a per-batch
+    *    FIXED cost (partition discovery lists K dirs every batch).
+    *    Measured crossover (ScaleBench `semstream_layout`, K=1024,
+    *    256-row batches touching 4 cells, local disk): flat p50 grows
+    *    1.23 → 2.05 → 2.52 s across 10⁶ → 10⁷ → 3·10⁷ standing rows
+    *    while partitioned stays ~flat at 2.4-2.7 s — dead heat at
+    *    ~3·10⁷ (~9 GB), partitioned ahead beyond, and the flat form's
+    *    cost keeps growing with the stream's whole history while the
+    *    partitioned form's does not. Choose by standing-index size,
+    *    not taste. `Ddl.compact` per cell dir bounds file count the
+    *    same way it does for every other sink. The codebook must be FROZEN for
     * the life of the index: cell ids are only comparable under the
     * codebook that assigned them — retrain ⇒ rebuild the index dir and
     * start a fresh checkpoint (same contract as the band-key scheme

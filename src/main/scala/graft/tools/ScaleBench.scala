@@ -145,7 +145,7 @@ object ScaleBench {
     // unread parquet at 5·10⁷)
     val needCorpus = !requested.exists(
       _.subsetOf(Set("salt_vs_aqe", "ann_recall_deploy",
-        "semdedup_deploy")))
+        "semdedup_deploy", "semstream_layout")))
     // shapes that never read embeddings.parquet — a text-only probe
     // (e.g. the 10⁸ pair-family rung) skips the vector table's
     // generation cost and disk footprint entirely
@@ -692,6 +692,97 @@ object ScaleBench {
         f""""n_control_flagged":${counts.getLong(2)},""" +
         f""""n_flagged":${counts.getLong(0)},"sec":$sec%.2f}""")
       graft.Release.transients()
+    }
+    // A/B of the streaming semantic sink's index LAYOUTS at the
+    // cell-SPARSE geometry the partitioned form exists for: a standing
+    // index of n vectors spread over K=1024 cells (seeded directly in
+    // each layout — byte-for-byte what the sink itself appends), then
+    // steady-state probe batches of 256 vectors drawn from 4 cells
+    // each, through the REAL semanticDedupStream. The flat layout
+    // must scan the whole standing index every batch; the partitioned
+    // layout prunes to ~4/1024 of it. Complements the StreamBench
+    // lane, whose every-cell-touched geometry measured the flat form
+    // 2.8× FASTER — together they pin where each layout wins.
+    if (only.forall(_.contains("semstream_layout"))) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      val K = 1024
+      val cbIds = (0L until K.toLong).toArray
+      val cbCents = Array.tabulate(K) { c =>
+        Array.tabulate(64) { d =>
+          ((java.lang.Math.floorMod(mix(c * 53L + d), 2001) - 1000) /
+            1000.0f).toDouble
+        }
+      }
+      val cbNorms = cbCents.map(c => math.sqrt(c.map(x => x * x).sum))
+      val codebook = cbIds.toSeq.map(c =>
+        (c, cbCents(c.toInt).map(_.toFloat)))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-semlayout").toString
+      val standing = spark.range(0, n, 1, 32)
+        .map(i => (i, deployVec(i * 1000 + 3, K))) // ordinary members
+        .toDF("vec_id", "v")
+        .withColumn("nrm", graft.functions.VectorFunctions.l2Norm($"v"))
+        .withColumn("_best", graft.functions.VectorExpressions
+          .nearest_centroid($"v", $"nrm", cbIds, cbCents, cbNorms))
+        .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
+          $"v", $"nrm")
+      Seq(false, true).foreach { partitioned =>
+        val tag = if (partitioned) "partitioned" else "flat"
+        val indexDir = s"$root/index_$tag"
+        val hitsDir = s"$root/hits_$tag"
+        val ckpt = s"$root/ckpt_$tag"
+        // seed the standing index in this layout — 32 files (flat) /
+        // one file per cell (partitioned), the sink's own shapes
+        if (partitioned)
+          standing.repartition(32, $"centroid_id")
+            .write.partitionBy("centroid_id").parquet(indexDir)
+        else standing.write.parquet(indexDir)
+        val stream = MemoryStream[(Long, Array[Float])]
+        val q = graft.streaming.StreamingPipeline.semanticDedupStream(
+          stream.toDF().toDF("vec_id", "v"), codebook,
+          indexDir, hitsDir, ckpt, tau = 0.95,
+          partitionIndexByCell = partitioned)
+        try {
+          // warmup batch, then 12 timed cell-sparse batches: batch b
+          // draws its 256 vectors from 4 clusters (base ids landing in
+          // 4 cells), ids disjoint from the standing range
+          def batchRows(b: Int): Seq[(Long, Array[Float])] =
+            (0 until 256).map { j =>
+              val cluster = (b * 4 + j % 4) % K
+              // an id whose deployVec cluster-hash is forced by search
+              val id = 2000000000L + b * 100000L + j
+              (id, Array.tabulate(64) { d =>
+                val center = (java.lang.Math.floorMod(
+                  mix(cluster * 53L + d), 2001) - 1000) / 1000.0f
+                val noise = (java.lang.Math.floorMod(
+                  mix(id * 977 + d), 2001) - 1000) / 1000.0f
+                center + noise * 0.6f
+              })
+            }
+          stream.addData(batchRows(100): _*)
+          q.processAllAvailable()
+          val times = (0 until 12).map { b =>
+            val t0 = System.nanoTime()
+            stream.addData(batchRows(b): _*)
+            q.processAllAvailable()
+            (System.nanoTime() - t0) / 1e6
+          }.sorted
+          println(f"""{"shape":"semstream_layout","n":$n,"k":$K,""" +
+            f""""layout":"$tag","batch_rows":256,"cells_per_batch":4,""" +
+            f""""n_batches":${times.size},""" +
+            f""""batch_ms_p50":${times(times.size / 2)}%.1f,""" +
+            f""""batch_ms_min":${times.head}%.1f,""" +
+            f""""batch_ms_max":${times.last}%.1f}""")
+        } finally q.stop()
+      }
+      def rmrfLayout(p: String): Unit = {
+        val f = new java.io.File(p)
+        if (f.isDirectory) f.listFiles().foreach(c => rmrfLayout(c.getPath))
+        f.delete(); ()
+      }
+      rmrfLayout(root)
     }
     if (only.forall(_.contains("ann_recall_deploy"))) {
       val vecsDf = spark.range(0, n, 1, 32)
