@@ -594,8 +594,26 @@ object StreamingPipeline {
             .select(least($"id_p", $"id_i").as("id_a"),
               greatest($"id_p", $"id_i").as("id_b"))
             .distinct()
+          // exactly-once anti-join, PRUNED to the batch-relevant slice
+          // of the hits table: every candidate this batch can derive
+          // contains at least one batch doc, so hits rows with BOTH
+          // endpoints outside the batch's doc_id range can never match
+          // — the range predicate is a semantics-preserving superset
+          // filter that parquet min/max stats turn into file skipping
+          // (hits append in batch order, so old files' id ranges are
+          // disjoint under monotone ingest ids). Without it the
+          // anti-join re-scans the sink's whole history every batch.
+          val idRange = batchIdx.agg(min($"doc_id"), max($"doc_id"))
+            .collect().head
           val fresh = readIfExists(hitsDir)
-            .map(h => cand.join(h, Seq("id_a", "id_b"), "left_anti"))
+            .filter(_ => !idRange.isNullAt(0))
+            .map { h =>
+              val (lo, hi) = (idRange.getLong(0), idRange.getLong(1))
+              val relevant = h.where(
+                ($"id_a" >= lo && $"id_a" <= hi) ||
+                ($"id_b" >= lo && $"id_b" <= hi))
+              cand.join(relevant, Seq("id_a", "id_b"), "left_anti")
+            }
             .getOrElse(cand)
           fresh.write.mode("append").parquet(hitsDir)
           Faults.indexedDedupAfterHits(id)
@@ -751,9 +769,24 @@ object StreamingPipeline {
             .where($"cosine" >= lit(tau))
             .select($"vec_id", $"id_i".as("matched_id"), $"cosine")
             .distinct()
+          // exactly-once anti-join, PRUNED to the batch-relevant slice
+          // of the hits table: a hit row's vec_id is always the FRESH
+          // side, so rows outside this batch's vec_id range can never
+          // match a new row — the range predicate is a semantics-
+          // preserving superset filter that parquet min/max stats turn
+          // into file skipping (without it the anti-join re-scans the
+          // sink's whole history every batch)
+          val idRange = assigned.agg(min($"vec_id"), max($"vec_id"))
+            .collect().head
           val fresh = readIfExists(hitsDir)
-            .map(h => hits.join(h.select($"vec_id", $"matched_id"),
-              Seq("vec_id", "matched_id"), "left_anti"))
+            .filter(_ => !idRange.isNullAt(0))
+            .map { h =>
+              val (lo, hi) = (idRange.getLong(0), idRange.getLong(1))
+              hits.join(
+                h.where($"vec_id" >= lo && $"vec_id" <= hi)
+                  .select($"vec_id", $"matched_id"),
+                Seq("vec_id", "matched_id"), "left_anti")
+            }
             .getOrElse(hits)
           fresh.write.mode("append").parquet(hitsDir)
           Faults.semanticDedupAfterHits(id)
