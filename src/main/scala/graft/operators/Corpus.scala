@@ -356,16 +356,29 @@ object Corpus extends QueryModule {
                 DIV ((2*df + 1) * (20*s*tf + 6*s + 18*dl*n))""").as("w_micro"))
     val q = broadcast(
       tf.where($"doc_id" < 10).select($"doc_id".as("q_id"), $"token"))
-    val w = Window.partitionBy($"q_id")
-      .orderBy($"score_micro".desc, $"doc_id")
+    // bounded top-K aggregate, not a row_number window: the candidate
+    // set is every document sharing a query term — corpus-scaling —
+    // and the window form's partial phase sorts each task's full
+    // candidate slice (see TopKByScoreBase). The exact Long score
+    // rides as Double (magnitudes ≪ 2⁵³ by the operand bound above —
+    // injective, so tie-break behavior is identical) and n_shared
+    // travels as the aggregate's payload instead of a rejoin that
+    // would re-plan the token join.
+    val tk = udaf(new graft.pipeline.Aggregators.TopKScorePayloadAgg(5),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Double, Long)]())
     q.join(wt, Seq("token"))
       .where($"doc_id" =!= $"q_id")
       .groupBy($"q_id", $"doc_id")
       .agg(sum($"w_micro").as("score_micro"),
         count(lit(1)).as("n_shared"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where($"rank" <= 5)
-      .select($"q_id", $"rank", $"doc_id", $"score_micro", $"n_shared")
+      .groupBy($"q_id")
+      .agg(tk($"doc_id", $"score_micro".cast("double"), $"n_shared")
+        .as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._1".as("doc_id"), $"col._2".cast("long").as("score_micro"),
+        $"col._3".as("n_shared"))
       .orderBy($"q_id", $"rank")
   }
 

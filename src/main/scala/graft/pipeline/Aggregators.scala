@@ -146,6 +146,54 @@ object Aggregators {
         .ExpressionEncoder[Seq[(Long, Double)]]()
   }
 
+  /** (id, score, payload) top-K under the same (score DESC, id ASC)
+    * order — for surfaces that must carry an extra exact column (e.g.
+    * BM25's n_shared) through the selection without a rejoin that
+    * would re-plan the expensive grouped subtree (Catalyst does not
+    * CSE it). The score rides as Double: exact for the integer scores
+    * the callers feed it (magnitudes ≪ 2⁵³, injectively mapped, so
+    * equality — and therefore tie-break behavior — is preserved). */
+  class TopKScorePayloadAgg(k: Int)
+      extends Aggregator[(Long, Double, Long),
+        Seq[(Long, Double, Long)], Seq[(Long, Double, Long)]] {
+    private def better(a: (Long, Double, Long),
+        b: (Long, Double, Long)): Boolean =
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+    def zero: Seq[(Long, Double, Long)] = Vector.empty
+    def reduce(buf: Seq[(Long, Double, Long)], x: (Long, Double, Long))
+        : Seq[(Long, Double, Long)] = {
+      if (buf.size >= k && !better(x, buf.last)) buf
+      else {
+        val i = buf.indexWhere(e => better(x, e)) match {
+          case -1 => buf.size
+          case p => p
+        }
+        val v = buf.toVector
+        ((v.take(i) :+ x) ++ v.drop(i)).take(k)
+      }
+    }
+    def merge(a: Seq[(Long, Double, Long)], b: Seq[(Long, Double, Long)])
+        : Seq[(Long, Double, Long)] = {
+      val out = Vector.newBuilder[(Long, Double, Long)]
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < a.size || j < b.size)) {
+        if (j >= b.size || (i < a.size && better(a(i), b(j)))) {
+          out += a(i); i += 1
+        } else { out += b(j); j += 1 }
+        n += 1
+      }
+      out.result()
+    }
+    def finish(buf: Seq[(Long, Double, Long)]): Seq[(Long, Double, Long)] =
+      buf
+    def bufferEncoder: Encoder[Seq[(Long, Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Long, Double, Long)]]()
+    def outputEncoder: Encoder[Seq[(Long, Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Long, Double, Long)]]()
+  }
+
   /** Ids-only top-K (recall truth sets, hit joins). */
   class TopKCosineAgg(k: Int) extends TopKByScoreBase[Seq[Long]](k) {
     def finish(buf: Seq[(Long, Double)]): Seq[Long] = buf.map(_._1)
