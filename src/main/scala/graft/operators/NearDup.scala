@@ -1102,8 +1102,13 @@ object NearDup extends QueryModule {
       .where($"id_a" < $"id_b")
       .groupBy($"source", $"id_a", $"id_b")
       .agg(count(lit(1)).as("n_common"))
-    val w = Window.partitionBy($"source")
-      .orderBy($"jaccard".desc, $"id_a", $"id_b")
+    // bounded top-K aggregate (pair-keyed variant): the per-source
+    // sharing-pair volume is corpus-scaling, and the window form's
+    // partial phase sorted each task's full slice of it
+    // (TopKByScoreBase has the scale argument)
+    val tk = udaf(new graft.pipeline.Aggregators.TopKPairsByScoreAgg(3),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Long, Double)]())
     common
       .join(sizes.select($"source", $"doc_id".as("id_a"), $"n".as("n_a")),
         Seq("source", "id_a"))
@@ -1111,9 +1116,12 @@ object NearDup extends QueryModule {
         Seq("source", "id_b"))
       .withColumn("jaccard",
         $"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where($"rank" <= 3)
-      .select($"source", $"rank", $"id_a", $"id_b", $"jaccard")
+      .groupBy($"source")
+      .agg(tk($"id_a", $"id_b", $"jaccard").as("top"))
+      .select($"source", posexplode($"top"))
+      .select($"source", ($"pos" + 1).cast("long").as("rank"),
+        $"col._1".as("id_a"), $"col._2".as("id_b"),
+        $"col._3".as("jaccard"))
       .orderBy($"source", $"rank")
   }
 

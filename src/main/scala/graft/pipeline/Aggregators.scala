@@ -194,6 +194,53 @@ object Aggregators {
         .ExpressionEncoder[Seq[(Long, Double, Long)]]()
   }
 
+  /** PAIR-keyed top-K under (score DESC, id_a ASC, id_b ASC) — the
+    * composite-tie-break sibling of [[TopKScorePayloadAgg]] for
+    * surfaces ranking document PAIRS (n-gram Jaccard top-k per
+    * source); packing the pair into one long would cap ids at 32 bits,
+    * which a 100 TB corpus exceeds. */
+  class TopKPairsByScoreAgg(k: Int)
+      extends Aggregator[(Long, Long, Double),
+        Seq[(Long, Long, Double)], Seq[(Long, Long, Double)]] {
+    private def better(a: (Long, Long, Double),
+        b: (Long, Long, Double)): Boolean =
+      a._3 > b._3 || (a._3 == b._3 &&
+        (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)))
+    def zero: Seq[(Long, Long, Double)] = Vector.empty
+    def reduce(buf: Seq[(Long, Long, Double)], x: (Long, Long, Double))
+        : Seq[(Long, Long, Double)] = {
+      if (buf.size >= k && !better(x, buf.last)) buf
+      else {
+        val i = buf.indexWhere(e => better(x, e)) match {
+          case -1 => buf.size
+          case p => p
+        }
+        val v = buf.toVector
+        ((v.take(i) :+ x) ++ v.drop(i)).take(k)
+      }
+    }
+    def merge(a: Seq[(Long, Long, Double)], b: Seq[(Long, Long, Double)])
+        : Seq[(Long, Long, Double)] = {
+      val out = Vector.newBuilder[(Long, Long, Double)]
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < a.size || j < b.size)) {
+        if (j >= b.size || (i < a.size && better(a(i), b(j)))) {
+          out += a(i); i += 1
+        } else { out += b(j); j += 1 }
+        n += 1
+      }
+      out.result()
+    }
+    def finish(buf: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] =
+      buf
+    def bufferEncoder: Encoder[Seq[(Long, Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Long, Long, Double)]]()
+    def outputEncoder: Encoder[Seq[(Long, Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Long, Long, Double)]]()
+  }
+
   /** Ids-only top-K (recall truth sets, hit joins). */
   class TopKCosineAgg(k: Int) extends TopKByScoreBase[Seq[Long]](k) {
     def finish(buf: Seq[(Long, Double)]): Seq[Long] = buf.map(_._1)
