@@ -290,10 +290,17 @@ object Profiling extends QueryModule {
     // type (untyped Row values): a cast-to-long would NPE on string keys
     // and silently never match in executeDecided's isin for lossy key
     // types. Sorted by string form only for a deterministic Seq order.
+    // NULL keys are excluded: `isin(null)` never matches, so a null
+    // entry in hotKeys would silently leave the null-heavy slice
+    // unsalted (salt 0 end to end). Null-keyed probe rows can never
+    // produce inner-join output anyway; the salted executor spreads
+    // them explicitly (see executeDecided) so a null-heavy probe
+    // doesn't survive as the straggler the census just detected.
     val hot: Seq[Any] =
       if (strat != "salted") Nil
       else probe.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
         .where($"c" * 1000000L >= lit(SkewSharePpm) * lit(np))
+        .where(col(keyCol).isNotNull)
         .select(col(keyCol)).collect().toSeq
         .map(_.get(0)).sortBy(String.valueOf(_))
     JoinDecision(strat, nb, np, share, hot)
@@ -367,8 +374,13 @@ object Profiling extends QueryModule {
         // stuck in one residue class (constant status codes, small line
         // numbers) would otherwise re-concentrate the hot key on few
         // salts
+        // NULL-keyed probe rows also get the spread salt: they can
+        // never match an equi-join (so output is unchanged), but with
+        // salt 0 they would all hash to ONE task of the exchange — if
+        // the census fired because of a null-heavy probe, leaving them
+        // unspread preserves exactly the straggler being salted away.
         val p = probe.withColumn(saltCol,
-          when(isHot(col(keyCol)),
+          when(isHot(col(keyCol)) || col(keyCol).isNull,
             pmod(xxhash64(col(saltSourceCol)), lit(NumSalts.toLong))
               .cast("int"))
             .otherwise(lit(0)))

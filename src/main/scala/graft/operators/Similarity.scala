@@ -730,7 +730,17 @@ object Similarity extends QueryModule {
     * all probes; scanned_ppm = the mean fraction of the corpus the
     * probed cells cover (from the K-row cell histogram, driver-side) —
     * the COST axis of the recall-vs-nprobe curve, so the trade reads
-    * directly: recall bought per corpus-fraction scanned. */
+    * directly: recall bought per corpus-fraction scanned.
+    *
+    * CONTRACT — `vectors` must be a DETERMINISTIC frame (a stored
+    * table, or a pure derivation of one). It is deliberately NOT
+    * persisted (two corpus-sized copies in the storage pool are what
+    * killed the 10⁸ rung), so it is re-scanned iters+2 times; a frame
+    * containing `rand()` / `monotonically_increasing_id()` / any
+    * non-deterministic expression would yield DIFFERENT data per scan
+    * and silently corrupt centroids, truth, and the recall figure.
+    * Same one-slot eager-materialization discipline as the NearDup
+    * entry points: materialize such inputs to parquet first. */
   private[graft] def recallEval(
       vectors: DataFrame, // columns: vec_id LONG, v ARRAY<FLOAT>
       k: Int,

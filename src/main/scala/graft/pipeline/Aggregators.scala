@@ -109,13 +109,26 @@ object Aggregators {
     * — kilobytes — and nothing ever sorts more than K entries.
     *
     * Output: neighbor ids in rank order (ties already resolved).
-    * reduce is O(k) worst case; k is the top-K ask (≤ tens). */
+    * reduce is O(k) worst case; k is the top-K ask (≤ tens).
+    *
+    * NaN contract: scores are ordered by `java.lang.Double.compare`,
+    * Spark's own DoubleType sort order — NaN ranks above every finite
+    * score and -0.0 below 0.0 — so the window equivalence holds even
+    * for degenerate scores (cosine of a zero-norm vector). */
   abstract class TopKByScoreBase[OUT](k: Int)
       extends Aggregator[(Long, Double), Seq[(Long, Double)], OUT] {
     // strict total order on (id, score) entries with distinct ids:
-    // rank better = higher score, then lower id
-    private def better(a: (Long, Double), b: (Long, Double)): Boolean =
-      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+    // rank better = higher score, then lower id. Scores compare via
+    // java.lang.Double.compare — a total order even for NaN (ranked
+    // largest) and -0.0 (< 0.0), exactly Spark's DoubleType sort
+    // ordering, so the window-equivalence contract holds on degenerate
+    // scores (e.g. cosine of a zero-norm vector) too; `>`/`==` would
+    // both be false for NaN and silently break the sorted-buffer
+    // invariant reduce/merge rely on.
+    private def better(a: (Long, Double), b: (Long, Double)): Boolean = {
+      val c = java.lang.Double.compare(a._2, b._2)
+      c > 0 || (c == 0 && a._1 < b._1)
+    }
     def zero: Seq[(Long, Double)] = Vector.empty
     def reduce(buf: Seq[(Long, Double)], x: (Long, Double))
         : Seq[(Long, Double)] = {
@@ -157,8 +170,11 @@ object Aggregators {
       extends Aggregator[(Long, Double, Long),
         Seq[(Long, Double, Long)], Seq[(Long, Double, Long)]] {
     private def better(a: (Long, Double, Long),
-        b: (Long, Double, Long)): Boolean =
-      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+        b: (Long, Double, Long)): Boolean = {
+      // Double.compare: total order under NaN, see TopKByScoreBase.
+      val c = java.lang.Double.compare(a._2, b._2)
+      c > 0 || (c == 0 && a._1 < b._1)
+    }
     def zero: Seq[(Long, Double, Long)] = Vector.empty
     def reduce(buf: Seq[(Long, Double, Long)], x: (Long, Double, Long))
         : Seq[(Long, Double, Long)] = {
@@ -203,9 +219,12 @@ object Aggregators {
       extends Aggregator[(Long, Long, Double),
         Seq[(Long, Long, Double)], Seq[(Long, Long, Double)]] {
     private def better(a: (Long, Long, Double),
-        b: (Long, Long, Double)): Boolean =
-      a._3 > b._3 || (a._3 == b._3 &&
+        b: (Long, Long, Double)): Boolean = {
+      // Double.compare: total order under NaN, see TopKByScoreBase.
+      val c = java.lang.Double.compare(a._3, b._3)
+      c > 0 || (c == 0 &&
         (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)))
+    }
     def zero: Seq[(Long, Long, Double)] = Vector.empty
     def reduce(buf: Seq[(Long, Long, Double)], x: (Long, Long, Double))
         : Seq[(Long, Long, Double)] = {

@@ -177,6 +177,45 @@ class ProfilingSpec extends SparkSpecBase {
     }
   }
 
+  test("census-driven join: NULL-heavy probe keys — never in hotKeys, " +
+    "spread-salted in the manual plan, row parity with a plain join") {
+    import spark.implicits._
+    // a probe where the dominant "key" is NULL: the census detects the
+    // skew, but null must NOT enter hotKeys (isin(null) never matches —
+    // the slice would silently keep salt 0), and the manual salted plan
+    // must spread the null rows across salts while returning exactly
+    // the rows of a plain inner join (nulls never match, so spreading
+    // them is pure skew relief)
+    val build = spark.range(1500)
+      .select($"id".as("k"), ($"id" * 7L).as("p"))
+    // ⅓ null, ⅓ hot key 13, ⅓ spread — BOTH skew classes present, so
+    // hotKeys must be exactly Seq(13): nulls excluded from the census
+    // yet spread by the executor's explicit isNull salt branch
+    val probe = spark.range(6000)
+      .select(when($"id" % 3 === 0, lit(null).cast("long"))
+        .when($"id" % 3 === 1, lit(13L))
+        .otherwise($"id" % 1500).as("k"),
+        $"id".as("v"))
+    val dec = Profiling.decideJoin(build, probe)
+    assert(dec.strategy === "salted", dec)
+    assert(dec.hotKeys === Seq(13L),
+      s"null leaked into hotKeys or the hot key was missed: $dec")
+    val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"k", $"v", $"p").agg(count(lit(1)).as("m"))
+          .as[(Long, Long, Long, Long)].collect().toSet
+      val got = canon(Profiling.executeDecided(build, probe, dec))
+      val want = canon(probe.join(build, Seq("k")))
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("anomaly MAD: medians match a single-node recount; outliers obey " +
     "the 3-MAD rule exactly") {
     import spark.implicits._

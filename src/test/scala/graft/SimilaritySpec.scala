@@ -326,6 +326,50 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ordered === wantOrdered)
   }
 
+  test("TopKCosineAgg matches the window under NaN scores " +
+    "(Double.compare total order, NaN ranked largest like Spark)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // zero-norm vectors yield cosine = NaN; Spark's DESC sort puts NaN
+    // first. A naive `>`/`==` comparator is never true for NaN, which
+    // breaks the sorted-buffer invariant — this pins the
+    // java.lang.Double.compare ordering against the window on a mix of
+    // NaN, negative, -0.0/0.0 and tied finite scores.
+    val rows = (for {
+      q <- 0L until 3L
+      nb <- 0L until 40L
+    } yield {
+      val score = nb % 8 match {
+        case 0 => Double.NaN
+        case 1 => -0.0
+        case 2 => 0.0
+        case 3 => -0.5
+        case k => (k % 3).toDouble / 3.0
+      }
+      (q, nb, score)
+    })
+    val df = rows.toDF("q_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id")
+    val want = df.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 7)
+      .orderBy($"q_id", $"rank")
+      .select($"q_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSeq
+    val tk = udaf(new graft.pipeline.Aggregators.TopKCosineAgg(7),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Double)]())
+    val got = df.repartition(8) // force multi-partition partial+merge
+      .groupBy($"q_id")
+      .agg(tk($"neighbor_id", $"cosine").as("nbrs"))
+      .select($"q_id", posexplode($"nbrs").as(Seq("pos", "neighbor_id")))
+      .orderBy($"q_id", $"pos")
+      .select($"q_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+
   test("ann recall: multi-probe dominates single-cell per probe (superset candidates)") {
     import spark.implicits._
     // nprobe=3's candidate set is a superset of nprobe=1's, and any
