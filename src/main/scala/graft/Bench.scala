@@ -34,8 +34,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      // min over SUCCESSFUL iterations only; a failing query must report
+    val raw = selected.map { case (name, fn) =>
+      // all SUCCESSFUL iteration times; a failing query must report
       // the -1 failure marker, not a fast-throw time
       val times = (0 until iters).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -44,15 +44,32 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      name -> times.sorted
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // `queries` stays the min (the established cross-round comparison
+    // key — best draw against host-steal spikes); `queries_median` is
+    // the variance-aware companion: a single-run outlier moves the min
+    // never and the median only if 2 of n draws were contaminated, so
+    // round-over-round movers are adjudicable from the artifact itself
+    // instead of requiring a manual re-run.
+    val results = raw.map { case (n, ts) =>
+      n -> (if (ts.nonEmpty) ts.head else -1.0)
+    }
+    val medians = raw.map { case (n, ts) =>
+      n -> (if (ts.nonEmpty) ts(ts.size / 2) else -1.0)
+    }
+    def obj(kv: Seq[(String, Double)]) = kv
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total = successful queries only; failures are COUNTED, not summed —
     // a -1 marker must not silently shrink the total it sits inside
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val totalMed = medians.collect { case (_, v) if v >= 0 => v }.sum
     val failures = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""failures":$failures,"iters":$iters,"queries":${obj(results)},""" +
+      s""""total_median":$totalMed,"queries_median":${obj(medians)},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -224,6 +224,101 @@ object VecOps {
       Array[Any](ids(best), bestCos))
   }
 
+  /** TWO-LEVEL nearest-centroid assignment — the hierarchical coarse
+    * quantizer that makes deployment-K IVF assignment affordable: a
+    * flat scan is O(K·D) per vector, which at the K ∝ corpus geometry
+    * (K = n / cell_target) makes every probe batch's assignment grow
+    * linearly with the STANDING corpus. Here the codebook is stored as
+    * S super-cells over the K children (CSR layout: children of super
+    * `s` occupy `offs(s) until offs(s+1)` of `ids`/`cents`/`cnorms`,
+    * sorted by (super, id)); assignment scans the S supers, keeps the
+    * top-`nprobe` (ties toward the LOWEST super index — strict
+    * comparison, same rule as the flat kernel), then scans only those
+    * supers' children: O((S + nprobe·K/S)·D), minimized at S ≈ √K —
+    * the standard IVF coarse-within-coarse shape (FAISS's
+    * two-level / residual coarse quantizers use the same structure).
+    *
+    * Child selection: argmax cosine over all scanned children, ties to
+    * the lowest CHILD id (global rule, independent of super order).
+    * With `nprobe = S` the scanned set is all K children, so for any
+    * vector with a finite nonzero norm the result is IDENTICAL to
+    * [[nearestCentroid]] — the exactness pin (a zero-norm vector's
+    * all-NaN cosines still get a deterministic assignment, but seeded
+    * from the first PROBED child rather than flat's index 0); smaller
+    * nprobe is the recall/cost knob, measured (planted-twin recall) in
+    * ScaleBench's deployment rung.
+    *
+    * Returns (super_id, centroid_id, cos): the super is the one the
+    * winning child lives under, so (index row, probe row) pairs
+    * assigned by the same codebook always agree on the cell. */
+  def nearestCentroid2(v: ArrayData, isFloat: Boolean, nrm: Double,
+      superCents: Array[Array[Double]], superNorms: Array[Double],
+      offs: Array[Int], ids: Array[Long], cents: Array[Array[Double]],
+      cnorms: Array[Double], nprobe: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val dim = v.numElements()
+    val nSuper = superCents.length
+    val p = math.max(1, math.min(nprobe, nSuper))
+    // top-p supers by cosine, insertion-sorted; strict > keeps the
+    // lowest super index on ties (supers admitted in index order)
+    val topIdx = new Array[Int](p)
+    val topCos = new Array[Double](p)
+    var filled = 0
+    var s = 0
+    while (s < nSuper) {
+      val c = superCents(s)
+      val n = math.min(dim, c.length)
+      var acc = 0.0
+      var k = 0
+      while (k < n) { acc += elem(v, isFloat, k) * c(k); k += 1 }
+      val cos = acc / (nrm * superNorms(s))
+      if (filled < p) {
+        var i = filled
+        while (i > 0 && cos > topCos(i - 1)) {
+          topCos(i) = topCos(i - 1); topIdx(i) = topIdx(i - 1); i -= 1
+        }
+        topCos(i) = cos; topIdx(i) = s
+        filled += 1
+      } else if (cos > topCos(p - 1)) {
+        var i = p - 1
+        while (i > 0 && cos > topCos(i - 1)) {
+          topCos(i) = topCos(i - 1); topIdx(i) = topIdx(i - 1); i -= 1
+        }
+        topCos(i) = cos; topIdx(i) = s
+      }
+      s += 1
+    }
+    // scan the probed supers' children; first visited child seeds the
+    // best slot (the NaN-everywhere degenerate then still returns a
+    // deterministic assignment, like the flat kernel's index-0 seed)
+    var bestId = Long.MinValue
+    var bestSuper = -1L
+    var bestCos = Double.NegativeInfinity
+    var seeded = false
+    var t = 0
+    while (t < filled) {
+      val sup = topIdx(t)
+      var j = offs(sup)
+      val end = offs(sup + 1)
+      while (j < end) {
+        val c = cents(j)
+        val n = math.min(dim, c.length)
+        var acc = 0.0
+        var k = 0
+        while (k < n) { acc += elem(v, isFloat, k) * c(k); k += 1 }
+        val cos = acc / (nrm * cnorms(j))
+        if (!seeded || cos > bestCos ||
+            (cos == bestCos && ids(j) < bestId)) {
+          seeded = true; bestCos = cos; bestId = ids(j); bestSuper = sup
+        }
+        j += 1
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestSuper, bestId, bestCos))
+  }
+
   /** Scalar-quantization reconstruction stats for one vector: quantize
     * each component to `levels` uniform cells over [min, max], midpoint
     * reconstruction, and report (lo, hi, max_err, mse). One pass for
@@ -749,6 +844,44 @@ case class NearestCentroidExpr(left: Expression, right: Expression,
       l: Expression, r: Expression): NearestCentroidExpr = copy(left = l, right = r)
 }
 
+/** Two-level (hierarchical) nearest-centroid assignment against a
+  * driver-resolved CSR codebook (see [[VecOps.nearestCentroid2]]) —
+  * the deployment-K assignment kernel: O((S + nprobe·K/S)·D) per
+  * vector instead of the flat scan's O(K·D). Codebook arrays ride to
+  * executors as codegen reference objects, so assignment stays ONE
+  * narrow codegen'd scan with no exchange, exactly like
+  * [[NearestCentroidExpr]]. */
+case class NearestCentroid2Expr(left: Expression, right: Expression,
+    superCents: Array[Array[Double]], superNorms: Array[Double],
+    offs: Array[Int], ids: Array[Long], cents: Array[Array[Double]],
+    cnorms: Array[Double], nprobe: Int)
+    extends BinaryExpression {
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = StructType(Seq(
+    StructField("super_id", LongType, nullable = false),
+    StructField("centroid_id", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  override def nullSafeEval(v: Any, n: Any): Any =
+    VecOps.nearestCentroid2(v.asInstanceOf[ArrayData], isFloat,
+      n.asInstanceOf[Double], superCents, superNorms, offs, ids, cents,
+      cnorms, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("superCents", superCents, "double[][]")
+    val snRef = ctx.addReferenceObj("superNorms", superNorms, "double[]")
+    val oRef = ctx.addReferenceObj("childOffs", offs, "int[]")
+    val idsRef = ctx.addReferenceObj("childIds", ids, "long[]")
+    val cRef = ctx.addReferenceObj("childCents", cents, "double[][]")
+    val nRef = ctx.addReferenceObj("childNorms", cnorms, "double[]")
+    defineCodeGen(ctx, ev, (v, n) =>
+      s"graft.functions.VecOps.nearestCentroid2($v, $isFloat, $n, " +
+        s"$sRef, $snRef, $oRef, $idsRef, $cRef, $nRef, $nprobe)")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): NearestCentroid2Expr =
+    copy(left = l, right = r)
+}
+
 /** Product-quantization codes of a vector column against driver-resolved
   * per-subspace sub-codebooks → array<long> of M sub-centroid indices.
   * Like [[NearestCentroidExpr]], the codebooks ride to executors as a
@@ -917,6 +1050,13 @@ object VectorExpressions {
       cents: Array[Array[Double]], cnorms: Array[Double]): Column =
     GraftShims.column(NearestCentroidExpr(GraftShims.toExpression(v),
       GraftShims.toExpression(nrm), ids, cents, cnorms))
+  def nearest_centroid2(v: Column, nrm: Column,
+      superCents: Array[Array[Double]], superNorms: Array[Double],
+      offs: Array[Int], ids: Array[Long], cents: Array[Array[Double]],
+      cnorms: Array[Double], nprobe: Int): Column =
+    GraftShims.column(NearestCentroid2Expr(GraftShims.toExpression(v),
+      GraftShims.toExpression(nrm), superCents, superNorms, offs, ids,
+      cents, cnorms, nprobe))
   def quant_err(v: Column, levels: Int): Column =
     GraftShims.column(QuantErrExpr(GraftShims.toExpression(v), levels))
   def pq_encode(v: Column, cents: Array[Array[Array[Double]]]): Column =

@@ -120,6 +120,120 @@ object Similarity extends QueryModule {
       .drop("_best")
   }
 
+  /** TWO-LEVEL coarse codebook (driver metadata, like [[Codebook]]):
+    * `nSuper` super-centroids over the K children in CSR layout —
+    * children of super `s` occupy `offs(s) until offs(s+1)` of
+    * `ids`/`cents`/`norms`, sorted by (super, child id). The structure
+    * that makes assignment affordable at the DEPLOYMENT geometry
+    * K ∝ corpus (K = n / cell_target, the lever that keeps cells — and
+    * hence per-cell pair work — constant as the corpus grows): a flat
+    * scan is O(K·D) per probe vector, i.e. assignment cost grows
+    * linearly with the corpus; the two-level scan is
+    * O((S + nprobe·K/S)·D), minimized at S ≈ √K. */
+  private[graft] case class Codebook2(
+      superCents: Array[Array[Double]], superNorms: Array[Double],
+      offs: Array[Int], ids: Array[Long], cents: Array[Array[Double]],
+      norms: Array[Double])
+
+  /** Build a [[Codebook2]] over an existing flat codebook — pure
+    * driver arithmetic on K centroid rows (K × nSuper × D flops per
+    * round: bounded index metadata, never a data-volume pass).
+    *
+    * `refineIters = 0` (the gate geometry) groups children under their
+    * nearest of the FIRST-nSuper child centroids — one deterministic
+    * assignment step with no iteration, so a SQL oracle can replay it
+    * exactly. `refineIters > 0` (deployment) runs spherical Lloyd
+    * rounds over the unit-normalized children: supers move to their
+    * member mean, empty supers hold position — deterministic, and the
+    * child→super map only affects WHICH supers a probe scans, never
+    * the winning child's identity at nprobe = S (exactness pin in
+    * SimilaritySpec). */
+  private[graft] def twoLevelFrom(cb: Codebook, nSuper: Int,
+      refineIters: Int = 0): Codebook2 = {
+    val k = cb.ids.length
+    require(nSuper >= 1 && nSuper <= k,
+      s"twoLevelFrom: nSuper $nSuper outside [1, $k]")
+    val dim = cb.cents(0).length
+    def l2(a: Array[Double]): Double = math.sqrt(a.map(x => x * x).sum)
+    val sup = Array.tabulate(nSuper)(i => cb.cents(i).clone())
+    val supN = Array.tabulate(nSuper)(i => cb.norms(i))
+    def assign(): Array[Int] = Array.tabulate(k) { j =>
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var s = 0
+      while (s < nSuper) {
+        var acc = 0.0
+        var d = 0
+        while (d < dim) { acc += cb.cents(j)(d) * sup(s)(d); d += 1 }
+        val cos = acc / (cb.norms(j) * supN(s))
+        if (cos > bestCos) { bestCos = cos; best = s }
+        s += 1
+      }
+      best
+    }
+    var asg = assign()
+    var it = 0
+    while (it < refineIters) {
+      val sums = Array.fill(nSuper)(new Array[Double](dim))
+      val cnt = new Array[Int](nSuper)
+      var j = 0
+      while (j < k) {
+        val s = asg(j)
+        cnt(s) += 1
+        val nj = cb.norms(j)
+        if (nj > 0) {
+          var d = 0
+          while (d < dim) { sums(s)(d) += cb.cents(j)(d) / nj; d += 1 }
+        }
+        j += 1
+      }
+      var s = 0
+      while (s < nSuper) {
+        if (cnt(s) > 0 && l2(sums(s)) > 0) {
+          sup(s) = sums(s); supN(s) = l2(sums(s))
+        }
+        s += 1
+      }
+      asg = assign()
+      it += 1
+    }
+    val order = (0 until k).sortBy(j => (asg(j), cb.ids(j))).toArray
+    val offs = new Array[Int](nSuper + 1)
+    order.foreach(j => offs(asg(j) + 1) += 1)
+    (1 to nSuper).foreach(s => offs(s) += offs(s - 1))
+    Codebook2(sup, supN, offs,
+      order.map(cb.ids), order.map(cb.cents), order.map(cb.norms))
+  }
+
+  /** [[twoLevelFrom]] over a public (centroid_id, centroid) codebook
+    * seq — the entry the streaming semantic sink uses. Deterministic
+    * for a given input (seeding, Lloyd rounds and CSR order all are),
+    * so a restarted stream rebuilding it from the same frozen codebook
+    * gets the byte-identical structure — the replay contract. */
+  private[graft] def twoLevelFromSeq(codebook: Seq[(Long, Array[Float])],
+      nSuper: Int, refineIters: Int): Codebook2 = {
+    val cents = codebook.map(_._2.map(_.toDouble)).toArray
+    twoLevelFrom(Codebook(codebook.map(_._1).toArray, cents,
+      cents.map(c => math.sqrt(c.map(x => x * x).sum))), nSuper,
+      refineIters)
+  }
+
+  /** Two-level sibling of [[assignTo]]: the same one-narrow-scan shape
+    * (codebook rides the expression, no exchange), adding a `super_id`
+    * column. `nprobe` supers are scanned for children. */
+  private def assignTo2(vectors: DataFrame, cb2: Codebook2,
+      nprobe: Int): DataFrame = {
+    import vectors.sparkSession.implicits._
+    vectors
+      .withColumn("_best", graft.functions.VectorExpressions
+        .nearest_centroid2($"v", $"nrm", cb2.superCents, cb2.superNorms,
+          cb2.offs, cb2.ids, cb2.cents, cb2.norms, nprobe))
+      .withColumn("super_id", $"_best.super_id")
+      .withColumn("centroid_id", $"_best.centroid_id")
+      .withColumn("cos", $"_best.cos")
+      .drop("_best")
+  }
+
   /** IVF-style bucketed self-similarity: top-3 most similar pairs within
     * each (label, centroid) CELL. The label alone is an unbounded bucket
     * (it grows linearly with the corpus, so within-bucket pairs grow
@@ -358,6 +472,27 @@ object Similarity extends QueryModule {
     val e = vecs(s, d)
     assignTo(e, centroids(e))
       .select($"vec_id", $"centroid_id", $"cos")
+      .orderBy($"vec_id")
+  }
+
+  /** TWO-LEVEL IVF assignment gate — the hierarchical coarse quantizer
+    * ([[twoLevelFrom]] + [[graft.functions.VecOps.nearestCentroid2]])
+    * at oracle-able toy geometry: 8 children grouped under 2 supers
+    * (seeds = children 0, 1; refineIters = 0 so the grouping is a
+    * single SQL-replayable assignment step), probes scanning nprobe = 1
+    * super. The oracle replays every stage — child→super map, probe→
+    * super argmax, within-super child argmax, all with the strict
+    * (cos DESC, id ASC) tie rule — so the full two-level kernel
+    * semantics are hash-gated, not just spec-pinned. At deployment the
+    * same kernel runs with K ∝ corpus, S ≈ √K, refined supers: the
+    * assignment cost that made flat-scan deployment-K IVF unaffordable
+    * drops to O(√K·D) per vector (measured: ScaleBench ivf2_deploy). */
+  def ivfAssign2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val cb2 = twoLevelFrom(centroids(e), nSuper = 2)
+    assignTo2(e, cb2, nprobe = 1)
+      .select($"vec_id", $"super_id", $"centroid_id", $"cos")
       .orderBy($"vec_id")
   }
 
@@ -1210,6 +1345,48 @@ object Similarity extends QueryModule {
                        ORDER BY cos DESC, centroid_id) AS rn
               FROM a)
         SELECT vec_id, centroid_id, cos FROM r WHERE rn = 1
+        ORDER BY vec_id""")),
+    QueryDef(
+      "q_ivf_assign2", ivfAssign2, Some(s"""
+        $oracleVecs,
+        c AS (SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cn
+              FROM e WHERE vec_id < 8),
+        sup AS (SELECT centroid_id AS super_id, cemb AS semb, cn AS sn
+                FROM c WHERE centroid_id < 2),
+        -- child -> super: nearest of the two super seeds, strict
+        -- (cos DESC, super_id ASC)
+        ca AS (
+          SELECT c.centroid_id, sup.super_id,
+                 row_number() OVER (PARTITION BY c.centroid_id ORDER BY
+                   list_sum(list_transform(generate_series(1, len(c.cemb)),
+                     k -> CAST(c.cemb[k] AS DOUBLE) * CAST(sup.semb[k] AS DOUBLE)))
+                     / (c.cn * sup.sn) DESC, sup.super_id) AS rn
+          FROM c CROSS JOIN sup),
+        cmap AS (SELECT centroid_id, super_id FROM ca WHERE rn = 1),
+        -- probe -> super (nprobe = 1)
+        vs AS (
+          SELECT e.vec_id, sup.super_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     k -> CAST(e.embedding[k] AS DOUBLE) * CAST(sup.semb[k] AS DOUBLE)))
+                     / (e.nrm * sup.sn) DESC, sup.super_id) AS rn
+          FROM e CROSS JOIN sup),
+        vsel AS (SELECT vec_id, super_id FROM vs WHERE rn = 1),
+        -- probe -> child, scanning ONLY the selected super's children
+        vc AS (
+          SELECT e.vec_id, vsel.super_id, c.centroid_id,
+                 list_sum(list_transform(generate_series(1, len(e.embedding)),
+                   k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
+                   / (e.nrm * c.cn) AS cos
+          FROM e
+          JOIN vsel ON vsel.vec_id = e.vec_id
+          JOIN cmap ON cmap.super_id = vsel.super_id
+          JOIN c ON c.centroid_id = cmap.centroid_id),
+        r AS (SELECT vec_id, super_id, centroid_id, cos,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, centroid_id) AS rn
+              FROM vc)
+        SELECT vec_id, super_id, centroid_id, cos FROM r WHERE rn = 1
         ORDER BY vec_id""")),
     QueryDef(
       "q_semantic_dedup", semanticDedup, Some(s"""

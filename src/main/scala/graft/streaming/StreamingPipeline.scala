@@ -684,7 +684,21 @@ object StreamingPipeline {
     *
     * `codebook` rows are (centroid_id, centroid); ids must be strictly
     * ascending (nearest-centroid ties break toward the EARLIEST entry,
-    * which must mean the lowest id). */
+    * which must mean the lowest id).
+    *
+    * `twoLevelSupers = Some(S)` routes assignment through the
+    * HIERARCHICAL coarse quantizer
+    * ([[graft.operators.Similarity.twoLevelFromSeq]] — S refined
+    * supers over the K cells, probes scanning `twoLevelNprobe` supers'
+    * children): per-vector assignment drops from O(K·D) to
+    * O((S + nprobe·K/S)·D), the difference between affordable and not
+    * at the deployment geometry K ∝ corpus. The index schema, hit
+    * semantics and exactly-once discipline are UNCHANGED (cells are
+    * still child ids); assignment is deterministic, and the structure
+    * is rebuilt bit-identically from the frozen codebook on restart,
+    * so the replay contract is exactly the flat path's. The
+    * frozen-codebook rule extends verbatim: retrain ⇒ rebuild index
+    * dir + fresh checkpoint. */
   def semanticDedupStream(
       vecs: DataFrame, // streaming; columns: vec_id LONG, v ARRAY<FLOAT>
       codebook: Seq[(Long, Array[Float])],
@@ -692,7 +706,9 @@ object StreamingPipeline {
       hitsDir: String,
       checkpointDir: String,
       tau: Double = 0.9,
-      partitionIndexByCell: Boolean = false): StreamingQuery = {
+      partitionIndexByCell: Boolean = false,
+      twoLevelSupers: Option[Int] = None,
+      twoLevelNprobe: Int = 1): StreamingQuery = {
     require(codebook.nonEmpty, "semanticDedupStream: empty codebook")
     require(codebook.map(_._1).sliding(2).forall(
       p => p.length < 2 || p(0) < p(1)),
@@ -701,6 +717,11 @@ object StreamingPipeline {
     val cbIds = codebook.map(_._1).toArray
     val cbCents = codebook.map(_._2.map(_.toDouble)).toArray
     val cbNorms = cbCents.map(c => math.sqrt(c.map(x => x * x).sum))
+    // built ONCE at stream construction (deterministic from the frozen
+    // codebook — restart rebuilds it bit-identically)
+    val cb2 = twoLevelSupers.map(s0 =>
+      graft.operators.Similarity.twoLevelFromSeq(codebook, s0,
+        refineIters = 2))
     vecs.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -720,10 +741,16 @@ object StreamingPipeline {
           if (hasData(p)) Some(s.read.parquet(dir)) else None
         }
         graft.sources.Ddl.recover(s, indexDir)
+        val assignCol = cb2 match {
+          case Some(c2) => graft.functions.VectorExpressions
+            .nearest_centroid2($"v", $"nrm", c2.superCents, c2.superNorms,
+              c2.offs, c2.ids, c2.cents, c2.norms, twoLevelNprobe)
+          case None => graft.functions.VectorExpressions
+            .nearest_centroid($"v", $"nrm", cbIds, cbCents, cbNorms)
+        }
         val assigned = batch
           .withColumn("nrm", graft.functions.VectorFunctions.l2Norm($"v"))
-          .withColumn("_best", graft.functions.VectorExpressions
-            .nearest_centroid($"v", $"nrm", cbIds, cbCents, cbNorms))
+          .withColumn("_best", assignCol)
           .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
             $"v", $"nrm")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -744,8 +771,35 @@ object StreamingPipeline {
           // not is replayed with its own rows already standing, and
           // without the exclusion a batch-internal pair (a < b) would
           // re-emit as the reversed (a, matched=b) "standing wins" hit
-          // — replay must derive exactly the first attempt's rows
-          val probeSide = readIfExists(indexDir)
+          // — replay must derive exactly the first attempt's rows.
+          // Standing read, cheapest listing first: under a PURE
+          // partitioned layout (cell dirs, no root files) the read is
+          // scoped to the TOUCHED cells' directories via basePath —
+          // discovery lists O(touched) dirs instead of all K every
+          // batch (the measured ~2.5 s/batch K-dir listing floor of
+          // the first semstream_layout rung, now amortized away); the
+          // flat and post-compact/mixed layouts keep the full-dir read
+          // whose isin is a pushed-down row filter.
+          val standingRead: Option[DataFrame] = {
+            val root = new org.apache.hadoop.fs.Path(indexDir)
+            val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+            val rootSt =
+              if (fs.exists(root)) fs.listStatus(root)
+              else Array.empty[org.apache.hadoop.fs.FileStatus]
+            val rootHasFiles = rootSt.exists(st =>
+              st.isFile && st.getPath.getName.endsWith(".parquet"))
+            val cellDirs = rootSt.filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("centroid_id="))
+              .map(_.getPath.getName).toSet
+            if (!rootHasFiles && cellDirs.nonEmpty) {
+              val dirs = touched.map(c => s"centroid_id=$c")
+                .filter(cellDirs.contains).map(nm => s"$indexDir/$nm")
+              if (dirs.isEmpty) None
+              else Some(s.read.option("basePath", indexDir)
+                .parquet(dirs: _*))
+            } else readIfExists(indexDir)
+          }
+          val probeSide = standingRead
             // partition-column type re-pinned to long: partition
             // inference types small values as int, and a post-compact
             // dir carries centroid_id as a data column — the cast makes

@@ -98,6 +98,22 @@ object ScaleBench {
     if (id % 1000 == 1) v.map(_ * 0.5f) else v
   }
 
+  /** ivf2_deploy geometry (object-level so executor closures capture
+    * only primitives, never the rung's driver-side state): analytic
+    * cell centers, id→cluster hash, ordinary cluster member. */
+  private def ivf2Center(c: Long, d: Int): Float =
+    ((java.lang.Math.floorMod(mix(c * 53L + d), 2001) - 1000) / 1000.0f)
+  private def ivf2Cluster(id: Long, k: Int): Long =
+    java.lang.Math.floorMod(mix(id * 31 + 17), k)
+  private def ivf2Member(id: Long, k: Int): Array[Float] = {
+    val c = ivf2Cluster(id, k)
+    Array.tabulate(64) { d =>
+      val noise =
+        (java.lang.Math.floorMod(mix(id * 977 + d), 2001) - 1000) / 1000.0f
+      ivf2Center(c, d) + noise * 0.6f
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(100000L)
     // Shuffle partitions scale with the probe size so per-task sort
@@ -145,7 +161,7 @@ object ScaleBench {
     // unread parquet at 5·10⁷)
     val needCorpus = !requested.exists(
       _.subsetOf(Set("salt_vs_aqe", "ann_recall_deploy",
-        "semdedup_deploy", "semstream_layout")))
+        "semdedup_deploy", "semstream_layout", "ivf2_deploy")))
     // shapes that never read embeddings.parquet — a text-only probe
     // (e.g. the 10⁸ pair-family rung) skips the vector table's
     // generation cost and disk footprint entirely
@@ -783,6 +799,162 @@ object ScaleBench {
         f.delete(); ()
       }
       rmrfLayout(root)
+    }
+    // TWO-LEVEL quantizer at the K ∝ corpus deployment geometry — the
+    // rung the flat kernel cannot run: K = m/4000 keeps cells (and so
+    // per-cell pair work) constant as the corpus grows, which makes
+    // ASSIGNMENT the scaling risk (flat: O(K·D) per vector, linear in
+    // the corpus; two-level: O((S + K/S)·D) ≈ O(√K·D)). An INTERNAL
+    // doubling ladder m ∈ {n/4, n/2, n} measures, per rung:
+    //  - standing index build (two-level assignment + partitioned
+    //    write, K dirs) — the index-build pass;
+    //  - 8 steady-state probe batches (1024 rows from 8 cells, ¼
+    //    planted colinear twins): assignment + touched-dir-pruned
+    //    standing read + one-sided cell join. basePath-scoped reads
+    //    list ONLY the ≤8 touched cell dirs, not K — discovery cost
+    //    O(touched), the manifest-free form of partition-listing
+    //    amortization;
+    //  - the same batches through the FLAT kernel (same pruned read,
+    //    same join) — the assignment-cost A/B;
+    //  - exact planted recovery (twins are colinear ⇒ identical
+    //    cosine to every centroid ⇒ same cell as their predecessor
+    //    under ANY deterministic quantizer — recovery must be exact).
+    // "Done" reads directly off the JSON: two-level batch_ms_p50 ~flat
+    // down the ladder while K doubles; build_sec scaling ~linearly in
+    // m (not m·K); twin counts exact at every rung.
+    if (only.forall(_.contains("ivf2_deploy"))) {
+      val cellTarget = 4000L
+      val ladder = Seq(n / 4, n / 2, n).filter(_ >= 100000L).distinct
+      ladder.foreach { m =>
+        val K = math.max(64L, m / cellTarget).toInt
+        val S = math.max(8, math.ceil(math.sqrt(K.toDouble)).toInt)
+        // analytic child codebook (generator's own centers) + driver
+        // two-level build over it — timed: K×S×D flops/round
+        val tB0 = System.nanoTime()
+        val codebook = (0L until K.toLong).map(c =>
+          (c, Array.tabulate(64)(ivf2Center(c, _))))
+        val cb2 = graft.operators.Similarity
+          .twoLevelFromSeq(codebook, S, refineIters = 2)
+        val buildCbSec = (System.nanoTime() - tB0) / 1e9
+        def assign2(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("nrm", graft.functions.VectorFunctions.l2Norm($"v"))
+          .withColumn("_best", graft.functions.VectorExpressions
+            .nearest_centroid2($"v", $"nrm", cb2.superCents,
+              cb2.superNorms, cb2.offs, cb2.ids, cb2.cents, cb2.norms,
+              nprobe = 1))
+          .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
+            $"v", $"nrm")
+        val cbIdsF = codebook.map(_._1).toArray
+        val cbCentsF = codebook.map(_._2.map(_.toDouble)).toArray
+        val cbNormsF = cbCentsF.map(c => math.sqrt(c.map(x => x * x).sum))
+        def assignFlat(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("nrm", graft.functions.VectorFunctions.l2Norm($"v"))
+          .withColumn("_best", graft.functions.VectorExpressions
+            .nearest_centroid($"v", $"nrm", cbIdsF, cbCentsF, cbNormsF))
+          .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
+            $"v", $"nrm")
+        // standing index: m members, two-level-assigned, HIVE-
+        // partitioned on the cell (K dirs, ~1 file each: the
+        // repartition puts each cell in exactly one task)
+        val idxDir = s"$dir/ivf2_index_$m"
+        val tI0 = System.nanoTime()
+        assign2(spark.range(0, m, 1, 32)
+            .map(i => (i, ivf2Member(i, K))).toDF("vec_id", "v"))
+          .repartition(64, $"centroid_id")
+          .write.partitionBy("centroid_id").mode("overwrite")
+          .parquet(idxDir)
+        val buildSec = (System.nanoTime() - tI0) / 1e9
+        val fs = new org.apache.hadoop.fs.Path(idxDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val emptyStanding = assign2(
+          spark.emptyDataset[(Long, Array[Float])].toDF("vec_id", "v"))
+        def readTouched(cells: Seq[Long]) = {
+          val dirs = cells.map(c => s"$idxDir/centroid_id=$c")
+            .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+          if (dirs.isEmpty) emptyStanding
+          else spark.read.option("basePath", idxDir).parquet(dirs: _*)
+            .withColumn("centroid_id", $"centroid_id".cast("long"))
+        }
+        // batch b: 1024 rows over 8 clusters; j ≡ 0 (mod 4) rows are
+        // ×0.5 colinear twins of a SEARCHED standing member of that
+        // cluster (scaling a float by 0.5 is exact, so cosine is
+        // exactly 1); others are fresh ordinary members (intra-cluster
+        // cosine ~0.74 ≪ τ=0.95 — must not flag)
+        def standingIdIn(cluster: Long): Long = {
+          var id = java.lang.Math.floorMod(mix(cluster * 7919L), m)
+          while (ivf2Cluster(id, K) != cluster) id = (id + 1) % m
+          id
+        }
+        def batchRows(b: Int): Seq[(Long, Array[Float])] =
+          (0 until 1024).map { j =>
+            val cluster = java.lang.Math.floorMod(
+              mix((b * 8 + j % 8).toLong * 104729L), K).toLong
+            val id = 3000000000L + b * 100000L + j
+            if (j % 4 == 0)
+              (id, ivf2Member(standingIdIn(cluster), K).map(_ * 0.5f))
+            else (id, Array.tabulate(64) { d =>
+              val noise = (java.lang.Math.floorMod(
+                mix(id * 977 + d), 2001) - 1000) / 1000.0f
+              ivf2Center(cluster, d) + noise * 0.6f
+            })
+          }
+        def probeOnce(rows: Seq[(Long, Array[Float])],
+            flat: Boolean): (Double, Long, Long) = {
+          val t0 = System.nanoTime()
+          val asg = {
+            val df = rows.toDF("vec_id", "v")
+            if (flat) assignFlat(df) else assign2(df)
+          }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          try {
+            val touched = asg.select($"centroid_id").distinct()
+              .collect().map(_.getLong(0)).toSeq
+            val standing = readTouched(touched)
+              .select($"centroid_id", $"vec_id".as("id_i"),
+                $"v".as("vi"), $"nrm".as("ni"))
+            val flagged = asg
+              .select($"centroid_id", $"vec_id", $"v".as("vp"),
+                $"nrm".as("np"))
+              .join(standing, Seq("centroid_id"))
+              .where(graft.functions.VectorFunctions
+                .cosineWithNorms($"vp", $"vi", $"np", $"ni") >=
+                lit(0.95))
+              .select($"vec_id").distinct()
+            val r = flagged.agg(
+              sum(when($"vec_id" % 4 === 0, 1L).otherwise(0L))
+                .as("tw"),
+              sum(when($"vec_id" % 4 =!= 0, 1L).otherwise(0L))
+                .as("ct")).collect().head
+            ((System.nanoTime() - t0) / 1e6,
+              if (r.isNullAt(0)) 0L else r.getLong(0),
+              if (r.isNullAt(1)) 0L else r.getLong(1))
+          } finally { asg.unpersist(false); () }
+        }
+        Seq(false, true).foreach { flat =>
+          val tag = if (flat) "flat" else "two_level"
+          probeOnce(batchRows(99), flat) // warmup
+          val runs = (0 until 8).map(b => probeOnce(batchRows(b), flat))
+          val times = runs.map(_._1).sorted
+          // twin ids are 3e9 + b·1e5 + j with j ≡ 0 (mod 4); the bases
+          // are ≡ 0 (mod 4) too, so vec_id % 4 === 0 ⇔ twin
+          val twins = runs.map(_._2).sum
+          val controls = runs.map(_._3).sum
+          println(f"""{"shape":"ivf2_deploy","m":$m,"k":$K,"s":$S,""" +
+            f""""kernel":"$tag","build_codebook_sec":$buildCbSec%.2f,""" +
+            f""""build_index_sec":$buildSec%.2f,""" +
+            f""""batch_rows":1024,"cells_per_batch":8,"n_batches":8,""" +
+            f""""batch_ms_p50":${times(times.size / 2)}%.1f,""" +
+            f""""batch_ms_min":${times.head}%.1f,""" +
+            f""""batch_ms_max":${times.last}%.1f,""" +
+            f""""n_twins_planted":${8 * 256},"n_twin_flagged":$twins,""" +
+            f""""n_control_flagged":$controls}""")
+        }
+        def rmIdx(p: String): Unit = {
+          val f = new java.io.File(p)
+          if (f.isDirectory) f.listFiles().foreach(c => rmIdx(c.getPath))
+          f.delete(); ()
+        }
+        rmIdx(idxDir)
+      }
     }
     if (only.forall(_.contains("ann_recall_deploy"))) {
       val vecsDf = spark.range(0, n, 1, 32)

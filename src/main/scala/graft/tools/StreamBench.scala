@@ -58,8 +58,18 @@ object StreamBench {
         math.ceil(p / 100.0 * s.size).toInt - 1)))
     }
     def maxMs: Double = if (batchMs.isEmpty) 0.0 else batchMs.max
+    /** MEDIAN-batch throughput: rows-per-trigger over the p50 batch
+      * time. The mean form ([[rowsPerSec]]) lets ONE hypervisor-stall
+      * batch drag the whole lane (observed: a single 1.25 s batch among
+      * 572 ms peers tripping a 35%-headroom gate on identical code);
+      * the median moves only if ≥ half the draws were contaminated —
+      * the variance-robust figure [[StreamGate]] gates on. */
+    def rowsPerSecMed: Double =
+      if (batchMs.isEmpty) rowsPerSec
+      else (rows.toDouble / batchMs.size) / math.max(pct(50) / 1000.0, 1e-9)
     def json: String =
       f"""{"rows":$rows,"secs":$secs%.3f,"rows_per_sec":$rowsPerSec%.1f,""" +
+        f""""rows_per_sec_med":$rowsPerSecMed%.1f,""" +
         f""""batch_ms_p50":${pct(50)}%.1f,"batch_ms_p95":${pct(95)}%.1f,""" +
         f""""batch_ms_p99":${pct(99)}%.1f,""" +
         f""""batch_ms_max":$maxMs%.1f,"n_batches":${batchMs.size}}"""
@@ -341,16 +351,23 @@ object StreamBench {
   * the doc table cites this object.
   */
 object StreamGate {
-  /** lane -> minimum rows/s. */
+  /** lane -> minimum MEDIAN-batch rows/s ([[StreamBench.Fig.rowsPerSecMed]]).
+    *
+    * Variance discipline: gates compare the per-lane MEDIAN batch
+    * throughput, not the mean — the round-10 size_flush flakes
+    * (3,021-4,965 rows/s on identical code, two of ten runs tripping
+    * the then-3,300 mean gate, both passing on immediate re-run) were
+    * single steal-spiked batches dragging a 12-batch mean; the median
+    * of the same runs never moved. Gating the median lets the
+    * thresholds stay at their calibrated ~35%-headroom-under-record
+    * values instead of being ratcheted down to the weakest observed
+    * mean — size_flush is restored to 3,300 accordingly. A real
+    * regression (every batch slower) moves the median exactly as it
+    * moves the mean, so nothing real escapes. */
   val Gates: Map[String, Double] = Map(
     "dual_write" -> 14000.0,
     "dual_write_50k" -> 65000.0,
-    // 2800, not 3300: round-10 smoke runs on a steal-spiked host
-    // measured 3,021-4,965 rows/s on IDENTICAL code (two of ten runs
-    // tripped 3300, both passing on immediate re-run) — the gate keeps
-    // headroom under the weakest OBSERVED run, and a real halving
-    // still fails loudly
-    "size_flush" -> 2800.0,
+    "size_flush" -> 3300.0,
     "indexed_dedup" -> 850.0,
     "stateful_neardup" -> 900.0,
     "semantic_dedup" -> 800.0,
@@ -364,14 +381,15 @@ object StreamGate {
     println(StreamBench.jsonLine(figs))
     val failures = Gates.toSeq.sortBy(_._1).flatMap { case (lane, min) =>
       figs.get(lane) match {
-        case Some(f) if f.rowsPerSec >= min => None
+        case Some(f) if f.rowsPerSecMed >= min => None
         case Some(f) => Some(
-          f"GATE FAIL: $lane ${f.rowsPerSec}%.0f rows/s < gate $min%.0f")
+          f"GATE FAIL: $lane ${f.rowsPerSecMed}%.0f median rows/s " +
+            f"(mean ${f.rowsPerSec}%.0f) < gate $min%.0f")
         case None => Some(s"GATE FAIL: lane $lane missing from run")
       }
     } ++ {
-      val ratio = figs("dual_write").rowsPerSec /
-        math.max(figs("indexed_dedup").rowsPerSec, 1e-9)
+      val ratio = figs("dual_write").rowsPerSecMed /
+        math.max(figs("indexed_dedup").rowsPerSecMed, 1e-9)
       if (ratio >= MinDualOverIndexed) Nil
       else Seq(f"GATE FAIL: dual/indexed ratio $ratio%.1f < " +
         f"$MinDualOverIndexed%.1f")

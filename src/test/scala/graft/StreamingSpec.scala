@@ -1255,6 +1255,71 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("maintained IVF cell index, TWO-LEVEL quantizer: same hit " +
+    "semantics, crash replay exact, restart rebuilds the structure") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexDir = tmp(); val hitsDir = tmp(); val ckpt = tmp()
+    // 6 cells in two direction groups (e1-ish, e2-ish): the refined
+    // supers split the groups, so nprobe=1 probes scan 3 children, not
+    // 6 — the deployment shape at toy scale. Twins are colinear with
+    // their predecessor (identical cosine to EVERY centroid), so flat
+    // and two-level assignment agree on them by construction.
+    val codebook = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0.95f, 0.05f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)), (5L, Array(0f, 1f, 0f, 0f)),
+      (6L, Array(0.05f, 0.95f, 0f, 0f)), (7L, Array(0.1f, 0.9f, 0f, 0f)))
+    val stream = MemoryStream[(Long, Array[Float])]
+    def start(cp: String = ckpt,
+        st: MemoryStream[(Long, Array[Float])] = stream) =
+      StreamingPipeline.semanticDedupStream(
+        st.toDF().toDF("vec_id", "v"), codebook,
+        indexDir, hitsDir, cp, tau = 0.95,
+        partitionIndexByCell = true,
+        twoLevelSupers = Some(2), twoLevelNprobe = 1)
+    val a1 = (1L, Array(0.93f, 0.07f, 0f, 0f)) // e1 group
+    val b2 = (2L, Array(0.07f, 0.93f, 0f, 0f)) // e2 group
+    val twinA3 = (3L, Array(0.465f, 0.035f, 0f, 0f)) // = a1 × 0.5
+    val twinB4 = (4L, Array(0.14f, 1.86f, 0f, 0f)) // = b2 × 2
+    def hits(): Set[(Long, Long)] = spark.read.parquet(hitsDir)
+      .select($"vec_id", $"matched_id").as[(Long, Long)].collect().toSet
+    val q1 = start()
+    try {
+      stream.addData(a1, b2)
+      q1.processAllAvailable()
+      assert(hits() === Set.empty, hits())
+      // crash between hits append and index append, mid-batch
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      StreamingPipeline.Faults.semanticDedupAfterHits = _ =>
+        if (armed.getAndSet(false))
+          throw new RuntimeException("injected crash")
+      stream.addData(twinA3)
+      intercept[Exception] { q1.processAllAvailable() }
+      assert(q1.exception.isDefined)
+    } finally { q1.stop(); StreamingPipeline.Faults.reset() }
+    assert(hits() === Set((3L, 1L)), hits())
+    // restart = NEW process: the two-level structure is rebuilt from
+    // the frozen codebook (deterministic), the replay re-derives the
+    // same hit, and the anti-join appends nothing
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(hits() === Set((3L, 1L)), hits())
+      assert(spark.read.parquet(hitsDir).count() === 1L)
+      stream.addData(twinB4) // other super's group: matches b2 only
+      q2.processAllAvailable()
+      assert(hits() === Set((3L, 1L), (4L, 2L)), hits())
+    } finally q2.stop()
+    // the index layout is the standard partitioned one — cells are
+    // child ids, unchanged by the two-level routing
+    val idxFs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDirs = idxFs
+      .listStatus(new org.apache.hadoop.fs.Path(indexDir))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(cellDirs.exists(_.startsWith("centroid_id=")), cellDirs)
+  }
+
   test("late-census parity: streamed fixture replay equals the oracle-gated batch census") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

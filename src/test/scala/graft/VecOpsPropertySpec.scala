@@ -183,6 +183,75 @@ class VecOpsPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("nearestCentroid2 at nprobe=S is EXACTLY the flat kernel; " +
+    "smaller nprobe still returns a child of a probed super") {
+    // deterministic pseudo-random geometry: K children over S supers in
+    // CSR (children grouped by nearest super, ids ascending per group),
+    // probed with vectors of nonzero norm — the exactness contract of
+    // the two-level quantizer's scaladoc
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def vecOf(seed: Long, dim: Int): Array[Double] =
+      Array.tabulate(dim)(d =>
+        (java.lang.Math.floorMod(mix(seed * 53L + d), 2001) - 1000) / 1000.0)
+    val gen = for {
+      k <- Gen.chooseNum(2, 24)
+      s <- Gen.chooseNum(1, 6).map(math.min(_, k))
+      dim <- Gen.chooseNum(2, 8)
+      seed <- Gen.chooseNum(0L, 1000000L)
+      nprobe <- Gen.chooseNum(1, 6)
+    } yield (k, s, dim, seed, nprobe)
+    check(Prop.forAll(gen) { case (k, s, dim, seed, nprobe) =>
+      def l2(a: Array[Double]) = math.sqrt(a.map(x => x * x).sum)
+      val cents0 = Array.tabulate(k)(j => vecOf(seed + j, dim))
+      val norms0 = cents0.map(l2)
+      val ids0 = (0L until k.toLong).toArray
+      // supers = first s children; child -> nearest super (strict tie
+      // to lowest super) — mirrors Similarity.twoLevelFrom(refine=0)
+      val supC = cents0.take(s)
+      val supN = norms0.take(s)
+      def cos(a: Array[Double], na: Double, b: Array[Double], nb: Double) =
+        a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
+      val asg = (0 until k).map { j =>
+        (0 until s).maxBy(i => (cos(cents0(j), norms0(j), supC(i), supN(i)),
+          -i))
+      }
+      val order = (0 until k).sortBy(j => (asg(j), ids0(j))).toArray
+      val offs = new Array[Int](s + 1)
+      order.foreach(j => offs(asg(j) + 1) += 1)
+      (1 to s).foreach(i => offs(i) += offs(i - 1))
+      val ids = order.map(ids0)
+      val cents = order.map(cents0)
+      val norms = order.map(norms0)
+      (0 until 5).forall { q =>
+        val v = vecOf(seed ^ (q * 7919L), dim)
+        val nrm = l2(v)
+        (nrm == 0.0) || {
+          val va = new GenericArrayData(v)
+          val flat = VecOps.nearestCentroid(va, false, nrm,
+            ids0, cents0, norms0)
+          val full = VecOps.nearestCentroid2(va, false, nrm,
+            supC, supN, offs, ids, cents, norms, nprobe = s)
+          val part = VecOps.nearestCentroid2(va, false, nrm,
+            supC, supN, offs, ids, cents, norms, nprobe = nprobe)
+          // nprobe=S: identical child AND cosine to the flat kernel
+          full.getLong(1) == flat.getLong(0) &&
+            full.getDouble(2) == flat.getDouble(1) &&
+            // reported super is the child's own super
+            asg(full.getLong(1).toInt) == full.getLong(0).toInt &&
+            // any nprobe: winner is a child of its reported super, and
+            // cosine never exceeds the exact one
+            asg(part.getLong(1).toInt) == part.getLong(0).toInt &&
+            part.getDouble(2) <= full.getDouble(2)
+        }
+      }
+    })
+  }
+
   test("VideoCodec: container holds frameCount frames; stride s decodes every s-th") {
     import graft.operators.Multimodal.VideoCodec
     check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 1024),
