@@ -6,6 +6,25 @@ import org.apache.spark.sql.SparkSession
   * the `noop` DataSource V2 sink — a bare `count()` would let Spark skip
   * projection-only work through parquet row-group statistics. */
 object Bench {
+  /** Time each selected query `iters` times through the noop sink;
+    * returns SUCCESSFUL iteration times sorted ascending per query (an
+    * empty seq = the query failed every iteration). Shared by the
+    * reporting main below and [[graft.tools.BenchGate]] so the gate
+    * measures exactly what the round artifact reports. */
+  def time(spark: SparkSession, sfDir: String, iters: Int,
+      selected: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]): Seq[(String, Seq[Double])] =
+    selected.map { case (name, fn) =>
+      val times = (0 until iters).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+      name -> times.sorted
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,18 +53,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val raw = selected.map { case (name, fn) =>
-      // all SUCCESSFUL iteration times; a failing query must report
-      // the -1 failure marker, not a fast-throw time
-      val times = (0 until iters).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
-      }
-      name -> times.sorted
-    }
+    val raw = time(spark, sfDir, iters, selected)
     // `queries` stays the min (the established cross-round comparison
     // key — best draw against host-steal spikes); `queries_median` is
     // the variance-aware companion: a single-run outlier moves the min

@@ -479,27 +479,29 @@ object Corpus extends QueryModule {
 
   /** Inverted-index build: token → document frequency + a CAPPED posting
     * list (first `cap` doc_ids) — the index artifact behind exact-match
-    * decontamination and retrieval audits. The cap is applied with a
-    * window rank BEFORE the collect, so no aggregation buffer ever holds
-    * more than `cap` postings per token regardless of how hot the token
-    * is — collect_list over uncapped postings is the classic
-    * stop-word-OOM at corpus scale. Postings serialize as a sorted csv
-    * string (arrays don't hash stably across engines). */
+    * decontamination and retrieval audits. The cap is a BOUNDED
+    * bottom-K aggregate ([[graft.pipeline.Aggregators.BottomKLongAgg]]):
+    * no buffer ever holds more than `cap` postings per token AND no
+    * task ever sorts a token's posting partition (the previous
+    * window-rank form capped the buffer but still sorted each token's
+    * full posting list — a stop-word token's partition IS the corpus,
+    * the exact shape the bounded-aggregate rule exists for; map-side
+    * partials now reduce each task to ≤ cap ids per token before the
+    * exchange, which carries tokens × cap rows). Postings serialize as
+    * a sorted csv string (arrays don't hash stably across engines). */
   def invertedIndex(s: SparkSession, d: String, cap: Int = 8): DataFrame = {
     import s.implicits._
     val posting = Tables.documents(s, d)
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("token"))
       .where(length($"token") > 0)
-    val w = Window.partitionBy($"token").orderBy($"doc_id")
+    val bk = udaf(new graft.pipeline.Aggregators.BottomKLongAgg(cap),
+      org.apache.spark.sql.Encoders.scalaLong)
     posting
-      .withColumn("rn", row_number().over(w))
       .groupBy($"token")
       .agg(
         count(lit(1)).as("df"),
         array_join(
-          transform(
-            sort_array(collect_list(when($"rn" <= cap, $"doc_id"))),
-            _.cast("string")),
+          transform(bk($"doc_id"), _.cast("string")),
           ",").as("postings"))
       .orderBy($"token")
   }

@@ -242,11 +242,15 @@ object Dataflow extends QueryModule {
 
   /** Hourly OHLC bars over the event stream: per hour bucket the
     * opening and closing `value` (first/last by event time, ties broken
-    * by event_id — row_number under a TOTAL order, not first()/last()
-    * whose tie behavior is engine-dependent), the extremes, and the
-    * count. The time-series downsampling shape (financial bars, metric
-    * rollups); both rank windows and the final aggregate share the one
-    * hash exchange on the hour bucket.
+    * by event_id — min_by/max_by under a TOTAL (us, event_id) order,
+    * not first()/last() whose tie behavior is engine-dependent), the
+    * extremes, and the count. The time-series downsampling shape
+    * (financial bars, metric rollups) as ONE map-side-combined
+    * aggregation: state per bucket is two (key, value) extremes + three
+    * scalars, so nothing ever sorts a bucket's rows (the previous
+    * row_number form sorted every hour-bucket partition twice — an
+    * hour of a high-rate stream is exactly the partition that grows
+    * with ingest rate, the bounded-aggregate rule's target).
     *
     * `value` passes through untouched (no sums), so doubles are safe;
     * the bucket is integer µs arithmetic. */
@@ -255,17 +259,12 @@ object Dataflow extends QueryModule {
     val e = Tables.events(s, d)
       .select(expr("unix_micros(ts) div 3600000000").as("hour_bucket"),
         unix_micros($"ts").as("us"), $"event_id", $"value")
-    val wa = Window.partitionBy($"hour_bucket").orderBy($"us", $"event_id")
-    val wd = Window.partitionBy($"hour_bucket")
-      .orderBy($"us".desc, $"event_id".desc)
-    e.withColumn("rn_a", row_number().over(wa))
-      .withColumn("rn_d", row_number().over(wd))
-      .groupBy($"hour_bucket")
+    e.groupBy($"hour_bucket")
       .agg(
-        max(when($"rn_a" === 1, $"value")).as("open"),
+        min_by($"value", struct($"us", $"event_id")).as("open"),
         max($"value").as("high"),
         min($"value").as("low"),
-        max(when($"rn_d" === 1, $"value")).as("close"),
+        max_by($"value", struct($"us", $"event_id")).as("close"),
         count(lit(1)).as("n"))
       .orderBy($"hour_bucket")
   }

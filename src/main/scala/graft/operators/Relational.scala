@@ -176,7 +176,18 @@ object Relational extends QueryModule {
   }
 
   /** Top-3 orders per customer: ranking window after one shuffle on the
-    * window key. */
+    * window key.
+    *
+    * Bounded-aggregate audit (the rule every top-K surface was tested
+    * against in rounds 9-11): the window partition is ONE CUSTOMER's
+    * orders — a per-entity count bounded by business activity (TPC-H:
+    * ~10 at every SF; real commerce: thousands at most), NOT by corpus
+    * size. Scaling the corpus 100× adds customers (more partitions),
+    * not orders per customer (partition size), so the per-partition
+    * sort stays constant and the exchange is the same one any
+    * per-customer aggregate pays — conversion to a bounded aggregate
+    * would buy nothing here. Contrast cosineTopK et al., whose
+    * candidate sets grew WITH the corpus and were converted. */
   def topOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"o_custkey")

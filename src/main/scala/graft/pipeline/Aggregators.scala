@@ -277,6 +277,48 @@ object Aggregators {
         .ExpressionEncoder[Seq[(Long, Double)]]()
   }
 
+  /** Long sibling of [[BottomKAgg]]: the k SMALLEST DISTINCT longs,
+    * sorted ascending. Mergeable bounded-state selection — used by
+    * [[graft.operators.Corpus.invertedIndex]] to cap posting lists
+    * WITHOUT sorting them: the window-rank form sorted every token's
+    * full posting partition (a stop-word token's partition is the
+    * corpus), while this keeps ≤ k ids per token per task and
+    * exchanges tokens × k rows. Pure set property ⇒ merge-order
+    * independent ⇒ oracle-gateable. */
+  class BottomKLongAgg(k: Int)
+      extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    def zero: Seq[Long] = Vector.empty
+    def reduce(buf: Seq[Long], h: Long): Seq[Long] = {
+      if (buf.size >= k && h >= buf.last) buf
+      else {
+        val i = buf.search(h)(Ordering[Long]) match {
+          case scala.collection.Searching.Found(_) => return buf // dup
+          case scala.collection.Searching.InsertionPoint(p) => p
+        }
+        val v = buf.toVector
+        (v.take(i) :+ h) ++ v.drop(i) take k
+      }
+    }
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+      val out = Vector.newBuilder[Long]
+      var (i, j, n) = (0, 0, 0)
+      while (n < k && (i < a.size || j < b.size)) {
+        val next =
+          if (j >= b.size || (i < a.size && a(i) <= b(j))) {
+            if (j < b.size && a(i) == b(j)) j += 1
+            val x = a(i); i += 1; x
+          } else { val x = b(j); j += 1; x }
+        out += next; n += 1
+      }
+      out.result()
+    }
+    def finish(buf: Seq[Long]): Seq[Long] = buf
+    def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   class BottomKAgg(k: Int)
       extends Aggregator[String, Seq[String], Seq[String]] {
     def zero: Seq[String] = Vector.empty

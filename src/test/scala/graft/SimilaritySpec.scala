@@ -326,6 +326,70 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ordered === wantOrdered)
   }
 
+  test("labelBucketTopK planted label skew: the dominant label is " +
+    "sub-partitioned by cells, and output matches brute force") {
+    import spark.implicits._
+    // maximal label skew: EVERY vector carries label 7, spread over 8
+    // well-separated latent directions (seed rows 0..7 are one per
+    // direction). The label alone would make one 400-row window
+    // partition (160k pairs in one sort); the (label, centroid) cell
+    // key must split it into ~50-row cells — the claim labelBucketTopK's
+    // scaladoc makes for its documented window-rank exception.
+    val n = 400
+    def vecOf(i: Int): Array[Float] = Array.tabulate(64) { d =>
+      val base = if (d == (i % 8) * 8) 1.0f else 0.0f
+      val noise = (java.lang.Math.floorMod(
+        (i * 2862933555777941757L + d * 3037000493L), 2001L) - 1000L) /
+        10000.0f
+      base + noise
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-labelskew").toString
+    (0 until n).map(i => (i.toLong, vecOf(i), 7))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      // cell-boundedness, via the PUBLIC assignment query on the same
+      // table: every cell holds ≪ the label's population
+      val pops = Similarity.ivfAssign(spark, dir)
+        .groupBy($"centroid_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(pops.size >= 6, s"skewed label collapsed into cells: $pops")
+      assert(pops.values.max <= n / 4,
+        s"a cell absorbed the label partition: $pops")
+      // brute-force recount (same double fold order as the kernels)
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var k = 0
+        while (k < 64) { acc += a(k).toDouble * b(k).toDouble; k += 1 }
+        acc
+      }
+      def nrm(a: Array[Float]) = math.sqrt(dot(a, a))
+      val vs = (0 until n).map(i => i.toLong -> vecOf(i)).toMap
+      val cellOf = Similarity.ivfAssign(spark, dir)
+        .select($"vec_id", $"centroid_id")
+        .as[(Long, Long)].collect().toMap
+      val want = cellOf.groupBy(_._2).toSeq.flatMap { case (cell, ms) =>
+        val ids = ms.keys.toSeq.sorted
+        val pairs = for {
+          a <- ids; b <- ids if a < b
+        } yield (a, b, dot(vs(a), vs(b)) / (nrm(vs(a)) * nrm(vs(b))))
+        pairs.sortBy { case (a, b, c) => (-c, a, b) }.take(3)
+          .zipWithIndex
+          .map { case ((a, b, c), r) =>
+            (7L, cell, (r + 1).toLong, a, b, c) }
+      }.sortBy(t => (t._2, t._3)).toSeq
+      val got = Similarity.labelBucketTopK(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+      assert(got === want)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rm)
+        p.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("TopKCosineAgg matches the window under NaN scores " +
     "(Double.compare total order, NaN ranked largest like Spark)") {
     import spark.implicits._
