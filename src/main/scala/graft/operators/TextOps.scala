@@ -892,6 +892,22 @@ object TextOps extends QueryModule {
     val staged = curateStagedTable(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lastCurate.set(staged)
+    val (nd, ndSmall) = curateNd(staged)
+    curateVerdict(staged, nd, ndSmall)
+  }
+
+  /** The cascade's near-dup verdict stage over a (materialized) staged
+    * table: LSH pairs → touched labels → per-component quality argmax →
+    * (doc_id, nd_reason = 'near_dup') for every non-survivor. Extracted
+    * so the STAGED execution (ScaleBench `curate_staged`: each stage
+    * its own Spark session writing parquet, shuffle scratch freed at
+    * every stop — the single-host form of checkpoint-between-stages)
+    * runs bit-the-same code as the fused [[curateCorpus]]; parity is
+    * hash-checked across the two forms at scale. Returns the verdict
+    * frame plus whether the label set fit the broadcast cap (the final
+    * join reuses the decision). */
+  private[graft] def curateNd(staged: DataFrame): (DataFrame, Boolean) = {
+    import staged.sparkSession.implicits._
     val survivors = staged.where($"reason12".isNull)
       .select($"doc_id", $"text")
     // Only documents with at least one VERIFIED near-dup edge can
@@ -913,10 +929,10 @@ object TextOps extends QueryModule {
       labels.count() <= graft.operators.NearDup.VerifyIdsBroadcastCap
     def hinted(df: DataFrame): DataFrame =
       if (labelsSmall) broadcast(df) else df
-    // quality scores from the PERSISTED staged table, not a second
-    // parquet scan through textStats: the label set filters the join
-    // BEFORE the text-local qualityScore projection, so scoring work
-    // is touched-rows-only
+    // quality scores from the staged table, not a second parquet scan
+    // through textStats: the label set filters the join BEFORE the
+    // text-local qualityScore projection, so scoring work is
+    // touched-rows-only
     val wSurv = Window.partitionBy($"comp")
       .orderBy($"quality_score".desc, $"doc_id")
     val nd = hinted(labels)
@@ -925,8 +941,15 @@ object TextOps extends QueryModule {
       .withColumn("survivor_id", first($"doc_id").over(wSurv))
       .where($"doc_id" =!= $"survivor_id")
       .select($"doc_id", lit("near_dup").as("nd_reason"))
+    (nd, labelsSmall)
+  }
+
+  /** Final verdict join of the cascade — see [[curateNd]]. */
+  private[graft] def curateVerdict(staged: DataFrame, nd: DataFrame,
+      ndSmall: Boolean): DataFrame = {
+    import staged.sparkSession.implicits._
     staged.select($"doc_id", $"n_tokens", $"reason12")
-      .join(hinted(nd), Seq("doc_id"), "left")
+      .join(if (ndSmall) broadcast(nd) else nd, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens",
         coalesce($"reason12", $"nd_reason", lit("kept")).as("verdict"))
       .orderBy($"doc_id")

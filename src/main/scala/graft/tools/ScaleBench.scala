@@ -174,7 +174,8 @@ object ScaleBench {
     // curate copy would produce is generated directly — at 5·10⁷ docs
     // the duplicate corpus is 14 GB of scratch the probe can't spare
     val curateOnly = requested.exists(r =>
-      r.nonEmpty && r.subsetOf(Set("curate_corpus", "curate_stages")))
+      r.nonEmpty && r.subsetOf(Set("curate_corpus", "curate_stages",
+        "curate_staged")))
     if (needCorpus) {
       val suffix = if (curateOnly) " the a of and" else ""
       spark.range(0, n, 1, 32)
@@ -975,6 +976,114 @@ object ScaleBench {
           f""""n_true":${r.getLong(2)},"n_hit":${r.getLong(3)},""" +
           f""""recall_ppm":${r.getLong(4)},""" +
           f""""scanned_ppm":${r.getLong(5)},"sec_total":$sec%.2f}""")
+      }
+    }
+    // STAGED curate execution — the single-host form of
+    // checkpoint-between-stages: each cascade stage runs in its OWN
+    // Spark session and writes its verdict to parquet; stopping a
+    // session deletes its shuffle/spill scratch, so the stages'
+    // exchanges never COEXIST on disk (the fused 10⁸ run died at
+    // ~79 GB free precisely because they did — every stage had
+    // individually fit). The corpus parquet is dropped after stage 1
+    // (the staged table carries text forward), returning ~n×300 B of
+    // scratch before the LSH stage's shuffle starts. At n ≤ 2·10⁷ the
+    // rung ALSO runs the fused curateCorpus in a fourth session and
+    // prints both xors — the hash-parity record that the staged and
+    // fused forms compute the identical relation.
+    // Requires SPARK_GRAFT_SCALE_ONLY=curate_staged (restarts the
+    // session, so no other rung may follow in the same run).
+    if (only.exists(_.contains("curate_staged"))) {
+      def rmp(p: String): Unit = {
+        val f = new java.io.File(p)
+        if (f.isDirectory) f.listFiles().foreach(c => rmp(c.getPath))
+        f.delete(); ()
+      }
+      def fresh(): SparkSession = {
+        val s2 = SparkSession.builder()
+          .master("local[32]")
+          .appName("graft-scale-staged")
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", shuffleParts))
+          .config("spark.io.compression.codec",
+            sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", shuffleCodec))
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s2.sparkContext.setLogLevel("WARN")
+        s2
+      }
+      def staged(sec: => Unit): Double = {
+        val t0 = System.nanoTime(); sec; (System.nanoTime() - t0) / 1e9
+      }
+      def xorOf(d: org.apache.spark.sql.DataFrame): (Long, String) = {
+        val r = d
+          .select(xxhash64(struct(d.columns.toIndexedSeq.map(col): _*))
+            .as("h"))
+          .agg(count(lit(1)), bit_xor(col("h"))).collect().head
+        (r.getLong(0),
+          Option(r.get(1)).map(_.toString).getOrElse("0"))
+      }
+      spark.stop()
+      // stage 1: row-local rules + exact-fp dedup → staged.parquet
+      val s1 = fresh()
+      val sec1 = staged {
+        graft.operators.TextOps.curateStagedTable(s1, curDir)
+          .write.mode("overwrite").parquet(s"$dir/curate_staged.parquet")
+      }
+      s1.stop()
+      rmp(s"$curDir/documents.parquet") // staged table carries the text
+      // stage 2: LSH pairs → touched labels → near-dup verdicts
+      val s2 = fresh()
+      var ndSmall = false
+      val sec2 = staged {
+        val st = s2.read.parquet(s"$dir/curate_staged.parquet")
+        val (nd, small) = graft.operators.TextOps.curateNd(st)
+        nd.write.mode("overwrite").parquet(s"$dir/curate_nd.parquet")
+        ndSmall = small
+      }
+      // one-slot module refs (LSH checkpoint, staged cache) must be
+      // cleared while THIS context is alive — a later session's
+      // unpersist-first swap on a dead context NPEs in BlockManager
+      graft.Release.transients()
+      s2.stop()
+      // stage 3: final verdict join + checksum
+      val s3 = fresh()
+      var out = (0L, "0")
+      val sec3 = staged {
+        val st = s3.read.parquet(s"$dir/curate_staged.parquet")
+        val nd = s3.read.parquet(s"$dir/curate_nd.parquet")
+        out = xorOf(graft.operators.TextOps.curateVerdict(st, nd, ndSmall))
+      }
+      graft.Release.transients()
+      s3.stop()
+      val total = sec1 + sec2 + sec3
+      println(f"""{"shape":"curate_staged","n":$n,"rows":${out._1},""" +
+        f""""xor":"${out._2}","stage1_sec":$sec1%.2f,""" +
+        f""""stage2_sec":$sec2%.2f,"stage3_sec":$sec3%.2f,""" +
+        f""""sec":$total%.2f}""")
+      if (n <= 20000000L) {
+        // parity record: the fused form on the same staged table's
+        // SOURCE corpus — regenerate it (dropped above), then compare
+        val s4 = fresh()
+        val regen = {
+          import s4.implicits._
+          val suffix = " the a of and"
+          s4.range(0, n, 1, 32)
+            .map { i => (i, docText(i) + suffix, "en", s"src${i % 20}", 0L) }
+            .toDF("doc_id", "text", "lang", "source", "n_chars")
+            .write.mode("overwrite").parquet(s"$curDir/documents.parquet")
+        }
+        locally { regen }
+        val t0 = System.nanoTime()
+        val fused = xorOf(graft.operators.TextOps.curateCorpus(s4, curDir))
+        val fusedSec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"shape":"curate_staged_parity","n":$n,""" +
+          f""""staged_rows":${out._1},"fused_rows":${fused._1},""" +
+          f""""staged_xor":"${out._2}","fused_xor":"${fused._2}",""" +
+          f""""equal":${out == fused},"fused_sec":$fusedSec%.2f}""")
+        graft.Release.transients()
+        s4.stop()
       }
     }
     spark.stop()
