@@ -31,7 +31,9 @@ object DumpPlans {
     "q_salted_agg" -> "two-phase salted aggregation (hot-key spreading)",
     "q_pack_bins" -> "sequence packing: cost computed before the one shuffle on source (3 narrow columns move, never text), then a streaming per-partition walk",
     "q_clean_corpus" -> "filter chain + dedup composed into one plan: narrow quality/lang work fused into the scan stage ahead of the fp-window shuffle",
-    "q_inverted_index" -> "rank-before-collect postings cap: window and groupBy share the token shuffle",
+    "q_inverted_index" -> "bounded bottom-K postings cap: one map-side-combined aggregate on the token shuffle — no window, no per-token posting sort (a stop-word's partition is the corpus)",
+    "q_ivf_assign2" -> "TWO-LEVEL IVF assignment as a NARROW codegen'd pass: nearestcentroid2expr carries the CSR codebook (supers + grouped children), no join / window / shuffle before the presentation sort",
+    "q_ohlc_bars" -> "hourly OHLC as ONE map-side-combined aggregate: min_by/max_by carry (open, close) under the total (us, event_id) order — no rank windows, no per-bucket sort",
     "q_pq_encode" -> "PQ index build as a NARROW codegen'd pass: pqencodeexpr carries the sub-codebooks, no join / shuffle before the presentation sort",
     "q_pq_topk" -> "ADC search: broadcast raw probes over the encoded corpus (BNLJ — the corpus side carries M-byte codes, not vectors) + window top-k",
     "q_semantic_dedup" -> "SemDeDup: one narrow assignment materialized once (InMemoryTableScan both sides), cell-bounded pair join, drop-set rejoin on vec_id",
