@@ -39,6 +39,51 @@ object Similarity extends QueryModule {
   /** Embeddings with raw float vector and precomputed double norm (the
     * native dot accumulates in double either way — bit-identical to
     * casting first). */
+  /** Shared oracle CTE chain replaying the TWO-LEVEL assignment
+    * ([[twoLevelFrom]] at nSuper = 2, refineIters = 0; probe
+    * nprobe = 1) → `asg2(vec_id, super_id, centroid_id, cos)`. Expects
+    * [[oracleVecs]]'s `e` in scope. Every stage carries the strict
+    * (cos DESC, id ASC) tie rule of the kernels. */
+  private lazy val oracleTwoLevelAsg = """
+        c AS (SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cn
+              FROM e WHERE vec_id < 8),
+        sup AS (SELECT centroid_id AS super_id, cemb AS semb, cn AS sn
+                FROM c WHERE centroid_id < 2),
+        -- child -> super: nearest of the two super seeds
+        ca AS (
+          SELECT c.centroid_id, sup.super_id,
+                 row_number() OVER (PARTITION BY c.centroid_id ORDER BY
+                   list_sum(list_transform(generate_series(1, len(c.cemb)),
+                     k -> CAST(c.cemb[k] AS DOUBLE) * CAST(sup.semb[k] AS DOUBLE)))
+                     / (c.cn * sup.sn) DESC, sup.super_id) AS rn
+          FROM c CROSS JOIN sup),
+        cmap AS (SELECT centroid_id, super_id FROM ca WHERE rn = 1),
+        -- probe -> super (nprobe = 1)
+        vs AS (
+          SELECT e.vec_id, sup.super_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     k -> CAST(e.embedding[k] AS DOUBLE) * CAST(sup.semb[k] AS DOUBLE)))
+                     / (e.nrm * sup.sn) DESC, sup.super_id) AS rn
+          FROM e CROSS JOIN sup),
+        vsel AS (SELECT vec_id, super_id FROM vs WHERE rn = 1),
+        -- probe -> child, scanning ONLY the selected super's children
+        vc AS (
+          SELECT e.vec_id, vsel.super_id, c.centroid_id,
+                 list_sum(list_transform(generate_series(1, len(e.embedding)),
+                   k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
+                   / (e.nrm * c.cn) AS cos
+          FROM e
+          JOIN vsel ON vsel.vec_id = e.vec_id
+          JOIN cmap ON cmap.super_id = vsel.super_id
+          JOIN c ON c.centroid_id = cmap.centroid_id),
+        r2 AS (SELECT vec_id, super_id, centroid_id, cos,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, centroid_id) AS rn
+              FROM vc),
+        asg2 AS (SELECT vec_id, super_id, centroid_id, cos
+                 FROM r2 WHERE rn = 1)"""
+
   private def vecs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, d)
@@ -567,6 +612,38 @@ object Similarity extends QueryModule {
     * brute-force cosine top-K for probes (vec_id 8..17) over the full
     * corpus, one broadcast-probe scan. Shared so [[annRecall]] and
     * [[annRecallMultiprobe]] can never drift to different baselines. */
+  /** Top-K search THROUGH the two-level index — [[ivfTopK]]'s probe
+    * shape with BOTH sides assigned by the hierarchical quantizer
+    * ([[twoLevelFrom]] + nprobe = 1): index and probes share the
+    * quantizer, the consistency requirement the ivf2_deploy rung
+    * measures (a flat-assigned probe against a two-level-assigned
+    * index silently loses recall). Same bounded top-K aggregate, same
+    * cell-bounded candidate join; at deployment the assignment pass
+    * costs O(√K·D) per vector instead of O(K·D). Oracle replays the
+    * full two-level assignment for corpus AND probes, then the ranked
+    * inverted-list probe. */
+  def ivf2TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val cb2 = twoLevelFrom(centroids(e), nSuper = 2)
+    val indexed = assignTo2(e, cb2, nprobe = 1)
+      .select($"vec_id", $"v", $"nrm", $"centroid_id")
+    val probes = broadcast(
+      assignTo2(e.where($"vec_id" >= 8 && $"vec_id" < 18), cb2, nprobe = 1)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+          $"centroid_id"))
+    indexed.join(probes, Seq("centroid_id"))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cosine"))
+      .groupBy($"q_id")
+      .agg(topKPairs(3)($"neighbor_id", $"cosine").as("nbrs"))
+      .select($"q_id", posexplode($"nbrs"))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._1".as("neighbor_id"), $"col._2".as("cosine"))
+      .orderBy($"q_id", $"rank")
+  }
+
   private def bruteTruthTopK(e: DataFrame, k: Int): DataFrame = {
     import e.sparkSession.implicits._
     val probes = broadcast(
@@ -1349,45 +1426,28 @@ object Similarity extends QueryModule {
     QueryDef(
       "q_ivf_assign2", ivfAssign2, Some(s"""
         $oracleVecs,
-        c AS (SELECT vec_id AS centroid_id, embedding AS cemb, nrm AS cn
-              FROM e WHERE vec_id < 8),
-        sup AS (SELECT centroid_id AS super_id, cemb AS semb, cn AS sn
-                FROM c WHERE centroid_id < 2),
-        -- child -> super: nearest of the two super seeds, strict
-        -- (cos DESC, super_id ASC)
-        ca AS (
-          SELECT c.centroid_id, sup.super_id,
-                 row_number() OVER (PARTITION BY c.centroid_id ORDER BY
-                   list_sum(list_transform(generate_series(1, len(c.cemb)),
-                     k -> CAST(c.cemb[k] AS DOUBLE) * CAST(sup.semb[k] AS DOUBLE)))
-                     / (c.cn * sup.sn) DESC, sup.super_id) AS rn
-          FROM c CROSS JOIN sup),
-        cmap AS (SELECT centroid_id, super_id FROM ca WHERE rn = 1),
-        -- probe -> super (nprobe = 1)
-        vs AS (
-          SELECT e.vec_id, sup.super_id,
-                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                   list_sum(list_transform(generate_series(1, len(e.embedding)),
-                     k -> CAST(e.embedding[k] AS DOUBLE) * CAST(sup.semb[k] AS DOUBLE)))
-                     / (e.nrm * sup.sn) DESC, sup.super_id) AS rn
-          FROM e CROSS JOIN sup),
-        vsel AS (SELECT vec_id, super_id FROM vs WHERE rn = 1),
-        -- probe -> child, scanning ONLY the selected super's children
-        vc AS (
-          SELECT e.vec_id, vsel.super_id, c.centroid_id,
-                 list_sum(list_transform(generate_series(1, len(e.embedding)),
-                   k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
-                   / (e.nrm * c.cn) AS cos
-          FROM e
-          JOIN vsel ON vsel.vec_id = e.vec_id
-          JOIN cmap ON cmap.super_id = vsel.super_id
-          JOIN c ON c.centroid_id = cmap.centroid_id),
-        r AS (SELECT vec_id, super_id, centroid_id, cos,
-                     row_number() OVER (PARTITION BY vec_id
-                       ORDER BY cos DESC, centroid_id) AS rn
-              FROM vc)
-        SELECT vec_id, super_id, centroid_id, cos FROM r WHERE rn = 1
+        $oracleTwoLevelAsg
+        SELECT vec_id, super_id, centroid_id, cos FROM asg2
         ORDER BY vec_id""")),
+    QueryDef(
+      "q_ivf2_topk", ivf2TopK, Some(s"""
+        $oracleVecs,
+        $oracleTwoLevelAsg,
+        p AS (
+          SELECT pa.vec_id AS q_id, ea.vec_id AS neighbor_id,
+                 ${oracleDot("pe", "ee")} / (pe.nrm * ee.nrm) AS cosine
+          FROM asg2 pa
+          JOIN e pe ON pe.vec_id = pa.vec_id
+          JOIN asg2 ea ON ea.centroid_id = pa.centroid_id
+                      AND ea.vec_id <> pa.vec_id
+          JOIN e ee ON ee.vec_id = ea.vec_id
+          WHERE pa.vec_id >= 8 AND pa.vec_id < 18),
+        r AS (SELECT q_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT q_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3
+        ORDER BY q_id, rank""")),
     QueryDef(
       "q_semantic_dedup", semanticDedup, Some(s"""
         $oracleVecs,

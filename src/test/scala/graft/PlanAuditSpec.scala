@@ -150,6 +150,32 @@ class PlanAuditSpec extends SparkSpecBase {
         .findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("two-level IVF assignment stays a NARROW codegen'd pass: no " +
+    "exchange before the presentation sort") {
+    val p = plan(graft.operators.Similarity.ivfAssign2(spark, sfDir))
+    // the CSR codebook rides inside the expression — a join against a
+    // centroid table or a window would each plan an Exchange ahead of
+    // the final ORDER BY's range exchange; exactly ONE Exchange total
+    assert("(?m)Exchange".r.findAllIn(p).size <= 2, p.take(3000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("OHLC bars plan ONE aggregate, no rank windows, no per-bucket sort") {
+    val p = plan(graft.operators.Dataflow.ohlcBars(spark, sfDir))
+    assert(!p.contains("Window"), p.take(2000))
+    // partial + final aggregate around one exchange — min_by/max_by
+    // carry open/close as bounded per-bucket state (ObjectHashAggregate
+    // if Spark plans them imperatively)
+    assert(p.contains("Aggregate"), p.take(2000))
+  }
+
+  test("inverted index caps postings WITHOUT a window: bounded bottom-K " +
+    "aggregate on the token shuffle") {
+    val p = plan(graft.operators.Corpus.invertedIndex(spark, sfDir))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("label-bucket cells reuse ONE materialized assignment pass") {
     val p = plan(graft.operators.Similarity.labelBucketTopK(spark, sfDir))
     // both sides of the pair join scan the cached assignment; without the
@@ -216,13 +242,9 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("Window"), p.take(3000))
   }
 
-  test("ohlc bars: both rank windows and the aggregate share the bucket exchange") {
-    val df = Dataflow.ohlcBars(spark, sfDir)
-    df.collect()
-    val p = plan(df).split("== Initial Plan ==").head
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
-    assert("Window".r.findAllIn(p).size === 2, p.take(3000))
-  }
+  // (the former "both rank windows share the bucket exchange" pin was
+  // retired with the round-11 min_by/max_by conversion — the plan now
+  // has NO windows at all; see "OHLC bars plan ONE aggregate" above)
 
   test("active time: running-max and island windows plus aggregates share one exchange") {
     val df = graft.operators.Sessionize.activeTime(spark, sfDir)
