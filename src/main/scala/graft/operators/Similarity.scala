@@ -192,7 +192,19 @@ object Similarity extends QueryModule {
     * member mean, empty supers hold position — deterministic, and the
     * child→super map only affects WHICH supers a probe scans, never
     * the winning child's identity at nprobe = S (exactness pin in
-    * SimilaritySpec). */
+    * SimilaritySpec).
+    *
+    * nprobe guidance, MEASURED (ScaleBench ivf2_recall, 10⁷ vectors,
+    * K = 2,500, S = 50, unstructured random-direction codebook — the
+    * worst case for a super layer, which then has near-zero cosine
+    * margins): nprobe = 1 on both sides loses ~46 points of recall@10
+    * purely to super misrouting (flat assignment at the same geometry
+    * measured recall 1.000); nprobe = 4 at INDEX time plus 4-8 at
+    * probe time recovers 0.93-0.99 while still costing
+    * O((S + nprobe·K/S)·D) — 6.7× below the flat scan at K = 2,500
+    * and ~32× at K = 25,000. Codebooks with real cluster structure
+    * (trained on the corpus manifold) give the super layer margin and
+    * need less; measure with the rung before committing an nprobe. */
   private[graft] def twoLevelFrom(cb: Codebook, nSuper: Int,
       refineIters: Int = 0): Codebook2 = {
     val k = cb.ids.length

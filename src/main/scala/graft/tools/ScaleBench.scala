@@ -161,7 +161,8 @@ object ScaleBench {
     // unread parquet at 5·10⁷)
     val needCorpus = !requested.exists(
       _.subsetOf(Set("salt_vs_aqe", "ann_recall_deploy",
-        "semdedup_deploy", "semstream_layout", "ivf2_deploy")))
+        "semdedup_deploy", "semstream_layout", "ivf2_deploy",
+        "ivf2_recall")))
     // shapes that never read embeddings.parquet — a text-only probe
     // (e.g. the 10⁸ pair-family rung) skips the vector table's
     // generation cost and disk footprint entirely
@@ -956,6 +957,179 @@ object ScaleBench {
         }
         rmIdx(idxDir)
       }
+    }
+    // Recall cost of the TWO-LEVEL approximation at deployment K — the
+    // companion to ivf2_deploy's cost-flatness: ann_recall_deploy
+    // already prices recall-vs-nprobe for a FLAT-trained K=256 index;
+    // this rung asks what the hierarchy GIVES UP at K = n/4000, where
+    // the flat kernel is unaffordable. Standing corpus two-level-
+    // assigned (nprobe_super = 1 — the production index build); probe
+    // cells ranked through the SAME two-level path (top superProbe
+    // supers driver-side, then their children), candidates = the top
+    // nprobe cells' members, recall@10 against the exact broadcast
+    // brute-force truth. Driver-side cell ranking is |probes| × S×D +
+    // |probes| × (superProbe·K/S)×D — bounded index metadata, the
+    // recallEval discipline.
+    if (only.forall(_.contains("ivf2_recall"))) {
+      val cellTarget = 4000L
+      val K = math.max(64L, n / cellTarget).toInt
+      val S = math.max(8, math.ceil(math.sqrt(K.toDouble)).toInt)
+      val codebook = (0L until K.toLong).map(c =>
+        (c, Array.tabulate(64)(ivf2Center(c, _))))
+      val cb2 = graft.operators.Similarity
+        .twoLevelFromSeq(codebook, S, refineIters = 2)
+      def standingAt(idxSp: Int) = spark.range(0, n, 1, 32)
+        .map(i => (i, ivf2Member(i, K)))
+        .toDF("vec_id", "v")
+        .withColumn("nrm", graft.functions.VectorFunctions.l2Norm($"v"))
+        .withColumn("_best", graft.functions.VectorExpressions
+          .nearest_centroid2($"v", $"nrm", cb2.superCents, cb2.superNorms,
+            cb2.offs, cb2.ids, cb2.cents, cb2.norms, idxSp))
+        .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
+          $"v", $"nrm")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val standing = standingAt(1)
+      standing.count()
+      val nProbes = 100
+      val probeIds = (0 until nProbes)
+        .map(i => java.lang.Math.floorMod(mix(i * 15485863L + 11L), n))
+        .distinct
+      val probeRows = probeIds.map(id => (id, ivf2Member(id, K)))
+      val probesDf = probeRows.toDF("q_id", "qv")
+        .withColumn("qn", graft.functions.VectorFunctions.l2Norm($"qv"))
+      val tk10 = udaf(
+        new graft.pipeline.Aggregators.TopKCosineAgg(10),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(Long, Double)]())
+      val tT0 = System.nanoTime()
+      val truth: Map[Long, Set[Long]] = standing
+        .join(broadcast(probesDf), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          graft.functions.VectorFunctions
+            .cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cos"))
+        .groupBy($"q_id").agg(tk10($"vec_id", $"cos").as("nbrs"))
+        .as[(Long, Seq[Long])].collect()
+        .map { case (q, ns) => q -> ns.toSet }.toMap
+      val truthSec = (System.nanoTime() - tT0) / 1e9
+      // driver-side two-level cell ranking per probe
+      def rankedCells(qv: Array[Float], superProbe: Int): Array[Long] = {
+        def cosTo(c: Array[Double], cn: Double): Double = {
+          var acc = 0.0; var d = 0
+          val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+          while (d < 64) { acc += qv(d) * c(d); d += 1 }
+          acc / (qn * cn)
+        }
+        val supRank = cb2.superCents.indices
+          .sortBy(i => (-cosTo(cb2.superCents(i), cb2.superNorms(i)), i))
+          .take(superProbe)
+        supRank.flatMap(sp => (cb2.offs(sp) until cb2.offs(sp + 1)))
+          .sortBy(j => (-cosTo(cb2.cents(j), cb2.norms(j)), cb2.ids(j)))
+          .map(j => cb2.ids(j)).toArray
+      }
+      def sweep(idx: org.apache.spark.sql.DataFrame, idxSp: Int,
+          idxSec: Double, configs: Seq[(Int, Int)]): Unit =
+        configs.foreach { case (superProbe, nprobe) =>
+          val t0 = System.nanoTime()
+          val probeCells = probeRows.flatMap { case (q, qv) =>
+            rankedCells(qv, superProbe).take(nprobe).map(c => (q, c))
+          }.toDF("q_id", "centroid_id")
+          val approx: Map[Long, Set[Long]] = idx
+            .join(broadcast(probeCells), Seq("centroid_id"))
+            .join(broadcast(probesDf), Seq("q_id"))
+            .where($"vec_id" =!= $"q_id")
+            .select($"q_id", $"vec_id",
+              graft.functions.VectorFunctions
+                .cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cos"))
+            .groupBy($"q_id").agg(tk10($"vec_id", $"cos").as("nbrs"))
+            .as[(Long, Seq[Long])].collect()
+            .map { case (q, ns) => q -> ns.toSet }.toMap
+          val sec = (System.nanoTime() - t0) / 1e9
+          val (hit, tot) = truth.toSeq.map { case (q, ts) =>
+            (approx.getOrElse(q, Set.empty).intersect(ts).size, ts.size)
+          }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+          val ppm = hit.toLong * 1000000L / math.max(tot, 1)
+          println(f"""{"shape":"ivf2_recall","n":$n,"k":$K,"s":$S,""" +
+            f""""index_super_probe":$idxSp,"super_probe":$superProbe,""" +
+            f""""nprobe":$nprobe,""" +
+            f""""n_probes":${probeIds.size},"n_hit":$hit,"n_true":$tot,""" +
+            f""""recall_ppm":$ppm,"truth_sec":$truthSec%.2f,""" +
+            f""""index_assign_sec":$idxSec%.2f,"sec":$sec%.2f}""")
+        }
+      sweep(standing, 1, 0.0, Seq((1, 1), (1, 4), (2, 4), (2, 16)))
+      // the misassignment lever: the index itself assigned probing
+      // idxSp supers — cost O((S + idxSp·K/S)·D) per vector, still
+      // ≈ S/(idxSp+1)× below flat — with matched probe-side ranking
+      standing.unpersist(false)
+      val tI4 = System.nanoTime()
+      val standing4 = standingAt(4)
+      standing4.count()
+      val idx4Sec = (System.nanoTime() - tI4) / 1e9
+      sweep(standing4, 4, idx4Sec,
+        Seq((4, 4), (4, 16), (8, 16), (8, 64)))
+      standing4.unpersist(false)
+      // FLAT-IVF baseline at the SAME geometry (n ≤ 10⁷ — the flat
+      // corpus assignment is the O(n·K·D) pass the hierarchy exists to
+      // avoid, affordable here once for attribution): how much of the
+      // two-level recall loss is the HIERARCHY vs how much is plain
+      // IVF cell truncation at this noise level. Flat ranks all K
+      // cells per probe; candidates from the top nprobe.
+      if (n <= 10000000L) {
+        val cbIdsF = codebook.map(_._1).toArray
+        val cbCentsF = codebook.map(_._2.map(_.toDouble)).toArray
+        val cbNormsF = cbCentsF.map(c => math.sqrt(c.map(x => x * x).sum))
+        val tF0 = System.nanoTime()
+        val standingF = spark.range(0, n, 1, 32)
+          .map(i => (i, ivf2Member(i, K)))
+          .toDF("vec_id", "v")
+          .withColumn("nrm", graft.functions.VectorFunctions.l2Norm($"v"))
+          .withColumn("_best", graft.functions.VectorExpressions
+            .nearest_centroid($"v", $"nrm", cbIdsF, cbCentsF, cbNormsF))
+          .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
+            $"v", $"nrm")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        standingF.count()
+        val flatAssignSec = (System.nanoTime() - tF0) / 1e9
+        def rankedCellsFlat(qv: Array[Float]): Array[Long] = {
+          val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+          def cosTo(c: Array[Double], cn: Double): Double = {
+            var acc = 0.0; var d = 0
+            while (d < 64) { acc += qv(d) * c(d); d += 1 }
+            acc / (qn * cn)
+          }
+          cbCentsF.indices
+            .sortBy(i => (-cosTo(cbCentsF(i), cbNormsF(i)), i))
+            .map(_.toLong).toArray
+        }
+        Seq(1, 4, 16).foreach { nprobe =>
+          val t0 = System.nanoTime()
+          val probeCells = probeRows.flatMap { case (q, qv) =>
+            rankedCellsFlat(qv).take(nprobe).map(c => (q, c))
+          }.toDF("q_id", "centroid_id")
+          val approx: Map[Long, Set[Long]] = standingF
+            .join(broadcast(probeCells), Seq("centroid_id"))
+            .join(broadcast(probesDf), Seq("q_id"))
+            .where($"vec_id" =!= $"q_id")
+            .select($"q_id", $"vec_id",
+              graft.functions.VectorFunctions
+                .cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cos"))
+            .groupBy($"q_id").agg(tk10($"vec_id", $"cos").as("nbrs"))
+            .as[(Long, Seq[Long])].collect()
+            .map { case (q, ns) => q -> ns.toSet }.toMap
+          val sec = (System.nanoTime() - t0) / 1e9
+          val (hit, tot) = truth.toSeq.map { case (q, ts) =>
+            (approx.getOrElse(q, Set.empty).intersect(ts).size, ts.size)
+          }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+          val ppm = hit.toLong * 1000000L / math.max(tot, 1)
+          println(f"""{"shape":"ivf2_recall","n":$n,"k":$K,"s":$S,""" +
+            f""""super_probe":0,"nprobe":$nprobe,""" +
+            f""""n_probes":${probeIds.size},"n_hit":$hit,"n_true":$tot,""" +
+            f""""recall_ppm":$ppm,""" +
+            f""""flat_assign_sec":$flatAssignSec%.2f,"sec":$sec%.2f}""")
+        }
+        standingF.unpersist(false)
+      }
+      standing.unpersist(false)
+      graft.Release.transients()
     }
     if (only.forall(_.contains("ann_recall_deploy"))) {
       val vecsDf = spark.range(0, n, 1, 32)

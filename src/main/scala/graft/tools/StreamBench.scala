@@ -217,16 +217,20 @@ object StreamBench {
     // below tau=0.95 while planted twins (exact colinear, cos 1.0)
     // clear it: the hits volume stays at the planted rate, not
     // quadratic in the standing index.
-    val sdFig = {
-      def smix(z0: Long): Long = { // splitmix64 finalizer
-        var z = z0 + 0x9E3779B97F4A7C15L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z ^ (z >>> 31)
-      }
+    def smix(z0: Long): Long = { // splitmix64 finalizer
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    /** semantic-dedup lane at `k` cells, flat or two-level assignment —
+      * the same workload definition at every k (1k vecs/trigger, 1%
+      * planted colinear twins), so lane ratios read directly as
+      * assignment + cell-density cost. */
+    def sdLane(k: Int, twoLevelSupers: Option[Int], tag: String): Fig = {
       def svec(i: Long): (Long, Array[Float]) = {
         val base = if (i % 100 == 99) i - 1 else i
-        val c = java.lang.Math.floorMod(smix(base * 31 + 17), 64)
+        val c = java.lang.Math.floorMod(smix(base * 31 + 17), k)
         val v = Array.tabulate(64) { d =>
           val center =
             (java.lang.Math.floorMod(smix(c * 53L + d), 2001) - 1000) / 1000.0f
@@ -237,7 +241,7 @@ object StreamBench {
         // twin = predecessor SCALED (cosine exactly 1): same cell, hit
         if (i % 100 == 99) (i, v.map(_ * 0.5f)) else (i, v)
       }
-      val codebook = (0L until 64L).map { c =>
+      val codebook = (0L until k.toLong).map { c =>
         (c, Array.tabulate(64) { d =>
           (java.lang.Math.floorMod(smix(c * 53L + d), 2001) - 1000) / 1000.0f
         })
@@ -245,12 +249,19 @@ object StreamBench {
       val stream = MemoryStream[(Long, Array[Float])]
       val q = StreamingPipeline.semanticDedupStream(
         stream.toDF().toDF("vec_id", "v"), codebook,
-        tmp("sem_index"), tmp("sem_hits"), tmp("ckpt_sd"), tau = 0.95)
+        tmp(s"sem_index$tag"), tmp(s"sem_hits$tag"), tmp(s"ckpt_sd$tag"),
+        tau = 0.95, twoLevelSupers = twoLevelSupers)
       drive(stream, q,
         warmup = (0L until 200L).map(svec),
         batches = (0 until load.sdBatches).map(b =>
           (0L until 1000L).map(i => svec(200L + b * 1000L + i))))
     }
+    val sdFig = sdLane(64, None, "")
+    // assignment-cost A/B at a deployment-flavored K: 1,024 cells is
+    // 16 kernel scans per vector under the hierarchy (32 supers + 32
+    // children) vs 1,024 flat — the streaming face of ivf2_deploy
+    val sdFlat1k = sdLane(1024, None, "_flat1k")
+    val sdTwo1k = sdLane(1024, Some(32), "_2l1k")
 
     // ---- restart/catch-up (the recovery-time figure): run dual_write
     // to steady state, STOP the query, let a 50k-row backlog accumulate
@@ -288,6 +299,8 @@ object StreamBench {
       "indexed_dedup" -> idFig,
       "stateful_neardup" -> ndFig,
       "semantic_dedup" -> sdFig,
+      "semantic_dedup_k1024_flat" -> sdFlat1k,
+      "semantic_dedup_k1024_2l" -> sdTwo1k,
       "restart_catchup_50k" -> recFig)
   }
 
