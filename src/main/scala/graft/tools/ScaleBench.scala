@@ -105,12 +105,18 @@ object ScaleBench {
     ((java.lang.Math.floorMod(mix(c * 53L + d), 2001) - 1000) / 1000.0f)
   private def ivf2Cluster(id: Long, k: Int): Long =
     java.lang.Math.floorMod(mix(id * 31 + 17), k)
+  /** Cluster tightness knob (bench-tool, local-mode single JVM): 0.6 ≈
+    * intra-cluster cosine ~0.74 (near-isotropic members — the WORST
+    * case for a super layer); 0.15 ≈ ~0.98 (the clustered-manifold
+    * shape real embedding corpora have, ann_recall_deploy's geometry). */
+  private val ivf2Noise =
+    sys.env.getOrElse("SPARK_GRAFT_IVF2_NOISE", "0.6").toFloat
   private def ivf2Member(id: Long, k: Int): Array[Float] = {
     val c = ivf2Cluster(id, k)
     Array.tabulate(64) { d =>
       val noise =
         (java.lang.Math.floorMod(mix(id * 977 + d), 2001) - 1000) / 1000.0f
-      ivf2Center(c, d) + noise * 0.6f
+      ivf2Center(c, d) + noise * ivf2Noise
     }
   }
 
@@ -1049,6 +1055,7 @@ object ScaleBench {
           }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
           val ppm = hit.toLong * 1000000L / math.max(tot, 1)
           println(f"""{"shape":"ivf2_recall","n":$n,"k":$K,"s":$S,""" +
+            f""""noise":$ivf2Noise%.2f,""" +
             f""""index_super_probe":$idxSp,"super_probe":$superProbe,""" +
             f""""nprobe":$nprobe,""" +
             f""""n_probes":${probeIds.size},"n_hit":$hit,"n_true":$tot,""" +

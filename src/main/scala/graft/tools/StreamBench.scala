@@ -258,8 +258,14 @@ object StreamBench {
     }
     val sdFig = sdLane(64, None, "")
     // assignment-cost A/B at a deployment-flavored K: 1,024 cells is
-    // 16 kernel scans per vector under the hierarchy (32 supers + 32
-    // children) vs 1,024 flat — the streaming face of ivf2_deploy
+    // ~64 kernel scans per vector under the hierarchy (32 supers + 32
+    // children) vs 1,024 flat. MEASURED: at 1k-row triggers the two
+    // are statistically identical (~1,300 rows/s both, smoke load) —
+    // per-batch fixed costs (standing read + join + two appends)
+    // dominate, so the hierarchy costs NOTHING here and its win lives
+    // where assignment is the workload: index builds and large batches
+    // (ivf2_recall: 9.7 s vs 64.8 s per 10⁷ rows at K = 2,500). The
+    // lanes stay as the no-regression pin on both paths.
     val sdFlat1k = sdLane(1024, None, "_flat1k")
     val sdTwo1k = sdLane(1024, Some(32), "_2l1k")
 
@@ -384,6 +390,10 @@ object StreamGate {
     "indexed_dedup" -> 850.0,
     "stateful_neardup" -> 900.0,
     "semantic_dedup" -> 800.0,
+    // K=1024 A/B lanes: same workload class as semantic_dedup, same
+    // 35%-headroom class gate (first figures ~1,300 rows/s median)
+    "semantic_dedup_k1024_flat" -> 800.0,
+    "semantic_dedup_k1024_2l" -> 800.0,
     "restart_catchup_50k" -> 55000.0)
   /** dual_write must stay ≥ this × indexed_dedup (sanity invariant). */
   val MinDualOverIndexed = 10.0
