@@ -1156,6 +1156,47 @@ object Similarity extends QueryModule {
     * ANN index. One NARROW codegen'd pass over the embeddings (the
     * [[graft.functions.QuantErrExpr]] expression); no joins, no shuffle
     * except the presentation sort, so it scales as a plain scan. */
+  /** IVF-PQ search — the FAISS IVFADC composition, end to end: the
+    * TWO-LEVEL coarse quantizer prunes candidates to the probe's cell
+    * (work ∝ cell size, never corpus) and ADC on the PQ CODES scores
+    * them (the scan touches M-byte codes, not D-float vectors — the
+    * memory shape that lets a 100 TB corpus's index fit a cluster's
+    * RAM). One narrow scan builds both index facets (cell id + codes
+    * ride the same projection); probes join on the cell and rank by
+    * ADC distance through the bounded top-K aggregate.
+    *
+    * Codes are PQ of the RAW vector (FAISS's IVFPQ encodes the
+    * RESIDUAL v − centroid for tighter quantization; raw-code ADC
+    * keeps every stage SQL-replayable — the oracle composes the
+    * two-level assignment chain with the PQ reconstruction chain
+    * verbatim — and the residual refinement changes the codes, not
+    * the plan shape). */
+  def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val cb2 = twoLevelFrom(centroids(e), nSuper = 2)
+    val pqcb = pqCodebook(e)
+    val indexed = assignTo2(e, cb2, nprobe = 1)
+      .select($"vec_id", $"centroid_id",
+        graft.functions.VectorExpressions.pq_encode($"v", pqcb)
+          .as("codes"))
+    val probes = broadcast(
+      assignTo2(e.where($"vec_id" >= 20 && $"vec_id" < 30), cb2,
+        nprobe = 1)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"centroid_id"))
+    indexed.join(probes, Seq("centroid_id"))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        graft.functions.VectorExpressions.pq_adc($"qv", $"codes", pqcb)
+          .as("adist"))
+      .groupBy($"q_id")
+      .agg(topKPairs(5)($"neighbor_id", -$"adist").as("nbrs"))
+      .select($"q_id", posexplode($"nbrs"))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._1".as("neighbor_id"), (-$"col._2").as("adist"))
+      .orderBy($"q_id", $"rank")
+  }
+
   def quantizeErr(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, d)
@@ -1775,6 +1816,26 @@ object Similarity extends QueryModule {
                  ${oracleAdc("pr.qe", "r.rv")} AS adist
           FROM pr CROSS JOIN recon r
           WHERE r.vec_id <> pr.q_id),
+        rk AS (SELECT q_id, neighbor_id, adist,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY adist, neighbor_id) AS BIGINT) AS rank
+               FROM p)
+        SELECT q_id, rank, neighbor_id, adist FROM rk WHERE rank <= 5
+        ORDER BY q_id, rank""")),
+    QueryDef(
+      "q_ivfpq_topk", ivfPqTopK, Some(s"""
+        $oraclePq,
+        ${oracleVecs.replaceFirst("WITH ", "")},
+        $oracleTwoLevelAsg,
+        p AS (
+          SELECT pa.vec_id AS q_id, ea.vec_id AS neighbor_id,
+                 ${oracleAdc("pe.embedding", "r.rv")} AS adist
+          FROM asg2 pa
+          JOIN e pe ON pe.vec_id = pa.vec_id
+          JOIN asg2 ea ON ea.centroid_id = pa.centroid_id
+                      AND ea.vec_id <> pa.vec_id
+          JOIN recon r ON r.vec_id = ea.vec_id
+          WHERE pa.vec_id >= 20 AND pa.vec_id < 30),
         rk AS (SELECT q_id, neighbor_id, adist,
                       CAST(row_number() OVER (PARTITION BY q_id
                         ORDER BY adist, neighbor_id) AS BIGINT) AS rank
