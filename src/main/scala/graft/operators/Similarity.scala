@@ -404,6 +404,40 @@ object Similarity extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** [[semanticDedup]] through the TWO-LEVEL coarse quantizer — same
+    * drop rule (any higher-similarity cell-mate with a lower id wins),
+    * cells assigned by [[twoLevelFrom]] + nprobe = 1 instead of the
+    * flat scan. At deployment K ∝ corpus this is the form that stays
+    * affordable (assignment O(√K·D) per vector; the ivf2 rungs carry
+    * the cost and recall envelope); at the gate geometry it hash-pins
+    * the full hierarchy → cell-pair → verdict pipeline against the
+    * SQL replay. Same one-slot eager-materialization contract as
+    * [[semanticDedup]]. */
+  def semanticDedup2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Option(lastSemCells.getAndSet(null)).foreach(_.unpersist(false))
+    val e = vecs(s, d)
+    val cb2 = twoLevelFrom(centroids(e), nSuper = 2)
+    val cells = assignTo2(e, cb2, nprobe = 1)
+      .select($"vec_id", $"centroid_id", $"v", $"nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastSemCells.set(cells)
+    val a = cells.select($"centroid_id", $"vec_id".as("id_a"),
+      $"v".as("va"), $"nrm".as("na"))
+    val b = cells.select($"centroid_id", $"vec_id".as("id_b"),
+      $"v".as("vb"), $"nrm".as("nb"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .where($"id_a" < $"id_b" &&
+        cosineWithNorms($"va", $"vb", $"na", $"nb") >= lit(SemDedupTau))
+      .select($"id_b".as("vec_id")).distinct()
+      .withColumn("hit", lit(true))
+    cells.select($"vec_id", $"centroid_id")
+      .join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", $"centroid_id",
+        coalesce($"hit", lit(false)).as("is_dup"))
+      .orderBy($"vec_id")
+  }
+
   /** Two-stage dedup cascade — the deployed shape of large-scale near-dup
     * removal: a cheap high-recall EMBEDDING stage proposes candidate
     * pairs (same coarse cell, cosine ≥ τ), and an exact TEXT stage
@@ -1515,6 +1549,22 @@ object Similarity extends QueryModule {
           FROM e CROSS JOIN c),
         cells AS (SELECT vec_id, embedding, nrm, centroid_id
                   FROM asg0 WHERE rn = 1),
+        dup AS (
+          SELECT DISTINCT b.vec_id
+          FROM cells a JOIN cells b
+            ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+          WHERE ${oracleDot("a", "b")} / (a.nrm * b.nrm) >= 0.3)
+        SELECT c2.vec_id, c2.centroid_id,
+               (d.vec_id IS NOT NULL) AS is_dup
+        FROM cells c2 LEFT JOIN dup d ON c2.vec_id = d.vec_id
+        ORDER BY c2.vec_id""")),
+    QueryDef(
+      "q_semantic_dedup2", semanticDedup2, Some(s"""
+        $oracleVecs,
+        $oracleTwoLevelAsg,
+        cells AS (
+          SELECT a2.vec_id, e2.embedding, e2.nrm, a2.centroid_id
+          FROM asg2 a2 JOIN e e2 ON e2.vec_id = a2.vec_id),
         dup AS (
           SELECT DISTINCT b.vec_id
           FROM cells a JOIN cells b
