@@ -260,33 +260,53 @@ object VecOps {
     val nSuper = superCents.length
     val p = math.max(1, math.min(nprobe, nSuper))
     // top-p supers by cosine, insertion-sorted; strict > keeps the
-    // lowest super index on ties (supers admitted in index order)
+    // lowest super index on ties (supers admitted in index order).
+    // EMPTY supers (offs(s+1) == offs(s) — a refined Lloyd round can
+    // orphan one) are never admitted: probing them wastes the slot and
+    // an all-empty probe set would return a garbage assignment. NaN
+    // super cosines (a zero-norm super or probe) are never admitted
+    // either: a NaN admitted during the fill phase would sit at the
+    // tail and block every later super (cos > NaN is always false).
     val topIdx = new Array[Int](p)
     val topCos = new Array[Double](p)
     var filled = 0
     var s = 0
     while (s < nSuper) {
-      val c = superCents(s)
-      val n = math.min(dim, c.length)
-      var acc = 0.0
-      var k = 0
-      while (k < n) { acc += elem(v, isFloat, k) * c(k); k += 1 }
-      val cos = acc / (nrm * superNorms(s))
-      if (filled < p) {
-        var i = filled
-        while (i > 0 && cos > topCos(i - 1)) {
-          topCos(i) = topCos(i - 1); topIdx(i) = topIdx(i - 1); i -= 1
+      if (offs(s + 1) > offs(s)) {
+        val c = superCents(s)
+        val n = math.min(dim, c.length)
+        var acc = 0.0
+        var k = 0
+        while (k < n) { acc += elem(v, isFloat, k) * c(k); k += 1 }
+        val cos = acc / (nrm * superNorms(s))
+        if (cos == cos) {
+          if (filled < p) {
+            var i = filled
+            while (i > 0 && cos > topCos(i - 1)) {
+              topCos(i) = topCos(i - 1); topIdx(i) = topIdx(i - 1); i -= 1
+            }
+            topCos(i) = cos; topIdx(i) = s
+            filled += 1
+          } else if (cos > topCos(p - 1)) {
+            var i = p - 1
+            while (i > 0 && cos > topCos(i - 1)) {
+              topCos(i) = topCos(i - 1); topIdx(i) = topIdx(i - 1); i -= 1
+            }
+            topCos(i) = cos; topIdx(i) = s
+          }
         }
-        topCos(i) = cos; topIdx(i) = s
-        filled += 1
-      } else if (cos > topCos(p - 1)) {
-        var i = p - 1
-        while (i > 0 && cos > topCos(i - 1)) {
-          topCos(i) = topCos(i - 1); topIdx(i) = topIdx(i - 1); i -= 1
-        }
-        topCos(i) = cos; topIdx(i) = s
       }
       s += 1
+    }
+    // degenerate probe (all super cosines NaN — zero-norm vector):
+    // fall back to the first p NON-EMPTY supers in index order, the
+    // deterministic analogue of the flat kernel's index-0 seed
+    if (filled == 0) {
+      var s2 = 0
+      while (s2 < nSuper && filled < p) {
+        if (offs(s2 + 1) > offs(s2)) { topIdx(filled) = s2; filled += 1 }
+        s2 += 1
+      }
     }
     // scan the probed supers' children; first visited child seeds the
     // best slot (the NaN-everywhere degenerate then still returns a

@@ -229,7 +229,14 @@ object Profiling extends QueryModule {
       buildRows: Long,
       probeRows: Long,
       topSharePpm: Long,
-      hotKeys: Seq[Any] = Nil)
+      hotKeys: Seq[Any] = Nil,
+      // the NULL key alone owns >= SkewSharePpm of the probe: nulls are
+      // excluded from hotKeys (isin(null) never matches), so this flag
+      // is how the executor knows a null-ONLY skew wants the
+      // null-spread-only plan rather than the no-detail salt-all
+      // fallback (which explodes the whole build x NumSalts — the
+      // measured-worst manual form)
+      nullHot: Boolean = false)
 
   /** Rows at or under this on the build side → broadcast (stands in for
     * `spark.sql.autoBroadcastJoinThreshold`, but row-based so the
@@ -272,13 +279,16 @@ object Profiling extends QueryModule {
     val probeRow = probe
       .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum($"c"), lit(0L)).as("a"),
-        coalesce(max($"c"), lit(0L)).as("b"))
-      .select(lit(1).as("side"), $"a", $"b")
-    val census = buildRow.unionByName(probeRow)
-      .as[(Int, Long, Long)].collect()
-      .map { case (k, a, b) => k -> (a, b) }.toMap
-    val nb = census(0)._1
-    val (np, top) = census(1)
+        coalesce(max($"c"), lit(0L)).as("b"),
+        coalesce(sum(when(col(keyCol).isNull, $"c")), lit(0L)).as("n0"))
+      .select(lit(1).as("side"), $"a", $"b", $"n0")
+    val census = buildRow
+      .withColumn("n0", lit(0L))
+      .unionByName(probeRow)
+      .as[(Int, Long, Long, Long)].collect()
+      .map { case (k, a, b, n0) => k -> ((a, b), n0) }.toMap
+    val nb = census(0)._1._1
+    val ((np, top), nullCnt) = census(1)
     val share = top * 1000000L / math.max(np, 1L)
     val strat =
       if (nb <= BroadcastRowCap) "broadcast"
@@ -303,7 +313,8 @@ object Profiling extends QueryModule {
         .where(col(keyCol).isNotNull)
         .select(col(keyCol)).collect().toSeq
         .map(_.get(0)).sortBy(String.valueOf(_))
-    JoinDecision(strat, nb, np, share, hot)
+    JoinDecision(strat, nb, np, share, hot,
+      nullHot = nullCnt * 1000000L >= SkewSharePpm * math.max(np, 1L))
   }
 
   /** Execute the decided join: `build(keyCol, …)` ⋈ `probe(keyCol, …)`.
@@ -363,9 +374,16 @@ object Profiling extends QueryModule {
         // keys by the SkewSharePpm bound) riding into codegen as an
         // isin literal — no broadcast join stage needed.
         val hotSet = decision.hotKeys
+        // empty hotKeys + nullHot = the census found the NULL key as
+        // the ONLY >=share slice: the build stays UNEXPLODED (salt 0
+        // everywhere) and only the null probe rows spread below —
+        // exploding the build would buy nothing (nulls never match).
+        // Empty hotKeys WITHOUT the flag = no census detail: salt all,
+        // the conservative hand-built-decision fallback.
         val isHot: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-          k => if (hotSet.isEmpty) lit(true) // no census detail: salt all
-          else k.isin(hotSet: _*)
+          k => if (hotSet.nonEmpty) k.isin(hotSet: _*)
+          else if (decision.nullHot) lit(false)
+          else lit(true)
         val b = build.withColumn(saltCol,
           explode(when(isHot(col(keyCol)),
             sequence(lit(0), lit(NumSalts - 1)))

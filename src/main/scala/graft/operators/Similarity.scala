@@ -254,11 +254,23 @@ object Similarity extends QueryModule {
       asg = assign()
       it += 1
     }
-    val order = (0 until k).sortBy(j => (asg(j), cb.ids(j))).toArray
-    val offs = new Array[Int](nSuper + 1)
-    order.foreach(j => offs(asg(j) + 1) += 1)
-    (1 to nSuper).foreach(s => offs(s) += offs(s - 1))
-    Codebook2(sup, supN, offs,
+    // COMPACT away empty supers (a refined Lloyd round can orphan one
+    // — the classic empty-cluster case; its held position may end up
+    // nearest to some probe, and probing a childless super wastes the
+    // slot): keep only supers that own children, relative order
+    // preserved. The kernel also skips empty supers defensively, but
+    // the structure itself should not carry them. refineIters = 0
+    // never produces empties (each seed self-assigns), so the gate
+    // oracle's super ids are unaffected.
+    val live = (0 until nSuper).filter(s => asg.contains(s)).toArray
+    val remap = live.zipWithIndex.toMap
+    val nLive = live.length
+    val asgC = asg.map(remap)
+    val order = (0 until k).sortBy(j => (asgC(j), cb.ids(j))).toArray
+    val offs = new Array[Int](nLive + 1)
+    order.foreach(j => offs(asgC(j) + 1) += 1)
+    (1 to nLive).foreach(s => offs(s) += offs(s - 1))
+    Codebook2(live.map(sup), live.map(supN), offs,
       order.map(cb.ids), order.map(cb.cents), order.map(cb.norms))
   }
 

@@ -211,7 +211,14 @@ object BenchGate {
     }
     if (fresh.nonEmpty)
       println(s"no baseline yet (added post-r10): ${fresh.mkString(", ")}")
-    val failures = timed.flatMap {
+    // a baselined query that VANISHED from the registry (deleted or
+    // renamed) must fail the gate, not silently narrow its coverage —
+    // the PASS line claims every Baseline entry was compared
+    val timedNames = timed.map(_._1).toSet
+    val orphans = Baseline.keys.filterNot(timedNames.contains).toSeq.sorted
+    val failures = orphans.map(n =>
+      s"GATE FAIL: baselined query $n missing from SparkEntry.queries " +
+        "(deleted or renamed — rebase the baseline)") ++ timed.flatMap {
       case (n, ts) if ts.isEmpty => Some(s"GATE FAIL: $n threw")
       case (n, ts) => Baseline.get(n).collect {
         case b if ts.head > Factor * b + AbsSlack =>

@@ -1019,9 +1019,9 @@ object ScaleBench {
       val truthSec = (System.nanoTime() - tT0) / 1e9
       // driver-side two-level cell ranking per probe
       def rankedCells(qv: Array[Float], superProbe: Int): Array[Long] = {
+        val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
         def cosTo(c: Array[Double], cn: Double): Double = {
           var acc = 0.0; var d = 0
-          val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
           while (d < 64) { acc += qv(d) * c(d); d += 1 }
           acc / (qn * cn)
         }

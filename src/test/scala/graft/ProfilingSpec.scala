@@ -216,6 +216,44 @@ class ProfilingSpec extends SparkSpecBase {
     }
   }
 
+  test("census-driven join: NULL-ONLY skew — nullHot flagged, build NOT " +
+    "exploded, nulls spread, row parity") {
+    import spark.implicits._
+    // the ONLY >=10%-share slice is the null key: hotKeys must stay
+    // empty (isin(null) never matches) but nullHot must fire, and the
+    // manual salted plan must keep every build row at salt 0 (the
+    // salt-all fallback would explode build x NumSalts — the
+    // measured-worst manual form) while spreading only null probe rows
+    val build = spark.range(1500)
+      .select($"id".as("k"), ($"id" * 7L).as("p"))
+    val probe = spark.range(6000)
+      .select(when($"id" % 2 === 0, lit(null).cast("long"))
+        .otherwise($"id" % 1500).as("k"),
+        $"id".as("v"))
+    val dec = Profiling.decideJoin(build, probe)
+    assert(dec.strategy === "salted", dec)
+    assert(dec.hotKeys.isEmpty, dec)
+    assert(dec.nullHot, dec)
+    val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val salted = Profiling.executeDecided(build, probe, dec)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"k", $"v", $"p").agg(count(lit(1)).as("m"))
+          .as[(Long, Long, Long, Long)].collect().toSet
+      assert(canon(salted) === canon(probe.join(build, Seq("k"))))
+      // the plan's explode arm is the constant no-spread branch: with
+      // isHot = lit(false) every build row carries sequence(0, 0) — an
+      // x8 explode would show sequence(0, 7) in the analyzed plan
+      val analyzed = salted.queryExecution.analyzed.toString
+      assert(!analyzed.contains("sequence(0, 7)") ||
+        analyzed.contains("CASE WHEN false"), analyzed.take(2000))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("anomaly MAD: medians match a single-node recount; outliers obey " +
     "the 3-MAD rule exactly") {
     import spark.implicits._

@@ -390,6 +390,66 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("twoLevelFrom compacts empty supers; kernel skips empty/NaN " +
+    "supers and never returns a non-child, degenerate probes included") {
+    import graft.functions.VecOps
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def vecOf(seed: Long): Array[Float] = Array.tabulate(6)(d =>
+      (java.lang.Math.floorMod(mix(seed * 53 + d), 2001) - 1000) / 1000.0f)
+    // REFINED structures (Lloyd rounds can orphan a super — the
+    // empty-cluster case the round-10 tests never reached): the
+    // compacted CSR must have strictly increasing offs and every probe
+    // must land on a real child
+    for (seed <- 0 until 40; refine <- 1 to 3) {
+      val k = 5 + seed % 20
+      val s0 = math.min(1 + seed % 7, k)
+      val codebook = (0 until k).map(j => (j.toLong, vecOf(seed * 31 + j)))
+      val cb2 = graft.operators.Similarity
+        .twoLevelFromSeq(codebook, s0, refine)
+      assert(cb2.offs.head === 0 && cb2.offs.last === k)
+      assert(cb2.offs.sliding(2).forall(p => p(1) > p(0)),
+        s"empty super survived compaction: ${cb2.offs.toSeq}")
+      val childIds = cb2.ids.toSet
+      for (pSeed <- 0 until 3; nprobe <- Seq(1, 2)) {
+        val pv = vecOf(seed * 977 + pSeed)
+        val nrm = math.sqrt(pv.map(x => x.toDouble * x).sum)
+        val res = VecOps.nearestCentroid2(
+          new GenericArrayData(pv), true, nrm,
+          cb2.superCents, cb2.superNorms, cb2.offs, cb2.ids, cb2.cents,
+          cb2.norms, nprobe)
+        assert(childIds.contains(res.getLong(1)), res.getLong(1))
+        assert(res.getLong(0) >= 0 &&
+          res.getLong(0) < cb2.superCents.length)
+      }
+      // zero-norm probe: all cosines NaN — the fallback must still
+      // return a deterministic REAL child, never Long.MinValue
+      val z = new GenericArrayData(Array.fill(6)(0.0f))
+      val rz = VecOps.nearestCentroid2(z, true, 0.0,
+        cb2.superCents, cb2.superNorms, cb2.offs, cb2.ids, cb2.cents,
+        cb2.norms, 1)
+      assert(childIds.contains(rz.getLong(1)), rz.getLong(1))
+    }
+    // hand-built CSR with an EMPTY first super (defense-in-depth for
+    // structures not built by twoLevelFrom): the kernel must skip it
+    // even when it is the nearest super
+    val sup = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val supN = Array(1.0, 1.0)
+    val offs = Array(0, 0, 2) // super 0: empty; super 1: children 0, 1
+    val ids = Array(7L, 9L)
+    val cents = Array(Array(1.0, 0.1), Array(0.0, 1.0))
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val probe = new GenericArrayData(Array(1.0f, 0.0f)) // nearest: sup 0
+    val r = VecOps.nearestCentroid2(probe, true, 1.0,
+      sup, supN, offs, ids, cents, norms, 1)
+    assert(r.getLong(0) === 1L && r.getLong(1) === 7L, r)
+  }
+
   test("TopKCosineAgg matches the window under NaN scores " +
     "(Double.compare total order, NaN ranked largest like Spark)") {
     import spark.implicits._
