@@ -1211,12 +1211,9 @@ object Similarity extends QueryModule {
     * ride the same projection); probes join on the cell and rank by
     * ADC distance through the bounded top-K aggregate.
     *
-    * Codes are PQ of the RAW vector (FAISS's IVFPQ encodes the
-    * RESIDUAL v − centroid for tighter quantization; raw-code ADC
-    * keeps every stage SQL-replayable — the oracle composes the
-    * two-level assignment chain with the PQ reconstruction chain
-    * verbatim — and the residual refinement changes the codes, not
-    * the plan shape). */
+    * Codes are PQ of the RAW vector; [[ivfPqResidualTopK]] is the
+    * residual-encoded refinement (FAISS's IVFPQ proper) with the same
+    * plan shape — both oracle-replayed end to end. */
   def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, d)
@@ -1241,6 +1238,66 @@ object Similarity extends QueryModule {
       .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
         $"col._1".as("neighbor_id"), (-$"col._2").as("adist"))
       .orderBy($"q_id", $"rank")
+  }
+
+  /** RESIDUAL IVF-PQ — the faithful FAISS IVFPQ: codes quantize the
+    * residual v − centroid(cell(v)) rather than the raw vector, so the
+    * PQ codebook models only the WITHIN-CELL distribution (tighter
+    * quantization for the same M bytes — the coarse quantizer already
+    * explains the between-cell variance) — and ADC compares the QUERY
+    * residual w.r.t. the probed cell against the codes. Search shape
+    * is identical to [[ivfPqTopK]] (cell-bounded candidates, code-width
+    * scan, bounded top-K); only the encoded quantity changes. The
+    * oracle replays the residual computation, the residual-trained PQ
+    * chain and the residual ADC verbatim — every arithmetic step is
+    * the same double fold on both engines. */
+  def ivfPqResidualTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val cb2 = twoLevelFrom(centroids(e), nSuper = 2)
+    // K-row centroid lookup (child vectors, already double) — broadcast
+    val centDf = broadcast(
+      cb2.ids.indices.map(j => (cb2.ids(j), cb2.cents(j).toSeq))
+        .toDF("centroid_id", "cvec"))
+    def residuals(src: DataFrame): DataFrame = src
+      .join(centDf, Seq("centroid_id"))
+      .select($"vec_id", $"centroid_id",
+        zip_with($"v", $"cvec",
+          (a, b) => a.cast("double") - b).as("rv"))
+    val res = residuals(assignTo2(e, cb2, nprobe = 1))
+    val pqcb = pqResidualCodebook(res)
+    val indexed = res.select($"vec_id", $"centroid_id",
+      graft.functions.VectorExpressions.pq_encode($"rv", pqcb)
+        .as("codes"))
+    val probes = broadcast(
+      residuals(assignTo2(e.where($"vec_id" >= 20 && $"vec_id" < 30),
+        cb2, nprobe = 1))
+        .select($"vec_id".as("q_id"), $"rv".as("qres"), $"centroid_id"))
+    indexed.join(probes, Seq("centroid_id"))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        graft.functions.VectorExpressions.pq_adc($"qres", $"codes", pqcb)
+          .as("adist"))
+      .groupBy($"q_id")
+      .agg(topKPairs(5)($"neighbor_id", -$"adist").as("nbrs"))
+      .select($"q_id", posexplode($"nbrs"))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._1".as("neighbor_id"), (-$"col._2").as("adist"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** [[pqCodebook]] over a residual frame (column `rv`, double). */
+  private def pqResidualCodebook(res: DataFrame)
+      : Array[Array[Array[Double]]] = {
+    import res.sparkSession.implicits._
+    val rows = res.where($"vec_id" < PqK)
+      .select($"vec_id", $"rv").orderBy($"vec_id").collect()
+    require(rows.map(_.getLong(0)).sameElements(0L until rows.length.toLong),
+      "PQ residual codebook seed rows must be the dense vec_ids 0..PqK-1")
+    val vs = rows.map(_.getSeq[Double](1).toArray)
+    Array.tabulate(PqM)(m =>
+      vs.map(v => java.util.Arrays.copyOfRange(v, m * PqSubDim,
+        (m + 1) * PqSubDim)))
   }
 
   def quantizeErr(s: SparkSession, d: String): DataFrame = {
@@ -1897,6 +1954,53 @@ object Similarity extends QueryModule {
           JOIN asg2 ea ON ea.centroid_id = pa.centroid_id
                       AND ea.vec_id <> pa.vec_id
           JOIN recon r ON r.vec_id = ea.vec_id
+          WHERE pa.vec_id >= 20 AND pa.vec_id < 30),
+        rk AS (SELECT q_id, neighbor_id, adist,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY adist, neighbor_id) AS BIGINT) AS rank
+               FROM p)
+        SELECT q_id, rank, neighbor_id, adist FROM rk WHERE rank <= 5
+        ORDER BY q_id, rank""")),
+    QueryDef(
+      "q_ivfpq_residual_topk", ivfPqResidualTopK, Some(s"""
+        $oracleVecs,
+        $oracleTwoLevelAsg,
+        res AS (
+          SELECT a2.vec_id, a2.centroid_id,
+                 list_transform(generate_series(1, len(e2.embedding)),
+                   k -> CAST(e2.embedding[k] AS DOUBLE)
+                      - CAST(c.cemb[k] AS DOUBLE)) AS rv0
+          FROM asg2 a2
+          JOIN e e2 ON e2.vec_id = a2.vec_id
+          JOIN c ON c.centroid_id = a2.centroid_id),
+        rcb AS (SELECT vec_id, rv0 FROM res WHERE vec_id < $PqK),
+        ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+        enc0 AS (
+          SELECT r.vec_id, ms.m, rcb.vec_id AS code,
+                 row_number() OVER (PARTITION BY r.vec_id, ms.m ORDER BY
+                   list_sum(list_transform(generate_series(1, $PqSubDim),
+                     j -> (r.rv0[ms.m*$PqSubDim+j] - rcb.rv0[ms.m*$PqSubDim+j])
+                        * (r.rv0[ms.m*$PqSubDim+j] - rcb.rv0[ms.m*$PqSubDim+j]))),
+                   rcb.vec_id) AS rn
+          FROM res r CROSS JOIN ms CROSS JOIN rcb),
+        pcodes AS (SELECT vec_id, m, code FROM enc0 WHERE rn = 1),
+        rsub AS (
+          SELECT cd.vec_id, cd.m,
+                 list_transform(generate_series(1, $PqSubDim),
+                   j -> c2.rv0[cd.m*$PqSubDim+j]) AS sub
+          FROM pcodes cd JOIN rcb c2 ON c2.vec_id = cd.code),
+        reconr AS (SELECT vec_id, flatten(list(sub ORDER BY m)) AS rrv
+                   FROM rsub GROUP BY vec_id),
+        p AS (
+          SELECT pa.vec_id AS q_id, ea.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, ${PqM * PqSubDim}),
+                   kk -> (pr.rv0[kk] - r.rrv[kk])
+                       * (pr.rv0[kk] - r.rrv[kk]))) AS adist
+          FROM asg2 pa
+          JOIN res pr ON pr.vec_id = pa.vec_id
+          JOIN asg2 ea ON ea.centroid_id = pa.centroid_id
+                      AND ea.vec_id <> pa.vec_id
+          JOIN reconr r ON r.vec_id = ea.vec_id
           WHERE pa.vec_id >= 20 AND pa.vec_id < 30),
         rk AS (SELECT q_id, neighbor_id, adist,
                       CAST(row_number() OVER (PARTITION BY q_id
