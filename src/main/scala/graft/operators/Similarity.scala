@@ -947,6 +947,90 @@ object Similarity extends QueryModule {
     * additionally interleaves its per-iter quality report; this helper
     * is the report-free form the deployment-geometry eval trains with).
     * Empty cells keep their centroid. */
+  /** [[lloydStep]] with TWO-LEVEL assignment — the round shape that
+    * makes deployment-K training affordable: the per-round assignment
+    * drops from O(n_train·K·D) to O(n_train·(√K + sp·√K)·D); the
+    * hierarchy is rebuilt from the CURRENT codebook each round (pure
+    * driver arithmetic, K×√K×D flops — bounded index metadata). */
+  private def lloydStep2(e: DataFrame, cb: Codebook,
+      superProbe: Int): Codebook = {
+    import e.sparkSession.implicits._
+    val s0 = math.max(8,
+      math.ceil(math.sqrt(cb.ids.length.toDouble)).toInt)
+    val cb2 = twoLevelFrom(cb, math.min(s0, cb.ids.length),
+      refineIters = 1)
+    val means = assignTo2(e, cb2, superProbe)
+      .select($"centroid_id", $"nrm", posexplode($"v"))
+      .select($"centroid_id", $"pos",
+        when($"nrm" > 0, $"col".cast("double") / $"nrm")
+          .otherwise(0.0).as("u"))
+      .groupBy($"centroid_id", $"pos")
+      .agg(avg($"u").as("m"))
+      .collect()
+      .groupBy(_.getLong(0))
+    val kept = cb.ids.zipWithIndex.map { case (id, i) =>
+      means.get(id) match {
+        case Some(rows) =>
+          val v = new Array[Double](cb.cents(i).length)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+          (id, v)
+        case None => (id, cb.cents(i))
+      }
+    }
+    Codebook(kept.map(_._1), kept.map(_._2),
+      kept.map(p => math.sqrt(p._2.map(x => x * x).sum)))
+  }
+
+  /** Hierarchically-accelerated spherical k-means — the TRAIN leg of
+    * the K ∝ corpus lever ([[twoLevelFrom]] covered build+probe; a
+    * deployment-K codebook also has to come from somewhere, and flat
+    * Lloyd at K = 25,000 over 10⁸ vectors is O(n·K·D) per round —
+    * hours). Two standard economies compose:
+    *  - train on a DETERMINISTIC HASH SAMPLE of ≈ `trainPerCell` rows
+    *    per centroid (FAISS's own sizing guidance: ~256/centroid is
+    *    enough for a coarse quantizer) — training cost bounded by K,
+    *    not the corpus;
+    *  - assign each round through the two-level structure rebuilt from
+    *    the current codebook (`superProbe` supers probed — 4 per the
+    *    ivf2_recall guidance), O(√K·D) per sample vector.
+    * Seeds are the k lowest-(hash, id) sample rows — deterministic, so
+    * retraining from the same table reproduces the same codebook
+    * (float-truncated for the public codebook contract). Returns
+    * (centroid_id = 0..k-1, centroid) ready for
+    * [[graft.streaming.StreamingPipeline.semanticDedupStream]] /
+    * [[twoLevelFromSeq]]. Not oracle-gated (training quality is a
+    * measured figure, ScaleBench `ivf2_train`): spec-pinned for
+    * determinism, shape and finiteness. */
+  private[graft] def trainedCodebook2(vectors: DataFrame, k: Int,
+      iters: Int, trainPerCell: Int = 256, superProbe: Int = 4)
+      : Seq[(Long, Array[Float])] = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    require(k >= 1 && iters >= 0)
+    val n = vectors.count()
+    val den = math.max(1L, n / math.max(trainPerCell.toLong * k, 1L))
+    val sample = vectors
+      .where(pmod(xxhash64($"vec_id"), lit(den)) === 0)
+      .select($"vec_id", $"v")
+      .withColumn("nrm", l2Norm($"v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedRows = sample
+        .orderBy(xxhash64($"vec_id"), $"vec_id").limit(k)
+        .select($"v").collect()
+      require(seedRows.length == k,
+        s"trainedCodebook2: sample too small for k=$k " +
+          s"(${seedRows.length} rows — lower trainPerCell or k)")
+      var cb = Codebook(
+        (0L until k.toLong).toArray,
+        seedRows.map(_.getSeq[Float](0).toArray.map(_.toDouble)),
+        seedRows.map(r =>
+          math.sqrt(r.getSeq[Float](0).map(x => x.toDouble * x).sum)))
+      (1 to iters).foreach(_ => cb = lloydStep2(sample, cb, superProbe))
+      cb.ids.indices.map(i => (cb.ids(i), cb.cents(i).map(_.toFloat)))
+    } finally { sample.unpersist(false); () }
+  }
+
   private def lloydStep(e: DataFrame, cb: Codebook): Codebook = {
     import e.sparkSession.implicits._
     val means = assignTo(e, cb)

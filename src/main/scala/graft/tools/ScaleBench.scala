@@ -168,7 +168,7 @@ object ScaleBench {
     val needCorpus = !requested.exists(
       _.subsetOf(Set("salt_vs_aqe", "ann_recall_deploy",
         "semdedup_deploy", "semstream_layout", "ivf2_deploy",
-        "ivf2_recall")))
+        "ivf2_recall", "ivf2_train")))
     // shapes that never read embeddings.parquet — a text-only probe
     // (e.g. the 10⁸ pair-family rung) skips the vector table's
     // generation cost and disk footprint entirely
@@ -1136,6 +1136,109 @@ object ScaleBench {
         standingF.unpersist(false)
       }
       standing.unpersist(false)
+      graft.Release.transients()
+    }
+    // Deployment-K codebook TRAINING through the hierarchy — the third
+    // leg of the K ∝ corpus lever (build and probe are ivf2_deploy;
+    // recall envelope is ivf2_recall; a real deployment also has to
+    // TRAIN the codebook, and flat Lloyd at K = n/4000 is O(n·K·D) per
+    // round). trainedCodebook2 samples ~256 rows/centroid and assigns
+    // each round through the two-level structure (superProbe 4):
+    // per-round cost bounded by K·trainPerCell·√K·D, independent of n.
+    // Quality: recall@10 (sp=4/np=4, trained codebook, two-level
+    // index+probe) vs the SAME measurement on the analytic-center
+    // codebook (ivf2_recall's reference) — trained-vs-oracle-codebook
+    // quality on one line.
+    if (only.forall(_.contains("ivf2_train"))) {
+      val cellTarget = 4000L
+      val K = math.max(64L, n / cellTarget).toInt
+      val S = math.max(8, math.ceil(math.sqrt(K.toDouble)).toInt)
+      val corpus = spark.range(0, n, 1, 32)
+        .map(i => (i, ivf2Member(i, K)))
+        .toDF("vec_id", "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpus.count()
+      val tT0 = System.nanoTime()
+      val trained = graft.operators.Similarity
+        .trainedCodebook2(corpus, K, iters = 3)
+      val trainSec = (System.nanoTime() - tT0) / 1e9
+      // recall with a given codebook: two-level index (sp=4) + driver
+      // cell ranking (sp=4, np=4) vs exact broadcast truth
+      val tk10 = udaf(
+        new graft.pipeline.Aggregators.TopKCosineAgg(10),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(Long, Double)]())
+      val probeIds = (0 until 100)
+        .map(i => java.lang.Math.floorMod(mix(i * 15485863L + 11L), n))
+        .distinct
+      val probeRows = probeIds.map(id => (id, ivf2Member(id, K)))
+      val probesDf = probeRows.toDF("q_id", "qv")
+        .withColumn("qn", graft.functions.VectorFunctions.l2Norm($"qv"))
+      def recallOf(codebook: Seq[(Long, Array[Float])]): Long = {
+        val cb2 = graft.operators.Similarity
+          .twoLevelFromSeq(codebook, S, refineIters = 2)
+        val standing = corpus
+          .withColumn("nrm", graft.functions.VectorFunctions.l2Norm($"v"))
+          .withColumn("_best", graft.functions.VectorExpressions
+            .nearest_centroid2($"v", $"nrm", cb2.superCents,
+              cb2.superNorms, cb2.offs, cb2.ids, cb2.cents, cb2.norms, 4))
+          .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
+            $"v", $"nrm")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        standing.count()
+        try {
+          val truth: Map[Long, Set[Long]] = standing
+            .join(broadcast(probesDf), $"vec_id" =!= $"q_id")
+            .select($"q_id", $"vec_id",
+              graft.functions.VectorFunctions
+                .cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cos"))
+            .groupBy($"q_id").agg(tk10($"vec_id", $"cos").as("nbrs"))
+            .as[(Long, Seq[Long])].collect()
+            .map { case (q, ns) => q -> ns.toSet }.toMap
+          def rankedCells(qv: Array[Float]): Array[Long] = {
+            val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+            def cosTo(c: Array[Double], cn: Double): Double = {
+              var acc = 0.0; var d = 0
+              while (d < 64) { acc += qv(d) * c(d); d += 1 }
+              acc / (qn * cn)
+            }
+            val supRank = cb2.superCents.indices
+              .sortBy(i =>
+                (-cosTo(cb2.superCents(i), cb2.superNorms(i)), i))
+              .take(4)
+            supRank.flatMap(sp => (cb2.offs(sp) until cb2.offs(sp + 1)))
+              .sortBy(j => (-cosTo(cb2.cents(j), cb2.norms(j)), cb2.ids(j)))
+              .take(4).map(j => cb2.ids(j)).toArray
+          }
+          val probeCells = probeRows.flatMap { case (q, qv) =>
+            rankedCells(qv).map(c => (q, c))
+          }.toDF("q_id", "centroid_id")
+          val approx: Map[Long, Set[Long]] = standing
+            .join(broadcast(probeCells), Seq("centroid_id"))
+            .join(broadcast(probesDf), Seq("q_id"))
+            .where($"vec_id" =!= $"q_id")
+            .select($"q_id", $"vec_id",
+              graft.functions.VectorFunctions
+                .cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cos"))
+            .groupBy($"q_id").agg(tk10($"vec_id", $"cos").as("nbrs"))
+            .as[(Long, Seq[Long])].collect()
+            .map { case (q, ns) => q -> ns.toSet }.toMap
+          val (hit, tot) = truth.toSeq.map { case (q, ts) =>
+            (approx.getOrElse(q, Set.empty).intersect(ts).size, ts.size)
+          }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+          hit.toLong * 1000000L / math.max(tot, 1)
+        } finally { standing.unpersist(false); () }
+      }
+      val trainedPpm = recallOf(trained)
+      val analytic = (0L until K.toLong).map(c =>
+        (c, Array.tabulate(64)(ivf2Center(c, _))))
+      val analyticPpm = recallOf(analytic)
+      println(f"""{"shape":"ivf2_train","n":$n,"k":$K,"s":$S,""" +
+        f""""noise":$ivf2Noise%.2f,"iters":3,"train_per_cell":256,""" +
+        f""""train_sec":$trainSec%.2f,""" +
+        f""""recall_ppm_trained":$trainedPpm,""" +
+        f""""recall_ppm_analytic":$analyticPpm}""")
+      corpus.unpersist(false)
       graft.Release.transients()
     }
     if (only.forall(_.contains("ann_recall_deploy"))) {

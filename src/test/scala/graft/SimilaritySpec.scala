@@ -390,6 +390,30 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("trainedCodebook2: deterministic, dense ascending ids, finite " +
+    "nonzero centroids, usable by the two-level builder") {
+    import spark.implicits._
+    val vecs = graft.ops.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".as("v"))
+    val a = Similarity.trainedCodebook2(vecs, k = 6, iters = 2,
+      trainPerCell = 16)
+    val b = Similarity.trainedCodebook2(vecs, k = 6, iters = 2,
+      trainPerCell = 16)
+    assert(a.map(_._1) === (0L until 6L))
+    assert(a.map(_._1) === b.map(_._1))
+    a.zip(b).foreach { case ((_, va), (_, vb)) =>
+      assert(va.toSeq === vb.toSeq) // retrain reproduces bit-identically
+    }
+    a.foreach { case (_, v) =>
+      assert(v.forall(x => !x.isNaN && !x.isInfinite))
+      assert(v.map(x => x.toDouble * x).sum > 0, "zero-norm centroid")
+    }
+    // the trained codebook feeds the hierarchy builder directly
+    val cb2 = Similarity.twoLevelFromSeq(a, nSuper = 2, refineIters = 1)
+    assert(cb2.offs.last === 6)
+    assert(cb2.offs.sliding(2).forall(p => p(1) > p(0)))
+  }
+
   test("twoLevelFrom compacts empty supers; kernel skips empty/NaN " +
     "supers and never returns a non-child, degenerate probes included") {
     import graft.functions.VecOps
