@@ -1320,6 +1320,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(cellDirs.exists(_.startsWith("centroid_id=")), cellDirs)
   }
 
+  test("TRAINED codebook end to end: trainedCodebook2 feeds the " +
+    "two-level streaming semantic dedup sink; twins flagged exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the full deployment path in one pin: train the coarse codebook
+    // from the corpus (hash sample + two-level Lloyd rounds), hand it
+    // to the streaming sink with hierarchical assignment, and verify
+    // colinear twins are flagged (colinear ⇒ identical assignment
+    // under ANY deterministic quantizer, trained or not)
+    val vecs = graft.ops.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".as("v"))
+    val codebook = graft.operators.Similarity
+      .trainedCodebook2(vecs, k = 6, iters = 2, trainPerCell = 16)
+    val indexDir = tmp(); val hitsDir = tmp(); val ckpt = tmp()
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = StreamingPipeline.semanticDedupStream(
+      stream.toDF().toDF("vec_id", "v"), codebook,
+      indexDir, hitsDir, ckpt, tau = 0.95,
+      partitionIndexByCell = true,
+      twoLevelSupers = Some(2), twoLevelNprobe = 1)
+    try {
+      // standing: two fixture vectors; twins: the same vectors scaled
+      val rows = vecs.where($"vec_id".isin(3L, 4L))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      assert(rows.length == 2)
+      stream.addData((1001L, rows(0)._2), (1002L, rows(1)._2))
+      q.processAllAvailable()
+      stream.addData((2001L, rows(0)._2.map(_ * 0.5f)),
+        (2002L, rows(1)._2.map(_ * 2.0f)))
+      q.processAllAvailable()
+      val hits = spark.read.parquet(hitsDir)
+        .select($"vec_id", $"matched_id").as[(Long, Long)].collect().toSet
+      assert(hits === Set((2001L, 1001L), (2002L, 1002L)), hits)
+    } finally q.stop()
+  }
+
   test("late-census parity: streamed fixture replay equals the oracle-gated batch census") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
