@@ -1370,6 +1370,160 @@ object Similarity extends QueryModule {
       .orderBy($"q_id", $"rank")
   }
 
+  /** The per-(subspace, code, dimension) EXACT Lloyd-update cells of the
+    * PQ sub-codebooks over `vectors` (must carry a vector column `vcol`)
+    * encoded with `book`: n members and the scaled-integer mean
+    * `c_val = (Σ floor(x·2²⁰)) / n / 2²⁰` — the same order-independent
+    * BIGINT-sum discipline as [[codebookUpdate]], so the update is
+    * bit-reproducible by a SQL oracle AND merge-order-independent
+    * across partitions (a straight double mean is neither). One narrow
+    * encode scan + a hash aggregate bounded at M×PqK×subDim cells per
+    * task by partial aggregation. */
+  private def pqTrainAgg(vectors: DataFrame, vcol: String,
+      book: Array[Array[Array[Double]]]): DataFrame = {
+    import vectors.sparkSession.implicits._
+    val subDim = book(0)(0).length
+    vectors
+      .select(col(vcol).as("_v"),
+        graft.functions.VectorExpressions.pq_encode(col(vcol), book)
+          .as("codes"))
+      .select($"codes", posexplode($"_v"))
+      .select(
+        floor($"pos" / lit(subDim)).cast("long").as("m"),
+        ($"pos" % subDim).cast("long").as("dim"),
+        element_at($"codes", ($"pos" / lit(subDim)).cast("int") + 1)
+          .as("code"),
+        floor($"col".cast("double") * lit(1048576L)).cast("long").as("sv"))
+      .groupBy($"m", $"code", $"dim")
+      .agg(count(lit(1)).as("n"),
+        (sum($"sv").cast("double") / count(lit(1)) / lit(1048576.0))
+          .as("c_val"))
+  }
+
+  /** PQ sub-codebook TRAINING, one exact Lloyd round as an oracle-gated
+    * query: encode the corpus with the SEED book ([[pqCodebook]] — the
+    * first-PqK rows' slices, the shipped gate convention), then emit
+    * the updated sub-centroid table (m, code, dim, n, c_val). This is
+    * the training arithmetic every deployed PQ index needs (seeded
+    * books quantize poorly — the sub-centroids must move to their
+    * members' means) pinned end to end against the SQL replay; the
+    * iterated deployment form is [[trainedPqBook]], which loops this
+    * exact aggregation on a bounded hash sample.
+    *
+    * Scale shape: the encode is ONE narrow codegen scan (the book rides
+    * [[graft.functions.PqEncodeExpr]]); the update shuffle is bounded
+    * at M × PqK × subDim cells per task by partial aggregation —
+    * index-metadata-sized regardless of corpus size. */
+  def pqTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    pqTrainAgg(e, "v", pqCodebook(e)).orderBy($"m", $"code", $"dim")
+  }
+
+  /** The trained gate book: seed sub-centroids moved one exact Lloyd
+    * round ([[pqTrainAgg]] collected — M×PqK×subDim cells of index
+    * metadata, the bounded class of [[centroids]]); a (m, code) pair
+    * with no members keeps its seed slice (the empty-cell rule every
+    * Lloyd step here uses). */
+  private def trainedPqGateBook(e: DataFrame): Array[Array[Array[Double]]] = {
+    val seed = pqCodebook(e)
+    val book = seed.map(_.map(_.clone()))
+    pqTrainAgg(e, "v", seed).collect().foreach { r =>
+      book(r.getLong(0).toInt)(r.getLong(1).toInt)(r.getLong(2).toInt) =
+        r.getDouble(4)
+    }
+    book
+  }
+
+  /** [[pqTopK]] through the TRAINED sub-codebooks — the deployment form
+    * of PQ search, oracle-replayed end to end: the oracle recomputes
+    * the seed encode, the exact scaled-integer Lloyd update, the
+    * re-encode against the trained book (strict-less argmin, ties to
+    * the lowest code) and the ADC fold, so the full train→encode→search
+    * chain is hash-gated, not just the seeded gate geometry. Same plan
+    * shape as [[pqTopK]]: one narrow encode scan, broadcast probes,
+    * bounded top-K aggregate. */
+  def pqTopKTrained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val book = trainedPqGateBook(e)
+    val enc = e.select($"vec_id",
+      graft.functions.VectorExpressions.pq_encode($"v", book).as("codes"))
+    val probes = broadcast(
+      e.where($"vec_id" >= 20 && $"vec_id" < 30)
+        .select($"vec_id".as("q_id"), $"v".as("qv")))
+    enc.join(probes, $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        graft.functions.VectorExpressions.pq_adc($"qv", $"codes", book)
+          .as("adist"))
+      .groupBy($"q_id")
+      .agg(topKPairs(5)($"neighbor_id", -$"adist").as("nbrs"))
+      .select($"q_id", posexplode($"nbrs"))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._1".as("neighbor_id"), (-$"col._2").as("adist"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** DEPLOYMENT PQ sub-codebook training — per-subspace k-means with
+    * the [[trainedCodebook2]] economies: train on a deterministic hash
+    * sample of ≈ `perCode` rows per code (cost bounded by k, not the
+    * corpus), each round ONE narrow encode scan of the sample + the
+    * exact scaled-integer update of [[pqTrainAgg]] (deterministic AND
+    * partition-order-independent, so retraining from the same table
+    * reproduces the same book bit-for-bit — the replay contract).
+    * Seeds are the k lowest-(hash, id) sample rows' sub-slices; empty
+    * codes keep their current sub-centroid. Works over any vector
+    * column (`vcol` float or double array) — the RESIDUAL variant of
+    * the FAISS IVFPQ recipe is this function applied to a residual
+    * frame (v − centroid(cell(v)), as [[ivfPqResidualTopK]] builds).
+    * Not oracle-gated at deployment k (quality is a measured figure —
+    * ScaleBench `pq_train`); [[pqTrain]] gates the identical round
+    * arithmetic at the fixture geometry. Spec-pinned for determinism,
+    * shape, and distortion improvement over the seed book. */
+  private[graft] def trainedPqBook(vectors: DataFrame, vcol: String,
+      idCol: String, mSub: Int, subDim: Int, k: Int, iters: Int,
+      perCode: Int = 256): Array[Array[Array[Double]]] = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    require(mSub >= 1 && subDim >= 1 && k >= 1 && iters >= 0)
+    val n = vectors.count()
+    val den = math.max(1L, n / math.max(perCode.toLong * k, 1L))
+    val sample = vectors
+      .where(pmod(xxhash64(col(idCol)), lit(den)) === 0)
+      .select(col(idCol).as("_id"), col(vcol).as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedRows = sample
+        .orderBy(xxhash64($"_id"), $"_id").limit(k)
+        .select($"_v").collect()
+      require(seedRows.length == k,
+        s"trainedPqBook: sample too small for k=$k " +
+          s"(${seedRows.length} rows — lower perCode or k)")
+      def slice(r: org.apache.spark.sql.Row): Array[Array[Double]] = {
+        val v = r.get(0).asInstanceOf[scala.collection.Seq[Any]]
+          .map {
+            case f: Float => f.toDouble
+            case dd: Double => dd
+          }.toArray
+        require(v.length == mSub * subDim,
+          s"trainedPqBook: vector dim ${v.length} != $mSub*$subDim")
+        Array.tabulate(mSub)(m =>
+          java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim))
+      }
+      val seedSlices = seedRows.map(slice)
+      var book = Array.tabulate(mSub, k)((m, c) => seedSlices(c)(m))
+      (1 to iters).foreach { _ =>
+        val next = book.map(_.map(_.clone()))
+        pqTrainAgg(sample, "_v", book).collect().foreach { r =>
+          next(r.getLong(0).toInt)(r.getLong(1).toInt)(r.getLong(2).toInt) =
+            r.getDouble(4)
+        }
+        book = next
+      }
+      book
+    } finally { sample.unpersist(false); () }
+  }
+
   /** [[pqCodebook]] over a residual frame (column `rv`, double). */
   private def pqResidualCodebook(res: DataFrame)
       : Array[Array[Array[Double]]] = {
@@ -2018,6 +2172,83 @@ object Similarity extends QueryModule {
           SELECT pr.q_id, r.vec_id AS neighbor_id,
                  ${oracleAdc("pr.qe", "r.rv")} AS adist
           FROM pr CROSS JOIN recon r
+          WHERE r.vec_id <> pr.q_id),
+        rk AS (SELECT q_id, neighbor_id, adist,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY adist, neighbor_id) AS BIGINT) AS rank
+               FROM p)
+        SELECT q_id, rank, neighbor_id, adist FROM rk WHERE rank <= 5
+        ORDER BY q_id, rank""")),
+    QueryDef(
+      // one exact Lloyd round of the PQ sub-codebooks: seed encode,
+      // then the scaled-integer per-(m, code, dim) mean — the same
+      // BIGINT discipline as q_codebook_update, so both engines
+      // compute the identical doubles
+      "q_pq_train", pqTrain, Some(s"""
+        $oraclePq,
+        js AS (SELECT unnest(generate_series(1, $PqSubDim)) AS j)
+        SELECT CAST(cd.m AS BIGINT) AS m, cd.code,
+               CAST(js.j - 1 AS BIGINT) AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(
+                 CAST(em.embedding[cd.m*$PqSubDim+js.j] AS DOUBLE)
+                   * 1048576) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1048576.0 AS c_val
+        FROM codes cd
+        JOIN embeddings em ON em.vec_id = cd.vec_id
+        CROSS JOIN js
+        GROUP BY 1, 2, 3 ORDER BY m, code, dim""")),
+    QueryDef(
+      // ADC top-K through the TRAINED book: the oracle replays seed
+      // encode -> exact Lloyd update (empty codes keep their seed
+      // slice) -> re-encode (strict-less argmin, ties to the lowest
+      // code) -> flattened-fold ADC, all in the kernels' arithmetic
+      "q_pq_topk_trained", pqTopKTrained, Some(s"""
+        $oraclePq,
+        js AS (SELECT unnest(generate_series(1, $PqSubDim)) AS j),
+        trm AS (
+          SELECT cd.m, cd.code, js.j AS j,
+                 CAST(sum(CAST(floor(
+                   CAST(em.embedding[cd.m*$PqSubDim+js.j] AS DOUBLE)
+                     * 1048576) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1048576.0 AS c_val
+          FROM codes cd
+          JOIN embeddings em ON em.vec_id = cd.vec_id
+          CROSS JOIN js
+          GROUP BY 1, 2, 3),
+        tb AS (SELECT m, code, list(c_val ORDER BY j) AS sub
+               FROM trm GROUP BY m, code),
+        seedb AS (
+          SELECT ms.m, cb.vec_id AS code,
+                 list_transform(generate_series(1, $PqSubDim),
+                   j -> CAST(cb.embedding[ms.m*$PqSubDim+j] AS DOUBLE))
+                   AS sub
+          FROM ms CROSS JOIN cb),
+        book AS (
+          SELECT s0.m, s0.code, coalesce(t.sub, s0.sub) AS sub
+          FROM seedb s0
+          LEFT JOIN tb t ON t.m = s0.m AND t.code = s0.code),
+        e1 AS (
+          SELECT em.vec_id, b.m, b.code,
+                 row_number() OVER (PARTITION BY em.vec_id, b.m ORDER BY
+                   list_sum(list_transform(generate_series(1, $PqSubDim),
+                     j -> (CAST(em.embedding[b.m*$PqSubDim+j] AS DOUBLE)
+                         - b.sub[j])
+                        * (CAST(em.embedding[b.m*$PqSubDim+j] AS DOUBLE)
+                         - b.sub[j]))),
+                   b.code) AS rn
+          FROM embeddings em CROSS JOIN book b),
+        codes1 AS (SELECT vec_id, m, code FROM e1 WHERE rn = 1),
+        recon1 AS (
+          SELECT cd.vec_id, flatten(list(b.sub ORDER BY cd.m)) AS rv1
+          FROM codes1 cd JOIN book b ON b.m = cd.m AND b.code = cd.code
+          GROUP BY cd.vec_id),
+        pr AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+               WHERE vec_id >= 20 AND vec_id < 30),
+        p AS (
+          SELECT pr.q_id, r.vec_id AS neighbor_id,
+                 ${oracleAdc("pr.qe", "r.rv1")} AS adist
+          FROM pr CROSS JOIN recon1 r
           WHERE r.vec_id <> pr.q_id),
         rk AS (SELECT q_id, neighbor_id, adist,
                       CAST(row_number() OVER (PARTITION BY q_id

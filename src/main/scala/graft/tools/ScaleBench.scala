@@ -168,7 +168,7 @@ object ScaleBench {
     val needCorpus = !requested.exists(
       _.subsetOf(Set("salt_vs_aqe", "ann_recall_deploy",
         "semdedup_deploy", "semstream_layout", "ivf2_deploy",
-        "ivf2_recall", "ivf2_train")))
+        "ivf2_recall", "ivf2_train", "pq_train")))
     // shapes that never read embeddings.parquet — a text-only probe
     // (e.g. the 10⁸ pair-family rung) skips the vector table's
     // generation cost and disk footprint entirely
@@ -1239,6 +1239,158 @@ object ScaleBench {
         f""""recall_ppm_trained":$trainedPpm,""" +
         f""""recall_ppm_analytic":$analyticPpm}""")
       corpus.unpersist(false)
+      graft.Release.transients()
+    }
+    // SEEDED vs TRAINED PQ sub-codebooks at deployment geometry — the
+    // quality axis the hash gates can't price (q_pq_train pins the
+    // round ARITHMETIC at the fixture; this rung measures what the
+    // training BUYS): K=256 coarse cells (analytic centers), corpus
+    // assigned once, then four IVFADC lanes over the SAME nprobe=4
+    // candidates — raw/residual codes, each with the first-256-row
+    // SEED book (the gate convention the r11 verdict flagged) and the
+    // trainedPqBook (bounded hash sample, exact scaled-integer
+    // rounds). An exact-L2 lane on the same candidates is the recall
+    // CEILING of the cell truncation, so the quantization loss reads
+    // as (ceiling − lane), cleanly attributed. Truth = brute exact-L2
+    // top-10 over the full corpus. avg_recon is the mean ADC
+    // self-distance (the distortion the Lloyd rounds minimize).
+    if (only.forall(_.contains("pq_train"))) {
+      val K = 256
+      val coarse = Array.tabulate(K)(c =>
+        Array.tabulate(64)(d => ivf2Center(c.toLong, d).toDouble))
+      val coarseNorms = coarse.map(c => math.sqrt(c.map(x => x * x).sum))
+      val coarseIds = (0L until K.toLong).toArray
+      val centDf = broadcast(coarseIds.indices
+        .map(j => (coarseIds(j), coarse(j).toSeq))
+        .toDF("centroid_id", "cvec"))
+      // one narrow assignment scan; rv (the residual) rides the same
+      // persist so every lane reads one cached table
+      val indexed = spark.range(0, n, 1, 32)
+        .map(i => (i, ivf2Member(i, K)))
+        .toDF("vec_id", "v")
+        .withColumn("nrm", graft.functions.VectorFunctions.l2Norm($"v"))
+        .withColumn("_best", graft.functions.VectorExpressions
+          .nearest_centroid($"v", $"nrm", coarseIds, coarse, coarseNorms))
+        .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
+          $"v", $"nrm")
+        .join(centDf, Seq("centroid_id"))
+        .select($"vec_id", $"centroid_id", $"v", $"nrm",
+          zip_with($"v", $"cvec", (a, b) => a.cast("double") - b).as("rv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      indexed.count()
+      def sliceBook(rows: Array[Array[Double]]): Array[Array[Array[Double]]] =
+        Array.tabulate(8, K)((m, c) =>
+          java.util.Arrays.copyOfRange(rows(c), m * 8, (m + 1) * 8))
+      val seedRaw = sliceBook(indexed.where($"vec_id" < K)
+        .orderBy($"vec_id").select($"v").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble)))
+      val seedRes = sliceBook(indexed.where($"vec_id" < K)
+        .orderBy($"vec_id").select($"rv").collect()
+        .map(_.getSeq[Double](0).toArray))
+      val tR0 = System.nanoTime()
+      val trainedRaw = graft.operators.Similarity.trainedPqBook(
+        indexed, "v", "vec_id", mSub = 8, subDim = 8, k = K, iters = 5)
+      val rawTrainSec = (System.nanoTime() - tR0) / 1e9
+      val tS0 = System.nanoTime()
+      val trainedRes = graft.operators.Similarity.trainedPqBook(
+        indexed, "rv", "vec_id", mSub = 8, subDim = 8, k = K, iters = 5)
+      val resTrainSec = (System.nanoTime() - tS0) / 1e9
+      // probes + exact-L2 truth (one brute broadcast scan)
+      val probeIds = (0 until 100)
+        .map(i => java.lang.Math.floorMod(mix(i * 15485863L + 11L), n))
+        .distinct
+      val probeRows = probeIds.map(id => (id, ivf2Member(id, K)))
+      val tk10 = udaf(
+        new graft.pipeline.Aggregators.TopKCosineAgg(10),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(Long, Double)]())
+      val probesDf = probeRows.toDF("q_id", "qv")
+        .withColumn("qn2",
+          graft.functions.VectorExpressions.array_dot($"qv", $"qv"))
+      val tT0 = System.nanoTime()
+      val truth: Map[Long, Set[Long]] = indexed
+        .join(broadcast(probesDf), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (-($"qn2" + $"nrm" * $"nrm" - lit(2.0) *
+            graft.functions.VectorExpressions.array_dot($"qv", $"v")))
+            .as("score"))
+        .groupBy($"q_id").agg(tk10($"vec_id", $"score").as("nbrs"))
+        .as[(Long, Seq[Long])].collect()
+        .map { case (q, ns) => q -> ns.toSet }.toMap
+      val truthSec = (System.nanoTime() - tT0) / 1e9
+      // nprobe=4 cells per probe, ranked by exact L2 to the centers
+      // (driver: |probes| × K × D — bounded index metadata); the
+      // residual lanes need the probe's residual W.R.T. EACH probed
+      // cell, so it rides the probe-cells broadcast
+      val nprobe = 4
+      val probeCells = probeRows.flatMap { case (q, qv) =>
+        val qn2 = qv.map(x => x.toDouble * x).sum
+        (0 until K).sortBy { c =>
+          var acc = 0.0; var d = 0
+          while (d < 64) {
+            val t = qv(d) - coarse(c)(d); acc += t * t; d += 1
+          }
+          (acc, c)
+        }.take(nprobe).map { c =>
+          (q, c.toLong, qv.toSeq, qn2,
+            Array.tabulate(64)(d => qv(d) - coarse(c)(d)).toSeq)
+        }
+      }.toDF("q_id", "centroid_id", "qv", "qn2", "qres")
+      def lane(name: String, trainSec: Double,
+          idx: org.apache.spark.sql.DataFrame, // the stored index facet
+          score: org.apache.spark.sql.Column,
+          avgRecon: Option[Double]): Unit = {
+        val t0 = System.nanoTime()
+        val approx: Map[Long, Set[Long]] = idx
+          .join(broadcast(probeCells), Seq("centroid_id"))
+          .where($"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id", score.as("score"))
+          .groupBy($"q_id").agg(tk10($"vec_id", $"score").as("nbrs"))
+          .as[(Long, Seq[Long])].collect()
+          .map { case (q, ns) => q -> ns.toSet }.toMap
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (hit, tot) = truth.toSeq.map { case (q, ts) =>
+          (approx.getOrElse(q, Set.empty).intersect(ts).size, ts.size)
+        }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+        val ppm = hit.toLong * 1000000L / math.max(tot, 1)
+        val recon = avgRecon
+          .map(r => f""""avg_recon":$r%.4f,""").getOrElse("")
+        println(f"""{"shape":"pq_train","n":$n,"k_coarse":$K,""" +
+          f""""pq_m":8,"pq_k":$K,"nprobe":$nprobe,"variant":"$name",""" +
+          f""""n_probes":${probeIds.size},"n_hit":$hit,"n_true":$tot,""" +
+          f""""recall_ppm":$ppm,$recon"truth_sec":$truthSec%.2f,""" +
+          f""""train_sec":$trainSec%.2f,"sec":$sec%.2f}""")
+      }
+      // one encoded-index scan per book: the M-byte code column IS the
+      // stored facet a deployed IVFADC reads (the raw vectors never
+      // reach the search); avg recon err rides the same encode
+      def encoded(vcol: String, book: Array[Array[Array[Double]]])
+          : (org.apache.spark.sql.DataFrame, Double) = {
+        val e = indexed.select($"vec_id", $"centroid_id",
+          graft.functions.VectorExpressions
+            .pq_encode(col(vcol), book).as("codes"),
+          graft.functions.VectorExpressions.pq_adc(col(vcol),
+            graft.functions.VectorExpressions.pq_encode(col(vcol), book),
+            book).as("_re"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val recon = e.agg(avg($"_re")).collect().head.getDouble(0)
+        (e.drop("_re"), recon)
+      }
+      lane("ivf_exact", 0.0, indexed,
+        -($"qn2" + $"nrm" * $"nrm" - lit(2.0) *
+          graft.functions.VectorExpressions.array_dot($"qv", $"v")), None)
+      Seq(("raw_seed", "v", seedRaw, 0.0, "qv"),
+        ("raw_trained", "v", trainedRaw, rawTrainSec, "qv"),
+        ("res_seed", "rv", seedRes, 0.0, "qres"),
+        ("res_trained", "rv", trainedRes, resTrainSec, "qres"))
+        .foreach { case (name, vcol, book, tSec, qcol) =>
+          val (idx, recon) = encoded(vcol, book)
+          try lane(name, tSec, idx,
+            -graft.functions.VectorExpressions
+              .pq_adc(col(qcol), $"codes", book), Some(recon))
+          finally { idx.unpersist(false); () }
+        }
+      indexed.unpersist(false)
       graft.Release.transients()
     }
     if (only.forall(_.contains("ann_recall_deploy"))) {

@@ -414,6 +414,57 @@ class SimilaritySpec extends SparkSpecBase {
     assert(cb2.offs.sliding(2).forall(p => p(1) > p(0)))
   }
 
+  test("trainedPqBook: deterministic, correct shape, float and double " +
+    "inputs, and the trained book beats the seed book's distortion") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = graft.ops.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".as("v"))
+    val a = Similarity.trainedPqBook(vecs, "v", "vec_id",
+      mSub = 8, subDim = 8, k = 4, iters = 2, perCode = 16)
+    val b = Similarity.trainedPqBook(vecs, "v", "vec_id",
+      mSub = 8, subDim = 8, k = 4, iters = 2, perCode = 16)
+    assert(a.length === 8)
+    a.foreach { sub =>
+      assert(sub.length === 4)
+      sub.foreach { c =>
+        assert(c.length === 8)
+        assert(c.forall(x => !x.isNaN && !x.isInfinite))
+      }
+    }
+    // retrain from the same table reproduces the book bit-identically
+    a.zip(b).foreach { case (sa, sb) =>
+      sa.zip(sb).foreach { case (ca, cb) => assert(ca.toSeq === cb.toSeq) }
+    }
+    // the residual contract: the same trainer runs on a DOUBLE array
+    // column (the rv frames ivfPqResidualTopK builds) with the same
+    // determinism
+    val dbl = vecs.select($"vec_id",
+      transform($"v", x => x.cast("double")).as("v"))
+    val d1 = Similarity.trainedPqBook(dbl, "v", "vec_id",
+      mSub = 8, subDim = 8, k = 4, iters = 1, perCode = 16)
+    val d2 = Similarity.trainedPqBook(dbl, "v", "vec_id",
+      mSub = 8, subDim = 8, k = 4, iters = 1, perCode = 16)
+    d1.zip(d2).foreach { case (sa, sb) =>
+      sa.zip(sb).foreach { case (ca, cb) => assert(ca.toSeq === cb.toSeq) }
+    }
+    // quality: mean ADC self-distance (reconstruction error) of the
+    // trained book strictly under the seed book's — the defect the
+    // trainer exists to fix (seed sub-centroids are arbitrary rows)
+    val seed = Similarity.trainedPqBook(vecs, "v", "vec_id",
+      mSub = 8, subDim = 8, k = 4, iters = 0, perCode = 16)
+    def meanErr(book: Array[Array[Array[Double]]]): Double = {
+      val e = vecs.select($"v",
+        graft.functions.VectorExpressions.pq_encode($"v", book).as("c"))
+      e.select(avg(graft.functions.VectorExpressions
+        .pq_adc($"v", $"c", book))).collect().head.getDouble(0)
+    }
+    val errSeed = meanErr(seed)
+    val errTrained = meanErr(a)
+    assert(errTrained < errSeed,
+      s"trained $errTrained !< seed $errSeed")
+  }
+
   test("twoLevelFrom compacts empty supers; kernel skips empty/NaN " +
     "supers and never returns a non-child, degenerate probes included") {
     import graft.functions.VecOps
