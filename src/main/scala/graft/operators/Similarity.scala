@@ -175,10 +175,40 @@ object Similarity extends QueryModule {
     * scan is O(K·D) per probe vector, i.e. assignment cost grows
     * linearly with the corpus; the two-level scan is
     * O((S + nprobe·K/S)·D), minimized at S ≈ √K. */
+  /** `marginMean` / `marginP10` are the SELF-REPORTED recall regime of
+    * the hierarchy: over all children (zero-norm children excluded),
+    * the gap `cos(child, nearest super) − cos(child, second super)`.
+    * A probe near a child misroutes only when its super ranking
+    * diverges from the child's, and the room it has to diverge is
+    * exactly this gap — so the statistic predicts the HIERARCHY's
+    * recall cost (recall_2l / recall_flat at the same nprobe — cell
+    * truncation is the corpus's, not the hierarchy's) WITHOUT
+    * re-running the recall rung. MEASURED (ScaleBench `ivf2_margin`,
+    * flat-IVF baseline in-run, noise 0.6; 10⁶/K=250/S=16 and
+    * 10⁷/K=2,500/S=50):
+    *  - clustered codebook (children around S anchor directions — the
+    *    shape [[trainedCodebook2]] yields on a manifold corpus):
+    *    marginMean 0.70-0.75, marginP10 0.63-0.64 → hierarchy ratio
+    *    1.000 at BOTH scales, at EVERY config down to sp=1/np=1 — the
+    *    super layer is free; trust nprobe 1-4.
+    *  - isotropic random-direction codebook (ivf2_recall's worst
+    *    case): the margin THINS with K (marginMean 0.194/p10 0.050 at
+    *    K=250 → 0.0996/0.0162 at K=2,500) and the ratio tracks it
+    *    (0.82-0.89 → 0.54-0.71 at sp=1-2; 0.325 absolute at
+    *    10⁸/K=25,000 per ivf2_recall) — raise index-time AND
+    *    probe-time super fan-out (idxSp/superProbe ≥ 4, recovering
+    *    0.88-0.99) or retrain the codebook on the corpus manifold
+    *    before trusting the index.
+    * Guidance: marginP10 ≳ 0.3 ⇒ clustered regime, sp=1 is safe;
+    * marginP10 ≲ 0.1 ⇒ isotropic regime, budget idxSp/sp ≥ 4.
+    * Both are +∞ when the structure has a single live super (every
+    * probe scans all children — routing cannot lose). The pairing is
+    * re-measured by the rung each run and pinned in SimilaritySpec
+    * for the two geometries. */
   private[graft] case class Codebook2(
       superCents: Array[Array[Double]], superNorms: Array[Double],
       offs: Array[Int], ids: Array[Long], cents: Array[Array[Double]],
-      norms: Array[Double])
+      norms: Array[Double], marginMean: Double, marginP10: Double)
 
   /** Build a [[Codebook2]] over an existing flat codebook — pure
     * driver arithmetic on K centroid rows (K × nSuper × D flops per
@@ -270,8 +300,45 @@ object Similarity extends QueryModule {
     val offs = new Array[Int](nLive + 1)
     order.foreach(j => offs(asgC(j) + 1) += 1)
     (1 to nLive).foreach(s => offs(s) += offs(s - 1))
-    Codebook2(live.map(sup), live.map(supN), offs,
-      order.map(cb.ids), order.map(cb.cents), order.map(cb.norms))
+    // self-reported recall regime: per-child top1−top2 super cosine
+    // gap over the LIVE supers (K × nLive × D driver flops — the same
+    // bounded-metadata class as the build itself). See Codebook2's
+    // scaladoc for the statistic ↔ measured-recall pairing.
+    val liveSup = live.map(sup)
+    val liveSupN = live.map(supN)
+    val (mMean, mP10) =
+      if (nLive < 2) (Double.PositiveInfinity, Double.PositiveInfinity)
+      else {
+        val margins = (0 until k).iterator
+          .filter(j => cb.norms(j) > 0)
+          .map { j =>
+            var best = Double.NegativeInfinity
+            var second = Double.NegativeInfinity
+            var s = 0
+            while (s < nLive) {
+              if (liveSupN(s) > 0) {
+                var acc = 0.0
+                var d = 0
+                while (d < dim) { acc += cb.cents(j)(d) * liveSup(s)(d); d += 1 }
+                val cos = acc / (cb.norms(j) * liveSupN(s))
+                if (cos > best) { second = best; best = cos }
+                else if (cos > second) { second = cos }
+              }
+              s += 1
+            }
+            best - second
+          }
+          .filterNot(_.isNaN).toArray
+        if (margins.isEmpty) (Double.NaN, Double.NaN)
+        else {
+          val sorted = margins.sorted
+          (margins.sum / margins.length,
+            sorted(((sorted.length - 1) * 0.1).toInt))
+        }
+      }
+    Codebook2(liveSup, liveSupN, offs,
+      order.map(cb.ids), order.map(cb.cents), order.map(cb.norms),
+      mMean, mP10)
   }
 
   /** [[twoLevelFrom]] over a public (centroid_id, centroid) codebook

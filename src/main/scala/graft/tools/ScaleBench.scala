@@ -119,6 +119,26 @@ object ScaleBench {
       ivf2Center(c, d) + noise * ivf2Noise
     }
   }
+  /** ivf2_margin lane generators (object-level so executor closures
+    * reference the module statically instead of capturing an
+    * eta-expanded function value): `hier = true` plants children
+    * around S anchor directions — the geometry a manifold-trained
+    * codebook has; `false` is ivf2Center's isotropic worst case. */
+  private def marginCenter(hier: Boolean, s: Int, c: Long, d: Int): Float =
+    if (hier)
+      ivf2Center(java.lang.Math.floorMod(c, s.toLong), d) +
+        0.22f * ((java.lang.Math.floorMod(mix(c * 71L + d * 13L + 5L),
+          2001) - 1000) / 1000.0f)
+    else ivf2Center(c, d)
+  private def marginMember(
+      hier: Boolean, s: Int, k: Int, id: Long): Array[Float] = {
+    val c = ivf2Cluster(id, k)
+    Array.tabulate(64) { d =>
+      val noise =
+        (java.lang.Math.floorMod(mix(id * 977 + d), 2001) - 1000) / 1000.0f
+      marginCenter(hier, s, c, d) + noise * ivf2Noise
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(100000L)
@@ -168,7 +188,7 @@ object ScaleBench {
     val needCorpus = !requested.exists(
       _.subsetOf(Set("salt_vs_aqe", "ann_recall_deploy",
         "semdedup_deploy", "semstream_layout", "ivf2_deploy",
-        "ivf2_recall", "ivf2_train", "pq_train")))
+        "ivf2_recall", "ivf2_train", "ivf2_margin", "pq_train")))
     // shapes that never read embeddings.parquet — a text-only probe
     // (e.g. the 10⁸ pair-family rung) skips the vector table's
     // generation cost and disk footprint entirely
@@ -984,6 +1004,12 @@ object ScaleBench {
         (c, Array.tabulate(64)(ivf2Center(c, _))))
       val cb2 = graft.operators.Similarity
         .twoLevelFromSeq(codebook, S, refineIters = 2)
+      // the build-time self-report the recall lines below calibrate:
+      // a deployment reads THIS statistic instead of re-running the rung
+      println(f"""{"shape":"ivf2_margin","n":$n,"k":$K,"s":$S,""" +
+        f""""noise":$ivf2Noise%.2f,""" +
+        f""""margin_mean":${cb2.marginMean}%.4f,""" +
+        f""""margin_p10":${cb2.marginP10}%.4f}""")
       def standingAt(idxSp: Int) = spark.range(0, n, 1, 32)
         .map(i => (i, ivf2Member(i, K)))
         .toDF("vec_id", "v")
@@ -1149,6 +1175,139 @@ object ScaleBench {
     // index+probe) vs the SAME measurement on the analytic-center
     // codebook (ivf2_recall's reference) — trained-vs-oracle-codebook
     // quality on one line.
+    // ivf2_margin: the Codebook2 self-report calibrated against
+    // MEASURED recall for both codebook geometries in ONE run. The
+    // isotropic lane is ivf2_recall's worst case (random-direction
+    // children — near-zero super margins); the clustered lane plants
+    // children around S anchor directions (the shape trainedCodebook2
+    // yields on a manifold-structured corpus — real embedding
+    // geometry). Each lane runs a FLAT-IVF baseline (flat assignment +
+    // full-K probe ranking) at the same nprobe next to the two-level
+    // form: raw recall conflates cell truncation (a property of the
+    // corpus, identical for both index forms) with super MISROUTING
+    // (what the hierarchy adds and the margin statistic predicts) —
+    // the number keyed to the statistic is recall_2l / recall_flat.
+    if (only.forall(_.contains("ivf2_margin"))) {
+      val cellTarget = 4000L
+      val K = math.max(64L, n / cellTarget).toInt
+      val S = math.max(8, math.ceil(math.sqrt(K.toDouble)).toInt)
+      val tk10 = udaf(
+        new graft.pipeline.Aggregators.TopKCosineAgg(10),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(Long, Double)]())
+      Seq(("isotropic", false), ("clustered", true)).foreach {
+        case (tag, hier) =>
+          val codebook = (0L until K.toLong).map(c =>
+            (c, Array.tabulate(64)(marginCenter(hier, S, c, _))))
+          val cb2 = graft.operators.Similarity
+            .twoLevelFromSeq(codebook, S, refineIters = 2)
+          val standing = spark.range(0, n, 1, 32)
+            .map(i => (i, marginMember(hier, S, K, i)))
+            .toDF("vec_id", "v")
+            .withColumn("nrm", graft.functions.VectorFunctions.l2Norm($"v"))
+            .withColumn("_best", graft.functions.VectorExpressions
+              .nearest_centroid2($"v", $"nrm", cb2.superCents,
+                cb2.superNorms, cb2.offs, cb2.ids, cb2.cents, cb2.norms, 1))
+            .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
+              $"v", $"nrm")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          standing.count()
+          val probeIds = (0 until 100)
+            .map(i => java.lang.Math.floorMod(mix(i * 15485863L + 11L), n))
+            .distinct
+          val probeRows = probeIds.map(id =>
+            (id, marginMember(hier, S, K, id)))
+          val probesDf = probeRows.toDF("q_id", "qv")
+            .withColumn("qn", graft.functions.VectorFunctions.l2Norm($"qv"))
+          val truth: Map[Long, Set[Long]] = standing
+            .join(broadcast(probesDf), $"vec_id" =!= $"q_id")
+            .select($"q_id", $"vec_id",
+              graft.functions.VectorFunctions
+                .cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cos"))
+            .groupBy($"q_id").agg(tk10($"vec_id", $"cos").as("nbrs"))
+            .as[(Long, Seq[Long])].collect()
+            .map { case (q, ns) => q -> ns.toSet }.toMap
+          def cosToF(qv: Array[Float], qn: Double)(
+              c: Array[Double], cn: Double): Double = {
+            var acc = 0.0; var d = 0
+            while (d < 64) { acc += qv(d) * c(d); d += 1 }
+            acc / (qn * cn)
+          }
+          def rankedCells(qv: Array[Float], superProbe: Int): Array[Long] = {
+            val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+            val cosTo = cosToF(qv, qn) _
+            cb2.superCents.indices
+              .sortBy(i => (-cosTo(cb2.superCents(i), cb2.superNorms(i)), i))
+              .take(superProbe)
+              .flatMap(sp => (cb2.offs(sp) until cb2.offs(sp + 1)))
+              .sortBy(j => (-cosTo(cb2.cents(j), cb2.norms(j)), cb2.ids(j)))
+              .map(j => cb2.ids(j)).toArray
+          }
+          val cbCentsF = codebook.map(_._2.map(_.toDouble)).toArray
+          val cbNormsF = cbCentsF.map(c => math.sqrt(c.map(x => x * x).sum))
+          def rankedCellsFlat(qv: Array[Float]): Array[Long] = {
+            val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+            val cosTo = cosToF(qv, qn) _
+            cbCentsF.indices
+              .sortBy(i => (-cosTo(cbCentsF(i), cbNormsF(i)), i))
+              .map(_.toLong).toArray
+          }
+          def recallOf(idx: org.apache.spark.sql.DataFrame,
+              cellsOf: Array[Float] => Array[Long], nprobe: Int): Long = {
+            val probeCells = probeRows.flatMap { case (q, qv) =>
+              cellsOf(qv).take(nprobe).map(c => (q, c))
+            }.toDF("q_id", "centroid_id")
+            val approx: Map[Long, Set[Long]] = idx
+              .join(broadcast(probeCells), Seq("centroid_id"))
+              .join(broadcast(probesDf), Seq("q_id"))
+              .where($"vec_id" =!= $"q_id")
+              .select($"q_id", $"vec_id",
+                graft.functions.VectorFunctions
+                  .cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cos"))
+              .groupBy($"q_id").agg(tk10($"vec_id", $"cos").as("nbrs"))
+              .as[(Long, Seq[Long])].collect()
+              .map { case (q, ns) => q -> ns.toSet }.toMap
+            val (hit, tot) = truth.toSeq.map { case (q, ts) =>
+              (approx.getOrElse(q, Set.empty).intersect(ts).size, ts.size)
+            }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+            hit.toLong * 1000000L / math.max(tot, 1)
+          }
+          // the flat-IVF reference: flat assignment + full-K ranking —
+          // same cell truncation, zero hierarchy misrouting
+          val standingF = spark.range(0, n, 1, 32)
+            .map(i => (i, marginMember(hier, S, K, i)))
+            .toDF("vec_id", "v")
+            .withColumn("nrm", graft.functions.VectorFunctions.l2Norm($"v"))
+            .withColumn("_best", graft.functions.VectorExpressions
+              .nearest_centroid($"v", $"nrm", codebook.map(_._1).toArray,
+                cbCentsF, cbNormsF))
+            .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
+              $"v", $"nrm")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          standingF.count()
+          val flatPpm: Map[Int, Long] = Seq(1, 4).map(np =>
+            np -> recallOf(standingF, rankedCellsFlat, np)).toMap
+          standingF.unpersist(false)
+          Seq((1, 1), (1, 4), (2, 4)).foreach { case (superProbe, nprobe) =>
+            val t0 = System.nanoTime()
+            val ppm = recallOf(standing,
+              qv => rankedCells(qv, superProbe), nprobe)
+            val sec = (System.nanoTime() - t0) / 1e9
+            val fl = flatPpm.getOrElse(nprobe, flatPpm(4))
+            val ratioPpm = ppm * 1000000L / math.max(fl, 1)
+            println(f"""{"shape":"ivf2_margin","geometry":"$tag",""" +
+              f""""n":$n,"k":$K,"s":$S,"noise":$ivf2Noise%.2f,""" +
+              f""""margin_mean":${cb2.marginMean}%.4f,""" +
+              f""""margin_p10":${cb2.marginP10}%.4f,""" +
+              f""""super_probe":$superProbe,"nprobe":$nprobe,""" +
+              f""""recall_ppm":$ppm,"flat_ppm":$fl,""" +
+              f""""hierarchy_ratio_ppm":$ratioPpm,"sec":$sec%.2f}""")
+          }
+          standing.unpersist(false)
+      }
+      graft.Release.transients()
+    }
+
     if (only.forall(_.contains("ivf2_train"))) {
       val cellTarget = 4000L
       val K = math.max(64L, n / cellTarget).toInt

@@ -525,6 +525,51 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r.getLong(0) === 1L && r.getLong(1) === 7L, r)
   }
 
+  test("Codebook2 margin statistic self-reports the recall regime: " +
+    "clustered children wide, isotropic near-zero, single super +inf") {
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def noise(seed: Long, d: Int): Float =
+      (java.lang.Math.floorMod(mix(seed * 53 + d), 2001) - 1000) / 1000.0f
+    val dim = 16
+    // clustered: 4 orthogonal anchors, children = anchor + small jitter
+    // (the geometry a manifold-trained codebook has)
+    val clustered = (0 until 64).map { j =>
+      val v = Array.tabulate(dim)(d => 0.12f * noise(j + 1000L, d))
+      v(j % 4) += 1.0f
+      (j.toLong, v)
+    }
+    // isotropic: random directions (ivf2_recall's worst case)
+    val iso = (0 until 64).map(j =>
+      (j.toLong, Array.tabulate(dim)(d => noise(j + 5000L, d))))
+    val cbC = graft.operators.Similarity
+      .twoLevelFromSeq(clustered, nSuper = 4, refineIters = 2)
+    val cbI = graft.operators.Similarity
+      .twoLevelFromSeq(iso, nSuper = 4, refineIters = 2)
+    // clustered sits decisively above isotropic on BOTH statistics —
+    // the pairing ivf2_margin measures at scale with recall attached
+    assert(cbC.marginMean > 0.5, s"clustered mean ${cbC.marginMean}")
+    assert(cbC.marginP10 > 0.3, s"clustered p10 ${cbC.marginP10}")
+    assert(cbI.marginMean < cbC.marginMean / 2,
+      s"iso mean ${cbI.marginMean} vs clustered ${cbC.marginMean}")
+    assert(cbI.marginP10 < cbC.marginP10 / 2,
+      s"iso p10 ${cbI.marginP10} vs clustered ${cbC.marginP10}")
+    // single live super: routing cannot lose — reported as +inf
+    val one = graft.operators.Similarity
+      .twoLevelFromSeq(iso, nSuper = 1, refineIters = 0)
+    assert(one.marginMean.isPosInfinity && one.marginP10.isPosInfinity)
+    // margins are deterministic (the replay contract extends to the
+    // self-report: a restarted stream rebuilds the same statistic)
+    val cbC2 = graft.operators.Similarity
+      .twoLevelFromSeq(clustered, nSuper = 4, refineIters = 2)
+    assert(cbC.marginMean === cbC2.marginMean &&
+      cbC.marginP10 === cbC2.marginP10)
+  }
+
   test("TopKCosineAgg matches the window under NaN scores " +
     "(Double.compare total order, NaN ranked largest like Spark)") {
     import spark.implicits._
