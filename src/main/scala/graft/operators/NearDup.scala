@@ -497,6 +497,18 @@ object NearDup extends QueryModule {
     * [[graft.Release]]). */
   def dedupSurvivor(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    survivorsFrom(Tables.documents(s, d),
+      minhashNearDup(s, d).select($"id_a", $"id_b"))
+  }
+
+  /** [[dedupSurvivor]]'s core given an explicit verified pair list —
+    * factored so the takedown path can derive the STANDING artifact
+    * and the incremental relabel from ONE pair computation. `pairs`
+    * must be cheap to re-evaluate (checkpoint- or cache-backed). */
+  private[graft] def survivorsFrom(
+      docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     // Survivor selection runs on the TOUCHED label set (documents with
     // a verified near-dup edge — near-dup-family-bounded, checkpointed):
     // a singleton's survivor is itself, so windowing the full corpus —
@@ -506,8 +518,7 @@ object NearDup extends QueryModule {
     // list from re-shuffling on the small side's account; above the cap
     // (adversarial mostly-duplicate corpora) the joins fall back to
     // shuffle.
-    val labels = touchedLabels(
-      minhashNearDup(s, d).select($"id_a", $"id_b"))
+    val labels = touchedLabels(pairs)
     val small = labels.count() <= VerifyIdsBroadcastCap
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val w = Window.partitionBy($"comp")
@@ -517,20 +528,175 @@ object NearDup extends QueryModule {
     // (checkpointed, capped-broadcast) label ids BEFORE the scoring
     // scan — the full-corpus textStats pass tokenized 10⁷ documents to
     // serve the ~2% with a near-dup edge.
-    val scored = Tables.documents(s, d)
+    val scored = docs
       .join(hinted(labels.select($"doc_id")), Seq("doc_id"), "leftsemi")
       .select($"doc_id", TextOps.qualityScore($"text").as("quality_score"))
     val surv = hinted(labels)
       .join(scored, Seq("doc_id"))
       .withColumn("survivor_id", first($"doc_id").over(w))
       .select($"doc_id", $"comp".as("cluster_id"), $"survivor_id")
-    Tables.documents(s, d).select($"doc_id")
+    docs.select($"doc_id")
       .join(hinted(surv), Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"cluster_id", $"doc_id").as("cluster_id"),
         coalesce($"survivor_id", $"doc_id").as("survivor_id"))
       .withColumn("keep", $"doc_id" === $"survivor_id")
       .orderBy($"doc_id")
+  }
+
+  /** INCREMENTAL document takedown through a standing dedup artifact —
+    * the retraction path a production corpus needs for opt-out /
+    * copyright removals, where a full recompute per takedown batch is
+    * the all-pairs anti-pattern in TIME: removing a handful of
+    * documents re-runs LSH + verification + connected components over
+    * the whole corpus to change a few clusters.
+    *
+    * Inputs are the stored artifacts a deployment already has:
+    * `standing` = the [[dedupSurvivor]] table (doc_id, cluster_id,
+    * survivor_id, keep) over the full corpus, `pairs` = its verified
+    * near-dup edges, `removed` = the takedown doc_id set. Returns the
+    * survivor table over `docs` MINUS `removed`, equal row-for-row to
+    * a from-scratch [[survivorsFrom]] on the filtered corpus (parity
+    * is the q_takedown_survivor ORACLE: Spark runs this incremental
+    * path, DuckDB recomputes from scratch on the filtered corpus, and
+    * the gate hashes them equal; re-pinned at 10⁷ by ScaleBench
+    * `takedown`).
+    *
+    * Why parity holds: a cluster with no removed member keeps its
+    * exact edge set (removal never ADDS edges, and only edges with a
+    * removed endpoint drop), so its membership, min-id label and
+    * quality survivor are all unchanged — those rows PASS THROUGH.
+    * Clusters containing a removed doc are recomputed honestly: a
+    * removed doc can be a BRIDGE, so the remaining members' subgraph
+    * (surviving edges only) goes back through the same
+    * [[touchedLabels]] machinery and can split into several new
+    * min-id-labeled components, each re-electing its quality survivor.
+    * No edge crosses a standing cluster boundary (clusters ARE the
+    * components), so the recomputation is BOUNDED to the affected
+    * clusters' members and edges — work ∝ takedown blast radius,
+    * never ∝ corpus.
+    *
+    * All three narrow inputs (affected cluster ids, remaining members,
+    * removal set) ride capped broadcasts like every other bounded
+    * metadata side in this module. */
+  private[graft] def takedownSurvivors(
+      docs: DataFrame,     // (doc_id, text, ...) the FULL corpus
+      standing: DataFrame, // (doc_id, cluster_id, survivor_id, keep)
+      pairs: DataFrame,    // (id_a, id_b) verified edges, standing corpus
+      removed: DataFrame   // (doc_id) takedown set
+  ): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val small = removed.count() <= VerifyIdsBroadcastCap
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val rem = hinted(removed.select($"doc_id"))
+    // clusters with at least one removed member — the blast radius
+    val affected = standing.join(rem, Seq("doc_id"), "leftsemi")
+      .select($"cluster_id").distinct()
+    val untouched = standing
+      .join(hinted(affected), Seq("cluster_id"), "left_anti")
+      .select($"doc_id", $"cluster_id", $"survivor_id", $"keep")
+    // remaining members of affected clusters
+    val members = standing
+      .join(hinted(affected), Seq("cluster_id"), "leftsemi")
+      .join(rem, Seq("doc_id"), "left_anti")
+      .select($"doc_id")
+    // surviving edges of the affected subgraph: both endpoints remain
+    // (endpoints never cross cluster boundaries, so membership in
+    // `members` is exactly "in an affected cluster and not removed")
+    val subPairs = pairs
+      .join(hinted(members.select($"doc_id".as("id_a"))),
+        Seq("id_a"), "leftsemi")
+      .join(hinted(members.select($"doc_id".as("id_b"))),
+        Seq("id_b"), "leftsemi")
+    val relabeled = touchedLabels(subPairs) // (doc_id, comp), min-id label
+    val labeled = members
+      .join(hinted(relabeled), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"comp", $"doc_id").as("cluster_id"))
+    val scored = docs
+      .join(hinted(members), Seq("doc_id"), "leftsemi")
+      .select($"doc_id", TextOps.qualityScore($"text").as("quality_score"))
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"quality_score".desc, $"doc_id")
+    val recomputed = labeled
+      .join(scored, Seq("doc_id"))
+      .withColumn("survivor_id", first($"doc_id").over(w))
+      .select($"doc_id", $"cluster_id", $"survivor_id")
+      .withColumn("keep", $"doc_id" === $"survivor_id")
+    untouched.unionByName(recomputed).orderBy($"doc_id")
+  }
+
+  /** Deterministic gate takedown rule (≈6% of the corpus) — both
+    * engines derive the identical set, so the oracle can recompute
+    * from scratch on the filtered corpus while Spark runs the
+    * INCREMENTAL path: the hash compare IS the incremental ≡ full
+    * parity proof. */
+  private val TakedownSparkPred = col("doc_id") % 17 === 3
+  private val TakedownSqlPred = "(doc_id % 17) = 3"
+
+  /** GATE: [[takedownSurvivors]] end-to-end — build the standing
+    * artifacts the way a deployment stores them (one pair computation,
+    * checkpointed), then apply the takedown INCREMENTALLY. The oracle
+    * recomputes the survivor table from scratch on the filtered
+    * corpus; hash equality proves blast-radius-bounded incremental
+    * maintenance derives exactly the full recompute. */
+  def takedownSurvivor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val pairs = minhashNearDup(s, d).select($"id_a", $"id_b")
+      .localCheckpoint(true)
+    val standing = survivorsFrom(docs, pairs).localCheckpoint(true)
+    Option(lastTakedown.getAndSet(Seq(pairs, standing)))
+      .foreach(_.foreach(freeLocalCheckpoint))
+    val removed = docs.where(TakedownSparkPred).select($"doc_id")
+    takedownSurvivors(docs, standing, pairs, removed)
+  }
+
+  /** GATE: the takedown's blast-radius census — the summary a
+    * retraction run reports: documents removed, standing clusters
+    * touched, remaining documents whose cluster label or survivor
+    * changed, and clusters SPLIT by losing a bridge member. Both
+    * engines derive old and new artifacts independently (Spark:
+    * standing + incremental takedown; DuckDB: two from-scratch
+    * component closures) and aggregate the same comparison. */
+  def takedownCensus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val pairs = minhashNearDup(s, d).select($"id_a", $"id_b")
+      .localCheckpoint(true)
+    val standing = survivorsFrom(docs, pairs).localCheckpoint(true)
+    val removed = docs.where(TakedownSparkPred).select($"doc_id")
+    val after = takedownSurvivors(docs, standing, pairs, removed)
+    // remaining docs, old vs new labels — reused by three aggregates,
+    // so it is checkpointed once (forcing `after` exactly once)
+    val cmp = standing
+      .select($"doc_id", $"cluster_id".as("old_cluster"),
+        $"survivor_id".as("old_surv"))
+      .join(after.select($"doc_id", $"cluster_id".as("new_cluster"),
+        $"survivor_id".as("new_surv")), Seq("doc_id"))
+      .localCheckpoint(true)
+    Option(lastTakedown.getAndSet(Seq(pairs, standing, cmp)))
+      .foreach(_.foreach(freeLocalCheckpoint))
+    val touched = standing.join(broadcast(removed), Seq("doc_id"),
+      "leftsemi")
+    def m(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), $"n")
+    m("clusters_affected",
+        touched.agg(countDistinct($"cluster_id").as("n")))
+      .unionByName(m("clusters_split",
+        cmp.join(broadcast(touched.select(
+            $"cluster_id".as("old_cluster")).distinct()),
+            Seq("old_cluster"), "leftsemi")
+          .groupBy($"old_cluster")
+          .agg(countDistinct($"new_cluster").as("nc"))
+          .where($"nc" > 1).agg(count("*").as("n"))))
+      .unionByName(m("relabeled_docs",
+        cmp.where($"old_cluster" =!= $"new_cluster")
+          .agg(count("*").as("n"))))
+      .unionByName(m("removed_docs", touched.agg(count("*").as("n"))))
+      .unionByName(m("survivor_reassigned",
+        cmp.where($"old_surv" =!= $"new_surv").agg(count("*").as("n"))))
+      .orderBy($"metric")
   }
 
   /** PageRank over the near-duplicate similarity graph — importance
@@ -684,7 +850,14 @@ object NearDup extends QueryModule {
       Option(r.getAndSet(null)).foreach(freeLocalCheckpoint)
     }
     Option(lastWinnowFps.getAndSet(null)).foreach(_.unpersist(false))
+    Option(lastTakedown.getAndSet(null))
+      .foreach(_.foreach(freeLocalCheckpoint))
   }
+
+  /** The standing-artifact checkpoints (pairs + survivor table) of the
+    * previous takedown query — same one-slot swap as [[lastLabels]]. */
+  private val lastTakedown =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](null)
 
   /** The FINAL label checkpoint of the previous [[connectedComponents]]
     * run: the returned plan still reads it (the caller has not
@@ -1178,8 +1351,10 @@ object NearDup extends QueryModule {
       .orderBy($"keep_id")
   }
 
-  private[graft] val oracleShingles = """
-    WITH s AS (
+  /** The shingle projection alone (no WITH wrapper) — shared by
+    * [[oracleShingles]] and the takedown oracles, which append a
+    * corpus filter. */
+  private[graft] val oracleShingleBody = """
       SELECT doc_id, source,
         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
           list_distinct(list_transform(
@@ -1188,7 +1363,10 @@ object NearDup extends QueryModule {
                  string_split(text, ' ')[i+1] || ' ' ||
                  string_split(text, ' ')[i+2]))
         ELSE [text] END AS sh
-      FROM documents)"""
+      FROM documents"""
+
+  private[graft] val oracleShingles = s"""
+    WITH s AS ($oracleShingleBody)"""
 
   /** Unrolled fixed-point PageRank rounds for the DuckDB oracle — the
     * same integral arithmetic as [[pageRankOnPairs]] (`//` is DuckDB's
@@ -1648,6 +1826,143 @@ object NearDup extends QueryModule {
                cluster_size * n_clusters AS n_docs,
                (cluster_size - 1) * n_clusters AS removable
         FROM cs ORDER BY cluster_size""")),
+    QueryDef(
+      // Spark runs the INCREMENTAL takedown (blast-radius-bounded);
+      // the oracle recomputes the survivor table FROM SCRATCH on the
+      // filtered corpus — the hash compare is the parity proof.
+      "q_takedown_survivor", takedownSurvivor, Some(s"""
+        WITH RECURSIVE s AS ($oracleShingleBody
+          WHERE NOT $TakedownSqlPred),
+        p AS MATERIALIZED (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM documents WHERE NOT $TakedownSqlPred
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        cl AS (SELECT a AS doc_id, min(b) AS cluster_id
+               FROM reach GROUP BY a),
+        q AS (
+          SELECT doc_id,
+                 CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                   (CAST(n_stopwords AS DOUBLE) / n_tokens) * 2.0
+                   + (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+                      THEN 1.0 ELSE 0.0 END) END AS quality_score
+          FROM (SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                    length(text) - length(replace(text, ' ', '')) + 1
+                  END AS n_tokens,
+                  len(list_filter(string_split(text, ' '), t -> t = 'the'))
+                  + len(list_filter(string_split(text, ' '), t -> t = 'a'))
+                  + len(list_filter(string_split(text, ' '), t -> t = 'of'))
+                  + len(list_filter(string_split(text, ' '), t -> t = 'and'))
+                    AS n_stopwords
+                FROM documents) b),
+        j AS (SELECT cl.doc_id, cl.cluster_id, q.quality_score
+              FROM cl JOIN q ON cl.doc_id = q.doc_id),
+        rk AS (SELECT doc_id, cluster_id,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY quality_score DESC, doc_id) AS rn
+               FROM j),
+        surv AS (SELECT cluster_id, doc_id AS survivor_id
+                 FROM rk WHERE rn = 1)
+        SELECT j.doc_id, j.cluster_id, surv.survivor_id,
+               j.doc_id = surv.survivor_id AS keep
+        FROM j JOIN surv ON j.cluster_id = surv.cluster_id
+        ORDER BY j.doc_id""")),
+    QueryDef(
+      // both engines derive old and new artifacts (DuckDB: two
+      // from-scratch closures) and aggregate the same comparison
+      "q_takedown_census", takedownCensus, Some(s"""
+        WITH RECURSIVE s AS ($oracleShingleBody),
+        p AS MATERIALIZED (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        cl AS (SELECT a AS doc_id, min(b) AS cluster_id
+               FROM reach GROUP BY a),
+        q AS (
+          SELECT doc_id,
+                 CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                   (CAST(n_stopwords AS DOUBLE) / n_tokens) * 2.0
+                   + (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+                      THEN 1.0 ELSE 0.0 END) END AS quality_score
+          FROM (SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                    length(text) - length(replace(text, ' ', '')) + 1
+                  END AS n_tokens,
+                  len(list_filter(string_split(text, ' '), t -> t = 'the'))
+                  + len(list_filter(string_split(text, ' '), t -> t = 'a'))
+                  + len(list_filter(string_split(text, ' '), t -> t = 'of'))
+                  + len(list_filter(string_split(text, ' '), t -> t = 'and'))
+                    AS n_stopwords
+                FROM documents) b),
+        jj AS (SELECT cl.doc_id, cl.cluster_id, q.quality_score
+               FROM cl JOIN q ON cl.doc_id = q.doc_id),
+        rk AS (SELECT doc_id, cluster_id,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY quality_score DESC, doc_id) AS rn
+               FROM jj),
+        surv AS (SELECT cluster_id, doc_id AS survivor_id
+                 FROM rk WHERE rn = 1),
+        olds AS (SELECT jj.doc_id, jj.cluster_id, surv.survivor_id
+                 FROM jj JOIN surv ON jj.cluster_id = surv.cluster_id),
+        rem AS (SELECT doc_id FROM documents WHERE $TakedownSqlPred),
+        e2 AS MATERIALIZED (
+          SELECT src, dst FROM e
+          WHERE src NOT IN (SELECT doc_id FROM rem)
+            AND dst NOT IN (SELECT doc_id FROM rem)),
+        reach2(a, b) AS (
+          SELECT doc_id, doc_id FROM documents WHERE NOT $TakedownSqlPred
+          UNION
+          SELECT r.a, e2.dst FROM reach2 r JOIN e2 ON r.b = e2.src),
+        cl2 AS (SELECT a AS doc_id, min(b) AS cluster_id
+                FROM reach2 GROUP BY a),
+        jj2 AS (SELECT cl2.doc_id, cl2.cluster_id, q.quality_score
+                FROM cl2 JOIN q ON cl2.doc_id = q.doc_id),
+        rk2 AS (SELECT doc_id, cluster_id,
+                  row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY quality_score DESC, doc_id) AS rn
+                FROM jj2),
+        surv2 AS (SELECT cluster_id, doc_id AS survivor_id
+                  FROM rk2 WHERE rn = 1),
+        news AS (SELECT jj2.doc_id, jj2.cluster_id, surv2.survivor_id
+                 FROM jj2 JOIN surv2 ON jj2.cluster_id = surv2.cluster_id),
+        cmp AS (SELECT o.doc_id, o.cluster_id AS old_cluster,
+                       o.survivor_id AS old_surv,
+                       n2.cluster_id AS new_cluster,
+                       n2.survivor_id AS new_surv
+                FROM olds o JOIN news n2 ON o.doc_id = n2.doc_id),
+        touched AS (SELECT DISTINCT cluster_id FROM olds
+                    WHERE doc_id IN (SELECT doc_id FROM rem))
+        SELECT 'clusters_affected' AS metric, count(*) AS n FROM touched
+        UNION ALL
+        SELECT 'clusters_split', count(*) FROM (
+          SELECT old_cluster FROM cmp
+          WHERE old_cluster IN (SELECT cluster_id FROM touched)
+          GROUP BY old_cluster HAVING count(DISTINCT new_cluster) > 1)
+        UNION ALL
+        SELECT 'relabeled_docs', count(*) FROM cmp
+        WHERE old_cluster <> new_cluster
+        UNION ALL
+        SELECT 'removed_docs', (SELECT count(*) FROM rem)
+        UNION ALL
+        SELECT 'survivor_reassigned', count(*) FROM cmp
+        WHERE old_surv <> new_surv
+        ORDER BY metric""")),
     QueryDef(
       "q_dedup_survivor", dedupSurvivor, Some(s"""
         ${oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},

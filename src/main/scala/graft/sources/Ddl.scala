@@ -58,7 +58,65 @@ object Ddl {
   def compact(
       spark: SparkSession,
       path: String,
-      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetBytes: Long = 128L * 1024 * 1024): Unit =
+    rewrite(spark, path, targetBytes) { df =>
+      // compaction is when logical deletes become physical: pending
+      // tombstones are applied during the rewrite and cleared by the
+      // same atomic swap (the _tombstones dir lives inside the table
+      // dir, so it rides to ._compact_old and is deleted with it —
+      // a crash anywhere before the swap leaves BOTH the data and the
+      // tombstones in place; [[recover]] restores both or neither)
+      tombstonesOf(spark, path) match {
+        case Some(ts) =>
+          val c = ts.columns.head
+          require(df.columns.contains(c),
+            s"compact: tombstone column '$c' not in table $path " +
+              s"(${df.columns.mkString(", ")})")
+          df.join(org.apache.spark.sql.functions
+            .broadcast(ts.distinct()), Seq(c), "left_anti")
+        case None => df
+      }
+    }
+
+  /** Logical delete: append a takedown id set under
+    * `<path>/_tombstones/` (an underscore dir — invisible to Spark's
+    * data discovery, so plain readers of the table never see it).
+    * `ids` must be a single column named as in the table. Readers that
+    * honor retraction anti-join [[tombstonesOf]]; the next [[compact]]
+    * applies the set physically and clears it atomically with the data
+    * swap. Appends of removal FACTS are idempotent under retry —
+    * duplicate tombstone rows change nothing (anti-join semantics). */
+  def tombstone(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"tombstone: want one id column, got ${ids.columns.mkString(", ")}")
+    ids.write.mode("append").parquet(
+      new org.apache.hadoop.fs.Path(path, "_tombstones").toString)
+  }
+
+  /** The pending tombstone set of a table dir, if any. */
+  def tombstonesOf(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** The swap-rewrite [[compact]] rides, generalized: read the table,
+    * apply `transform`, write ~`targetBytes` files, and swap the result
+    * in with the two-rename crash discipline (data parked at
+    * `._compact_old` until the swap completes; [[recover]] restores a
+    * crashed swap). Quiesce contract and cache invalidation are
+    * [[compact]]'s. Used directly by retraction paths that must purge
+    * rows referencing removed ids (e.g. a hits table where the removed
+    * id can sit in EITHER endpoint column — not expressible as a
+    * single-column tombstone). */
+  def rewrite(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L * 1024 * 1024)(
+      transform: DataFrame => DataFrame): Unit = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // siblings of the (normalized) table dir, trailing-slash-proof
@@ -71,7 +129,7 @@ object Ddl {
     val bytes = fs.getContentSummary(norm).getLength
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     fs.delete(tmp, true)
-    spark.read.parquet(norm.toString).coalesce(files)
+    transform(spark.read.parquet(norm.toString)).coalesce(files)
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(bak, true)
     if (!fs.rename(norm, bak))

@@ -580,13 +580,25 @@ object StreamingPipeline {
           else None
         }
         graft.sources.Ddl.recover(s, indexDir)
-        val shingled = batch.select(col("doc_id"),
+        // retraction: tombstoned doc_ids are dropped from BOTH sides —
+        // the standing read (they are logically deleted until the next
+        // compact applies them physically) and the batch itself (a
+        // REPLAYED batch containing a since-retracted doc must not
+        // resurrect its purged hits or re-append its index rows; ids
+        // are never reused — the same monotone-id contract the hits
+        // range pruning already relies on)
+        val tombs = graft.sources.Ddl.tombstonesOf(s, indexDir)
+          .map(t => broadcast(t.select(col("doc_id")).distinct()))
+        def liveIds(df: DataFrame): DataFrame =
+          tombs.map(t => df.join(t, Seq("doc_id"), "left_anti"))
+            .getOrElse(df)
+        val shingled = liveIds(batch.toDF()).select(col("doc_id"),
           graft.functions.VectorExpressions
             .text_shingles(col("text"), 3).as("sh"))
         val batchIdx = graft.operators.NearDup.bandIndex(shingled)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val probeSide = readIfExists(indexDir)
+          val probeSide = readIfExists(indexDir).map(liveIds)
             .map(_.unionByName(batchIdx)).getOrElse(batchIdx)
           val cand = batchIdx.select($"bkey", $"doc_id".as("id_p"))
             .join(probeSide.select($"bkey", $"doc_id".as("id_i")), Seq("bkey"))
@@ -748,7 +760,18 @@ object StreamingPipeline {
           case None => graft.functions.VectorExpressions
             .nearest_centroid($"v", $"nrm", cbIds, cbCents, cbNorms)
         }
-        val assigned = batch
+        // retraction: tombstoned vec_ids drop from BOTH sides — the
+        // standing read below (logically deleted until compact applies
+        // them) and the batch itself (a REPLAYED batch containing a
+        // since-retracted vector must not resurrect its purged hits or
+        // re-append its index rows; ids are never reused — the same
+        // monotone-id contract the hits range pruning relies on)
+        val tombs = graft.sources.Ddl.tombstonesOf(s, indexDir)
+          .map(t => broadcast(t.select($"vec_id").distinct()))
+        def liveIds(df: DataFrame): DataFrame =
+          tombs.map(t => df.join(t, Seq("vec_id"), "left_anti"))
+            .getOrElse(df)
+        val assigned = liveIds(batch.toDF())
           .withColumn("nrm", graft.functions.VectorFunctions.l2Norm($"v"))
           .withColumn("_best", assignCol)
           .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
@@ -804,8 +827,9 @@ object StreamingPipeline {
             // inference types small values as int, and a post-compact
             // dir carries centroid_id as a data column — the cast makes
             // both layouts union-compatible with the batch side
-            .map(_.withColumn("centroid_id", $"centroid_id".cast("long"))
-              .where($"centroid_id".isin(touched: _*))
+            .map(df => liveIds(df
+              .withColumn("centroid_id", $"centroid_id".cast("long"))
+              .where($"centroid_id".isin(touched: _*)))
               .join(assigned.select($"vec_id"), Seq("vec_id"),
                 "left_anti")
               .select($"centroid_id", $"vec_id".as("id_i"),
@@ -860,6 +884,67 @@ object StreamingPipeline {
         ()
       }
       .start()
+  }
+
+  /** Document RETRACTION through a standing [[semanticDedupStream]]
+    * index — the takedown path a production corpus needs for opt-out /
+    * copyright removals, without rebuilding the index (a full rebuild
+    * per takedown batch is the all-pairs anti-pattern in time):
+    *
+    *  1. the removed vec_ids are TOMBSTONED on the index dir
+    *     ([[graft.sources.Ddl.tombstone]] — an append of removal facts
+    *     under `_tombstones/`, invisible to data reads): every later
+    *     micro-batch drops them from its standing read AND from its
+    *     own input (a replayed batch containing a since-retracted
+    *     vector must not resurrect purged hits), and the next
+    *     [[graft.sources.Ddl.compact]] applies them physically,
+    *     clearing the set atomically with the data swap;
+    *  2. the hits table is PURGED of rows referencing a removed id on
+    *     EITHER side ([[graft.sources.Ddl.rewrite]] — the compact swap
+    *     discipline, crash-recoverable via `Ddl.recover`).
+    *
+    * At-least-once like every maintenance op here: a crash between the
+    * two steps is healed by re-running the takedown with the same ids
+    * (tombstone appends are idempotent removal facts; the purge filter
+    * is idempotent). The hits rewrite briefly quiesces the sink — run
+    * takedowns between micro-batches (stop the query or call from the
+    * maintenance window), the same contract as compact itself.
+    * Retired ids must never be reused — the monotone-ingest-id
+    * contract the hits range pruning already relies on; a re-ingested
+    * id would be swallowed by its own tombstone at the next compact.
+    *
+    * `ids` is a driver-side takedown batch (bounded metadata, like the
+    * codebook); takedown sets beyond driver scale should write the
+    * tombstone DataFrame directly and rewrite hits with the same two
+    * calls. */
+  def takedownVectors(spark: SparkSession, indexDir: String,
+      hitsDir: String, ids: Seq[Long]): Unit =
+    takedownIds(spark, indexDir, hitsDir, "vec_id",
+      Seq("vec_id", "matched_id"), ids)
+
+  /** [[takedownVectors]] for the band index of [[indexedDedupStream]]:
+    * tombstones on doc_id, hit purge on (id_a, id_b). */
+  def takedownDocs(spark: SparkSession, indexDir: String,
+      hitsDir: String, ids: Seq[Long]): Unit =
+    takedownIds(spark, indexDir, hitsDir, "doc_id",
+      Seq("id_a", "id_b"), ids)
+
+  private def takedownIds(spark: SparkSession, indexDir: String,
+      hitsDir: String, idCol: String, hitIdCols: Seq[String],
+      ids: Seq[Long]): Unit = {
+    if (ids.isEmpty) return
+    import spark.implicits._
+    graft.sources.Ddl.tombstone(spark, indexDir, ids.toDF(idCol))
+    graft.sources.Ddl.recover(spark, hitsDir)
+    val hp = new org.apache.hadoop.fs.Path(hitsDir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasHits = fs.exists(hp) && fs.listStatus(hp).exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (hasHits)
+      graft.sources.Ddl.rewrite(spark, hitsDir) { h =>
+        hitIdCols.foldLeft(h)((acc, c) =>
+          acc.join(broadcast(ids.toDF(c)), Seq(c), "left_anti"))
+      }
   }
 
   /** Event-time windowed aggregation with watermark (the event-time

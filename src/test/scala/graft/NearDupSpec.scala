@@ -356,6 +356,53 @@ class NearDupSpec extends SparkSpecBase {
     rows.foreach { case (id, c, _, _) => assert(labels(id) === c) }
   }
 
+  test("takedown: incremental relabel equals full recompute — bridge " +
+    "split, survivor reassignment, untouched clusters pass through") {
+    import spark.implicits._
+    val hiQ = "the cat and the dog of the house and the bird of " +
+      "the tree and the fish of the pond sat here" // >=20 tokens, stopwords
+    val loQ = "plain words without common glue here today"
+    val docs = Seq(
+      (1L, loQ + " one"), (2L, loQ + " two"), (3L, loQ + " three"),
+      (10L, loQ + " ten"), (11L, hiQ),
+      (20L, loQ + " twenty"), (21L, hiQ + " again"), (22L, loQ + " x"),
+      (30L, loQ + " thirty"), (31L, loQ + " thirtyone")
+    ).toDF("doc_id", "text")
+    // planted verified edges: chain 1-2-3 (2 is a BRIDGE), pair 10-11
+    // (11 is the high-quality survivor), triangle-less pair 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("id_a", "id_b")
+    val standing = NearDup.survivorsFrom(docs, pairs).localCheckpoint(true)
+    // remove the bridge (2), the quality survivor (11), a singleton (30)
+    val removed = Seq(2L, 11L, 30L).toDF("doc_id")
+    val got = NearDup
+      .takedownSurvivors(docs, standing, pairs, removed)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    // PARITY: full recompute on the filtered corpus
+    val remSet = Set(2L, 11L, 30L)
+    val fDocs = docs.where(!$"doc_id".isin(remSet.toSeq: _*))
+    val fPairs = pairs.where(!$"id_a".isin(remSet.toSeq: _*) &&
+      !$"id_b".isin(remSet.toSeq: _*))
+    val want = NearDup.survivorsFrom(fDocs, fPairs)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got === want)
+    val byId = got.map(r => r._1 -> r).toMap
+    // the bridge removal SPLIT the chain: 1 and 3 now label apart
+    assert(byId(1L)._2 !== byId(3L)._2)
+    assert(byId(1L)._4 && byId(3L)._4) // each its own survivor
+    // survivor reassigned after the quality keeper's takedown
+    assert(byId(10L)._3 === 10L && byId(10L)._4)
+    // untouched cluster rows pass through IDENTICALLY (same labels,
+    // same quality survivor 21)
+    Seq(20L, 21L, 22L).foreach { id =>
+      assert(byId(id)._2 === 20L && byId(id)._3 === 21L)
+    }
+    // removed docs are gone; untouched singleton remains
+    assert(!byId.contains(2L) && !byId.contains(11L) &&
+      !byId.contains(30L))
+    assert(byId(31L) === ((31L, 31L, 31L, true)))
+  }
+
   /** In-spec reference PageRank: the same scaled-integer recurrence as
     * [[NearDup.pageRankOnPairs]], computed single-threaded over plain
     * Scala maps — an independent second implementation, not a replay of

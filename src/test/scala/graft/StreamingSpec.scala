@@ -1255,6 +1255,103 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("takedown through the IVF cell index: tombstoned vectors stop " +
+    "matching, purged hits stay purged under replay, compact applies " +
+    "tombstones physically") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexDir = tmp(); val hitsDir = tmp(); val ckpt = tmp()
+    val codebook = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (5L, Array(0f, 1f, 0f, 0f)))
+    val stream = MemoryStream[(Long, Array[Float])]
+    def start(cp: String = ckpt,
+        st: MemoryStream[(Long, Array[Float])] = stream) =
+      StreamingPipeline.semanticDedupStream(
+        st.toDF().toDF("vec_id", "v"), codebook,
+        indexDir, hitsDir, cp, tau = 0.95)
+    def hits(): Set[(Long, Long)] = spark.read.parquet(hitsDir)
+      .select($"vec_id", $"matched_id").as[(Long, Long)].collect().toSet
+    def indexIds(): Set[Long] = spark.read.parquet(indexDir)
+      .select($"vec_id").as[Long].collect().toSet
+    val a = Array(0.9f, 0.1f, 0f, 0f)
+    val q1 = start()
+    try {
+      stream.addData((1L, a), (2L, Array(0.1f, 0.9f, 0f, 0f)))
+      q1.processAllAvailable()
+      stream.addData((3L, Array(0.45f, 0.05f, 0f, 0f))) // twin of 1
+      q1.processAllAvailable()
+      assert(hits() === Set((3L, 1L)), hits())
+    } finally q1.stop()
+    // RETRACT vec 1 between micro-batches: hits purged, index rows
+    // logically deleted (tombstone pending — physical rows remain
+    // until the next compact)
+    StreamingPipeline.takedownVectors(spark, indexDir, hitsDir, Seq(1L))
+    assert(hits() === Set.empty, hits())
+    assert(indexIds() === Set(1L, 2L, 3L))
+    assert(graft.sources.Ddl.tombstonesOf(spark, indexDir).isDefined)
+    // same checkpoint, new process: a fresh twin matches ONLY the
+    // remaining member 3 — never the retracted 1
+    val q2 = start()
+    try {
+      stream.addData((4L, Array(1.8f, 0.2f, 0f, 0f))) // twin of 1 AND 3
+      q2.processAllAvailable()
+      assert(hits() === Set((4L, 3L)), hits())
+    } finally q2.stop()
+    // compaction applies the tombstone physically and clears it
+    graft.sources.Ddl.compact(spark, indexDir, targetBytes = 1L << 30)
+    assert(indexIds() === Set(2L, 3L, 4L))
+    assert(graft.sources.Ddl.tombstonesOf(spark, indexDir).isEmpty)
+    // a replayed batch carrying the since-retracted id resurrects
+    // NOTHING: not its purged hits, not its index rows. Re-tombstone
+    // first (the compact consumed the pending set; a real replay races
+    // a pending tombstone, not a consumed one).
+    StreamingPipeline.takedownVectors(spark, indexDir, hitsDir, Seq(1L))
+    val stream2 = MemoryStream[(Long, Array[Float])]
+    val q3 = start(cp = tmp(), st = stream2)
+    try {
+      stream2.addData((1L, a)) // the retracted doc replays alone
+      q3.processAllAvailable()
+      assert(hits() === Set((4L, 3L)), hits())
+      assert(indexIds() === Set(2L, 3L, 4L))
+    } finally q3.stop()
+  }
+
+  test("takedown through the band index: retracted docs stop matching " +
+    "and their purged hits never re-emit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexDir = tmp(); val hitsDir = tmp(); val ckpt = tmp()
+    val stream = MemoryStream[(Long, String)]
+    def start() = StreamingPipeline.indexedDedupStream(
+      stream.toDF().toDF("doc_id", "text"), indexDir, hitsDir, ckpt)
+    val docA = (1 to 40).map(i => s"token$i").mkString(" ")
+    val twinA = (1 to 40).map(i => if (i == 20) "EDITED" else s"token$i")
+      .mkString(" ")
+    def hits(): Set[(Long, Long)] =
+      spark.read.parquet(hitsDir).as[(Long, Long)].collect().toSet
+    val q1 = start()
+    try {
+      stream.addData((1L, docA))
+      q1.processAllAvailable()
+      stream.addData((3L, twinA))
+      q1.processAllAvailable()
+      assert(hits() === Set((1L, 3L)), hits())
+    } finally q1.stop()
+    StreamingPipeline.takedownDocs(spark, indexDir, hitsDir, Seq(1L))
+    assert(hits() === Set.empty, hits())
+    val q2 = start()
+    try {
+      stream.addData((4L, docA)) // identical to the RETRACTED doc
+      q2.processAllAvailable()
+      // matches only the remaining twin 3, never the tombstoned 1
+      assert(hits() === Set((3L, 4L)), hits())
+    } finally q2.stop()
+    graft.sources.Ddl.compact(spark, indexDir, targetBytes = 1L << 30)
+    assert(spark.read.parquet(indexDir)
+      .where($"doc_id" === 1L).count() === 0L)
+    assert(graft.sources.Ddl.tombstonesOf(spark, indexDir).isEmpty)
+  }
+
   test("maintained IVF cell index, TWO-LEVEL quantizer: same hit " +
     "semantics, crash replay exact, restart rebuilds the structure") {
     implicit val sqlCtx = spark.sqlContext
