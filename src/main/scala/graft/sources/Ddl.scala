@@ -169,6 +169,72 @@ object Ddl {
         throw new java.io.IOException(s"recover: cannot restore $bak")
       spark.catalog.refreshByPath(norm.toString)
     }
+    // MEMBER-level healing for partitioned tables whose partition dirs
+    // are rewritten individually ([[compactPartitions]], or per-cell
+    // compact calls): a crashed member swap leaves
+    // `<part>._compact_old` (data parked — restore if the member is
+    // missing, else it is a completed swap's leftover) and possibly
+    // `<part>._compact_tmp` (always disposable — and if left in place
+    // its `name=value._compact_tmp` dir would poison partition
+    // inference on the next read). One listing; no-op on flat tables.
+    if (fs.exists(norm) && fs.getFileStatus(norm).isDirectory) {
+      fs.listStatus(norm).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.endsWith("._compact_tmp")) { fs.delete(st.getPath, true); () }
+        else if (nm.endsWith("._compact_old")) {
+          val main = new org.apache.hadoop.fs.Path(norm,
+            nm.stripSuffix("._compact_old"))
+          if (!fs.exists(main)) {
+            if (!fs.rename(st.getPath, main))
+              throw new java.io.IOException(
+                s"recover: cannot restore ${st.getPath}")
+          } else { fs.delete(st.getPath, true); () }
+        }
+      }
+      ()
+    }
+  }
+
+  /** [[compact]] for a hive-partitioned table dir, PRESERVING its
+    * layout: each `name=value` member dir is swap-rewritten in place
+    * (small files folded, pending ROOT tombstones applied), and the
+    * tombstone set is cleared only after every member has been
+    * rewritten. Root-level [[compact]] on a partitioned dir flattens
+    * the partitioning (documented degradation); this keeps the pruned
+    * standing reads working across maintenance.
+    *
+    * Crash discipline: each member swap is [[rewrite]]'s two-rename
+    * dance; [[recover]] heals a crashed member (restores the parked
+    * dir, deletes stale tmp dirs). A crash anywhere before the final
+    * tombstone clear leaves the pending set in place — re-running is
+    * idempotent (already-purged members anti-join to no-ops). */
+  def compactPartitions(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, path)
+    val ts = tombstonesOf(spark, path).map(t =>
+      (t.columns.head, t.distinct().localCheckpoint(true)))
+    val members = fs.listStatus(root).filter(st =>
+      st.isDirectory && st.getPath.getName.contains("=") &&
+        !st.getPath.getName.startsWith("_"))
+    members.foreach { m =>
+      rewrite(spark, m.getPath.toString, targetBytes) { df =>
+        ts match {
+          case Some((c, t)) if df.columns.contains(c) =>
+            df.join(org.apache.spark.sql.functions.broadcast(t),
+              Seq(c), "left_anti")
+          case _ => df
+        }
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_tombstones"), true)
+    ts.foreach(t =>
+      graft.operators.NearDup.freeLocalCheckpoint(t._2))
+    spark.catalog.refreshByPath(path)
+    ()
   }
 
   /** Write `df` Z-ORDERED on two long columns: rows are range-partitioned

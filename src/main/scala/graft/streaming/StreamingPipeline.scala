@@ -688,7 +688,23 @@ object StreamingPipeline {
     *    cost keeps growing with the stream's whole history while the
     *    partitioned form's does not. Choose by standing-index size,
     *    not taste. `Ddl.compact` per cell dir bounds file count the
-    *    same way it does for every other sink. The codebook must be FROZEN for
+    *    same way it does for every other sink.
+    *  - `cellBuckets = Some(B)`: the SHARDED layout for deployments
+    *    past the hive-directory ceiling. The per-cell layout writes K
+    *    directories, and K ∝ corpus (cell size held constant) walks
+    *    that into filesystem-metadata territory around 10⁵-10⁶ dirs
+    *    (≈10⁹-10¹⁰ rows at 4,000/cell) long before data volume hurts.
+    *    Bucketing cells into B dirs (`cell_bucket = centroid_id % B`,
+    *    centroid_id kept as a SORTED data column) caps directory count
+    *    at B while keeping both pruning levers: discovery lists
+    *    O(touched buckets) dirs, and within a bucket the pushed-down
+    *    centroid_id isin skips row groups via the sorted write's
+    *    min/max stats. Maintenance via `Ddl.compactPartitions` (folds
+    *    files AND applies pending tombstones per bucket, layout
+    *    preserved); root-level compact would flatten the layout.
+    *    Measured: ScaleBench `semstream_layout`'s sharded lane.
+    *
+    * The codebook must be FROZEN for
     * the life of the index: cell ids are only comparable under the
     * codebook that assigned them — retrain ⇒ rebuild the index dir and
     * start a fresh checkpoint (same contract as the band-key scheme
@@ -720,8 +736,14 @@ object StreamingPipeline {
       tau: Double = 0.9,
       partitionIndexByCell: Boolean = false,
       twoLevelSupers: Option[Int] = None,
-      twoLevelNprobe: Int = 1): StreamingQuery = {
+      twoLevelNprobe: Int = 1,
+      cellBuckets: Option[Int] = None): StreamingQuery = {
     require(codebook.nonEmpty, "semanticDedupStream: empty codebook")
+    require(!(partitionIndexByCell && cellBuckets.isDefined),
+      "semanticDedupStream: partitionIndexByCell and cellBuckets are " +
+        "alternative index layouts — pick one")
+    require(cellBuckets.forall(_ >= 1),
+      s"semanticDedupStream: cellBuckets must be >= 1, got $cellBuckets")
     require(codebook.map(_._1).sliding(2).forall(
       p => p.length < 2 || p(0) < p(1)),
       "semanticDedupStream: codebook ids must be strictly ascending " +
@@ -814,9 +836,25 @@ object StreamingPipeline {
             val cellDirs = rootSt.filter(st => st.isDirectory &&
               st.getPath.getName.startsWith("centroid_id="))
               .map(_.getPath.getName).toSet
+            val bucketDirs = rootSt.filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("cell_bucket="))
+              .map(_.getPath.getName).toSet
             if (!rootHasFiles && cellDirs.nonEmpty) {
               val dirs = touched.map(c => s"centroid_id=$c")
                 .filter(cellDirs.contains).map(nm => s"$indexDir/$nm")
+              if (dirs.isEmpty) None
+              else Some(s.read.option("basePath", indexDir)
+                .parquet(dirs: _*))
+            } else if (!rootHasFiles && bucketDirs.nonEmpty) {
+              // SHARDED layout: discovery lists O(touched buckets)
+              // dirs (bounded by B, not K); within a bucket the
+              // pushed-down centroid_id isin prunes ROW GROUPS via the
+              // write path's sortWithinPartitions(centroid_id) stats
+              val b = cellBuckets.getOrElse(1)
+              val dirs = touched.map(c =>
+                s"cell_bucket=${java.lang.Math.floorMod(c, b.toLong)}")
+                .distinct
+                .filter(bucketDirs.contains).map(nm => s"$indexDir/$nm")
               if (dirs.isEmpty) None
               else Some(s.read.option("basePath", indexDir)
                 .parquet(dirs: _*))
@@ -879,7 +917,23 @@ object StreamingPipeline {
             assigned.repartition(8, $"centroid_id")
               .write.partitionBy("centroid_id")
               .mode("append").parquet(indexDir)
-          else assigned.write.mode("append").parquet(indexDir)
+          else cellBuckets match {
+            case Some(b) =>
+              // SHARDED: one dir per bucket (B dirs total — bounded,
+              // where K ∝ corpus is not), one file per touched bucket
+              // per batch, rows SORTED by centroid_id within the file
+              // so parquet min/max stats serve the standing read's
+              // pushed-down isin at row-group grain
+              assigned
+                .withColumn("cell_bucket",
+                  pmod($"centroid_id", lit(b.toLong)))
+                .repartition(math.min(8, b), $"cell_bucket")
+                .sortWithinPartitions($"cell_bucket", $"centroid_id")
+                .write.partitionBy("cell_bucket")
+                .mode("append").parquet(indexDir)
+            case None =>
+              assigned.write.mode("append").parquet(indexDir)
+          }
         } finally { assigned.unpersist(false); () }
         ()
       }

@@ -772,22 +772,34 @@ object ScaleBench {
           .nearest_centroid($"v", $"nrm", cbIds, cbCents, cbNorms))
         .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
           $"v", $"nrm")
-      Seq(false, true).foreach { partitioned =>
-        val tag = if (partitioned) "partitioned" else "flat"
+      val shardB = 32
+      Seq(("flat", false, None), ("partitioned", true, None),
+        ("sharded", false, Some(shardB))).foreach {
+        case (tag, partitioned, buckets: Option[Int]) =>
         val indexDir = s"$root/index_$tag"
         val hitsDir = s"$root/hits_$tag"
         val ckpt = s"$root/ckpt_$tag"
         // seed the standing index in this layout — 32 files (flat) /
-        // one file per cell (partitioned), the sink's own shapes
+        // one file per cell (partitioned) / one sorted file per bucket
+        // (sharded), the sink's own shapes
         if (partitioned)
           standing.repartition(32, $"centroid_id")
             .write.partitionBy("centroid_id").parquet(indexDir)
-        else standing.write.parquet(indexDir)
+        else buckets match {
+          case Some(b) =>
+            standing
+              .withColumn("cell_bucket", pmod($"centroid_id", lit(b.toLong)))
+              .repartition(b, $"cell_bucket")
+              .sortWithinPartitions($"cell_bucket", $"centroid_id")
+              .write.partitionBy("cell_bucket").parquet(indexDir)
+          case None => standing.write.parquet(indexDir)
+        }
         val stream = MemoryStream[(Long, Array[Float])]
         val q = graft.streaming.StreamingPipeline.semanticDedupStream(
           stream.toDF().toDF("vec_id", "v"), codebook,
           indexDir, hitsDir, ckpt, tau = 0.95,
-          partitionIndexByCell = partitioned)
+          partitionIndexByCell = partitioned,
+          cellBuckets = buckets)
         try {
           // warmup batch, then 12 timed cell-sparse batches: batch b
           // draws its 256 vectors from 4 clusters (base ids landing in
@@ -813,9 +825,11 @@ object ScaleBench {
             q.processAllAvailable()
             (System.nanoTime() - t0) / 1e6
           }.sorted
+          val nDirs = Option(new java.io.File(indexDir).listFiles())
+            .map(_.count(_.isDirectory)).getOrElse(0)
           println(f"""{"shape":"semstream_layout","n":$n,"k":$K,""" +
             f""""layout":"$tag","batch_rows":256,"cells_per_batch":4,""" +
-            f""""n_batches":${times.size},""" +
+            f""""n_index_dirs":$nDirs,"n_batches":${times.size},""" +
             f""""batch_ms_p50":${times(times.size / 2)}%.1f,""" +
             f""""batch_ms_min":${times.head}%.1f,""" +
             f""""batch_ms_max":${times.last}%.1f}""")
@@ -850,6 +864,59 @@ object ScaleBench {
     // "Done" reads directly off the JSON: two-level batch_ms_p50 ~flat
     // down the ladder while K doubles; build_sec scaling ~linearly in
     // m (not m·K); twin counts exact at every rung.
+    // Takedown at scale: a ~0.1% removal batch through a STANDING
+    // 10⁷-doc dedup artifact — incremental (blast-radius-bounded
+    // takedownSurvivors) vs the full recompute (LSH + verify + CC +
+    // survivor election on the filtered corpus). Parity asserted
+    // row-for-row (exceptAll both ways); the cost gap is the point:
+    // the incremental path touches only affected clusters' members and
+    // edges, the full path re-pays the whole pipeline.
+    if (only.forall(_.contains("takedown"))) {
+      import graft.operators.NearDup
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"text")
+      val tP0 = System.nanoTime()
+      val pairs = NearDup.pairsOver(docs).localCheckpoint(true)
+      val nPairs = pairs.count()
+      val pairsSec = (System.nanoTime() - tP0) / 1e9
+      val tS0 = System.nanoTime()
+      val standing = NearDup.survivorsFrom(docs, pairs)
+        .localCheckpoint(true)
+      standing.count()
+      val standingSec = (System.nanoTime() - tS0) / 1e9
+      val removed = docs.where($"doc_id" % 1009 === 3).select($"doc_id")
+      val nRemoved = removed.count()
+      val nAffected = standing
+        .join(broadcast(removed), Seq("doc_id"), "leftsemi")
+        .select($"cluster_id").distinct().count()
+      val tI0 = System.nanoTime()
+      val inc = NearDup
+        .takedownSurvivors(docs, standing, pairs, removed)
+        .localCheckpoint(true)
+      val nInc = inc.count()
+      val incSec = (System.nanoTime() - tI0) / 1e9
+      // the full path re-derives everything from the filtered corpus
+      val tF0 = System.nanoTime()
+      val fDocs = docs.join(broadcast(removed), Seq("doc_id"),
+        "left_anti").localCheckpoint(true)
+      val fPairs = NearDup.pairsOver(fDocs).localCheckpoint(true)
+      fPairs.count()
+      val full = NearDup.survivorsFrom(fDocs, fPairs)
+        .localCheckpoint(true)
+      val nFull = full.count()
+      val fullSec = (System.nanoTime() - tF0) / 1e9
+      val bad = inc.exceptAll(full).count() + full.exceptAll(inc).count()
+      println(f"""{"shape":"takedown","n":$n,"n_pairs":$nPairs,""" +
+        f""""n_removed":$nRemoved,"n_affected_clusters":$nAffected,""" +
+        f""""rows_incremental":$nInc,"rows_full":$nFull,""" +
+        f""""parity_mismatches":$bad,""" +
+        f""""standing_pairs_sec":$pairsSec%.1f,""" +
+        f""""standing_survivor_sec":$standingSec%.1f,""" +
+        f""""incremental_sec":$incSec%.1f,"full_recompute_sec":$fullSec%.1f}""")
+      require(bad == 0L, s"takedown parity violated: $bad mismatched rows")
+      graft.Release.transients()
+    }
+
     if (only.forall(_.contains("ivf2_deploy"))) {
       val cellTarget = 4000L
       val ladder = Seq(n / 4, n / 2, n).filter(_ >= 100000L).distinct
@@ -927,7 +994,9 @@ object ScaleBench {
             })
           }
         def probeOnce(rows: Seq[(Long, Array[Float])],
-            flat: Boolean): (Double, Long, Long) = {
+            flat: Boolean,
+            reader: Seq[Long] => org.apache.spark.sql.DataFrame =
+              readTouched): (Double, Long, Long) = {
           val t0 = System.nanoTime()
           val asg = {
             val df = rows.toDF("vec_id", "v")
@@ -936,7 +1005,7 @@ object ScaleBench {
           try {
             val touched = asg.select($"centroid_id").distinct()
               .collect().map(_.getLong(0)).toSeq
-            val standing = readTouched(touched)
+            val standing = reader(touched)
               .select($"centroid_id", $"vec_id".as("id_i"),
                 $"v".as("vi"), $"nrm".as("ni"))
             val flagged = asg
@@ -967,8 +1036,52 @@ object ScaleBench {
           val twins = runs.map(_._2).sum
           val controls = runs.map(_._3).sum
           println(f"""{"shape":"ivf2_deploy","m":$m,"k":$K,"s":$S,""" +
-            f""""kernel":"$tag","build_codebook_sec":$buildCbSec%.2f,""" +
+            f""""kernel":"$tag","n_index_dirs":$K,""" +
+            f""""build_codebook_sec":$buildCbSec%.2f,""" +
             f""""build_index_sec":$buildSec%.2f,""" +
+            f""""batch_rows":1024,"cells_per_batch":8,"n_batches":8,""" +
+            f""""batch_ms_p50":${times(times.size / 2)}%.1f,""" +
+            f""""batch_ms_min":${times.head}%.1f,""" +
+            f""""batch_ms_max":${times.last}%.1f,""" +
+            f""""n_twins_planted":${8 * 256},"n_twin_flagged":$twins,""" +
+            f""""n_control_flagged":$controls}""")
+        }
+        // SHARDED layout lane: cells bucketed into B = min(K, 512)
+        // dirs (cell_bucket = centroid_id % B, centroid_id a SORTED
+        // data column) — the directory-count ceiling fix. Touched-dir
+        // reads list O(touched buckets); the pushed-down isin prunes
+        // row groups via the sorted write's min/max stats.
+        val B = math.min(K, 512)
+        val shardDir = s"$dir/ivf2_index_sh_$m"
+        val tS0 = System.nanoTime()
+        assign2(spark.range(0, m, 1, 32)
+            .map(i => (i, ivf2Member(i, K))).toDF("vec_id", "v"))
+          .withColumn("cell_bucket", pmod($"centroid_id", lit(B.toLong)))
+          .repartition(64, $"cell_bucket")
+          .sortWithinPartitions($"cell_bucket", $"centroid_id")
+          .write.partitionBy("cell_bucket").mode("overwrite")
+          .parquet(shardDir)
+        val buildShSec = (System.nanoTime() - tS0) / 1e9
+        def readTouchedSharded(cells: Seq[Long]) = {
+          val dirs = cells.map(c => java.lang.Math.floorMod(c, B.toLong))
+            .distinct.map(b => s"$shardDir/cell_bucket=$b")
+            .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+          if (dirs.isEmpty) emptyStanding
+          else spark.read.option("basePath", shardDir).parquet(dirs: _*)
+            .where($"centroid_id".isin(cells: _*))
+            .select($"vec_id", $"centroid_id", $"v", $"nrm")
+        }
+        locally {
+          probeOnce(batchRows(99), flat = false, readTouchedSharded)
+          val runs = (0 until 8).map(b =>
+            probeOnce(batchRows(b), flat = false, readTouchedSharded))
+          val times = runs.map(_._1).sorted
+          val twins = runs.map(_._2).sum
+          val controls = runs.map(_._3).sum
+          println(f"""{"shape":"ivf2_deploy","m":$m,"k":$K,"s":$S,""" +
+            f""""kernel":"two_level_sharded","n_index_dirs":$B,""" +
+            f""""build_codebook_sec":$buildCbSec%.2f,""" +
+            f""""build_index_sec":$buildShSec%.2f,""" +
             f""""batch_rows":1024,"cells_per_batch":8,"n_batches":8,""" +
             f""""batch_ms_p50":${times(times.size / 2)}%.1f,""" +
             f""""batch_ms_min":${times.head}%.1f,""" +
@@ -982,6 +1095,7 @@ object ScaleBench {
           f.delete(); ()
         }
         rmIdx(idxDir)
+        rmIdx(shardDir)
       }
     }
     // Recall cost of the TWO-LEVEL approximation at deployment K — the

@@ -1316,6 +1316,82 @@ class StreamingSpec extends SparkSpecBase {
     } finally q3.stop()
   }
 
+  test("sharded cell-bucket index layout: bounded dir count, standing " +
+    "reads through bucket dirs, compactPartitions applies tombstones " +
+    "layout-preserved, member-swap crash heals") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexDir = tmp(); val hitsDir = tmp(); val ckpt = tmp()
+    // 8 orthogonal cells bucketed into 3 dirs: cell 0 and 3 share
+    // bucket 0, exercising bucket-level co-residence under pruning
+    val codebook = (0 until 8).map { c =>
+      val v = Array.fill(8)(0f); v(c) = 1f; (c.toLong, v)
+    }
+    def vecOf(cell: Int, scale: Float): Array[Float] = {
+      val v = Array.fill(8)(0f); v(cell) = scale; v
+    }
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q1 = StreamingPipeline.semanticDedupStream(
+      stream.toDF().toDF("vec_id", "v"), codebook,
+      indexDir, hitsDir, ckpt, tau = 0.95, cellBuckets = Some(3))
+    def hits(): Set[(Long, Long)] = spark.read.parquet(hitsDir)
+      .select($"vec_id", $"matched_id").as[(Long, Long)].collect().toSet
+    def indexIds(): Set[Long] = spark.read.parquet(indexDir)
+      .select($"vec_id").as[Long].collect().toSet
+    def dirNames(): Set[String] = {
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(_.startsWith("_")).toSet
+    }
+    try {
+      stream.addData((1L, vecOf(0, 0.9f)), (2L, vecOf(1, 0.9f)),
+        (10L, vecOf(3, 0.7f))) // cells 0, 1, 3 -> buckets 0, 1, 0
+      q1.processAllAvailable()
+      assert(hits() === Set.empty)
+      // directory count is the BUCKET count, not the cell count
+      assert(dirNames() === Set("cell_bucket=0", "cell_bucket=1"),
+        dirNames())
+      stream.addData((3L, vecOf(0, 0.4f))) // twin of 1, via bucket dir 0
+      q1.processAllAvailable()
+      assert(hits() === Set((3L, 1L)), hits())
+    } finally q1.stop()
+    // retraction + layout-preserving maintenance
+    StreamingPipeline.takedownVectors(spark, indexDir, hitsDir, Seq(1L))
+    graft.sources.Ddl.compactPartitions(spark, indexDir,
+      targetBytes = 1L << 30)
+    assert(indexIds() === Set(2L, 3L, 10L))
+    assert(graft.sources.Ddl.tombstonesOf(spark, indexDir).isEmpty)
+    assert(dirNames() === Set("cell_bucket=0", "cell_bucket=1"))
+    // post-compact standing reads still serve matches through the
+    // preserved bucket layout — and never the retracted member
+    val q2 = StreamingPipeline.semanticDedupStream(
+      stream.toDF().toDF("vec_id", "v"), codebook,
+      indexDir, hitsDir, ckpt, tau = 0.95, cellBuckets = Some(3))
+    try {
+      stream.addData((4L, vecOf(0, 1.7f)))
+      q2.processAllAvailable()
+      assert(hits() === Set((4L, 3L)), hits())
+    } finally q2.stop()
+    // member-swap crash: a bucket dir parked at ._compact_old with a
+    // stale ._compact_tmp left behind — recover must restore the one
+    // and delete the other
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = indexIds()
+    val member = new org.apache.hadoop.fs.Path(indexDir, "cell_bucket=0")
+    val parked = new org.apache.hadoop.fs.Path(indexDir,
+      "cell_bucket=0._compact_old")
+    val staleTmp = new org.apache.hadoop.fs.Path(indexDir,
+      "cell_bucket=1._compact_tmp")
+    assert(fs.rename(member, parked))
+    fs.mkdirs(staleTmp)
+    graft.sources.Ddl.recover(spark, indexDir)
+    assert(fs.exists(member) && !fs.exists(parked) && !fs.exists(staleTmp))
+    assert(indexIds() === before)
+  }
+
   test("takedown through the band index: retracted docs stop matching " +
     "and their purged hits never re-emit") {
     implicit val sqlCtx = spark.sqlContext
