@@ -3,21 +3,21 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Per-query bench regression gate — the ENFORCED form of
-  * BENCH_BASELINE.md's per-query table, rebased in round 11 to the
-  * ROUND-10 FIGURES OF RECORD (bench_r10_full.json: sf0.1, local[32],
-  * min-of-3, noop-sink materialization, quiet host). The old operative
-  * baseline (BENCH_r02) covered only 46 of the 149 registered
-  * queries and carried a known-stale entry (q_media_features predates
-  * the real codecs); this table binds EVERY query.
+  * BENCH_BASELINE.md's per-query table, rebased in round 12 to the
+  * ROUND-11 MEDIANS of record (bench_r11_full.json queries_median:
+  * sf0.1, local[32], median-of-3, noop-sink materialization, quiet
+  * host). Medians replace the r11 gate's min-of-3: the median is the
+  * stable location statistic the bench now emits, immune to the
+  * one-fast-run artifact a min can ratchet on.
   *
-  * Discipline (mirrors [[StreamGate]]): run min-of-`iters` per query at
-  * sf0.1 and FAIL (exit 1) any query slower than [[Factor]] × its
-  * baseline — 2× sits far outside the measured min-of-3 host-noise
-  * band (~±30%) while still catching a real plan regression (an extra
-  * exchange or a lost pushdown is rarely under 2×). Queries added
-  * after round 10 are reported as "no baseline" and first-run figures
-  * become their baseline at the next rebase. A gate run is a red exit,
-  * not a doc diff.
+  * Discipline (mirrors [[StreamGate]]): run `iters` passes per query
+  * at sf0.1 and FAIL (exit 1) any query whose MEDIAN is slower than
+  * [[Factor]] × its baseline median — 2× sits far outside the
+  * measured host-noise band (~±30%) while still catching a real plan
+  * regression (an extra exchange or a lost pushdown is rarely under
+  * 2×). Queries added after round 11 are reported as "no baseline"
+  * and first-run figures become their baseline at the next rebase. A
+  * gate run is a red exit, not a doc diff.
   *
   *   sbt "runMain graft.tools.BenchGate [sfDir]"
   */
@@ -31,160 +31,165 @@ object BenchGate {
     * fails a 0.15 s query that loses its pushdown and turns 1 s+. */
   val AbsSlack = 0.5
 
-  /** query -> round-10 figure-of-record seconds (sf0.1, min-of-3). */
+  /** query -> round-11 median-of-record seconds (sf0.1). */
   val Baseline: Map[String, Double] = Map(
-    "q_active_time" -> 0.819,
-    "q_active_users" -> 0.551,
-    "q_adaptive_join" -> 2.421,
-    "q_ann_recall" -> 0.828,
-    "q_ann_recall_multiprobe" -> 0.910,
-    "q_anomaly_mad" -> 0.783,
-    "q_asof_join" -> 0.424,
-    "q_asof_tolerance" -> 0.452,
-    "q_audio_features" -> 1.097,
-    "q_bm25_topk" -> 0.974,
-    "q_bpe_encode" -> 1.205,
-    "q_bpe_merges" -> 0.784,
-    "q_cascade_dedup" -> 0.796,
-    "q_cell_sample" -> 0.293,
-    "q_chunk_dedup" -> 0.298,
-    "q_chunk_windows" -> 0.250,
-    "q_clean_corpus" -> 0.419,
-    "q_cluster_purity" -> 0.400,
-    "q_cluster_sizes" -> 1.894,
-    "q_codebook_update" -> 0.271,
-    "q_containment" -> 1.043,
-    "q_cooccur" -> 0.378,
-    "q_cosine_topk" -> 0.269,
+    "q_active_time" -> 0.8,
+    "q_active_users" -> 0.651,
+    "q_adaptive_join" -> 2.414,
+    "q_ann_recall" -> 0.914,
+    "q_ann_recall_multiprobe" -> 0.782,
+    "q_anomaly_mad" -> 0.79,
+    "q_asof_join" -> 0.442,
+    "q_asof_tolerance" -> 0.612,
+    "q_audio_features" -> 1.208,
+    "q_bm25_topk" -> 1.063,
+    "q_bpe_encode" -> 1.496,
+    "q_bpe_merges" -> 0.859,
+    "q_cascade_dedup" -> 0.844,
+    "q_cell_sample" -> 0.298,
+    "q_chunk_dedup" -> 0.301,
+    "q_chunk_windows" -> 0.238,
+    "q_clean_corpus" -> 0.423,
+    "q_cluster_purity" -> 0.355,
+    "q_cluster_sizes" -> 1.58,
+    "q_codebook_update" -> 0.305,
+    "q_containment" -> 1.024,
+    "q_cooccur" -> 0.364,
+    "q_cosine_topk" -> 0.256,
     "q_count_distinct" -> 0.175,
-    "q_cross_source_dup" -> 0.909,
-    "q_cube" -> 1.035,
-    "q_curate_corpus" -> 2.104,
-    "q_decontaminate" -> 0.202,
-    "q_decontaminate_bloom" -> 0.394,
-    "q_decontaminate_ngram" -> 0.441,
-    "q_decontaminate_semantic" -> 0.362,
-    "q_dedup_clusters" -> 1.659,
-    "q_dedup_exact" -> 0.200,
-    "q_dedup_survivor" -> 2.017,
-    "q_dedup_tau_sweep" -> 0.998,
-    "q_delivery_gap" -> 0.313,
-    "q_double_write" -> 0.285,
-    "q_dsir_select" -> 1.099,
-    "q_dup_spans" -> 0.727,
-    "q_edit_distance" -> 1.397,
-    "q_effective_mix" -> 2.032,
-    "q_effective_tokens" -> 1.889,
-    "q_embed_drift" -> 0.223,
-    "q_embed_neardup" -> 0.925,
-    "q_epoch_roundtrip" -> 0.311,
-    "q_event_transitions" -> 0.391,
-    "q_explained_var" -> 0.323,
-    "q_filter_audit" -> 0.290,
-    "q_fingerprint" -> 0.217,
-    "q_frame_sample" -> 0.197,
-    "q_funnel" -> 0.399,
-    "q_gap_by_window" -> 0.438,
-    "q_global_shuffle" -> 0.517,
-    "q_gram_matrix" -> 0.358,
-    "q_graph_stats" -> 1.197,
-    "q_group_quantiles" -> 0.497,
-    "q_growth_accounting" -> 0.530,
-    "q_heavy_hitters" -> 0.369,
-    "q_highwater" -> 0.165,
-    "q_highwater_typed" -> 0.245,
-    "q_incremental_neardup" -> 0.611,
-    "q_incremental_semdedup" -> 0.428,
-    "q_ingest_drift" -> 0.290,
-    "q_inverted_index" -> 0.411,
-    "q_ivf_assign" -> 0.232,
-    "q_ivf_topk" -> 0.367,
-    "q_join_census" -> 0.688,
-    "q_json_roundtrip" -> 1.141,
-    "q_kcenter_select" -> 0.455,
-    "q_kcore" -> 1.471,
-    "q_label_affinity" -> 0.514,
-    "q_lang_id" -> 0.273,
-    "q_late_census" -> 0.521,
-    "q_leakage_split" -> 1.573,
-    "q_length_deciles" -> 0.193,
-    "q_lexical_diversity" -> 0.238,
-    "q_lineitem_agg" -> 0.743,
-    "q_linreg_fit" -> 0.190,
-    "q_lm_fit" -> 0.497,
-    "q_media_chunk_dedup" -> 0.566,
-    "q_media_features" -> 1.704,
-    "q_media_resize" -> 1.596,
-    "q_media_stats" -> 0.144,
-    "q_minhash_neardup" -> 0.795,
-    "q_mix_sample" -> 0.403,
-    "q_mix_schedule" -> 0.379,
-    "q_modal_type" -> 0.230,
-    "q_ngram_jaccard" -> 1.156,
-    "q_novelty" -> 0.460,
-    "q_ohlc_bars" -> 0.362,
-    "q_pack_bins" -> 0.224,
-    "q_pagerank" -> 1.608,
-    "q_parse_props" -> 0.788,
-    "q_pca_power" -> 0.374,
-    "q_pca_project" -> 0.461,
-    "q_pca_sampled" -> 0.357,
-    "q_pii_redact" -> 0.765,
-    "q_pipeline_dlq" -> 0.388,
-    "q_pipeline_highwater" -> 0.203,
-    "q_pipeline_ok" -> 0.410,
+    "q_cross_source_dup" -> 0.94,
+    "q_cube" -> 1.007,
+    "q_curate_corpus" -> 2.079,
+    "q_decontaminate" -> 0.235,
+    "q_decontaminate_bloom" -> 0.396,
+    "q_decontaminate_ngram" -> 0.406,
+    "q_decontaminate_semantic" -> 0.31,
+    "q_dedup_clusters" -> 1.438,
+    "q_dedup_exact" -> 0.175,
+    "q_dedup_survivor" -> 1.771,
+    "q_dedup_tau_sweep" -> 0.949,
+    "q_delivery_gap" -> 0.324,
+    "q_double_write" -> 0.246,
+    "q_dsir_select" -> 1.087,
+    "q_dup_spans" -> 0.735,
+    "q_edit_distance" -> 1.361,
+    "q_effective_mix" -> 1.748,
+    "q_effective_tokens" -> 1.695,
+    "q_embed_drift" -> 0.244,
+    "q_embed_neardup" -> 0.837,
+    "q_epoch_roundtrip" -> 0.282,
+    "q_event_transitions" -> 0.38,
+    "q_explained_var" -> 0.294,
+    "q_filter_audit" -> 0.28,
+    "q_fingerprint" -> 0.205,
+    "q_frame_sample" -> 0.231,
+    "q_funnel" -> 0.491,
+    "q_gap_by_window" -> 0.512,
+    "q_global_shuffle" -> 0.416,
+    "q_gram_matrix" -> 0.288,
+    "q_graph_stats" -> 1.002,
+    "q_group_quantiles" -> 0.443,
+    "q_growth_accounting" -> 0.556,
+    "q_heavy_hitters" -> 0.284,
+    "q_highwater" -> 0.16,
+    "q_highwater_typed" -> 0.209,
+    "q_incremental_neardup" -> 0.441,
+    "q_incremental_semdedup" -> 0.341,
+    "q_ingest_drift" -> 0.227,
+    "q_inverted_index" -> 0.215,
+    "q_ivf2_topk" -> 0.377,
+    "q_ivf_assign" -> 0.215,
+    "q_ivf_assign2" -> 0.202,
+    "q_ivf_topk" -> 0.416,
+    "q_ivfpq_residual_topk" -> 0.517,
+    "q_ivfpq_topk" -> 0.436,
+    "q_join_census" -> 0.577,
+    "q_json_roundtrip" -> 0.749,
+    "q_kcenter_select" -> 0.377,
+    "q_kcore" -> 1.291,
+    "q_label_affinity" -> 0.581,
+    "q_lang_id" -> 0.215,
+    "q_late_census" -> 0.418,
+    "q_leakage_split" -> 1.307,
+    "q_length_deciles" -> 0.185,
+    "q_lexical_diversity" -> 0.219,
+    "q_lineitem_agg" -> 0.692,
+    "q_linreg_fit" -> 0.157,
+    "q_lm_fit" -> 0.509,
+    "q_media_chunk_dedup" -> 0.521,
+    "q_media_features" -> 1.418,
+    "q_media_resize" -> 1.333,
+    "q_media_stats" -> 0.14,
+    "q_minhash_neardup" -> 0.793,
+    "q_mix_sample" -> 0.386,
+    "q_mix_schedule" -> 0.319,
+    "q_modal_type" -> 0.195,
+    "q_ngram_jaccard" -> 0.887,
+    "q_novelty" -> 0.563,
+    "q_ohlc_bars" -> 0.27,
+    "q_pack_bins" -> 0.207,
+    "q_pagerank" -> 1.411,
+    "q_parse_props" -> 0.763,
+    "q_pca_power" -> 0.447,
+    "q_pca_project" -> 0.612,
+    "q_pca_sampled" -> 0.372,
+    "q_pii_redact" -> 0.776,
+    "q_pipeline_dlq" -> 0.38,
+    "q_pipeline_highwater" -> 0.202,
+    "q_pipeline_ok" -> 0.463,
     "q_pivot" -> 0.177,
-    "q_pq_encode" -> 0.222,
-    "q_pq_topk" -> 0.278,
-    "q_profile" -> 0.348,
-    "q_quality_calibrate" -> 0.333,
-    "q_quantize_err" -> 0.114,
-    "q_range_join" -> 0.304,
-    "q_rate_cusum" -> 0.195,
-    "q_repetition" -> 0.239,
-    "q_retention" -> 0.300,
-    "q_revenue_by_nation" -> 0.386,
-    "q_rollup" -> 0.806,
-    "q_salted_agg" -> 0.241,
-    "q_salted_join" -> 0.448,
-    "q_sample_deterministic" -> 0.119,
-    "q_semantic_dedup" -> 0.366,
-    "q_semi_anti_join" -> 0.286,
-    "q_session_stats" -> 0.333,
-    "q_sessionize" -> 0.485,
-    "q_set_ops" -> 0.239,
-    "q_shard_assign" -> 0.163,
-    "q_shipdate_filter" -> 0.168,
-    "q_sim_label_topk" -> 0.339,
-    "q_simhash" -> 0.209,
-    "q_simhash_neardup" -> 0.692,
-    "q_simjoin_prefix" -> 1.011,
-    "q_sketch_audit" -> 0.753,
-    "q_skew_profile" -> 0.308,
-    "q_sliding_counts" -> 0.189,
-    "q_snapshot_diff" -> 0.270,
-    "q_source_cap" -> 0.152,
-    "q_source_concentration" -> 0.166,
-    "q_source_overlap" -> 1.894,
-    "q_source_overlap_sketch" -> 0.975,
-    "q_source_signature" -> 0.260,
-    "q_span_scrub" -> 1.087,
-    "q_stratified_sample" -> 0.147,
-    "q_temperature_plan" -> 0.251,
-    "q_text_stats" -> 0.813,
-    "q_tfidf" -> 0.397,
-    "q_token_count" -> 0.397,
-    "q_token_freq" -> 0.304,
-    "q_top_orders_per_cust" -> 0.380,
-    "q_trailing_window" -> 0.333,
-    "q_unpivot" -> 0.199,
-    "q_value_quantiles" -> 0.268,
-    "q_video_frames" -> 6.210,
-    "q_weighted_sample" -> 0.119,
-    "q_winnow_neardup" -> 0.876)
+    "q_pq_encode" -> 0.2,
+    "q_pq_topk" -> 0.307,
+    "q_profile" -> 0.479,
+    "q_quality_calibrate" -> 0.368,
+    "q_quantize_err" -> 0.138,
+    "q_range_join" -> 0.346,
+    "q_rate_cusum" -> 0.218,
+    "q_repetition" -> 0.296,
+    "q_retention" -> 0.386,
+    "q_revenue_by_nation" -> 0.437,
+    "q_rollup" -> 0.826,
+    "q_salted_agg" -> 0.281,
+    "q_salted_join" -> 0.538,
+    "q_sample_deterministic" -> 0.136,
+    "q_semantic_dedup" -> 0.515,
+    "q_semantic_dedup2" -> 0.398,
+    "q_semi_anti_join" -> 0.347,
+    "q_session_stats" -> 0.385,
+    "q_sessionize" -> 0.488,
+    "q_set_ops" -> 0.307,
+    "q_shard_assign" -> 0.187,
+    "q_shipdate_filter" -> 0.152,
+    "q_sim_label_topk" -> 0.355,
+    "q_simhash" -> 0.225,
+    "q_simhash_neardup" -> 0.743,
+    "q_simjoin_prefix" -> 1.145,
+    "q_sketch_audit" -> 0.94,
+    "q_skew_profile" -> 0.425,
+    "q_sliding_counts" -> 0.294,
+    "q_snapshot_diff" -> 0.351,
+    "q_source_cap" -> 0.192,
+    "q_source_concentration" -> 0.24,
+    "q_source_overlap" -> 2.207,
+    "q_source_overlap_sketch" -> 1.251,
+    "q_source_signature" -> 0.322,
+    "q_span_scrub" -> 1.291,
+    "q_stratified_sample" -> 0.195,
+    "q_temperature_plan" -> 0.295,
+    "q_text_stats" -> 0.964,
+    "q_tfidf" -> 0.519,
+    "q_token_count" -> 0.4,
+    "q_token_freq" -> 0.337,
+    "q_top_orders_per_cust" -> 0.479,
+    "q_trailing_window" -> 0.437,
+    "q_unpivot" -> 0.24,
+    "q_value_quantiles" -> 0.28,
+    "q_video_frames" -> 6.705,
+    "q_weighted_sample" -> 0.14,
+    "q_winnow_neardup" -> 1.026)
 
-  /** Baseline total (sum of the per-query figures): 93.15 s. */
-  val BaselineTotal: Double = 93.15
+  /** Baseline total (sum of the per-query figures): 95.25 s. */
+  val BaselineTotal: Double = 95.25
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
@@ -210,7 +215,7 @@ object BenchGate {
       case (n, ts) if ts.nonEmpty && !Baseline.contains(n) => n
     }
     if (fresh.nonEmpty)
-      println(s"no baseline yet (added post-r10): ${fresh.mkString(", ")}")
+      println(s"no baseline yet (added post-r11): ${fresh.mkString(", ")}")
     // a baselined query that VANISHED from the registry (deleted or
     // renamed) must fail the gate, not silently narrow its coverage —
     // the PASS line claims every Baseline entry was compared
@@ -221,20 +226,22 @@ object BenchGate {
         "(deleted or renamed — rebase the baseline)") ++ timed.flatMap {
       case (n, ts) if ts.isEmpty => Some(s"GATE FAIL: $n threw")
       case (n, ts) => Baseline.get(n).collect {
-        case b if ts.head > Factor * b + AbsSlack =>
-          f"GATE FAIL: $n ${ts.head}%.2f s > ${Factor * b + AbsSlack}%.2f s " +
-            f"(2x r10 $b%.2f + ${AbsSlack}%.1f)"
+        case b if ts(ts.size / 2) > Factor * b + AbsSlack =>
+          f"GATE FAIL: $n median ${ts(ts.size / 2)}%.2f s > " +
+            f"${Factor * b + AbsSlack}%.2f s " +
+            f"(2x r11 median $b%.2f + ${AbsSlack}%.1f)"
       }
     }
     val total = timed.collect {
-      case (n, ts) if ts.nonEmpty && Baseline.contains(n) => ts.head }.sum
-    println(f"BENCHGATE total over baselined queries: $total%.2f s " +
-      f"(r10: $BaselineTotal%.2f s)")
+      case (n, ts) if ts.nonEmpty && Baseline.contains(n) =>
+        ts(ts.size / 2) }.sum
+    println(f"BENCHGATE median total over baselined queries: $total%.2f s " +
+      f"(r11: $BaselineTotal%.2f s)")
     if (failures.nonEmpty) {
       failures.foreach(System.err.println)
       sys.exit(1)
     }
     println(s"BENCHGATE PASS: ${Baseline.size} baselined queries within " +
-      f"$Factor%.1fx of the r10 figures of record")
+      f"$Factor%.1fx of the r11 medians of record")
   }
 }
