@@ -16,8 +16,10 @@ import org.apache.spark.sql.SparkSession
   * measured host-noise band (~±30%) while still catching a real plan
   * regression (an extra exchange or a lost pushdown is rarely under
   * 2×). Queries added after round 11 are reported as "no baseline"
-  * and first-run figures become their baseline at the next rebase. A
-  * gate run is a red exit, not a doc diff.
+  * and first-run figures become their baseline at the next rebase.
+  * The four post-r11 queries carry bench_r12_full.json first-run
+  * medians (a session-loaded host — see BENCH_BASELINE.md). A gate
+  * run is a red exit, not a doc diff.
   *
   *   sbt "runMain graft.tools.BenchGate [sfDir]"
   */
@@ -138,6 +140,10 @@ object BenchGate {
     "q_pipeline_highwater" -> 0.202,
     "q_pipeline_ok" -> 0.463,
     "q_pivot" -> 0.177,
+    "q_pq_topk_trained" -> 0.533,
+    "q_pq_train" -> 0.268,
+    "q_takedown_census" -> 4.487,
+    "q_takedown_survivor" -> 3.213,
     "q_pq_encode" -> 0.2,
     "q_pq_topk" -> 0.307,
     "q_profile" -> 0.479,
@@ -188,8 +194,8 @@ object BenchGate {
     "q_weighted_sample" -> 0.14,
     "q_winnow_neardup" -> 1.026)
 
-  /** Baseline total (sum of the per-query figures): 95.25 s. */
-  val BaselineTotal: Double = 95.25
+  /** Baseline total (sum of the per-query figures): 103.75 s. */
+  val BaselineTotal: Double = 103.75
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
