@@ -126,10 +126,40 @@ object Ddl {
     val bak = new org.apache.hadoop.fs.Path(norm.getParent,
       norm.getName + "._compact_old")
     recover(spark, path)
+    // total on data-less dirs: a table holding only `_tombstones` (or
+    // nothing) has no rows to rewrite and no schema to infer — the
+    // pending tombstones are vacuously applied, so clear them and
+    // return instead of throwing UNABLE_TO_INFER_SCHEMA
+    def hasData(d: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(d) && fs.listStatus(d).exists { st =>
+        (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+        (st.isDirectory && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".") && hasData(st.getPath))
+      }
+    if (!hasData(norm)) {
+      fs.delete(new org.apache.hadoop.fs.Path(norm, "_tombstones"), true)
+      return
+    }
     val bytes = fs.getContentSummary(norm).getLength
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     fs.delete(tmp, true)
-    transform(spark.read.parquet(norm.toString)).coalesce(files)
+    val in = spark.read.parquet(norm.toString)
+    val out = transform(in)
+    // PRESERVE the table's column order whenever the transform keeps
+    // the same column set. Using-column joins (the tombstone anti-join
+    // shape) hoist the join column to the front; writing that order
+    // mixes per-file physical schemas with later appends, and readers
+    // that bind positionally (`as[(Long, Long)]`) then depend on WHICH
+    // file's footer Spark picks for the merged schema — a
+    // listing-order flake. A transform that changes the column set
+    // (schema migration) passes through untouched.
+    val stable =
+      if (out.columns.toSet == in.columns.toSet &&
+          !out.columns.sameElements(in.columns))
+        out.select(in.columns.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*)
+      else out
+    stable.coalesce(files)
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(bak, true)
     if (!fs.rename(norm, bak))
@@ -207,11 +237,18 @@ object Ddl {
     * dance; [[recover]] heals a crashed member (restores the parked
     * dir, deletes stale tmp dirs). A crash anywhere before the final
     * tombstone clear leaves the pending set in place — re-running is
-    * idempotent (already-purged members anti-join to no-ops). */
+    * idempotent (already-purged members anti-join to no-ops).
+    *
+    * Returns the post-rewrite BUCKET CENSUS — (member dir, rows), a
+    * parquet-footer count per member (no data scan) — the self-report
+    * a sharded deployment reads to decide when to RE-BUCKET: the
+    * bucket count B is caller-chosen, and a census whose max/mean row
+    * skew drifts far from 1 (hot cells hashed together, or K grown
+    * past B × target rows) says the modulus no longer spreads. */
   def compactPartitions(
       spark: SparkSession,
       path: String,
-      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetBytes: Long = 128L * 1024 * 1024): Seq[(String, Long)] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, path)
@@ -220,7 +257,7 @@ object Ddl {
     val members = fs.listStatus(root).filter(st =>
       st.isDirectory && st.getPath.getName.contains("=") &&
         !st.getPath.getName.startsWith("_"))
-    members.foreach { m =>
+    val census = members.toSeq.map { m =>
       rewrite(spark, m.getPath.toString, targetBytes) { df =>
         ts match {
           case Some((c, t)) if df.columns.contains(c) =>
@@ -229,12 +266,14 @@ object Ddl {
           case _ => df
         }
       }
+      (m.getPath.getName,
+        spark.read.parquet(m.getPath.toString).count())
     }
     fs.delete(new org.apache.hadoop.fs.Path(root, "_tombstones"), true)
     ts.foreach(t =>
       graft.operators.NearDup.freeLocalCheckpoint(t._2))
     spark.catalog.refreshByPath(path)
-    ()
+    census
   }
 
   /** Write `df` Z-ORDERED on two long columns: rows are range-partitioned

@@ -277,7 +277,11 @@ object StreamBench {
     // micro-batch, so catch-up rows/s should EXCEED the steady-state
     // 10k-cap figure: trigger overhead amortizes over the whole backlog.
     // This is the at-least-once contract priced: being down costs only
-    // the catch-up time, never data.
+    // the catch-up time, never data. THREE down/restart/drain cycles,
+    // not one: the lane is gated on its MEDIAN like every other, and a
+    // single-draw median is just the draw — one hypervisor stall on the
+    // one restart read as a 2x regression (observed r12: 1.065 s vs the
+    // 0.564 s record on identical code).
     val recFig = {
       val stream = MemoryStream[Record]
       def start() = StreamingPipeline.dualWrite(stream.toDF(), parseStage,
@@ -287,15 +291,20 @@ object StreamBench {
       stream.addData((0L until 20000L).map(rec): _*)
       q1.processAllAvailable()
       q1.stop()
-      val backlog = (0 until 5).flatMap(b =>
-        (0L until 10000L).map(i => rec(20000L + b * 10000L + i)))
-      stream.addData(backlog: _*) // arrives while the consumer is DOWN
-      val t0 = System.nanoTime()
-      val q2 = start() // same checkpoint: resumes past the committed 20k
-      q2.processAllAvailable()
-      val ms = (System.nanoTime() - t0) / 1e6
-      q2.stop()
-      Fig(backlog.size.toLong, ms / 1000.0, Seq(ms))
+      var next = 20000L
+      val cycleMs = (0 until 3).map { _ =>
+        val backlog = (0 until 5).flatMap(b =>
+          (0L until 10000L).map(i => rec(next + b * 10000L + i)))
+        stream.addData(backlog: _*) // arrives while the consumer is DOWN
+        next += backlog.size
+        val t0 = System.nanoTime()
+        val q2 = start() // same checkpoint: resumes past committed rows
+        q2.processAllAvailable()
+        val ms = (System.nanoTime() - t0) / 1e6
+        q2.stop()
+        ms
+      }
+      Fig(next - 20000L, cycleMs.sum / 1000.0, cycleMs)
     }
 
     scala.collection.immutable.ListMap(

@@ -147,6 +147,44 @@ class AggregatorDdlSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() === 100)
   }
 
+  test("compact is total on data-less dirs: tombstones-only clears " +
+    "them vacuously, empty dir is a no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-e")
+      .resolve("t").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    Ddl.compact(spark, dir) // empty: must not throw
+    // tombstones landed before any data (takedown of a not-yet-built
+    // index): vacuously applied, cleared
+    Ddl.tombstone(spark, dir, Seq(1L, 2L).toDF("vec_id"))
+    assert(Ddl.tombstonesOf(spark, dir).isDefined)
+    Ddl.compact(spark, dir)
+    assert(Ddl.tombstonesOf(spark, dir).isEmpty)
+  }
+
+  test("rewrite preserves column ORDER under using-column anti-joins " +
+    "(hoisted join column never reaches the files)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-order")
+      .resolve("t").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("id_a", "id_b")
+      .write.parquet(dir)
+    // anti-join on the SECOND column — Spark hoists id_b to the front
+    // of the join output; rewrite must restore (id_a, id_b) so later
+    // appends and this file agree on physical order (positional
+    // readers otherwise depend on which footer wins schema inference)
+    Ddl.rewrite(spark, dir) { df =>
+      df.join(org.apache.spark.sql.functions.broadcast(
+        Seq(20L).toDF("id_b")), Seq("id_b"), "left_anti")
+    }
+    assert(spark.read.parquet(dir).columns.toSeq === Seq("id_a", "id_b"))
+    Seq((3L, 30L)).toDF("id_a", "id_b").write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (3L, 30L)))
+  }
+
   test("z-ordered layout bounds per-file ranges on BOTH columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-z").toString

@@ -1357,10 +1357,13 @@ class StreamingSpec extends SparkSpecBase {
       q1.processAllAvailable()
       assert(hits() === Set((3L, 1L)), hits())
     } finally q1.stop()
-    // retraction + layout-preserving maintenance
+    // retraction + layout-preserving maintenance; the returned census
+    // (footer counts, post-tombstone) is the re-bucketing self-report
     StreamingPipeline.takedownVectors(spark, indexDir, hitsDir, Seq(1L))
-    graft.sources.Ddl.compactPartitions(spark, indexDir,
+    val census = graft.sources.Ddl.compactPartitions(spark, indexDir,
       targetBytes = 1L << 30)
+    assert(census.toMap ===
+      Map("cell_bucket=0" -> 2L, "cell_bucket=1" -> 1L), census)
     assert(indexIds() === Set(2L, 3L, 10L))
     assert(graft.sources.Ddl.tombstonesOf(spark, indexDir).isEmpty)
     assert(dirNames() === Set("cell_bucket=0", "cell_bucket=1"))
