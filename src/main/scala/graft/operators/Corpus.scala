@@ -621,10 +621,13 @@ object Corpus extends QueryModule {
 
   /** Free every transient this module still pins — see
     * [[graft.Release]] for the session-hygiene contract. */
-  private[graft] def releaseTransients(): Unit =
+  private[graft] def releaseTransients(): Unit = {
     Seq(lastBpeVocab, lastBigrams).foreach { r =>
       Option(r.getAndSet(null)).foreach(_.unpersist(false))
     }
+    Option(lastStats.getAndSet(null))
+      .foreach(graft.operators.NearDup.freeLocalCheckpoint)
+  }
 
   /** BPE ENCODING audit — the tokenizer-fertility report over the corpus
     * under the merges [[bpeMerges]] just induced: per document, the
@@ -873,7 +876,90 @@ object Corpus extends QueryModule {
       .limit(k)
   }
 
+  /** Per-(source, token) corpus statistics — the standing artifact
+    * retrieval scoring reads (BM25/tf-idf document frequencies, source
+    * vocabulary signatures): term count and document frequency per
+    * source and token. One explode + one map-side-combined aggregate. */
+  private[graft] def sourceTokenStats(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"source", $"doc_id",
+        explode(split($"text", " ")).as("token"))
+      .groupBy($"source", $"token")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+  }
+
+  /** The standing stats checkpoint of the previous [[takedownStats]] —
+    * one-slot swap, [[graft.operators.NearDup]]'s takedown discipline. */
+  private val lastStats =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** Takedown through standing CORPUS STATISTICS — the DECOMPOSABLE
+    * artifact class, completing the retraction story alongside the
+    * graph artifacts ([[NearDup.takedownSurvivors]]/[[NearDup
+    * .takedownKcoreOn]]/[[NearDup.takedownPagerankOn]]): tf and df are
+    * SUMS over disjoint document sets, so retracting a doc set needs
+    * one scan of the REMOVED documents only — aggregate their
+    * per-(source, token) contributions and subtract from the standing
+    * table; rows whose df reaches 0 disappear (their token no longer
+    * occurs in the source). Work ∝ removal set, never ∝ corpus; the
+    * standing corpus is not re-read. Hash parity with the oracle's
+    * from-scratch recompute on the filtered corpus proves the
+    * subtraction exact (df subtracts cleanly because each doc has ONE
+    * source — contributions never straddle groups).
+    *
+    * The contrast that makes this a class, not a one-off: SKETCH
+    * artifacts (KMV distinct sketches, Misra–Gries heavy hitters,
+    * bloom filters) are NOT subtractable — deletion support needs a
+    * different sketch family entirely (count-min CAN subtract but
+    * keeps its error; KMV/MG cannot know what the removed docs would
+    * have displaced). A deployment keeping q_sketch_audit-style
+    * artifacts standing rebuilds them per takedown batch; the rebuild
+    * is one corpus scan, and the decomposable tables here are the ones
+    * worth maintaining incrementally. */
+  private[graft] def takedownStatsOn(
+      standing: DataFrame,    // (source, token, tf, df) standing stats
+      removedDocs: DataFrame  // (source, doc_id, text) the REMOVED docs
+  ): DataFrame = {
+    val s = standing.sparkSession
+    import s.implicits._
+    val small = removedDocs.count() <= NearDup.VerifyIdsBroadcastCap
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val sub = sourceTokenStats(removedDocs)
+      .select($"source", $"token",
+        $"tf".as("tf_rem"), $"df".as("df_rem"))
+    standing.join(hinted(sub), Seq("source", "token"), "left")
+      .select($"source", $"token",
+        ($"tf" - coalesce($"tf_rem", lit(0L))).as("tf"),
+        ($"df" - coalesce($"df_rem", lit(0L))).as("df"))
+      .where($"df" > 0)
+      .orderBy($"source", $"token")
+  }
+
+  def takedownStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val standing = sourceTokenStats(docs).localCheckpoint(true)
+    Option(lastStats.getAndSet(standing))
+      .foreach(graft.operators.NearDup.freeLocalCheckpoint)
+    takedownStatsOn(standing, docs.where(NearDup.TakedownSparkPred))
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      // Spark: standing stats + one removed-docs scan, subtractive
+      // update. Oracle: from-scratch aggregate on the filtered corpus.
+      "q_takedown_stats", takedownStats, Some(s"""
+        SELECT source, token,
+               CAST(count(*) AS BIGINT) AS tf,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (SELECT source, doc_id,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents
+              WHERE NOT ${NearDup.TakedownSqlPred}) t
+        GROUP BY source, token
+        ORDER BY source, token""")),
     QueryDef(
       "q_dsir_select", dsirSelect(_, _), Some("""
         WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks

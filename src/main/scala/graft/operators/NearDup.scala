@@ -631,8 +631,123 @@ object NearDup extends QueryModule {
     * from scratch on the filtered corpus while Spark runs the
     * INCREMENTAL path: the hash compare IS the incremental ≡ full
     * parity proof. */
-  private val TakedownSparkPred = col("doc_id") % 17 === 3
-  private val TakedownSqlPred = "(doc_id % 17) = 3"
+  private[graft] val TakedownSparkPred = col("doc_id") % 17 === 3
+  private[graft] val TakedownSqlPred = "(doc_id % 17) = 3"
+
+  /** INCREMENTAL k-core under takedown — retraction through the second
+    * standing GRAPH artifact (the boilerplate-core labels of
+    * [[kcoreOnPairs]]), with the same blast-radius bound as
+    * [[takedownSurvivors]] and for the same reason: peeling is
+    * COMPONENT-LOCAL (every degree it computes counts only
+    * same-component neighbors, and no global scalar enters), so a
+    * component whose edge set survives intact peels to exactly its old
+    * core — those (doc_id, deg) rows PASS THROUGH. Components holding
+    * a removed doc re-peel honestly on their surviving edges (losing a
+    * member can cascade: its neighbors drop below k and peel in a
+    * later round), through the same bounded-round [[kcoreOnPairs]] the
+    * standing artifact was built with.
+    *
+    * `standing` is the survivor table — its cluster_id IS the pair
+    * graph's component map, so a deployment that keeps both artifacts
+    * pays no extra closure to find the blast radius. `standingCore`
+    * must be storage-backed (checkpointed) by the caller: the re-peel
+    * swaps [[kcoreOnPairs]]'s one-slot free list, which releases the
+    * standing build's transient blocks. */
+  private[graft] def takedownKcoreOn(
+      standingCore: DataFrame, // (doc_id, deg) k-core over standing corpus
+      standing: DataFrame,     // (doc_id, cluster_id, ...) component map
+      pairs: DataFrame,        // (id_a, id_b) verified edges
+      removed: DataFrame,      // (doc_id) takedown set
+      k: Int = 2, rounds: Int = 4): DataFrame = {
+    val s = standingCore.sparkSession
+    import s.implicits._
+    val small = removed.count() <= VerifyIdsBroadcastCap
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val rem = hinted(removed.select($"doc_id"))
+    val affected = standing.join(rem, Seq("doc_id"), "leftsemi")
+      .select($"cluster_id").distinct()
+    val untouched = standingCore
+      .join(standing.select($"doc_id", $"cluster_id"), Seq("doc_id"))
+      .join(hinted(affected), Seq("cluster_id"), "left_anti")
+      .select($"doc_id", $"deg")
+    val members = standing
+      .join(hinted(affected), Seq("cluster_id"), "leftsemi")
+      .join(rem, Seq("doc_id"), "left_anti")
+      .select($"doc_id")
+    // surviving edges of the affected subgraph (explicit reselect:
+    // using-joins hoist their key to the front, and downstream
+    // toDF("id_a", "id_b") renames POSITIONALLY)
+    val subPairs = pairs
+      .join(hinted(members.select($"doc_id".as("id_a"))),
+        Seq("id_a"), "leftsemi")
+      .join(hinted(members.select($"doc_id".as("id_b"))),
+        Seq("id_b"), "leftsemi")
+      .select($"id_a", $"id_b")
+    untouched.unionByName(kcoreOnPairs(subPairs, k, rounds))
+      .orderBy($"doc_id")
+  }
+
+  /** Takedown through the standing PAGERANK artifact — the HONEST
+    * form: recompute-on-surviving-edges, never passthrough. Unlike the
+    * survivor and k-core artifacts, PageRank CANNOT pass untouched
+    * components through: the teleport term is `Scale div n` with n the
+    * GLOBAL surviving-node count, so removing any node moves `init`
+    * and `base` for every component — and the fixed-point floor
+    * divisions make the move non-rescalable (with exact rationals the
+    * untouched components' scores would scale by n_old/n_new
+    * component-locally; floor arithmetic breaks that identity
+    * bit-wise, and bit-parity is the gate's contract). What the
+    * incremental path DOES reuse is the expensive part: the standing
+    * verified pair list — at 10⁷ docs the pair derivation costs
+    * ~305 s while the 5 bounded rounds on the (near-dup-sized, not
+    * corpus-sized) edge list cost seconds — so the takedown filters
+    * edges to surviving endpoints and re-runs only the rounds. */
+  private[graft] def takedownPagerankOn(
+      pairs: DataFrame, removed: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val small = removed.count() <= VerifyIdsBroadcastCap
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val subPairs = pairs
+      .join(hinted(removed.select($"doc_id".as("id_a"))),
+        Seq("id_a"), "left_anti")
+      .join(hinted(removed.select($"doc_id".as("id_b"))),
+        Seq("id_b"), "left_anti")
+      .select($"id_a", $"id_b")
+    pageRankOnPairs(subPairs)
+  }
+
+  /** GATE: [[takedownKcoreOn]] end-to-end — standing pairs, component
+    * map and k-core built once (checkpointed), takedown applied with
+    * untouched-component passthrough; the oracle re-peels from scratch
+    * on the filtered corpus. Hash equality proves component-local
+    * peeling commutes with blast-radius-bounded maintenance. */
+  def takedownKcore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val pairs = minhashNearDup(s, d).select($"id_a", $"id_b")
+      .localCheckpoint(true)
+    val standing = survivorsFrom(docs, pairs).localCheckpoint(true)
+    val core = kcoreOnPairs(pairs).localCheckpoint(true)
+    Option(lastTakedown.getAndSet(Seq(pairs, standing, core)))
+      .foreach(_.foreach(freeLocalCheckpoint))
+    val removed = docs.where(TakedownSparkPred).select($"doc_id")
+    takedownKcoreOn(core, standing, pairs, removed)
+  }
+
+  /** GATE: [[takedownPagerankOn]] — standing pairs reused, rounds
+    * re-run on the surviving edges; the oracle recomputes pairs AND
+    * rounds from scratch on the filtered corpus. */
+  def takedownPagerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val pairs = minhashNearDup(s, d).select($"id_a", $"id_b")
+      .localCheckpoint(true)
+    Option(lastTakedown.getAndSet(Seq(pairs)))
+      .foreach(_.foreach(freeLocalCheckpoint))
+    val removed = docs.where(TakedownSparkPred).select($"doc_id")
+    takedownPagerankOn(pairs, removed)
+  }
 
   /** GATE: [[takedownSurvivors]] end-to-end — build the standing
     * artifacts the way a deployment stores them (one pair computation,
@@ -1963,6 +2078,52 @@ object NearDup extends QueryModule {
         SELECT 'survivor_reassigned', count(*) FROM cmp
         WHERE old_surv <> new_surv
         ORDER BY metric""")),
+    QueryDef(
+      // Spark: standing core + component map, untouched components
+      // pass through, affected re-peel. Oracle: full re-peel on the
+      // filtered corpus — hash parity proves component-local peeling
+      // commutes with blast-radius-bounded maintenance.
+      "q_takedown_kcore", takedownKcore, Some(s"""
+        WITH s AS ($oracleShingleBody
+          WHERE NOT $TakedownSqlPred),
+        p AS MATERIALIZED (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        ${kcoreOracleRounds(4, 2)},
+        ef AS (SELECT e.src, e.dst FROM e
+               JOIN a4 x ON e.src = x.node
+               JOIN a4 y ON e.dst = y.node)
+        SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+        FROM ef GROUP BY src ORDER BY doc_id""")),
+    QueryDef(
+      // Spark: standing pairs reused, 5 fixed-point rounds re-run on
+      // surviving edges (teleport's global n makes passthrough
+      // impossible — see takedownPagerankOn). Oracle: pairs AND rounds
+      // from scratch on the filtered corpus.
+      "q_takedown_pagerank", takedownPagerank, Some(s"""
+        WITH s AS ($oracleShingleBody
+          WHERE NOT $TakedownSqlPred),
+        p AS MATERIALIZED (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                FROM e GROUP BY src),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        r0 AS (SELECT node, deg,
+                 1000000000000 // (SELECT n FROM nn) AS pr FROM deg),
+        ${pageRankOracleIters(5)}
+        SELECT node AS doc_id, pr AS pr_scaled, deg
+        FROM r5 ORDER BY doc_id""")),
     QueryDef(
       "q_dedup_survivor", dedupSurvivor, Some(s"""
         ${oracleShingles.replace("WITH s AS", "WITH RECURSIVE s AS")},

@@ -92,7 +92,9 @@ object DumpPlans {
     "q_adaptive_join" -> "census-driven join choice: per case, the bounded census decides broadcast / salted / sort-merge and the join executes THROUGH the decision -- the skew case carries (k, salt) join keys so the hot key spreads over NumSalts tasks",
     "q_media_features" -> "real-codec decode: PNG generation and ImageIO decode are two partition-batched narrow passes; payload bytes never shuffle -- features (70 bytes/row) are extracted before the presentation sort",
     "q_video_frames" -> "frame container decode: strided seek + per-frame PNG decode in one mapPartitions pass; only sampled frames reach the codec, and only (doc, frame) stat rows reach the exchange",
-    "q_decontaminate_semantic" -> "semantic decontamination: one narrow codebook-in-expression assignment scan; the tiny benchmark side broadcasts into its own cells only -- pair work is bench x cell, corpus^2 never planned")
+    "q_decontaminate_semantic" -> "semantic decontamination: one narrow codebook-in-expression assignment scan; the tiny benchmark side broadcasts into its own cells only -- pair work is bench x cell, corpus^2 never planned",
+    "q_takedown_stats" -> "subtractive retraction: the standing stats table (checkpoint leaf) left-joins the broadcast removed-docs aggregate -- the corpus scan appears only UNDER the pushed-down removal predicate; the full corpus is never re-read",
+    "q_takedown_kcore" -> "blast-radius k-core maintenance: untouched components stream through two anti/semi joins on broadcast cluster ids; only the affected subgraph's surviving edges enter the bounded re-peel rounds")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

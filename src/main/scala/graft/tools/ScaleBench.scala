@@ -917,6 +917,97 @@ object ScaleBench {
       graft.Release.transients()
     }
 
+    // Retraction through DERIVED standing artifacts — the three honesty
+    // classes priced at scale, all parity-asserted row-for-row:
+    //  - stats (decomposable sums): subtractive update scans ONLY the
+    //    removed docs vs the full re-aggregate's corpus scan — the
+    //    structural ~1/removal-fraction win;
+    //  - k-core (component-local): untouched components pass through,
+    //    affected re-peel, vs a full re-peel of the whole filtered
+    //    graph (both GIVEN the standing pairs — the pair re-derivation
+    //    cost is the survivor rung's figure, not re-priced here);
+    //  - pagerank (globally-coupled teleport): no passthrough exists,
+    //    so the incremental path = rounds on surviving edges; its
+    //    figure shows what "incremental" honestly costs when the math
+    //    allows only input reuse.
+    if (only.forall(_.contains("retract_derived"))) {
+      import graft.operators.{Corpus, NearDup}
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"source", $"text")
+      val pairs = NearDup.pairsOver(docs.select($"doc_id", $"text"))
+        .localCheckpoint(true)
+      val nPairs = pairs.count()
+      val standing = NearDup
+        .survivorsFrom(docs.select($"doc_id", $"text"), pairs)
+        .localCheckpoint(true)
+      standing.count()
+      val removed = docs.where($"doc_id" % 1009 === 3)
+        .localCheckpoint(true)
+      val removedIds = removed.select($"doc_id")
+      val nRemoved = removed.count()
+      // ---- stats
+      val tSB = System.nanoTime()
+      val stats = Corpus.sourceTokenStats(docs).localCheckpoint(true)
+      stats.count()
+      val statsBuildSec = (System.nanoTime() - tSB) / 1e9
+      val tSI = System.nanoTime()
+      val incStats = Corpus.takedownStatsOn(stats, removed)
+        .localCheckpoint(true)
+      incStats.count()
+      val statsIncSec = (System.nanoTime() - tSI) / 1e9
+      val tSF = System.nanoTime()
+      val fullStats = Corpus.sourceTokenStats(
+        docs.join(broadcast(removedIds), Seq("doc_id"), "left_anti"))
+        .localCheckpoint(true)
+      fullStats.count()
+      val statsFullSec = (System.nanoTime() - tSF) / 1e9
+      val statsBad = incStats.exceptAll(fullStats).count() +
+        fullStats.exceptAll(incStats).count()
+      // ---- k-core
+      val tKB = System.nanoTime()
+      val core = NearDup.kcoreOnPairs(pairs).localCheckpoint(true)
+      core.count()
+      val coreBuildSec = (System.nanoTime() - tKB) / 1e9
+      val tKI = System.nanoTime()
+      val incCore = NearDup
+        .takedownKcoreOn(core, standing, pairs, removedIds)
+        .localCheckpoint(true)
+      incCore.count()
+      val kcoreIncSec = (System.nanoTime() - tKI) / 1e9
+      val tKF = System.nanoTime()
+      val fPairs = pairs
+        .join(broadcast(removedIds.select($"doc_id".as("id_a"))),
+          Seq("id_a"), "left_anti")
+        .join(broadcast(removedIds.select($"doc_id".as("id_b"))),
+          Seq("id_b"), "left_anti")
+        .select($"id_a", $"id_b").localCheckpoint(true)
+      val fullCore = NearDup.kcoreOnPairs(fPairs).localCheckpoint(true)
+      fullCore.count()
+      val kcoreFullSec = (System.nanoTime() - tKF) / 1e9
+      val kcoreBad = incCore.exceptAll(fullCore).count() +
+        fullCore.exceptAll(incCore).count()
+      // ---- pagerank (rounds on surviving edges; = the full form)
+      val tP = System.nanoTime()
+      val incPr = NearDup.takedownPagerankOn(pairs, removedIds)
+        .localCheckpoint(true)
+      val nPr = incPr.count()
+      val prSec = (System.nanoTime() - tP) / 1e9
+      println(f"""{"shape":"retract_derived","n":$n,"n_pairs":$nPairs,""" +
+        f""""n_removed":$nRemoved,""" +
+        f""""stats_build_sec":$statsBuildSec%.1f,""" +
+        f""""stats_incremental_sec":$statsIncSec%.1f,""" +
+        f""""stats_full_sec":$statsFullSec%.1f,""" +
+        f""""stats_parity_mismatches":$statsBad,""" +
+        f""""kcore_build_sec":$coreBuildSec%.1f,""" +
+        f""""kcore_incremental_sec":$kcoreIncSec%.1f,""" +
+        f""""kcore_full_sec":$kcoreFullSec%.1f,""" +
+        f""""kcore_parity_mismatches":$kcoreBad,""" +
+        f""""pagerank_rounds_sec":$prSec%.1f,"pagerank_nodes":$nPr}""")
+      require(statsBad == 0L && kcoreBad == 0L,
+        s"retract_derived parity violated: stats=$statsBad kcore=$kcoreBad")
+      graft.Release.transients()
+    }
+
     if (only.forall(_.contains("ivf2_deploy"))) {
       val cellTarget = 4000L
       val ladder = Seq(n / 4, n / 2, n).filter(_ >= 100000L).distinct

@@ -359,6 +359,36 @@ class CorpusSpec extends SparkSpecBase {
     assert(enShare >= enCorpus, s"selected en=$enShare corpus en=$enCorpus")
   }
 
+  test("takedown stats: subtractive update equals full recompute; " +
+    "tokens whose df reaches 0 vanish") {
+    import spark.implicits._
+    val docs = Seq(
+      ("src_a", 1L, "alpha beta alpha"),
+      ("src_a", 2L, "beta gamma"),
+      ("src_a", 3L, "alpha delta delta"),
+      ("src_b", 4L, "alpha alpha"),
+      ("src_b", 5L, "omega")
+    ).toDF("source", "doc_id", "text")
+    val standing = Corpus.sourceTokenStats(docs).localCheckpoint(true)
+    // remove 1 and 5: src_a loses one alpha-doc (df 2->1, tf 3->1) and
+    // its only... beta survives in 2; src_b loses its ONLY omega doc —
+    // that (source, token) row must VANISH, not linger at df=0
+    val removed = docs.where($"doc_id".isin(1L, 5L))
+    val got = Corpus.takedownStatsOn(standing, removed)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val want = Corpus
+      .sourceTokenStats(docs.where(!$"doc_id".isin(1L, 5L)))
+      .orderBy($"source", $"token")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got === want)
+    assert(!got.exists(r => r._1 == "src_b" && r._2 == "omega"))
+    // src_a alpha after removal: doc 3 only -> tf 1, df 1; src_b alpha
+    // untouched: tf 2, df 1
+    assert(got.filter(_._2 == "alpha").toSet ===
+      Set(("src_a", "alpha", 1L, 1L), ("src_b", "alpha", 2L, 1L)))
+    standing.unpersist()
+  }
+
   test("shardAssign: deterministic, total, positions are per-shard ranks") {
     import spark.implicits._
     val a = Corpus.shardAssign(spark, sfDir)

@@ -403,6 +403,64 @@ class NearDupSpec extends SparkSpecBase {
     assert(byId(31L) === ((31L, 31L, 31L, true)))
   }
 
+  test("takedown k-core: untouched components pass through, affected " +
+    "re-peel with cascade — equals full re-peel on the filtered graph") {
+    import spark.implicits._
+    // component A: 4-cycle 1-2-3-4 (all deg 2 -> in the 2-core; losing
+    // ONE member leaves a path whose peel CASCADES to nothing);
+    // component B: triangle 20-21-22 (untouched, stays core);
+    // component C: pair 30-31 (deg 1 -> never in the 2-core)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val standing = Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L)
+      .toDF("doc_id", "cluster_id")
+    val core = NearDup.kcoreOnPairs(pairs).localCheckpoint(true)
+    assert(core.as[(Long, Long)].collect().toMap.keySet ===
+      Set(1L, 2L, 3L, 4L, 20L, 21L, 22L))
+    val removed = Seq(1L, 30L).toDF("doc_id")
+    val got = NearDup.takedownKcoreOn(core, standing, pairs, removed)
+      .as[(Long, Long)].collect().toSeq.sorted
+    // full re-peel on the filtered graph
+    val fPairs = pairs.where(!$"id_a".isin(1L, 30L) &&
+      !$"id_b".isin(1L, 30L))
+    val want = NearDup.kcoreOnPairs(fPairs)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got === want)
+    // the cascade emptied component A; B passed through identically
+    assert(got === Seq((20L, 2L), (21L, 2L), (22L, 2L)))
+  }
+
+  test("takedown pagerank: surviving-edge recompute equals full " +
+    "recompute — global teleport re-scales, edge-orphaned nodes drop") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val before = NearDup.pageRankOnPairs(pairs)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, pr, dg) => id -> ((pr, dg)) }.toMap
+    val removed = Seq(1L, 30L).toDF("doc_id")
+    val got = NearDup.takedownPagerankOn(pairs, removed)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val fPairs = pairs.where(!$"id_a".isin(1L, 30L) &&
+      !$"id_b".isin(1L, 30L))
+    val want = NearDup.pageRankOnPairs(fPairs)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === want)
+    val ids = got.map(_._1).toSet
+    // 31 lost its only neighbor -> no surviving edge -> out of the
+    // node set entirely (nodes = docs with >=1 edge)
+    assert(!ids.contains(31L) && !ids.contains(1L) && !ids.contains(30L))
+    // the UNTOUCHED triangle's scores still moved: teleport is
+    // Scale div n and n shrank — the documented reason pagerank
+    // takedown cannot pass components through
+    val gotMap = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(gotMap(20L) !== before(20L))
+  }
+
   /** In-spec reference PageRank: the same scaled-integer recurrence as
     * [[NearDup.pageRankOnPairs]], computed single-threaded over plain
     * Scala maps — an independent second implementation, not a replay of
