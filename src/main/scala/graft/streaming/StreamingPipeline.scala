@@ -66,12 +66,14 @@ object StreamingPipeline {
     @volatile var indexedDedupAfterHits: Long => Unit = _ => ()
     @volatile var semanticDedupAfterHits: Long => Unit = _ => ()
     @volatile var dualWriteAfterOk: Long => Unit = _ => ()
+    @volatile var statsCompactMidDelete: Long => Unit = _ => ()
     def reset(): Unit = {
       sizeFlushAfterChunks = _ => ()
       sizeFlushAfterCarry = _ => ()
       indexedDedupAfterHits = _ => ()
       semanticDedupAfterHits = _ => ()
       dualWriteAfterOk = _ => ()
+      statsCompactMidDelete = _ => ()
     }
   }
 
@@ -998,6 +1000,194 @@ object StreamingPipeline {
       graft.sources.Ddl.rewrite(spark, hitsDir) { h =>
         hitIdCols.foldLeft(h)((acc, c) =>
           acc.join(broadcast(ids.toDF(c)), Seq(c), "left_anti"))
+      }
+  }
+
+  /** STANDING CORPUS-STATISTICS maintenance — the streaming form of
+    * [[graft.operators.Corpus.sourceTokenStats]], keeping the
+    * per-(source, token) tf/df table a retrieval deployment reads
+    * (BM25 document frequencies, source signatures) CURRENT under both
+    * ingest and takedown, without ever re-aggregating the corpus.
+    *
+    * Layout: `statsDir/batch_id=<id>/` holds each micro-batch's
+    * per-(source, token) PARTIAL aggregate, written with overwrite so
+    * a replayed micro-batch rewrites its own partial — exactly-once
+    * CONTENT on disk, the same per-batch-dir discipline as
+    * [[sizeFlushSink]]'s chunks. The partials are MERGEABLE BY SUM:
+    * tf trivially; df because streaming delivers every doc in exactly
+    * one micro-batch (and ingest ids are never reused — the module's
+    * standing monotone-id contract), so each batch's df counts a
+    * DISJOINT doc set. Readers aggregate partials via [[readStats]];
+    * [[retractStats]] appends a NEGATED partial derived from the
+    * removed docs' content (takedown is subtraction — the
+    * [[graft.operators.Corpus.takedownStatsOn]] math as a standing
+    * maintenance op); [[compactStats]] folds settled partials into one
+    * with a crash-recoverable protocol ([[recoverStats]]).
+    *
+    * At deployment scale nothing here scans the corpus: ingest cost is
+    * one aggregate of each batch, takedown cost one aggregate of the
+    * removed docs, read cost the (vocab × sources)-bounded partial
+    * union, compaction the same — the standing table's grain, never
+    * the corpus's. */
+  def statsMaintenanceSink(
+      docs: DataFrame, // streaming; columns: doc_id, source, text
+      statsDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.Corpus.sourceTokenStats(batch.toDF())
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$statsDir/batch_id=$id")
+        ()
+      }
+      .start()
+
+  /** The current statistics: partials summed, fully-retracted rows
+    * dropped. Empty-safe (a never-written or crashed-empty dir reads
+    * as an empty table, not an error). */
+  def readStats(spark: SparkSession, statsDir: String): DataFrame = {
+    import spark.implicits._
+    recoverStats(spark, statsDir)
+    val p = new org.apache.hadoop.fs.Path(statsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    if (!hasData)
+      Seq.empty[(String, String, Long, Long)]
+        .toDF("source", "token", "tf", "df")
+    else
+      spark.read.parquet(statsDir)
+        .groupBy($"source", $"token")
+        .agg(sum($"tf").as("tf"), sum($"df").as("df"))
+        .where($"df" > 0)
+  }
+
+  /** Takedown as a NEGATED partial: aggregate the removed docs'
+    * contributions, negate, land under `batch_id=-(takedownId + 1)` —
+    * negative ids cannot collide with micro-batch ids (≥ 0), and the
+    * overwrite makes a RETRIED takedown idempotent (same id → same
+    * dir, rewritten not doubled). `removedDocs` must be documents the
+    * stream has INGESTED (subtracting what was never added corrupts
+    * the sums — the same already-ingested contract as
+    * [[takedownVectors]]), carrying (source, doc_id, text). */
+  def retractStats(spark: SparkSession, statsDir: String,
+      removedDocs: DataFrame, takedownId: Long): Unit = {
+    require(takedownId >= 0, s"takedownId must be >= 0, got $takedownId")
+    import spark.implicits._
+    graft.operators.Corpus.sourceTokenStats(removedDocs)
+      .select($"source", $"token",
+        (-$"tf").as("tf"), (-$"df").as("df"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$statsDir/batch_id=${-(takedownId + 1)}")
+  }
+
+  /** Fold all SETTLED partials (every dir except the highest
+    * batch_id, which an in-flight micro-batch retry may still
+    * rewrite) into one partial under the smallest folded id. Crash
+    * protocol: the folded result is staged at
+    * `statsDir/_stats_compact_tmp` together with a `_manifest` naming
+    * every dir it replaces; only then are the folded dirs deleted and
+    * the stage renamed into place. A crash anywhere is healed by
+    * [[recoverStats]]: stage present → finish the deletes from the
+    * manifest and complete the rename (the stage holds the folded
+    * rows, so re-deleting already-deleted dirs loses nothing);
+    * stage absent → nothing was committed, partials intact.
+    *
+    * Settled-only contract: the newest ingest dir is kept because
+    * Structured Streaming may retry exactly the last uncommitted
+    * micro-batch (its overwrite must find its own dir, not a folded
+    * ghost). The same applies to retractions: a takedown id must be
+    * known durable (its caller will not retry it) before compaction
+    * folds it — a retry AFTER folding would recreate the dir and
+    * subtract twice. */
+  def compactStats(spark: SparkSession, statsDir: String): Unit = {
+    import spark.implicits._
+    recoverStats(spark, statsDir)
+    val root = new org.apache.hadoop.fs.Path(statsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val ids = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("batch_id=").toLong).toOption)
+    if (ids.size < 3) return // nothing worth folding
+    val fold = ids.sorted.dropRight(1) // keep the newest dir untouched
+    val target = fold.min
+    val stage = new org.apache.hadoop.fs.Path(root, "_stats_compact_tmp")
+    fs.delete(stage, true)
+    val folded = fold.map(i =>
+        spark.read.parquet(s"$statsDir/batch_id=$i"))
+      .reduce(_ unionByName _)
+      .groupBy($"source", $"token")
+      .agg(sum($"tf").as("tf"), sum($"df").as("df"))
+      // fully-cancelled rows (ingest + retraction both folded) drop;
+      // readStats' df > 0 filter stays for unfolded cancellations
+      .where($"tf" =!= 0L || $"df" =!= 0L)
+    folded.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    // manifest AFTER the data: its presence marks the stage COMPLETE
+    // (recovery treats a manifest-less stage as an aborted write)
+    val manifest = new org.apache.hadoop.fs.Path(stage, "_manifest")
+    val out = fs.create(manifest, true)
+    out.write((fold.mkString(",") + "\n" + target).getBytes("UTF-8"))
+    out.close()
+    finishStatsCompact(fs, root, stage)
+  }
+
+  /** Complete a staged stats compaction: delete every folded dir named
+    * in the manifest, rename the stage to `batch_id=<target>` (the
+    * manifest RIDES the rename — underscore files are invisible to
+    * Spark readers, so the renamed dir is immediately readable), then
+    * drop the manifest at its new home. Idempotent: deletes of
+    * already-gone dirs are no-ops, and every crash point leaves either
+    * the manifest-bearing stage (resume here) or the manifest-bearing
+    * target (drop the marker). */
+  private def finishStatsCompact(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      stage: org.apache.hadoop.fs.Path): Unit = {
+    val manifest = new org.apache.hadoop.fs.Path(stage, "_manifest")
+    val in = fs.open(manifest)
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    val Array(foldLine, targetLine) = text.split("\n", 2)
+    val target = targetLine.trim.toLong
+    foldLine.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      .foreach { i =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"batch_id=$i"),
+          true)
+        Faults.statsCompactMidDelete(i)
+      }
+    val dest = new org.apache.hadoop.fs.Path(root, s"batch_id=$target")
+    if (!fs.rename(stage, dest))
+      throw new java.io.IOException(
+        s"compactStats: cannot rename $stage into place")
+    fs.delete(new org.apache.hadoop.fs.Path(dest, "_manifest"), false)
+    ()
+  }
+
+  /** Heal a crashed [[compactStats]]: a COMPLETE stage (manifest
+    * present) is finished — re-delete its folded dirs, rename it into
+    * place; an INCOMPLETE stage (no manifest — crashed mid-write) is
+    * discarded, every partial it read still intact; a manifest
+    * LEFTOVER inside a batch dir (crash between rename and marker
+    * drop) is swept. */
+  def recoverStats(spark: SparkSession, statsDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(statsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val stage = new org.apache.hadoop.fs.Path(root, "_stats_compact_tmp")
+    if (fs.exists(stage)) {
+      val manifest = new org.apache.hadoop.fs.Path(stage, "_manifest")
+      if (fs.exists(manifest)) finishStatsCompact(fs, root, stage)
+      else fs.delete(stage, true)
+    }
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch_id="))
+      .foreach { st =>
+        fs.delete(new org.apache.hadoop.fs.Path(st.getPath, "_manifest"),
+          false)
       }
   }
 

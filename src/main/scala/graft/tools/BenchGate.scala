@@ -144,6 +144,9 @@ object BenchGate {
     "q_pq_train" -> 0.268,
     "q_takedown_census" -> 4.487,
     "q_takedown_survivor" -> 3.213,
+    "q_takedown_kcore" -> 7.727,
+    "q_takedown_pagerank" -> 2.36,
+    "q_takedown_stats" -> 0.927,
     "q_pq_encode" -> 0.2,
     "q_pq_topk" -> 0.307,
     "q_profile" -> 0.479,

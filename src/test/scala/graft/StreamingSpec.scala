@@ -1610,4 +1610,70 @@ class StreamingSpec extends SparkSpecBase {
       assert(sessions === Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("standing stats maintenance: mergeable ingest partials, " +
+    "idempotent takedown subtraction, crash-recoverable fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val statsDir = tmp(); val ckpt = tmp()
+    val stream = MemoryStream[(Long, String, String)]
+    def start() = StreamingPipeline.statsMaintenanceSink(
+      stream.toDF().toDF("doc_id", "source", "text"), statsDir, ckpt)
+    def read(): Set[(String, String, Long, Long)] =
+      StreamingPipeline.readStats(spark, statsDir)
+        .as[(String, String, Long, Long)].collect().toSet
+    assert(read() === Set.empty) // empty-safe before any ingest
+    val q = start()
+    try {
+      stream.addData((1L, "a", "x y x"), (2L, "a", "y z"))
+      q.processAllAvailable()
+      stream.addData((3L, "a", "x"), (4L, "b", "z"))
+      q.processAllAvailable()
+      stream.addData((5L, "a", "q"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val full = Set(("a", "x", 3L, 2L), ("a", "y", 2L, 2L),
+      ("a", "z", 1L, 1L), ("b", "z", 1L, 1L), ("a", "q", 1L, 1L))
+    assert(read() === full)
+    // parity with the batch operator over the same corpus
+    val docs = Seq((1L, "a", "x y x"), (2L, "a", "y z"), (3L, "a", "x"),
+      (4L, "b", "z"), (5L, "a", "q")).toDF("doc_id", "source", "text")
+    assert(graft.operators.Corpus.sourceTokenStats(docs)
+      .as[(String, String, Long, Long)].collect().toSet === full)
+    // takedown doc 2 — twice with the SAME id: the retry rewrites its
+    // negative-partial dir instead of subtracting again
+    val rm = Seq((2L, "a", "y z")).toDF("doc_id", "source", "text")
+    StreamingPipeline.retractStats(spark, statsDir, rm, takedownId = 0L)
+    StreamingPipeline.retractStats(spark, statsDir, rm, takedownId = 0L)
+    val afterT = Set(("a", "x", 3L, 2L), ("a", "y", 1L, 1L),
+      ("b", "z", 1L, 1L), ("a", "q", 1L, 1L)) // (a, z) fully retracted
+    assert(read() === afterT)
+    // crash-injected compaction: die after the FIRST folded-dir delete
+    // (stage + manifest on disk, partials partially deleted)
+    @volatile var killed = false
+    StreamingPipeline.Faults.statsCompactMidDelete = _ =>
+      if (!killed) { killed = true; throw new RuntimeException("boom") }
+    intercept[RuntimeException] {
+      StreamingPipeline.compactStats(spark, statsDir)
+    }
+    StreamingPipeline.Faults.reset()
+    assert(read() === afterT) // reader heals the crashed fold
+    // clean compaction: everything but the newest ingest dir folds,
+    // fully-cancelled rows drop inside the fold
+    StreamingPipeline.compactStats(spark, statsDir)
+    assert(read() === afterT)
+    val fs = new org.apache.hadoop.fs.Path(statsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirs(): Set[String] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(statsDir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(dirs() === Set("batch_id=-1", "batch_id=2"), dirs())
+    // the stream resumes past the fold: new batches land in fresh dirs
+    val q2 = start()
+    try {
+      stream.addData((6L, "b", "q"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(read() === afterT + (("b", "q", 1L, 1L)))
+  }
 }
