@@ -1101,7 +1101,13 @@ object StreamingPipeline {
     * ghost). The same applies to retractions: a takedown id must be
     * known durable (its caller will not retry it) before compaction
     * folds it — a retry AFTER folding would recreate the dir and
-    * subtract twice. */
+    * subtract twice.
+    *
+    * Single-maintainer contract (the [[graft.sources.Ddl.compact]]
+    * quiesce discipline): readers are safe at any point — a crashed
+    * fold is healed by the next [[readStats]] — but two CONCURRENT
+    * compactors race the rename; run one maintenance process per
+    * table. */
   def compactStats(spark: SparkSession, statsDir: String): Unit = {
     import spark.implicits._
     recoverStats(spark, statsDir)

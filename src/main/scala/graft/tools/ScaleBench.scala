@@ -188,7 +188,8 @@ object ScaleBench {
     val needCorpus = !requested.exists(
       _.subsetOf(Set("salt_vs_aqe", "ann_recall_deploy",
         "semdedup_deploy", "semstream_layout", "ivf2_deploy",
-        "ivf2_recall", "ivf2_train", "ivf2_margin", "pq_train")))
+        "ivf2_recall", "ivf2_train", "ivf2_margin", "pq_train",
+        "stats_stream")))
     // shapes that never read embeddings.parquet — a text-only probe
     // (e.g. the 10⁸ pair-family rung) skips the vector table's
     // generation cost and disk footprint entirely
@@ -1005,6 +1006,78 @@ object ScaleBench {
         f""""pagerank_rounds_sec":$prSec%.1f,"pagerank_nodes":$nPr}""")
       require(statsBad == 0L && kcoreBad == 0L,
         s"retract_derived parity violated: stats=$statsBad kcore=$kcoreBad")
+      graft.Release.transients()
+    }
+
+    // Standing-stats maintenance economics, end-to-end through the
+    // STREAMING sink: per-batch upkeep cost at steady state, the
+    // standing-read latency as partials accumulate (the lever
+    // compactStats exists for), the fold's own cost, a retraction, and
+    // the final read's row-for-row parity with a from-scratch batch
+    // aggregate over ingested-minus-removed. n is the TOTAL ingested
+    // doc count (batches of 10k).
+    if (only.forall(_.contains("stats_stream"))) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingPipeline
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      val statsDir = s"$dir/stats_stream"
+      val ckpt = s"$dir/stats_stream_ckpt"
+      val stream = MemoryStream[(Long, String, String)]
+      val q = StreamingPipeline.statsMaintenanceSink(
+        stream.toDF().toDF("doc_id", "source", "text"), statsDir, ckpt)
+      val rowsPerBatch = 10000
+      val batches = math.max(2, (n / rowsPerBatch).toInt)
+      val batchMs = new scala.collection.mutable.ArrayBuffer[Double]
+      var nextId = 0L
+      (0 until batches).foreach { _ =>
+        val data = (0 until rowsPerBatch).map { i =>
+          val id = nextId + i
+          (id, s"src${id % 20}", docText(id))
+        }
+        stream.addData(data: _*)
+        nextId += rowsPerBatch
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        batchMs += (System.nanoTime() - t0) / 1e6
+      }
+      q.stop()
+      def readMs(): Double = {
+        val t0 = System.nanoTime()
+        StreamingPipeline.readStats(spark, statsDir)
+          .agg(count(lit(1)), sum($"tf")).collect()
+        (System.nanoTime() - t0) / 1e6
+      }
+      val readPre = (0 until 3).map(_ => readMs()).sorted.apply(1)
+      val tC = System.nanoTime()
+      StreamingPipeline.compactStats(spark, statsDir)
+      val compactSec = (System.nanoTime() - tC) / 1e9
+      val readPost = (0 until 3).map(_ => readMs()).sorted.apply(1)
+      val removedDocs = spark.range(0, nextId, 1, 32)
+        .filter($"id" % 1009 === 3)
+        .map { r => val id = r.toLong
+          (id, s"src${id % 20}", docText(id)) }
+        .toDF("doc_id", "source", "text")
+      val tR = System.nanoTime()
+      StreamingPipeline.retractStats(spark, statsDir, removedDocs, 0L)
+      val retractSec = (System.nanoTime() - tR) / 1e9
+      val got = StreamingPipeline.readStats(spark, statsDir)
+      val want = graft.operators.Corpus.sourceTokenStats(
+        spark.range(0, nextId, 1, 32)
+          .filter($"id" % 1009 =!= 3)
+          .map { r => val id = r.toLong
+            (id, s"src${id % 20}", docText(id)) }
+          .toDF("doc_id", "source", "text"))
+      val bad = got.exceptAll(want).count() + want.exceptAll(got).count()
+      val p50 = batchMs.sorted.apply(batchMs.size / 2)
+      println(f"""{"shape":"stats_stream","n":$nextId,""" +
+        f""""batches":$batches,"batch_ms_p50":$p50%.0f,""" +
+        f""""read_ms_pre_fold":$readPre%.0f,""" +
+        f""""compact_sec":$compactSec%.1f,""" +
+        f""""read_ms_post_fold":$readPost%.0f,""" +
+        f""""retract_sec":$retractSec%.1f,""" +
+        f""""parity_mismatches":$bad}""")
+      require(bad == 0L, s"stats_stream parity violated: $bad rows")
       graft.Release.transients()
     }
 
