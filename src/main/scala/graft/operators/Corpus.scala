@@ -625,8 +625,10 @@ object Corpus extends QueryModule {
     Seq(lastBpeVocab, lastBigrams).foreach { r =>
       Option(r.getAndSet(null)).foreach(_.unpersist(false))
     }
-    Option(lastStats.getAndSet(null))
-      .foreach(graft.operators.NearDup.freeLocalCheckpoint)
+    Seq(lastStats, lastSketch).foreach { r =>
+      Option(r.getAndSet(null))
+        .foreach(graft.operators.NearDup.freeLocalCheckpoint)
+    }
   }
 
   /** BPE ENCODING audit — the tokenizer-fertility report over the corpus
@@ -946,6 +948,61 @@ object Corpus extends QueryModule {
     takedownStatsOn(standing, docs.where(NearDup.TakedownSparkPred))
   }
 
+  /** DELETION-CAPABLE count-min sketch over token occurrences — the
+    * sketch family that CAN subtract, closing the class the other
+    * standing sketches honestly cannot (KMV and Misra–Gries discard
+    * exactly the information a deletion would restore; count-min is a
+    * LINEAR projection of the count vector, so a member's contribution
+    * subtracts exactly). Cells are (depth, col, cnt): `depth` hash
+    * rows, col = the first byte of md5(depth ':' token) — the
+    * engine-portable determinism idiom [[deterministicSample]]
+    * established (no engine-specific hash leaves the plan). Point
+    * estimates are min over depths of the token's cells and
+    * OVERESTIMATE only (collisions add, never subtract) — the standard
+    * CM guarantee, width 256 per row bounds the additive error by
+    * ‖counts‖₁/256 per row.
+    *
+    * At 100 TB the sketch is a bounded map-side-combined aggregate
+    * (≤ depth × 256 partial cells per task) and retraction scans only
+    * the removed docs — sub-scan takedown on sketched stats, which the
+    * rebuild-only sketches cannot offer at any width. */
+  private[graft] def cmCells(docs: DataFrame,
+      depth: Int = 4): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(explode(split($"text", " ")).as("token"))
+      .select($"token", explode(array(
+        (0 until depth).map(d => lit(d.toLong)): _*)).as("depth"))
+      .select($"depth",
+        conv(substring(md5(concat($"depth".cast("string"), lit(":"),
+          $"token")), 1, 2), 16, 10).cast("long").as("col"))
+      .groupBy($"depth", $"col").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The previous [[takedownSketch]] standing checkpoint — one-slot. */
+  private val lastSketch =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** GATE: takedown through the standing count-min sketch — subtract
+    * the removed docs' cells (scanning only them); linearity makes the
+    * result EQUAL the from-scratch sketch of the filtered corpus,
+    * which is exactly what the oracle computes. Cells netting to zero
+    * drop (a from-scratch GROUP BY never emits empty cells). */
+  def takedownSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val standing = cmCells(docs).localCheckpoint(true)
+    Option(lastSketch.getAndSet(standing))
+      .foreach(graft.operators.NearDup.freeLocalCheckpoint)
+    val sub = cmCells(docs.where(NearDup.TakedownSparkPred))
+      .select($"depth", $"col", $"cnt".as("cnt_rem"))
+    standing.join(broadcast(sub), Seq("depth", "col"), "left")
+      .select($"depth", $"col",
+        ($"cnt" - coalesce($"cnt_rem", lit(0L))).as("cnt"))
+      .where($"cnt" > 0)
+      .orderBy($"depth", $"col")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef(
       // Spark: standing stats + one removed-docs scan, subtractive
@@ -960,6 +1017,26 @@ object Corpus extends QueryModule {
               WHERE NOT ${NearDup.TakedownSqlPred}) t
         GROUP BY source, token
         ORDER BY source, token""")),
+    QueryDef(
+      // Spark: standing sketch minus the removed docs' cells (linear
+      // subtraction). Oracle: from-scratch sketch of the filtered
+      // corpus — equality IS the linearity proof.
+      "q_takedown_sketch", takedownSketch, Some(s"""
+        WITH tok AS (
+          SELECT unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE NOT ${NearDup.TakedownSqlPred}),
+        c AS (
+          SELECT CAST(d.depth AS BIGINT) AS depth,
+                 CAST((strpos('0123456789abcdef',
+                         substr(md5(CAST(d.depth AS VARCHAR) || ':' ||
+                                    token), 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef',
+                         substr(md5(CAST(d.depth AS VARCHAR) || ':' ||
+                                    token), 2, 1)) - 1)
+                   AS BIGINT) AS col
+          FROM tok, (SELECT unnest([0, 1, 2, 3]) AS depth) d)
+        SELECT depth, col, CAST(count(*) AS BIGINT) AS cnt
+        FROM c GROUP BY depth, col ORDER BY depth, col""")),
     QueryDef(
       "q_dsir_select", dsirSelect(_, _), Some("""
         WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks

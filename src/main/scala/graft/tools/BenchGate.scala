@@ -146,6 +146,7 @@ object BenchGate {
     "q_takedown_survivor" -> 3.213,
     "q_takedown_kcore" -> 7.727,
     "q_takedown_pagerank" -> 2.36,
+    "q_takedown_sketch" -> 1.387,
     "q_takedown_stats" -> 0.927,
     "q_pq_encode" -> 0.2,
     "q_pq_topk" -> 0.307,

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{coalesce, explode, lit, split}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.VecOps
@@ -387,6 +388,45 @@ class CorpusSpec extends SparkSpecBase {
     assert(got.filter(_._2 == "alpha").toSet ===
       Set(("src_a", "alpha", 1L, 1L), ("src_b", "alpha", 2L, 1L)))
     standing.unpersist()
+  }
+
+  test("count-min sketch: point estimates overestimate only; takedown " +
+    "subtraction equals the filtered-corpus sketch exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "beta beta delta"),
+      (3L, "alpha epsilon"),
+      (4L, "zeta zeta zeta")
+    ).toDF("doc_id", "text")
+    val cells = Corpus.cmCells(docs)
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, c, n) => (d, c) -> n }.toMap
+    // exact counts for the overestimate check
+    val truth = docs.select(explode(split($"text", " ")).as("t"))
+      .groupBy($"t").count().as[(String, Long)].collect().toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def estimate(token: String): Long = (0L until 4L).map { d =>
+      val col = java.lang.Long.parseLong(
+        md5hex(s"$d:$token").substring(0, 2), 16)
+      cells.getOrElse((d, col), 0L)
+    }.min
+    truth.foreach { case (t, n) =>
+      assert(estimate(t) >= n, s"$t: est ${estimate(t)} < true $n")
+    }
+    // linearity: standing minus removed-docs cells == filtered sketch
+    val sub = Corpus.cmCells(docs.where($"doc_id".isin(2L, 4L)))
+      .select($"depth", $"col", $"cnt".as("cnt_rem"))
+    val inc = Corpus.cmCells(docs).join(sub, Seq("depth", "col"), "left")
+      .select($"depth", $"col",
+        ($"cnt" - coalesce($"cnt_rem", lit(0L))).as("cnt"))
+      .where($"cnt" > 0)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Corpus.cmCells(docs.where(!$"doc_id".isin(2L, 4L)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc === want)
   }
 
   test("shardAssign: deterministic, total, positions are per-shard ranks") {
