@@ -983,6 +983,35 @@ object Corpus extends QueryModule {
   private val lastSketch =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** GATE: the sketch SERVING point queries — every vocabulary token's
+    * count-min estimate (min over the depth rows' cells) next to its
+    * exact count; `overcount = est - true_cnt ≥ 0` is the CM
+    * guarantee, visible per token. The probe side joins the
+    * (≤ depth × 256)-cell sketch, never re-scans the corpus — at
+    * deployment the exact side is the one-off audit, the sketch side
+    * the standing answerer. */
+  def cmEstimate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val cells = cmCells(docs).localCheckpoint(true)
+    Option(lastSketch.getAndSet(cells))
+      .foreach(graft.operators.NearDup.freeLocalCheckpoint)
+    val exact = docs.select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("true_cnt"))
+    exact
+      .select($"token", $"true_cnt", explode(array(
+        (0 until 4).map(i => lit(i.toLong)): _*)).as("depth"))
+      .select($"token", $"true_cnt", $"depth",
+        conv(substring(md5(concat($"depth".cast("string"), lit(":"),
+          $"token")), 1, 2), 16, 10).cast("long").as("col"))
+      .join(broadcast(cells), Seq("depth", "col"))
+      .groupBy($"token", $"true_cnt")
+      .agg(min($"cnt").as("est"))
+      .select($"token", $"true_cnt", $"est",
+        ($"est" - $"true_cnt").as("overcount"))
+      .orderBy($"token")
+  }
+
   /** GATE: takedown through the standing count-min sketch — subtract
     * the removed docs' cells (scanning only them); linearity makes the
     * result EQUAL the from-scratch sketch of the filtered corpus,
@@ -1017,6 +1046,42 @@ object Corpus extends QueryModule {
               WHERE NOT ${NearDup.TakedownSqlPred}) t
         GROUP BY source, token
         ORDER BY source, token""")),
+    QueryDef(
+      // the CM guarantee per token: est >= true_cnt, both engines
+      // deriving estimate and exact independently
+      "q_cm_estimate", cmEstimate, Some("""
+        WITH tok AS (
+          SELECT unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        ex AS (SELECT token, CAST(count(*) AS BIGINT) AS true_cnt
+               FROM tok GROUP BY token),
+        cells AS (
+          SELECT CAST(d.depth AS BIGINT) AS depth,
+                 CAST((strpos('0123456789abcdef',
+                         substr(md5(CAST(d.depth AS VARCHAR) || ':' ||
+                                    token), 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef',
+                         substr(md5(CAST(d.depth AS VARCHAR) || ':' ||
+                                    token), 2, 1)) - 1)
+                   AS BIGINT) AS col,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM tok, (SELECT unnest([0, 1, 2, 3]) AS depth) d
+          GROUP BY 1, 2),
+        pr AS (
+          SELECT ex.token, ex.true_cnt,
+                 CAST(d.depth AS BIGINT) AS depth,
+                 CAST((strpos('0123456789abcdef',
+                         substr(md5(CAST(d.depth AS VARCHAR) || ':' ||
+                                    ex.token), 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef',
+                         substr(md5(CAST(d.depth AS VARCHAR) || ':' ||
+                                    ex.token), 2, 1)) - 1)
+                   AS BIGINT) AS col
+          FROM ex, (SELECT unnest([0, 1, 2, 3]) AS depth) d)
+        SELECT token, true_cnt, min(cnt) AS est,
+               min(cnt) - true_cnt AS overcount
+        FROM pr JOIN cells USING (depth, col)
+        GROUP BY token, true_cnt ORDER BY token""")),
     QueryDef(
       // Spark: standing sketch minus the removed docs' cells (linear
       // subtraction). Oracle: from-scratch sketch of the filtered

@@ -144,6 +144,7 @@ object BenchGate {
     "q_pq_train" -> 0.268,
     "q_takedown_census" -> 4.487,
     "q_takedown_survivor" -> 3.213,
+    "q_cm_estimate" -> 1.254,
     "q_takedown_kcore" -> 7.727,
     "q_takedown_pagerank" -> 2.36,
     "q_takedown_sketch" -> 1.387,
