@@ -269,6 +269,27 @@ object StreamBench {
     val sdFlat1k = sdLane(1024, None, "_flat1k")
     val sdTwo1k = sdLane(1024, Some(32), "_2l1k")
 
+    // ---- standing stats maintenance: the per-(source, token) tf/df
+    // table kept current per micro-batch (mergeable partials —
+    // StreamingPipeline.statsMaintenanceSink). 1k docs × 40 tokens per
+    // trigger, the same doc generator as the dedup lanes; the property
+    // the lane pins is that upkeep is ONE bounded aggregate of the
+    // batch, never a corpus re-aggregate — a regression that re-reads
+    // the standing table per trigger shows up as a throughput cliff.
+    val stFig = {
+      val stream = MemoryStream[(Long, String, String)]
+      val q = StreamingPipeline.statsMaintenanceSink(
+        stream.toDF().toDF("doc_id", "source", "text"),
+        tmp("stats"), tmp("ckpt_stats"))
+      def docRow(i: Long): (Long, String, String) = {
+        val (id, text) = doc(i); (id, s"src${i % 20}", text)
+      }
+      drive(stream, q,
+        warmup = (0L until 1000L).map(docRow),
+        batches = (0 until load.sdBatches).map(b =>
+          (0L until 1000L).map(i => docRow(1000L + b * 1000L + i))))
+    }
+
     // ---- restart/catch-up (the recovery-time figure): run dual_write
     // to steady state, STOP the query, let a 50k-row backlog accumulate
     // while the consumer is down, restart from the same checkpoint and
@@ -316,6 +337,7 @@ object StreamBench {
       "semantic_dedup" -> sdFig,
       "semantic_dedup_k1024_flat" -> sdFlat1k,
       "semantic_dedup_k1024_2l" -> sdTwo1k,
+      "stats_maintain" -> stFig,
       "restart_catchup_50k" -> recFig)
   }
 
@@ -403,6 +425,9 @@ object StreamGate {
     // 35%-headroom class gate (first figures ~1,300 rows/s median)
     "semantic_dedup_k1024_flat" -> 800.0,
     "semantic_dedup_k1024_2l" -> 800.0,
+    // first figure 3,515 rows/s median (smoke, session-loaded host);
+    // ~35% headroom
+    "stats_maintain" -> 2300.0,
     "restart_catchup_50k" -> 55000.0)
   /** dual_write must stay ≥ this × indexed_dedup (sanity invariant). */
   val MinDualOverIndexed = 10.0
