@@ -145,18 +145,24 @@ object Ddl {
     fs.delete(tmp, true)
     val in = spark.read.parquet(norm.toString)
     val out = transform(in)
-    // PRESERVE the table's column order whenever the transform keeps
-    // the same column set. Using-column joins (the tombstone anti-join
-    // shape) hoist the join column to the front; writing that order
-    // mixes per-file physical schemas with later appends, and readers
-    // that bind positionally (`as[(Long, Long)]`) then depend on WHICH
-    // file's footer Spark picks for the merged schema — a
-    // listing-order flake. A transform that changes the column set
-    // (schema migration) passes through untouched.
+    // PRESERVE the table's column order: retained columns keep the
+    // input's order as a PREFIX, columns the transform added append
+    // after it in the transform's own order. Using-column joins (the
+    // tombstone anti-join shape) hoist the join column to the front;
+    // writing that order mixes per-file physical schemas with later
+    // appends, and readers that bind positionally (`as[(Long, Long)]`)
+    // then depend on WHICH file's footer Spark picks for the merged
+    // schema — a listing-order flake. The prefix rule covers
+    // schema-CHANGING transforms too (rename/add migrations): the
+    // same-set-only restore this replaces passed those through
+    // untouched, so a migration that also reordered retained columns
+    // re-introduced the flake on the next append.
+    val retained = in.columns.filter(out.columns.contains)
+    val added = out.columns.filterNot(in.columns.contains)
+    val order = retained ++ added
     val stable =
-      if (out.columns.toSet == in.columns.toSet &&
-          !out.columns.sameElements(in.columns))
-        out.select(in.columns.map(org.apache.spark.sql.functions.col)
+      if (!out.columns.sameElements(order))
+        out.select(order.map(org.apache.spark.sql.functions.col)
           .toIndexedSeq: _*)
       else out
     stable.coalesce(files)

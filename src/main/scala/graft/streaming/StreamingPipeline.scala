@@ -689,8 +689,14 @@ object StreamingPipeline {
     *    ~3·10⁷ (~9 GB), partitioned ahead beyond, and the flat form's
     *    cost keeps growing with the stream's whole history while the
     *    partitioned form's does not. Choose by standing-index size,
-    *    not taste. `Ddl.compact` per cell dir bounds file count the
-    *    same way it does for every other sink.
+    *    not taste. Maintenance via [[graft.sources.Ddl.compactPartitions]]
+    *    at the index ROOT — it folds each cell dir's files AND applies
+    *    the root-level tombstones [[takedownVectors]] writes (clearing
+    *    them with the swap). Per-cell `Ddl.compact` calls would fold
+    *    files but NEVER see the root tombstone set: the pending set
+    *    would grow unboundedly and every batch would pay its anti-join
+    *    forever (results stay correct via liveIds; the physical delete
+    *    just never lands).
     *  - `cellBuckets = Some(B)`: the SHARDED layout for deployments
     *    past the hive-directory ceiling. The per-cell layout writes K
     *    directories, and K ∝ corpus (cell size held constant) walks
@@ -705,6 +711,16 @@ object StreamingPipeline {
     *    files AND applies pending tombstones per bucket, layout
     *    preserved); root-level compact would flatten the layout.
     *    Measured: ScaleBench `semstream_layout`'s sharded lane.
+    *    B is FROZEN for the index's life, exactly like the codebook:
+    *    `cell_bucket = centroid_id % B` is only invertible under the B
+    *    that wrote it, so a standing read under any other B maps
+    *    touched cells to the WRONG bucket dirs (silently missing
+    *    duplicates) and then appends mis-bucketed files. The first
+    *    sharded batch pins B in an `_cell_buckets` marker at the index
+    *    root and every batch validates against it
+    *    (`validateCellBuckets`) — restart with a different or absent
+    *    `cellBuckets` fails fast instead of corrupting the layout.
+    *    Change B ⇒ rebuild the index dir + fresh checkpoint.
     *
     * The codebook must be FROZEN for
     * the life of the index: cell ids are only comparable under the
@@ -777,6 +793,7 @@ object StreamingPipeline {
           if (hasData(p)) Some(s.read.parquet(dir)) else None
         }
         graft.sources.Ddl.recover(s, indexDir)
+        validateCellBuckets(s, indexDir, cellBuckets)
         val assignCol = cb2 match {
           case Some(c2) => graft.functions.VectorExpressions
             .nearest_centroid2($"v", $"nrm", c2.superCents, c2.superNorms,
@@ -851,8 +868,15 @@ object StreamingPipeline {
               // SHARDED layout: discovery lists O(touched buckets)
               // dirs (bounded by B, not K); within a bucket the
               // pushed-down centroid_id isin prunes ROW GROUPS via the
-              // write path's sortWithinPartitions(centroid_id) stats
-              val b = cellBuckets.getOrElse(1)
+              // write path's sortWithinPartitions(centroid_id) stats.
+              // cellBuckets is guaranteed defined AND equal to the
+              // marker-pinned modulus here — validateCellBuckets (run
+              // at the top of every batch) fails the query fast
+              // otherwise, because touched→bucket mapping under any
+              // other B silently misses duplicate hits
+              val b = cellBuckets.getOrElse(throw new IllegalStateException(
+                s"semanticDedupStream: cell_bucket= dirs at $indexDir " +
+                  "but cellBuckets is unset (validateCellBuckets missed?)"))
               val dirs = touched.map(c =>
                 s"cell_bucket=${java.lang.Math.floorMod(c, b.toLong)}")
                 .distinct
@@ -940,6 +964,87 @@ object StreamingPipeline {
         ()
       }
       .start()
+  }
+
+  /** Enforce the frozen-B contract of [[semanticDedupStream]]'s sharded
+    * layout: the layout is SELECTED by on-disk `cell_bucket=` dirs, but
+    * the touched-cell → bucket-dir mapping (and the write path's
+    * bucketing) comes from the `cellBuckets` OPTION — under a restart
+    * with a different or absent B the standing read silently misses
+    * duplicate hits and the writes corrupt the layout. So: the first
+    * sharded write pins B in an `_cell_buckets` marker (written
+    * tmp+rename — atomic, like every marker in this module), and every
+    * batch fails fast on any marker/option/dir inconsistency. Adopting
+    * a pre-marker index is allowed only when every existing bucket dir
+    * is consistent with the offered B (all indices < B). One marker
+    * read + one root listing per micro-batch — filesystem-metadata
+    * cost, not data cost. */
+  private[graft] def validateCellBuckets(spark: SparkSession,
+      indexDir: String, cellBuckets: Option[Int]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, "_cell_buckets")
+    val pinned: Option[Int] =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        val t = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        in.close()
+        Some(t.toInt)
+      } else None
+    val bucketIdx: Seq[Long] =
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("cell_bucket="))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix("cell_bucket=").toLong).toOption)
+      else Seq.empty
+    (cellBuckets, pinned) match {
+      case (Some(b), Some(m)) if b != m =>
+        throw new IllegalStateException(
+          s"semanticDedupStream: index at $indexDir is pinned to " +
+            s"cellBuckets=$m but this stream was built with " +
+            s"cellBuckets=Some($b). B is frozen for the index's life " +
+            "(cell_bucket = centroid_id % B is only invertible under " +
+            "the B that wrote it) — rebuild the index dir and start a " +
+            "fresh checkpoint to change it.")
+      case (Some(_), Some(_)) => () // consistent
+      case (Some(b), None) =>
+        // first sharded write, or adoption of a pre-marker index: any
+        // existing bucket dir must already be consistent with B
+        bucketIdx.find(_ >= b).foreach { bad =>
+          throw new IllegalStateException(
+            s"semanticDedupStream: index at $indexDir holds " +
+              s"cell_bucket=$bad but cellBuckets=Some($b) can only " +
+              s"produce buckets 0..${b - 1} — the index was written " +
+              "under a larger B. Rebuild the index dir (or pass the " +
+              "original B).")
+        }
+        val tmp = new org.apache.hadoop.fs.Path(root, "_cell_buckets.tmp")
+        fs.mkdirs(root)
+        val out = fs.create(tmp, true)
+        out.write(b.toString.getBytes("UTF-8"))
+        out.close()
+        fs.delete(marker, false)
+        if (!fs.rename(tmp, marker))
+          throw new java.io.IOException(
+            s"semanticDedupStream: cannot pin cellBuckets marker $marker")
+        ()
+      case (None, Some(m)) =>
+        throw new IllegalStateException(
+          s"semanticDedupStream: index at $indexDir is a SHARDED " +
+            s"layout pinned to cellBuckets=$m, but this stream was " +
+            "built without cellBuckets — its standing read would miss " +
+            "duplicates and its writes would corrupt the layout. Pass " +
+            s"cellBuckets=Some($m).")
+      case (None, None) =>
+        if (bucketIdx.nonEmpty)
+          throw new IllegalStateException(
+            s"semanticDedupStream: index at $indexDir holds " +
+              "cell_bucket= dirs but carries no _cell_buckets marker " +
+              "and this stream was built without cellBuckets — the " +
+              "bucket modulus is unknowable. Rebuild the index dir " +
+              "(or pass the original B to pin it).")
+    }
   }
 
   /** Document RETRACTION through a standing [[semanticDedupStream]]
@@ -1067,7 +1172,12 @@ object StreamingPipeline {
     * contributions, negate, land under `batch_id=-(takedownId + 1)` —
     * negative ids cannot collide with micro-batch ids (≥ 0), and the
     * overwrite makes a RETRIED takedown idempotent (same id → same
-    * dir, rewritten not doubled). `removedDocs` must be documents the
+    * dir, rewritten not doubled). The retry window ends when the
+    * takedown id is FOLDED: [[compactStats]] only folds takedowns the
+    * caller has settled (will not retry — a post-fold retry recreates
+    * the dir and subtracts twice), and it never lands a fold ON a
+    * retraction id, so an in-contract retry can only ever rewrite its
+    * own partial, never a folded aggregate. `removedDocs` must be documents the
     * stream has INGESTED (subtracting what was never added corrupts
     * the sums — the same already-ingested contract as
     * [[takedownVectors]]), carrying (source, doc_id, text). */
@@ -1085,7 +1195,12 @@ object StreamingPipeline {
 
   /** Fold all SETTLED partials (every dir except the highest
     * batch_id, which an in-flight micro-batch retry may still
-    * rewrite) into one partial under the smallest folded id. Crash
+    * rewrite) into one partial under the smallest folded INGEST id —
+    * never a retraction id, which a retried [[retractStats]] is
+    * CONTRACTUALLY allowed to overwrite (retry-idempotence via same
+    * dir); landing the fold there would let that retry destroy every
+    * folded ingest partial. A settled set holding only retractions is
+    * left unfolded until an ingest partial settles. Crash
     * protocol: the folded result is staged at
     * `statsDir/_stats_compact_tmp` together with a `_manifest` naming
     * every dir it replaces; only then are the folded dirs deleted and
@@ -1120,7 +1235,22 @@ object StreamingPipeline {
         n.stripPrefix("batch_id=").toLong).toOption)
     if (ids.size < 3) return // nothing worth folding
     val fold = ids.sorted.dropRight(1) // keep the newest dir untouched
-    val target = fold.min
+    // the fold target must be an id NO later overwrite can reclaim.
+    // Ingest ids qualify: only the NEWEST micro-batch can be replayed
+    // (and it is kept out of the fold), so any settled ingest id is
+    // dead forever. Retraction ids do NOT: retractStats advertises
+    // retry-idempotence VIA overwrite of batch_id=-(takedownId+1) — a
+    // fold landed on a retraction id would be silently DESTROYED by a
+    // retried takedown (every folded ingest partial gone, standing
+    // stats corrupted wholesale, not merely double-subtracted). So the
+    // target is the smallest folded INGEST id; a settled set holding
+    // only retractions waits for the next settled ingest partial
+    // (bounded loss: partials are (vocab × sources)-grained, and one
+    // ingest batch later the fold proceeds).
+    val target = fold.filter(_ >= 0) match {
+      case nn if nn.nonEmpty => nn.min
+      case _ => return
+    }
     val stage = new org.apache.hadoop.fs.Path(root, "_stats_compact_tmp")
     fs.delete(stage, true)
     val folded = fold.map(i =>
@@ -1133,11 +1263,22 @@ object StreamingPipeline {
       .where($"tf" =!= 0L || $"df" =!= 0L)
     folded.coalesce(1).write.mode("overwrite").parquet(stage.toString)
     // manifest AFTER the data: its presence marks the stage COMPLETE
-    // (recovery treats a manifest-less stage as an aborted write)
+    // (recovery treats a manifest-less stage as an aborted write).
+    // Written tmp+rename: create/write/close is NOT atomic — a crash
+    // mid-write would leave a zero-length or truncated manifest that
+    // recovery takes for a complete stage and then wedges on (or, a
+    // rare truncation, PARSES to a wrong rename target). The rename is
+    // the same atomicity primitive the rest of the protocol rides;
+    // a leftover `_manifest.tmp` sits inside a manifest-less stage, so
+    // recovery's aborted-stage delete sweeps it with the stage.
     val manifest = new org.apache.hadoop.fs.Path(stage, "_manifest")
-    val out = fs.create(manifest, true)
+    val manifestTmp = new org.apache.hadoop.fs.Path(stage, "_manifest.tmp")
+    val out = fs.create(manifestTmp, true)
     out.write((fold.mkString(",") + "\n" + target).getBytes("UTF-8"))
     out.close()
+    if (!fs.rename(manifestTmp, manifest))
+      throw new java.io.IOException(
+        s"compactStats: cannot commit manifest $manifest")
     finishStatsCompact(fs, root, stage)
   }
 

@@ -185,6 +185,45 @@ class AggregatorDdlSpec extends SparkSpecBase {
       Set((1L, 10L), (3L, 30L)))
   }
 
+  test("rewrite column order under SCHEMA-CHANGING transforms: retained " +
+    "columns keep the input prefix, added columns append — a later " +
+    "append in that order cannot re-introduce the positional flake") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft-order2")
+      .resolve("t").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("id_a", "id_b")
+      .write.parquet(dir)
+    // migration transform: anti-join hoists id_b to the front AND a
+    // new column is added ahead of the retained ones — the same-set
+    // restore this spec's predecessor pinned passed this case through
+    // untouched, writing (gen, id_b, id_a)-ordered files
+    Ddl.rewrite(spark, dir) { df =>
+      df.join(broadcast(Seq(20L).toDF("id_b")), Seq("id_b"), "left_anti")
+        .select(lit(2L).as("gen"), col("id_b"), col("id_a"))
+    }
+    // deterministic contract: input order (id_a, id_b) as the prefix,
+    // added column (gen) appended
+    assert(spark.read.parquet(dir).columns.toSeq ===
+      Seq("id_a", "id_b", "gen"))
+    // an appender following the contract agrees with every file on
+    // physical order — positional readers are safe regardless of which
+    // footer wins schema inference
+    Seq((3L, 30L, 2L)).toDF("id_a", "id_b", "gen")
+      .write.mode("append").parquet(dir)
+    val files = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getPath.toString).columns.toSeq ===
+        Seq("id_a", "id_b", "gen"), f.getPath.getName)
+    }
+    assert(spark.read.parquet(dir).as[(Long, Long, Long)].collect()
+      .toSet === Set((1L, 10L, 2L), (3L, 30L, 2L)))
+  }
+
   test("z-ordered layout bounds per-file ranges on BOTH columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-z").toString

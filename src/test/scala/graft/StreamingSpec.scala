@@ -1210,6 +1210,65 @@ class StreamingSpec extends SparkSpecBase {
     } finally q3.stop()
   }
 
+  test("partitionIndexByCell maintenance: compactPartitions applies " +
+    "ROOT tombstones per cell dir, preserves the layout, clears the " +
+    "pending set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexDir = tmp(); val hitsDir = tmp(); val ckpt = tmp()
+    val codebook = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (5L, Array(0f, 1f, 0f, 0f)))
+    val stream = MemoryStream[(Long, Array[Float])]
+    def start() = StreamingPipeline.semanticDedupStream(
+      stream.toDF().toDF("vec_id", "v"), codebook,
+      indexDir, hitsDir, ckpt, tau = 0.95, partitionIndexByCell = true)
+    def hits(): Set[(Long, Long)] = spark.read.parquet(hitsDir)
+      .select($"vec_id", $"matched_id").as[(Long, Long)].collect().toSet
+    def indexIds(): Set[Long] = spark.read.parquet(indexDir)
+      .select($"vec_id").as[Long].collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cellDirs(): Set[String] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(indexDir)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("centroid_id=")).toSet
+    val q1 = start()
+    try {
+      stream.addData((1L, Array(0.9f, 0.1f, 0f, 0f)),
+        (2L, Array(0.1f, 0.9f, 0f, 0f)))
+      q1.processAllAvailable()
+      stream.addData((3L, Array(0.45f, 0.05f, 0f, 0f))) // twin of 1
+      q1.processAllAvailable()
+      assert(hits() === Set((3L, 1L)), hits())
+    } finally q1.stop()
+    // takedown writes tombstones at the index ROOT — the per-cell-dir
+    // `Ddl.compact` maintenance the scaladoc used to point at never
+    // reads that set (tombstonesOf(cellDir) is empty), so the pending
+    // anti-join would run forever; compactPartitions at the ROOT is
+    // the layout's maintenance op: it applies the root set to every
+    // member, keeps the cell dirs, and clears the set with the swap
+    StreamingPipeline.takedownVectors(spark, indexDir, hitsDir, Seq(1L))
+    assert(hits() === Set.empty)
+    assert(graft.sources.Ddl.tombstonesOf(spark, indexDir).isDefined)
+    assert(graft.sources.Ddl.tombstonesOf(spark,
+      s"$indexDir/centroid_id=0").isEmpty) // root set, not per-cell
+    val census = graft.sources.Ddl.compactPartitions(spark, indexDir,
+      targetBytes = 1L << 30)
+    assert(census.toMap ===
+      Map("centroid_id=0" -> 1L, "centroid_id=5" -> 1L), census)
+    assert(indexIds() === Set(2L, 3L))
+    assert(cellDirs() === Set("centroid_id=0", "centroid_id=5"))
+    assert(graft.sources.Ddl.tombstonesOf(spark, indexDir).isEmpty)
+    // the preserved layout still serves pruned standing reads, and the
+    // retracted member never matches again
+    val q2 = start()
+    try {
+      stream.addData((4L, Array(1.8f, 0.2f, 0f, 0f))) // twin of 1 AND 3
+      q2.processAllAvailable()
+      assert(hits() === Set((4L, 3L)), hits())
+    } finally q2.stop()
+  }
+
   test("maintained IVF cell index: crash between hits append and index " +
     "append replays to an exact hit set") {
     implicit val sqlCtx = spark.sqlContext
@@ -1393,6 +1452,44 @@ class StreamingSpec extends SparkSpecBase {
     graft.sources.Ddl.recover(spark, indexDir)
     assert(fs.exists(member) && !fs.exists(parked) && !fs.exists(staleTmp))
     assert(indexIds() === before)
+    // FROZEN-B contract: the first sharded batch pinned B=3 in the
+    // _cell_buckets marker (it survived compactPartitions — underscore
+    // dirs are maintenance-invisible); a restart under any other B
+    // would map touched cells to the WRONG bucket dirs and silently
+    // miss duplicates, so it must fail fast instead
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(indexDir, "_cell_buckets")))
+    def msgOf(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val qBad = StreamingPipeline.semanticDedupStream(
+      stream.toDF().toDF("vec_id", "v"), codebook,
+      indexDir, hitsDir, tmp(), tau = 0.95, cellBuckets = Some(5))
+    try {
+      stream.addData((7L, vecOf(1, 1.2f)))
+      val ex = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { qBad.processAllAvailable() }
+      assert(msgOf(ex).contains("pinned to cellBuckets=3"), msgOf(ex))
+    } finally qBad.stop()
+    val qNone = StreamingPipeline.semanticDedupStream(
+      stream.toDF().toDF("vec_id", "v"), codebook,
+      indexDir, hitsDir, tmp(), tau = 0.95)
+    try {
+      stream.addData((8L, vecOf(2, 1.2f)))
+      val ex = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { qNone.processAllAvailable() }
+      assert(msgOf(ex).contains("without cellBuckets"), msgOf(ex))
+    } finally qNone.stop()
+    // neither failed start corrupted anything: the original B still
+    // serves (resuming the ORIGINAL checkpoint — only new rows replay)
+    val qOk = StreamingPipeline.semanticDedupStream(
+      stream.toDF().toDF("vec_id", "v"), codebook,
+      indexDir, hitsDir, ckpt, tau = 0.95, cellBuckets = Some(3))
+    try {
+      stream.addData((9L, vecOf(3, 0.5f))) // twin of standing 10
+      qOk.processAllAvailable()
+      assert(hits().contains((9L, 10L)), hits())
+    } finally qOk.stop()
   }
 
   test("takedown through the band index: retracted docs stop matching " +
@@ -1667,7 +1764,10 @@ class StreamingSpec extends SparkSpecBase {
     def dirs(): Set[String] = fs.listStatus(
         new org.apache.hadoop.fs.Path(statsDir)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
-    assert(dirs() === Set("batch_id=-1", "batch_id=2"), dirs())
+    // the fold lands on the smallest folded INGEST id (0) — never the
+    // retraction id -1, whose dir a retried retractStats is allowed to
+    // overwrite (a fold there would be destroyed wholesale)
+    assert(dirs() === Set("batch_id=0", "batch_id=2"), dirs())
     // the stream resumes past the fold: new batches land in fresh dirs
     val q2 = start()
     try {
@@ -1675,5 +1775,84 @@ class StreamingSpec extends SparkSpecBase {
       q2.processAllAvailable()
     } finally q2.stop()
     assert(read() === afterT + (("b", "q", 1L, 1L)))
+  }
+
+  test("compactStats: fold target is an ingest id (a retried takedown " +
+    "overwrites only its own dir); retraction-only settled sets wait") {
+    import spark.implicits._
+    def dirsOf(statsDir: String): Set[String] = {
+      val fs = new org.apache.hadoop.fs.Path(statsDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(statsDir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
+    }
+    def write(statsDir: String, id: Long,
+        rows: Seq[(String, String, Long, Long)]): Unit =
+      rows.toDF("source", "token", "tf", "df").coalesce(1)
+        .write.mode("overwrite").parquet(s"$statsDir/batch_id=$id")
+    def read(statsDir: String): Set[(String, String, Long, Long)] =
+      StreamingPipeline.readStats(spark, statsDir)
+        .as[(String, String, Long, Long)].collect().toSet
+    val d1 = tmp()
+    write(d1, 0L, Seq(("a", "x", 5L, 3L), ("a", "y", 2L, 2L)))
+    write(d1, 1L, Seq(("a", "x", 1L, 1L))) // newest — never folded
+    val rm = Seq((9L, "a", "y")).toDF("doc_id", "source", "text")
+    StreamingPipeline.retractStats(spark, d1, rm, takedownId = 0L)
+    assert(dirsOf(d1) === Set("batch_id=-1", "batch_id=0", "batch_id=1"))
+    StreamingPipeline.compactStats(spark, d1)
+    // fold = {-1, 0} → target 0 (the ingest id), never -1
+    assert(dirsOf(d1) === Set("batch_id=0", "batch_id=1"), dirsOf(d1))
+    // folded dir 0 holds x(5,3) + y(2,2) − y(1,1); dir 1 adds x(1,1)
+    assert(read(d1) === Set(("a", "x", 6L, 4L), ("a", "y", 1L, 1L)))
+    // an OUT-OF-CONTRACT post-fold retry recreates its own negative
+    // partial — double-subtracting (the documented settled-contract
+    // violation) but leaving the folded ingest aggregate INTACT, where
+    // the old fold-at-minimum landed the aggregate at batch_id=-1 and
+    // this same retry would have overwritten it wholesale
+    StreamingPipeline.retractStats(spark, d1, rm, takedownId = 0L)
+    assert(dirsOf(d1) ===
+      Set("batch_id=-1", "batch_id=0", "batch_id=1"))
+    assert(read(d1) === Set(("a", "x", 6L, 4L))) // y over-cancelled only
+    // retraction-only settled set: nothing folds (no ingest id to land
+    // on) — partials wait for the next settled ingest batch
+    val d2 = tmp()
+    write(d2, 5L, Seq(("a", "x", 3L, 2L))) // newest — kept out
+    StreamingPipeline.retractStats(spark, d2,
+      Seq((1L, "a", "x")).toDF("doc_id", "source", "text"), 1L)
+    StreamingPipeline.retractStats(spark, d2,
+      Seq((2L, "a", "x")).toDF("doc_id", "source", "text"), 2L)
+    val before = dirsOf(d2)
+    assert(before === Set("batch_id=-2", "batch_id=-3", "batch_id=5"))
+    StreamingPipeline.compactStats(spark, d2)
+    assert(dirsOf(d2) === before)
+    assert(read(d2) === Set.empty) // tf 3−2=1 but df 2−2=0 → row drops
+  }
+
+  test("recoverStats: an aborted manifest write (tmp present, manifest " +
+    "absent) discards the stage; partials intact") {
+    import spark.implicits._
+    val statsDir = tmp()
+    Seq(("a", "x", 2L, 1L)).toDF("source", "token", "tf", "df")
+      .coalesce(1).write.parquet(s"$statsDir/batch_id=0")
+    Seq(("a", "x", 1L, 1L)).toDF("source", "token", "tf", "df")
+      .coalesce(1).write.parquet(s"$statsDir/batch_id=1")
+    // a crash between the stage data write and the manifest COMMIT
+    // (rename): stage holds folded-looking data plus a truncated
+    // _manifest.tmp — pre-fix this was a live `_manifest` that a crash
+    // could leave zero-length, wedging every later readStats on a
+    // MatchError; now the tmp never parses, it just marks an abort
+    val stage = new org.apache.hadoop.fs.Path(statsDir,
+      "_stats_compact_tmp")
+    Seq(("a", "x", 99L, 99L)).toDF("source", "token", "tf", "df")
+      .coalesce(1).write.parquet(stage.toString)
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(stage, "_manifest.tmp"), true)
+    out.write("0".getBytes("UTF-8")) // truncated: no newline, no target
+    out.close()
+    val got = StreamingPipeline.readStats(spark, statsDir)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(("a", "x", 3L, 2L)), got) // partials, no ghost 99s
+    assert(!fs.exists(stage)) // aborted stage swept
   }
 }
