@@ -1404,26 +1404,7 @@ object Similarity extends QueryModule {
     * the same double fold on both engines. */
   def ivfPqResidualTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = vecs(s, d)
-    val cb2 = twoLevelFrom(centroids(e), nSuper = 2)
-    // K-row centroid lookup (child vectors, already double) — broadcast
-    val centDf = broadcast(
-      cb2.ids.indices.map(j => (cb2.ids(j), cb2.cents(j).toSeq))
-        .toDF("centroid_id", "cvec"))
-    def residuals(src: DataFrame): DataFrame = src
-      .join(centDf, Seq("centroid_id"))
-      .select($"vec_id", $"centroid_id",
-        zip_with($"v", $"cvec",
-          (a, b) => a.cast("double") - b).as("rv"))
-    val res = residuals(assignTo2(e, cb2, nprobe = 1))
-    val pqcb = pqResidualCodebook(res)
-    val indexed = res.select($"vec_id", $"centroid_id",
-      graft.functions.VectorExpressions.pq_encode($"rv", pqcb)
-        .as("codes"))
-    val probes = broadcast(
-      residuals(assignTo2(e.where($"vec_id" >= 20 && $"vec_id" < 30),
-        cb2, nprobe = 1))
-        .select($"vec_id".as("q_id"), $"rv".as("qres"), $"centroid_id"))
+    val (indexed, probes, pqcb) = residualPqIndex(vecs(s, d))
     indexed.join(probes, Seq("centroid_id"))
       .where($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
@@ -1592,6 +1573,97 @@ object Similarity extends QueryModule {
   }
 
   /** [[pqCodebook]] over a residual frame (column `rv`, double). */
+  /** The residual IVF-PQ index facets at the gate geometry, shared by
+    * [[ivfPqResidualTopK]] and [[ivfPqRerankTopK]]: the encoded corpus
+    * (vec_id, centroid_id, codes), the probe rows with their per-cell
+    * residuals, and the residual sub-codebook. */
+  private def residualPqIndex(e: DataFrame)
+      : (DataFrame, DataFrame, Array[Array[Array[Double]]]) = {
+    val s = e.sparkSession
+    import s.implicits._
+    val cb2 = twoLevelFrom(centroids(e), nSuper = 2)
+    // K-row centroid lookup (child vectors, already double) — broadcast
+    val centDf = broadcast(
+      cb2.ids.indices.map(j => (cb2.ids(j), cb2.cents(j).toSeq))
+        .toDF("centroid_id", "cvec"))
+    def residuals(src: DataFrame): DataFrame = src
+      .join(centDf, Seq("centroid_id"))
+      .select($"vec_id", $"centroid_id",
+        zip_with($"v", $"cvec",
+          (a, b) => a.cast("double") - b).as("rv"))
+    val res = residuals(assignTo2(e, cb2, nprobe = 1))
+    val pqcb = pqResidualCodebook(res)
+    val indexed = res.select($"vec_id", $"centroid_id",
+      graft.functions.VectorExpressions.pq_encode($"rv", pqcb)
+        .as("codes"))
+    val probes = broadcast(
+      residuals(assignTo2(e.where($"vec_id" >= 20 && $"vec_id" < 30),
+        cb2, nprobe = 1))
+        .select($"vec_id".as("q_id"), $"rv".as("qres"), $"centroid_id"))
+    (indexed, probes, pqcb)
+  }
+
+  /** Re-rank levers at the gate geometry: ADC shortlist size R·k and
+    * the final exact-ranked k. Deployment sizing guidance lives on
+    * [[ivfPqRerankTopK]]'s scaladoc; the measured recall-vs-R curve is
+    * the `pq_rerank` ScaleBench rung. */
+  private val RerankShortlist = 5
+  private val RerankK = 3
+
+  /** EXACT RE-RANK over the residual IVF-PQ shortlist — the standard
+    * refinement recipe (FAISS IndexRefine shape), closing the gap the
+    * pq_train rung measured (residual ADC recall@10 ≈ 0.22 at 10⁷ vs
+    * the exact-IVF ceiling 1.0): ADC ranks are good enough to
+    * SHORTLIST but not to SHIP. The search keeps the cell-bounded,
+    * M-byte-code ADC scan for candidate generation (top R·k per probe,
+    * (adist, id) ties), then reads the RAW vectors of the shortlist
+    * rows ONLY — a |probes|·R·k-row bounded lookup via the join on
+    * neighbor_id, never a corpus re-scan — and scores them with the
+    * exact squared L2 ((dist2, id) ties). R is the recall lever next
+    * to nprobe: raising it widens the bounded exact read, never the
+    * code scan. The final rank is a row_number window whose partition
+    * is ≤ R·k rows BY CONSTRUCTION (the shortlist aggregate already
+    * bounded it), so the bounded-top-K-aggregate rule for
+    * corpus-scaling candidate sets does not apply. The oracle replays
+    * the full chain — residual encode → ADC shortlist → exact re-rank
+    * — in the kernels' arithmetic. */
+  def ivfPqRerankTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val (indexed, probes, pqcb) = residualPqIndex(e)
+    val shortlist = indexed.join(probes, Seq("centroid_id"))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        graft.functions.VectorExpressions.pq_adc($"qres", $"codes", pqcb)
+          .as("adist"))
+      .groupBy($"q_id")
+      .agg(topKPairs(RerankShortlist)($"neighbor_id", -$"adist")
+        .as("cand"))
+      .select($"q_id", explode($"cand").as("c"))
+      .select($"q_id", $"c._1".as("neighbor_id"), (-$"c._2").as("adist"))
+    val nv = e.select($"vec_id".as("neighbor_id"), $"v".as("nv"))
+    val qv = broadcast(e.where($"vec_id" >= 20 && $"vec_id" < 30)
+      .select($"vec_id".as("q_id"), $"v".as("qv")))
+    // exact squared L2, the oracle's left-to-right diff-square fold
+    // (NOT |q|²+|n|²−2qn — algebraically equal, floating-point not);
+    // higher-order-function cost is irrelevant on ≤ |probes|·R·k rows
+    val dist2 = aggregate(
+      zip_with($"qv", $"nv",
+        (a, b) => (a.cast("double") - b.cast("double")) *
+          (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    shortlist
+      .join(nv, Seq("neighbor_id"))
+      .join(qv, Seq("q_id"))
+      .select($"q_id", $"neighbor_id", $"adist", dist2.as("dist2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id")
+          .orderBy($"dist2".asc, $"neighbor_id".asc)).cast("long"))
+      .where($"rank" <= RerankK)
+      .select($"q_id", $"rank", $"neighbor_id", $"dist2", $"adist")
+      .orderBy($"q_id", $"rank")
+  }
+
   private def pqResidualCodebook(res: DataFrame)
       : Array[Array[Array[Double]]] = {
     import res.sparkSession.implicits._
@@ -1688,6 +1760,41 @@ object Similarity extends QueryModule {
     recon AS (
       SELECT vec_id, flatten(list(sub ORDER BY m)) AS rv
       FROM rsub GROUP BY vec_id)"""
+
+  /** RESIDUAL-PQ oracle scaffolding, the SQL replay of
+    * [[residualPqIndex]]: per-vector residual `rv0` w.r.t. its
+    * two-level cell, the residual sub-codebook (vec_id < PqK slices),
+    * residual codes (strict-less argmin, ties to the lowest code) and
+    * the reconstructed residual `rrv`. Expects [[oracleVecs]]'s `e`
+    * and [[oracleTwoLevelAsg]]'s `c`/`asg2` in scope. Shared by
+    * q_ivfpq_residual_topk and q_ivfpq_rerank_topk. */
+  private lazy val oracleResidualRecon = s"""
+        res AS (
+          SELECT a2.vec_id, a2.centroid_id,
+                 list_transform(generate_series(1, len(e2.embedding)),
+                   k -> CAST(e2.embedding[k] AS DOUBLE)
+                      - CAST(c.cemb[k] AS DOUBLE)) AS rv0
+          FROM asg2 a2
+          JOIN e e2 ON e2.vec_id = a2.vec_id
+          JOIN c ON c.centroid_id = a2.centroid_id),
+        rcb AS (SELECT vec_id, rv0 FROM res WHERE vec_id < $PqK),
+        ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+        enc0 AS (
+          SELECT r.vec_id, ms.m, rcb.vec_id AS code,
+                 row_number() OVER (PARTITION BY r.vec_id, ms.m ORDER BY
+                   list_sum(list_transform(generate_series(1, $PqSubDim),
+                     j -> (r.rv0[ms.m*$PqSubDim+j] - rcb.rv0[ms.m*$PqSubDim+j])
+                        * (r.rv0[ms.m*$PqSubDim+j] - rcb.rv0[ms.m*$PqSubDim+j]))),
+                   rcb.vec_id) AS rn
+          FROM res r CROSS JOIN ms CROSS JOIN rcb),
+        pcodes AS (SELECT vec_id, m, code FROM enc0 WHERE rn = 1),
+        rsub AS (
+          SELECT cd.vec_id, cd.m,
+                 list_transform(generate_series(1, $PqSubDim),
+                   j -> c2.rv0[cd.m*$PqSubDim+j]) AS sub
+          FROM pcodes cd JOIN rcb c2 ON c2.vec_id = cd.code),
+        reconr AS (SELECT vec_id, flatten(list(sub ORDER BY m)) AS rrv
+                   FROM rsub GROUP BY vec_id)"""
 
   /** One-fold ADC squared L2 between a raw vector column and `rv`. */
   private def oracleAdc(qe: String, rv: String) =
@@ -2347,32 +2454,7 @@ object Similarity extends QueryModule {
       "q_ivfpq_residual_topk", ivfPqResidualTopK, Some(s"""
         $oracleVecs,
         $oracleTwoLevelAsg,
-        res AS (
-          SELECT a2.vec_id, a2.centroid_id,
-                 list_transform(generate_series(1, len(e2.embedding)),
-                   k -> CAST(e2.embedding[k] AS DOUBLE)
-                      - CAST(c.cemb[k] AS DOUBLE)) AS rv0
-          FROM asg2 a2
-          JOIN e e2 ON e2.vec_id = a2.vec_id
-          JOIN c ON c.centroid_id = a2.centroid_id),
-        rcb AS (SELECT vec_id, rv0 FROM res WHERE vec_id < $PqK),
-        ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
-        enc0 AS (
-          SELECT r.vec_id, ms.m, rcb.vec_id AS code,
-                 row_number() OVER (PARTITION BY r.vec_id, ms.m ORDER BY
-                   list_sum(list_transform(generate_series(1, $PqSubDim),
-                     j -> (r.rv0[ms.m*$PqSubDim+j] - rcb.rv0[ms.m*$PqSubDim+j])
-                        * (r.rv0[ms.m*$PqSubDim+j] - rcb.rv0[ms.m*$PqSubDim+j]))),
-                   rcb.vec_id) AS rn
-          FROM res r CROSS JOIN ms CROSS JOIN rcb),
-        pcodes AS (SELECT vec_id, m, code FROM enc0 WHERE rn = 1),
-        rsub AS (
-          SELECT cd.vec_id, cd.m,
-                 list_transform(generate_series(1, $PqSubDim),
-                   j -> c2.rv0[cd.m*$PqSubDim+j]) AS sub
-          FROM pcodes cd JOIN rcb c2 ON c2.vec_id = cd.code),
-        reconr AS (SELECT vec_id, flatten(list(sub ORDER BY m)) AS rrv
-                   FROM rsub GROUP BY vec_id),
+        $oracleResidualRecon,
         p AS (
           SELECT pa.vec_id AS q_id, ea.vec_id AS neighbor_id,
                  list_sum(list_transform(generate_series(1, ${PqM * PqSubDim}),
@@ -2389,6 +2471,49 @@ object Similarity extends QueryModule {
                         ORDER BY adist, neighbor_id) AS BIGINT) AS rank
                FROM p)
         SELECT q_id, rank, neighbor_id, adist FROM rk WHERE rank <= 5
+        ORDER BY q_id, rank""")),
+    QueryDef(
+      // ADC shortlist (rank ≤ R·k by (adist, id)) → exact squared-L2
+      // re-rank on the shortlist rows only ((dist2, id) ties) — the
+      // oracle replays residual encode, shortlist AND refine, so any
+      // disagreement in either stage surfaces as a hash mismatch
+      "q_ivfpq_rerank_topk", ivfPqRerankTopK, Some(s"""
+        $oracleVecs,
+        $oracleTwoLevelAsg,
+        $oracleResidualRecon,
+        p AS (
+          SELECT pa.vec_id AS q_id, ea.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, ${PqM * PqSubDim}),
+                   kk -> (pr.rv0[kk] - r.rrv[kk])
+                       * (pr.rv0[kk] - r.rrv[kk]))) AS adist
+          FROM asg2 pa
+          JOIN res pr ON pr.vec_id = pa.vec_id
+          JOIN asg2 ea ON ea.centroid_id = pa.centroid_id
+                      AND ea.vec_id <> pa.vec_id
+          JOIN reconr r ON r.vec_id = ea.vec_id
+          WHERE pa.vec_id >= 20 AND pa.vec_id < 30),
+        sl AS (
+          SELECT q_id, neighbor_id, adist FROM (
+            SELECT q_id, neighbor_id, adist,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY adist, neighbor_id) AS srank
+            FROM p) WHERE srank <= $RerankShortlist),
+        ex AS (
+          SELECT sl.q_id, sl.neighbor_id, sl.adist,
+                 list_sum(list_transform(generate_series(1, len(qe.embedding)),
+                   kk -> (CAST(qe.embedding[kk] AS DOUBLE)
+                        - CAST(ne.embedding[kk] AS DOUBLE))
+                       * (CAST(qe.embedding[kk] AS DOUBLE)
+                        - CAST(ne.embedding[kk] AS DOUBLE)))) AS dist2
+          FROM sl
+          JOIN embeddings qe ON qe.vec_id = sl.q_id
+          JOIN embeddings ne ON ne.vec_id = sl.neighbor_id),
+        fr AS (SELECT q_id, neighbor_id, adist, dist2,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY dist2, neighbor_id) AS BIGINT) AS rank
+               FROM ex)
+        SELECT q_id, rank, neighbor_id, dist2, adist
+        FROM fr WHERE rank <= $RerankK
         ORDER BY q_id, rank""")),
     QueryDef(
       "q_embed_neardup", nearDupLsh, Some(s"""

@@ -189,6 +189,7 @@ object ScaleBench {
       _.subsetOf(Set("salt_vs_aqe", "ann_recall_deploy",
         "semdedup_deploy", "semstream_layout", "ivf2_deploy",
         "ivf2_recall", "ivf2_train", "ivf2_margin", "pq_train",
+        "pq_rerank",
         "stats_stream")))
     // shapes that never read embeddings.parquet — a text-only probe
     // (e.g. the 10⁸ pair-family rung) skips the vector table's
@@ -1691,7 +1692,12 @@ object ScaleBench {
     // as (ceiling − lane), cleanly attributed. Truth = brute exact-L2
     // top-10 over the full corpus. avg_recon is the mean ADC
     // self-distance (the distortion the Lloyd rounds minimize).
-    if (only.forall(_.contains("pq_train"))) {
+    if (only.forall(s => s.contains("pq_train") || s.contains("pq_rerank"))) {
+      // pq_rerank shares this block's artifacts (coarse assignment,
+      // residual training, exact truth); a restricted run pays only
+      // what its lanes read — raw-book training is pq_train-only
+      val wantTrain = only.forall(_.contains("pq_train"))
+      val wantRerank = only.forall(_.contains("pq_rerank"))
       val K = 256
       val coarse = Array.tabulate(K)(c =>
         Array.tabulate(64)(d => ivf2Center(c.toLong, d).toDouble))
@@ -1725,8 +1731,10 @@ object ScaleBench {
         .orderBy($"vec_id").select($"rv").collect()
         .map(_.getSeq[Double](0).toArray))
       val tR0 = System.nanoTime()
-      val trainedRaw = graft.operators.Similarity.trainedPqBook(
-        indexed, "v", "vec_id", mSub = 8, subDim = 8, k = K, iters = 5)
+      val trainedRaw =
+        if (wantTrain) graft.operators.Similarity.trainedPqBook(
+          indexed, "v", "vec_id", mSub = 8, subDim = 8, k = K, iters = 5)
+        else null
       val rawTrainSec = (System.nanoTime() - tR0) / 1e9
       val tS0 = System.nanoTime()
       val trainedRes = graft.operators.Similarity.trainedPqBook(
@@ -1813,20 +1821,74 @@ object ScaleBench {
         val recon = e.agg(avg($"_re")).collect().head.getDouble(0)
         (e.drop("_re"), recon)
       }
-      lane("ivf_exact", 0.0, indexed,
-        -($"qn2" + $"nrm" * $"nrm" - lit(2.0) *
-          graft.functions.VectorExpressions.array_dot($"qv", $"v")), None)
-      Seq(("raw_seed", "v", seedRaw, 0.0, "qv"),
-        ("raw_trained", "v", trainedRaw, rawTrainSec, "qv"),
-        ("res_seed", "rv", seedRes, 0.0, "qres"),
-        ("res_trained", "rv", trainedRes, resTrainSec, "qres"))
-        .foreach { case (name, vcol, book, tSec, qcol) =>
-          val (idx, recon) = encoded(vcol, book)
-          try lane(name, tSec, idx,
-            -graft.functions.VectorExpressions
-              .pq_adc(col(qcol), $"codes", book), Some(recon))
-          finally { idx.unpersist(false); () }
-        }
+      if (wantTrain) {
+        lane("ivf_exact", 0.0, indexed,
+          -($"qn2" + $"nrm" * $"nrm" - lit(2.0) *
+            graft.functions.VectorExpressions.array_dot($"qv", $"v")), None)
+        Seq(("raw_seed", "v", seedRaw, 0.0, "qv"),
+          ("raw_trained", "v", trainedRaw, rawTrainSec, "qv"),
+          ("res_seed", "rv", seedRes, 0.0, "qres"),
+          ("res_trained", "rv", trainedRes, resTrainSec, "qres"))
+          .foreach { case (name, vcol, book, tSec, qcol) =>
+            val (idx, recon) = encoded(vcol, book)
+            try lane(name, tSec, idx,
+              -graft.functions.VectorExpressions
+                .pq_adc(col(qcol), $"codes", book), Some(recon))
+            finally { idx.unpersist(false); () }
+          }
+      }
+      if (wantRerank) {
+        // EXACT RE-RANK sweep — q_ivfpq_rerank_topk's chain at
+        // deployment geometry, pricing the R lever the pq_train rung
+        // motivated (residual-trained ADC recall@10 ≈ 0.22 at 10⁷):
+        // the residual-trained codes generate an ADC shortlist of
+        // R·10 per probe; ONLY those rows are re-read at full vector
+        // width (a broadcast-hash lookup against the stored corpus —
+        // the bounded extra read) and exactly re-ranked. R=1 is the
+        // no-reorder floor (same set as raw ADC — prices the lookup
+        // alone); the sweep shows where recall saturates vs the
+        // exact-IVF ceiling (the ivf_exact lane / nprobe truncation).
+        val (idxRes, _) = encoded("rv", trainedRes)
+        try {
+          Seq(1, 2, 5, 10, 25).foreach { r =>
+            val tkRK = udaf(
+              new graft.pipeline.Aggregators.TopKCosineAgg(r * 10),
+              org.apache.spark.sql.catalyst.encoders
+                .ExpressionEncoder[(Long, Double)]())
+            val t0 = System.nanoTime()
+            val sl = idxRes
+              .join(broadcast(probeCells), Seq("centroid_id"))
+              .where($"vec_id" =!= $"q_id")
+              .select($"q_id", $"vec_id",
+                (-graft.functions.VectorExpressions
+                  .pq_adc($"qres", $"codes", trainedRes)).as("score"))
+              .groupBy($"q_id").agg(tkRK($"vec_id", $"score").as("cand"))
+              .select($"q_id", explode($"cand").as("vec_id"))
+            val approx: Map[Long, Set[Long]] = sl
+              .join(indexed.select($"vec_id", $"v", $"nrm"),
+                Seq("vec_id"))
+              .join(broadcast(probesDf), Seq("q_id"))
+              .select($"q_id", $"vec_id",
+                (-($"qn2" + $"nrm" * $"nrm" - lit(2.0) *
+                  graft.functions.VectorExpressions
+                    .array_dot($"qv", $"v"))).as("score"))
+              .groupBy($"q_id").agg(tk10($"vec_id", $"score").as("nbrs"))
+              .as[(Long, Seq[Long])].collect()
+              .map { case (q, ns) => q -> ns.toSet }.toMap
+            val sec = (System.nanoTime() - t0) / 1e9
+            val (hit, tot) = truth.toSeq.map { case (q, ts) =>
+              (approx.getOrElse(q, Set.empty).intersect(ts).size, ts.size)
+            }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+            val ppm = hit.toLong * 1000000L / math.max(tot, 1)
+            println(f"""{"shape":"pq_rerank","n":$n,"k_coarse":$K,""" +
+              f""""pq_m":8,"pq_k":$K,"nprobe":$nprobe,"r":$r,""" +
+              f""""shortlist":${r * 10},"variant":"res_trained",""" +
+              f""""n_probes":${probeIds.size},"n_hit":$hit,""" +
+              f""""n_true":$tot,"recall_ppm":$ppm,""" +
+              f""""train_sec":$resTrainSec%.2f,"sec":$sec%.2f}""")
+          }
+        } finally { idxRes.unpersist(false); () }
+      }
       indexed.unpersist(false)
       graft.Release.transients()
     }

@@ -631,4 +631,51 @@ class SimilaritySpec extends SparkSpecBase {
     assert(multi.values.sum > single.values.sum,
       "nprobe=3 should strictly improve total recall on these fixtures")
   }
+
+  test("ivfPqRerankTopK is the exact-L2 re-ranking of the ADC " +
+    "shortlist: members come from the shortlist, order is exact, " +
+    "exactness verified against a spec-side recompute") {
+    import spark.implicits._
+    // the residual gate's top-5 IS the rerank gate's shortlist (same
+    // R·k, same tie rule), so the composition is cross-checkable from
+    // the two registered surfaces alone
+    val shortlist = Similarity.ivfPqResidualTopK(spark, sfDir)
+      .select($"q_id", $"neighbor_id", $"adist")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(r => r._2 -> r._3).toMap }
+    val rr = Similarity.ivfPqRerankTopK(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rr.nonEmpty)
+    val vecs = graft.ops.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val t = a(i).toDouble - b(i).toDouble; acc += t * t; i += 1
+      }
+      acc
+    }
+    rr.groupBy(_._1).foreach { case (q, rows) =>
+      val sl = shortlist(q)
+      val byRank = rows.sortBy(_._2)
+      byRank.foreach { case (_, _, n, dist2, adist) =>
+        assert(sl.contains(n), s"probe $q: $n not in the ADC shortlist")
+        assert(sl(n) === adist, s"probe $q: carried adist drifted")
+        assert(math.abs(d2(vecs(q), vecs(n)) - dist2) < 1e-9,
+          s"probe $q -> $n: dist2 not the exact squared L2")
+      }
+      // exact order, (dist2, id) ties — and the kept rows are the
+      // dist2-smallest of the WHOLE shortlist, not just sorted
+      val keyOf: ((Long, Long, Long, Double, Double)) => (Double, Long) =
+        r => (r._4, r._3)
+      assert(byRank.map(keyOf) === byRank.map(keyOf).sorted)
+      val kept = byRank.map(_._3).toSet
+      val best = sl.keys.toSeq
+        .map(n => (d2(vecs(q), vecs(n)), n)).sorted
+        .take(byRank.length).map(_._2).toSet
+      assert(kept === best, s"probe $q: kept $kept != exact-best $best")
+    }
+  }
 }
