@@ -948,6 +948,226 @@ object Corpus extends QueryModule {
     takedownStatsOn(standing, docs.where(NearDup.TakedownSparkPred))
   }
 
+  /** The previous text-retrieval takedown's standing checkpoints —
+    * one-slot swap, the module-wide takedown discipline. */
+  private val lastRetrieval =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](null)
+
+  /** Takedown through the standing BM25 SERVING artifacts — the
+    * retrieval-side completion of [[takedownStatsOn]]'s decomposable
+    * class: a deployed BM25 index stores per-(doc, token) tf, per-doc
+    * length, per-token df and the corpus totals (n, Σdl); every one is
+    * a sum over disjoint documents, so retracting a doc set needs ONE
+    * scan of the removed documents — tf/dl rows are keyed deletes
+    * (anti-join here; tombstone + compact on a stored table), df and
+    * the totals subtract the removed docs' contributions, df rows
+    * reaching 0 vanish. Work ∝ removal set; the standing corpus is
+    * never re-read. The maintained tables then SERVE the exact
+    * [[bm25TopK]] query — weights are derived at query time from
+    * (tf, dl, df, n, s), which is why pure subtraction suffices even
+    * though a removal changes EVERY document's weights (the weights
+    * were never materialized). Hash parity with the oracle's
+    * from-scratch BM25 on the filtered corpus proves the whole
+    * maintained-serve chain exact. */
+  private[graft] def takedownBm25On(
+      tf: DataFrame,     // (doc_id, token, tf) standing
+      dl: DataFrame,     // (doc_id, dl) standing
+      dfreq: DataFrame,  // (token, df) standing
+      totals: DataFrame, // one row (n, s) standing
+      removedDocs: DataFrame // (doc_id, text) the REMOVED docs
+  ): DataFrame = {
+    val s = tf.sparkSession
+    import s.implicits._
+    val rmTok = removedDocs
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+    val rmDl = rmTok.groupBy($"doc_id").agg(count(lit(1)).as("dl_rem"))
+    val rmTot = broadcast(rmDl.agg(
+      count(lit(1)).as("n_rem"),
+      coalesce(sum($"dl_rem"), lit(0L)).as("s_rem")))
+    val rmDf = rmTok.select($"doc_id", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df_rem"))
+    val rmIds = broadcast(removedDocs.select($"doc_id").distinct())
+    val tf2 = tf.join(rmIds, Seq("doc_id"), "left_anti")
+    val dl2 = dl.join(rmIds, Seq("doc_id"), "left_anti")
+    val df2 = dfreq.join(broadcast(rmDf), Seq("token"), "left")
+      .select($"token",
+        ($"df" - coalesce($"df_rem", lit(0L))).as("df"))
+      .where($"df" > 0)
+    val st2 = broadcast(totals.crossJoin(rmTot) // 1 row × 1 row
+      .select(($"n" - $"n_rem").as("n"), ($"s" - $"s_rem").as("s")))
+    // serve: bm25TopK's query, verbatim, over the maintained tables
+    val wt = tf2.join(dl2, "doc_id").join(df2, "token").crossJoin(st2)
+      .select($"doc_id", $"token",
+        expr("""((2*n - 2*df + 1) * 44 * s * tf) * 1000000
+                DIV ((2*df + 1) * (20*s*tf + 6*s + 18*dl*n))""")
+          .as("w_micro"))
+    val q = broadcast(
+      tf2.where($"doc_id" < 10).select($"doc_id".as("q_id"), $"token"))
+    val tk = udaf(new graft.pipeline.Aggregators.TopKScorePayloadAgg(5),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Double, Long)]())
+    q.join(wt, Seq("token"))
+      .where($"doc_id" =!= $"q_id")
+      .groupBy($"q_id", $"doc_id")
+      .agg(sum($"w_micro").as("score_micro"),
+        count(lit(1)).as("n_shared"))
+      .groupBy($"q_id")
+      .agg(tk($"doc_id", $"score_micro".cast("double"), $"n_shared")
+        .as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._1".as("doc_id"), $"col._2".cast("long").as("score_micro"),
+        $"col._3".as("n_shared"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** GATE: [[takedownBm25On]] over standing tables built in-gate (the
+    * deployment amortizes them — the q_takedown_* convention); oracle
+    * = from-scratch BM25 on the filtered corpus. The per-doc length
+    * table derives as Σtf (identical to the token count), so ONE
+    * checkpointed tf table carries all four standing artifacts. */
+  def takedownBm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    Option(lastRetrieval.getAndSet(Seq(tf)))
+      .foreach(_.foreach(graft.operators.NearDup.freeLocalCheckpoint))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val totals = dl.agg(count(lit(1)).as("n"), sum($"dl").as("s"))
+    takedownBm25On(tf, dl, dfreq, totals,
+      docs.where(NearDup.TakedownSparkPred).select($"doc_id", $"text"))
+  }
+
+  /** Takedown through the standing TF-IDF artifacts — same
+    * decomposable math as [[takedownBm25On]] on the (tf, df, n_docs)
+    * triple [[tfidfTopTerms]] serves from: tf rows are keyed deletes,
+    * df subtracts (0 rows vanish), n_docs decrements; scores are
+    * query-time derivations so subtraction is the whole maintenance.
+    * Serves tfidfTopTerms' exact output on the maintained tables. */
+  private[graft] def takedownTfidfOn(
+      tf: DataFrame,     // (doc_id, token, tf) standing
+      dfreq: DataFrame,  // (token, df) standing
+      nDocs: DataFrame,  // one row (n_docs) standing
+      removedDocs: DataFrame // (doc_id, text)
+  ): DataFrame = {
+    val s = tf.sparkSession
+    import s.implicits._
+    val rmIds = broadcast(removedDocs.select($"doc_id").distinct())
+    val rmDf = removedDocs
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .select($"doc_id", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df_rem"))
+    val rmN = broadcast(rmIds.agg(count(lit(1)).as("n_rem")))
+    val tf2 = tf.join(rmIds, Seq("doc_id"), "left_anti")
+    val df2 = dfreq.join(broadcast(rmDf), Seq("token"), "left")
+      .select($"token",
+        ($"df" - coalesce($"df_rem", lit(0L))).as("df"))
+      .where($"df" > 0)
+    val n2 = broadcast(nDocs.crossJoin(rmN)
+      .select(($"n_docs" - $"n_rem").as("n_docs")))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"token")
+    tf2.join(df2, "token")
+      .crossJoin(n2) // 1 row
+      .withColumn("score",
+        $"tf" * ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 3 && $"doc_id" < 50)
+      .select($"doc_id", $"rank", $"token", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  /** GATE: [[takedownTfidfOn]] over in-gate standing tables; oracle =
+    * from-scratch TF-IDF on the filtered corpus. */
+  def takedownTfidf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    Option(lastRetrieval.getAndSet(Seq(tf)))
+      .foreach(_.foreach(graft.operators.NearDup.freeLocalCheckpoint))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    takedownTfidfOn(tf, dfreq, nDocs,
+      docs.where(NearDup.TakedownSparkPred).select($"doc_id", $"text"))
+  }
+
+  /** Takedown through the CAPPED inverted index — the artifact class
+    * where subtraction alone is NOT enough: the served posting list
+    * keeps only the bottom-`cap` doc_ids, so removing a doc that held
+    * a slot must RE-ELECT from rows below the old cut — information
+    * the served row discarded. The honest standing form therefore
+    * keeps the FULL posting table (the distinct (doc_id, token) pairs
+    * — at deployment the token-partitioned posting store itself) next
+    * to the capped serving rows, and a takedown touches exactly:
+    *
+    *  1. UNAFFECTED tokens (none of their postings removed): served
+    *     rows pass through untouched — never recomputed, never read
+    *     beyond the anti-join key;
+    *  2. AFFECTED tokens (≥ 1 posting removed): df and the bottom-cap
+    *     posting list re-elect from the full postings with the
+    *     removed docs dropped — work ∝ the affected tokens' posting
+    *     lists, never the corpus. Tokens whose last posting vanishes
+    *     drop entirely.
+    *
+    * This is the [[NearDup]] touchedLabels pattern applied to tokens.
+    * Hash parity with a from-scratch rebuild on the filtered corpus
+    * proves both the re-election and the pass-through exact. */
+  private[graft] def takedownIndexOn(
+      fullPostings: DataFrame, // (doc_id, token) distinct — standing
+      served: DataFrame,       // (token, df, postings) — the capped index
+      removedDocs: DataFrame,  // (doc_id, text)
+      cap: Int = 8): DataFrame = {
+    val s = fullPostings.sparkSession
+    import s.implicits._
+    val rmIds = broadcast(removedDocs.select($"doc_id").distinct())
+    val affected = broadcast(removedDocs
+      .select(explode(array_distinct(split($"text", " "))).as("token"))
+      .where(length($"token") > 0)
+      .distinct())
+    val untouched = served.join(affected, Seq("token"), "left_anti")
+    val bk = udaf(new graft.pipeline.Aggregators.BottomKLongAgg(cap),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val reelect = fullPostings
+      .join(affected, Seq("token"))
+      .join(rmIds, Seq("doc_id"), "left_anti")
+      .groupBy($"token")
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(bk($"doc_id"), _.cast("string")), ",")
+          .as("postings"))
+    untouched.unionByName(reelect).orderBy($"token")
+  }
+
+  /** GATE: [[takedownIndexOn]] over in-gate standing artifacts (full
+    * postings + the capped serving index, both checkpointed); oracle =
+    * from-scratch [[invertedIndex]] on the filtered corpus. */
+  def takedownIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val full = docs
+      .select($"doc_id",
+        explode(array_distinct(split($"text", " "))).as("token"))
+      .where(length($"token") > 0)
+      .localCheckpoint(true)
+    val bk = udaf(new graft.pipeline.Aggregators.BottomKLongAgg(8),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val served = full
+      .groupBy($"token")
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(bk($"doc_id"), _.cast("string")), ",")
+          .as("postings"))
+      .localCheckpoint(true)
+    Option(lastRetrieval.getAndSet(Seq(full, served)))
+      .foreach(_.foreach(graft.operators.NearDup.freeLocalCheckpoint))
+    takedownIndexOn(full, served,
+      docs.where(NearDup.TakedownSparkPred).select($"doc_id", $"text"))
+  }
+
   /** DELETION-CAPABLE count-min sketch over token occurrences — the
     * sketch family that CAN subtract, closing the class the other
     * standing sketches honestly cannot (KMV and Misra–Gries discard
@@ -1046,6 +1266,87 @@ object Corpus extends QueryModule {
               WHERE NOT ${NearDup.TakedownSqlPred}) t
         GROUP BY source, token
         ORDER BY source, token""")),
+    QueryDef(
+      // Spark: standing (tf, dl, df, totals) maintained subtractively
+      // from one removed-docs scan, then bm25TopK's serve verbatim.
+      // Oracle: from-scratch BM25 on the filtered corpus — parity
+      // proves the maintained tables serve identical rankings.
+      "q_takedown_bm25", takedownBm25, Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents
+                     WHERE NOT ${NearDup.TakedownSqlPred}),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY doc_id, token),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM tok GROUP BY doc_id),
+        df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY token),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(dl) AS BIGINT) AS s FROM dl),
+        wt AS (SELECT tf.doc_id, tf.token,
+                 ((2*st.n - 2*df.df + 1) * 44 * st.s * tf.tf) * 1000000
+                   // ((2*df.df + 1) * (20*st.s*tf.tf + 6*st.s
+                      + 18*dl.dl*st.n)) AS w_micro
+               FROM tf JOIN dl USING (doc_id) JOIN df USING (token)
+               CROSS JOIN st),
+        q AS (SELECT doc_id AS q_id, token FROM tf WHERE doc_id < 10),
+        p AS (SELECT q.q_id, wt.doc_id,
+                     CAST(sum(wt.w_micro) AS BIGINT) AS score_micro,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM q JOIN wt ON wt.token = q.token AND wt.doc_id <> q.q_id
+              GROUP BY q.q_id, wt.doc_id),
+        r AS (SELECT q_id, doc_id, score_micro, n_shared,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+              FROM p)
+        SELECT q_id, rank, doc_id, score_micro, n_shared
+        FROM r WHERE rank <= 5 ORDER BY q_id, rank""")),
+    QueryDef(
+      // same subtractive maintenance on the (tf, df, n_docs) triple;
+      // oracle = from-scratch TF-IDF on the filtered corpus
+      "q_takedown_tfidf", takedownTfidf, Some(s"""
+        WITH tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+                WHERE NOT ${NearDup.TakedownSqlPred}) t
+          GROUP BY doc_id, token),
+        df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT count(*) AS n_docs FROM documents
+              WHERE NOT ${NearDup.TakedownSqlPred}),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                 tf.tf * (n.n_docs - df.df + 0.5) / (df.df + 0.5) AS score
+          FROM tf JOIN df USING (token) CROSS JOIN n),
+        r AS (
+          SELECT doc_id, token, tf, df, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, token) AS rank
+          FROM scored)
+        SELECT doc_id, rank, token, tf, df, score
+        FROM r WHERE rank <= 3 AND doc_id < 50
+        ORDER BY doc_id, rank""")),
+    QueryDef(
+      // Spark: untouched tokens pass through the STANDING capped index
+      // byte-identical; affected tokens re-elect bottom-cap postings
+      // from the full posting table. Oracle: from-scratch rebuild on
+      // the filtered corpus — parity proves re-election AND
+      // pass-through exact (a stale pass-through row would mismatch).
+      "q_takedown_index", takedownIndex, Some(s"""
+        WITH p AS (
+          SELECT DISTINCT doc_id, token
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+                WHERE NOT ${NearDup.TakedownSqlPred}) t
+          WHERE length(token) > 0),
+        r AS (
+          SELECT doc_id, token,
+                 row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+          FROM p)
+        SELECT token, CAST(count(*) AS BIGINT) AS df,
+               string_agg(CASE WHEN rn <= 8 THEN CAST(doc_id AS VARCHAR) END,
+                          ',' ORDER BY doc_id) AS postings
+        FROM r GROUP BY token ORDER BY token""")),
     QueryDef(
       // the CM guarantee per token: est >= true_cnt, both engines
       // deriving estimate and exact independently

@@ -1010,6 +1010,78 @@ object ScaleBench {
       graft.Release.transients()
     }
 
+    // Takedown through the CAPPED INVERTED INDEX at scale — the
+    // retrieval artifact whose maintenance is NOT pure subtraction
+    // (bounded postings must re-elect from below the old cut): the
+    // incremental path re-aggregates ONLY the affected tokens'
+    // posting lists and passes every other served row through
+    // untouched, vs the full rebuild's all-token re-aggregation.
+    // The affected-token census is the work bound's denominator: under
+    // a Zipfian vocabulary most TOKENS are rare and unaffected even
+    // when most POSTINGS belong to affected (frequent) tokens — the
+    // pass-through is what the census prices. Parity: exceptAll both
+    // ways against the rebuild. (The bm25/tfidf subtractive tables are
+    // the retract_derived stats lane's math — measured there at 39×.)
+    if (only.forall(_.contains("retract_text"))) {
+      import graft.operators.Corpus
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"text")
+      val tB = System.nanoTime()
+      val fullPost = docs.select($"doc_id",
+          explode(array_distinct(split($"text", " "))).as("token"))
+        .where(length($"token") > 0).localCheckpoint(true)
+      val nPost = fullPost.count()
+      val bk = udaf(new graft.pipeline.Aggregators.BottomKLongAgg(8),
+        org.apache.spark.sql.Encoders.scalaLong)
+      def cappedOf(p: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = p.groupBy($"token")
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(bk($"doc_id"), _.cast("string")), ",")
+            .as("postings"))
+      val served = cappedOf(fullPost).localCheckpoint(true)
+      val nTokens = served.count()
+      val buildSec = (System.nanoTime() - tB) / 1e9
+      // two removal regimes: the bulk sweep (~0.1% of the corpus —
+      // with long docs over this generator's compact vocabulary it
+      // touches most FREQUENT tokens, the bound's worst case) and the
+      // single-document opt-out (the common production case, where
+      // the affected set is one doc's distinct tokens)
+      Seq(("bulk", docs.where($"doc_id" % 1009 === 3)),
+        ("single", docs.where($"doc_id" === 3)))
+        .foreach { case (regime, rmDf) =>
+        val removed = rmDf.localCheckpoint(true)
+        val nRemoved = removed.count()
+        val removedIds = removed.select($"doc_id")
+        val nAffected = removed
+          .select(explode(array_distinct(split($"text", " "))).as("token"))
+          .where(length($"token") > 0).distinct().count()
+        val tI = System.nanoTime()
+        val inc = Corpus.takedownIndexOn(fullPost, served, removed)
+          .localCheckpoint(true)
+        val nInc = inc.count()
+        val incSec = (System.nanoTime() - tI) / 1e9
+        val tF = System.nanoTime()
+        val fPost = fullPost
+          .join(broadcast(removedIds), Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        val fullIdx = cappedOf(fPost).localCheckpoint(true)
+        fullIdx.count()
+        val fullSec = (System.nanoTime() - tF) / 1e9
+        val bad = inc.exceptAll(fullIdx).count() +
+          fullIdx.exceptAll(inc).count()
+        println(f"""{"shape":"retract_text","regime":"$regime",""" +
+          f""""n":$n,"n_postings":$nPost,""" +
+          f""""n_tokens":$nTokens,"n_removed":$nRemoved,""" +
+          f""""n_affected_tokens":$nAffected,"n_index_rows":$nInc,""" +
+          f""""build_sec":$buildSec%.1f,"incremental_sec":$incSec%.1f,""" +
+          f""""full_sec":$fullSec%.1f,"parity_mismatches":$bad}""")
+        require(bad == 0L, s"retract_text parity violated: $bad")
+        Seq(removed, inc, fPost, fullIdx)
+          .foreach(graft.operators.NearDup.freeLocalCheckpoint)
+      }
+      graft.Release.transients()
+    }
+
     // Standing-stats maintenance economics, end-to-end through the
     // STREAMING sink: per-batch upkeep cost at steady state, the
     // standing-read latency as partials accumulate (the lever

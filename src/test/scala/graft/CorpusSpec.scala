@@ -443,4 +443,44 @@ class CorpusSpec extends SparkSpecBase {
       assert(docs.map(_._3).sorted.toSeq === (1L to docs.length).toSeq)
     }
   }
+
+  test("takedownIndexOn edge cases: vanished token, posting re-fill " +
+    "from below the old cap cut, byte-identical pass-through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "hot" in docs 0..11 (cap 8 -> served postings 0..7; 8..11 below
+    // the cut); "solo" only in a removed doc; "calm" in untouched docs
+    val docs = ((0 until 12).map(i =>
+        (i.toLong, if (i == 0) "hot solo" else "hot")) ++
+      Seq((20L, "calm x"), (21L, "calm")))
+      .toDF("doc_id", "text")
+    val full = docs
+      .select($"doc_id",
+        explode(array_distinct(split($"text", " "))).as("token"))
+      .where(length($"token") > 0)
+    val bk = udaf(new graft.pipeline.Aggregators.BottomKLongAgg(8),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val served = full.groupBy($"token")
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(bk($"doc_id"), _.cast("string")), ",")
+          .as("postings"))
+      .localCheckpoint(true)
+    val servedRows = served.as[(String, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(servedRows("hot")._3 === "0,1,2,3,4,5,6,7")
+    val rm = docs.where($"doc_id".isin(0L, 3L))
+    val got = graft.operators.Corpus.takedownIndexOn(full, served, rm)
+      .as[(String, Long, String)].collect().map(r => r._1 -> r).toMap
+    // vanished: solo's last posting was removed -> the token is gone
+    assert(!got.contains("solo"))
+    // re-fill: docs 8 and 9 rise from below the old cut — information
+    // the served row discarded, recoverable only from the full postings
+    assert(got("hot") === (("hot", 10L, "1,2,4,5,6,7,8,9")))
+    // pass-through: calm's served row re-emits EXACTLY (never re-read,
+    // never re-elected — the work-∝-affected-tokens claim)
+    assert(got("calm") === servedRows("calm"))
+    assert(got("x") === servedRows("x"))
+    assert(got.keySet === Set("hot", "calm", "x"))
+    graft.operators.NearDup.freeLocalCheckpoint(served)
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
 
 import graft.operators.{Corpus, NearDup}
 
@@ -83,6 +84,75 @@ class TakedownPropertySpec extends SparkSpecBase {
         s"COUNTEREXAMPLE n=$n edges=$edges removed=$removedIds\n" +
           s"surv: $survInc vs $survFull\ncore: $coreInc vs $coreFull\n" +
           s"pr: $prInc vs $prFull\nstats: $statsInc vs $statsFull")
+      ok
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("retrieval-artifact takedown parity on random corpora: bm25, " +
+    "tfidf, capped inverted index (property)") {
+    import spark.implicits._
+    // both arms run the SAME maintained-serve code — the incremental
+    // arm subtracts a real removal set from the full corpus's standing
+    // tables, the reference arm gives the filtered corpus's standing
+    // tables an EMPTY removal set (pinning empty-takedown = identity
+    // as a side effect); equality proves subtraction == rebuild
+    def emptyRm = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    def bm25(docs: org.apache.spark.sql.DataFrame,
+        rm: org.apache.spark.sql.DataFrame) = {
+      val tf = docs
+        .select($"doc_id", explode(split($"text", " ")).as("token"))
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      val totals = dl.agg(count(lit(1)).as("n"), sum($"dl").as("s"))
+      Corpus.takedownBm25On(tf, dl, dfreq, totals, rm)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    }
+    def tfidf(docs: org.apache.spark.sql.DataFrame,
+        rm: org.apache.spark.sql.DataFrame) = {
+      val tf = docs
+        .select($"doc_id", explode(split($"text", " ")).as("token"))
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      Corpus.takedownTfidfOn(tf, dfreq, nDocs, rm)
+        .as[(Long, Long, String, Long, Long, Double)].collect()
+        .toSeq.sorted
+    }
+    def index(docs: org.apache.spark.sql.DataFrame,
+        rm: org.apache.spark.sql.DataFrame) = {
+      val full = docs
+        .select($"doc_id",
+          explode(array_distinct(split($"text", " "))).as("token"))
+        .where(length($"token") > 0)
+      val bk = udaf(new graft.pipeline.Aggregators.BottomKLongAgg(8),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val served = full.groupBy($"token")
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(bk($"doc_id"), _.cast("string")), ",")
+            .as("postings"))
+      Corpus.takedownIndexOn(full, served, rm)
+        .as[(String, Long, String)].collect().toSeq.sorted
+    }
+    val prop = Prop.forAll(instances) { case (n, _, removedIdsRaw) =>
+      val removedIds = removedIdsRaw.map(_.toLong)
+      val docs = (0 until n).map(i =>
+          (i.toLong, s"src${i % 3}", docText(i)))
+        .toDF("doc_id", "source", "text")
+        .select($"doc_id", $"text") // the retrieval ops are sourceless
+      val rm = docs.where($"doc_id".isin(removedIds: _*))
+      val fDocs = docs.where(!$"doc_id".isin(removedIds: _*))
+      val ok = bm25(docs, rm) == bm25(fDocs, emptyRm) &&
+        tfidf(docs, rm) == tfidf(fDocs, emptyRm) &&
+        index(docs, rm) == index(fDocs, emptyRm)
+      if (!ok) println(
+        s"COUNTEREXAMPLE n=$n removed=$removedIds\n" +
+          s"bm25: ${bm25(docs, rm)} vs ${bm25(fDocs, emptyRm)}\n" +
+          s"tfidf: ${tfidf(docs, rm)} vs ${tfidf(fDocs, emptyRm)}\n" +
+          s"index: ${index(docs, rm)} vs ${index(fDocs, emptyRm)}")
       ok
     }
     val result = SCTest.check(
