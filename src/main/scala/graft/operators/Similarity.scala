@@ -1574,10 +1574,15 @@ object Similarity extends QueryModule {
 
   /** [[pqCodebook]] over a residual frame (column `rv`, double). */
   /** The residual IVF-PQ index facets at the gate geometry, shared by
-    * [[ivfPqResidualTopK]] and [[ivfPqRerankTopK]]: the encoded corpus
-    * (vec_id, centroid_id, codes), the probe rows with their per-cell
-    * residuals, and the residual sub-codebook. */
-  private def residualPqIndex(e: DataFrame)
+    * [[ivfPqResidualTopK]], [[ivfPqRerankTopK]] and
+    * [[ivf2PqTrainedTopK]]: the encoded corpus (vec_id, centroid_id,
+    * codes), the probe rows with their per-cell residuals, and the
+    * residual sub-codebook. `train = true` moves the seed residual
+    * sub-centroids one exact scaled-integer Lloyd round
+    * ([[pqTrainAgg]] over the residual frame — [[trainedPqGateBook]]'s
+    * arithmetic, empty (m, code) cells keep their seed slice) before
+    * encoding, so the composed trained chain is gateable end to end. */
+  private def residualPqIndex(e: DataFrame, train: Boolean = false)
       : (DataFrame, DataFrame, Array[Array[Array[Double]]]) = {
     val s = e.sparkSession
     import s.implicits._
@@ -1592,7 +1597,17 @@ object Similarity extends QueryModule {
         zip_with($"v", $"cvec",
           (a, b) => a.cast("double") - b).as("rv"))
     val res = residuals(assignTo2(e, cb2, nprobe = 1))
-    val pqcb = pqResidualCodebook(res)
+    val seed = pqResidualCodebook(res)
+    val pqcb =
+      if (!train) seed
+      else {
+        val book = seed.map(_.map(_.clone()))
+        pqTrainAgg(res, "rv", seed).collect().foreach { r =>
+          book(r.getLong(0).toInt)(r.getLong(1).toInt)(
+            r.getLong(2).toInt) = r.getDouble(4)
+        }
+        book
+      }
     val indexed = res.select($"vec_id", $"centroid_id",
       graft.functions.VectorExpressions.pq_encode($"rv", pqcb)
         .as("codes"))
@@ -1628,9 +1643,41 @@ object Similarity extends QueryModule {
     * the full chain — residual encode → ADC shortlist → exact re-rank
     * — in the kernels' arithmetic. */
   def ivfPqRerankTopK(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val e = vecs(s, d)
     val (indexed, probes, pqcb) = residualPqIndex(e)
+    adcShortlistRerank(e, indexed, probes, pqcb)
+  }
+
+  /** The COMPOSED deployment index at gate geometry — every stage of
+    * the 100 TB ANN artifact in ONE search path, oracle-replayed end
+    * to end: two-level coarse assignment ([[twoLevelFrom]], the
+    * hierarchy that keeps assignment cost flat as K ∝ corpus) →
+    * per-cell residuals → residual sub-codebook moved one exact
+    * scaled-integer Lloyd round ([[pqTrainAgg]] — the training every
+    * deployed book needs) → ADC shortlist over the M-byte codes →
+    * exact re-rank of the shortlist rows only ([[ivfPqRerankTopK]]'s
+    * refinement). [[ivfPqRerankTopK]] gates the same chain with the
+    * SEED book; this gate adds the training stage, so the full
+    * hierarchy + train + encode + search + refine composition is
+    * hash-gated, not just its pieces. The deployment-K form (trained
+    * coarse hierarchy via [[trainedCodebook2]], [[trainedPqBook]]
+    * residual subspaces, measured recall/latency vs the flat-coarse
+    * scan) is the ScaleBench `ivf2pq` rung. */
+  def ivf2PqTrainedTopK(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val (indexed, probes, pqcb) = residualPqIndex(e, train = true)
+    adcShortlistRerank(e, indexed, probes, pqcb)
+  }
+
+  /** ADC shortlist (top R·k per probe by (adist, id)) → exact
+    * squared-L2 re-rank of the shortlist rows only — the refinement
+    * stage shared by [[ivfPqRerankTopK]] and [[ivf2PqTrainedTopK]];
+    * the scale argument lives on [[ivfPqRerankTopK]]. */
+  private def adcShortlistRerank(e: DataFrame, indexed: DataFrame,
+      probes: DataFrame,
+      pqcb: Array[Array[Array[Double]]]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
     val shortlist = indexed.join(probes, Seq("centroid_id"))
       .where($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
@@ -2491,6 +2538,86 @@ object Similarity extends QueryModule {
           JOIN asg2 ea ON ea.centroid_id = pa.centroid_id
                       AND ea.vec_id <> pa.vec_id
           JOIN reconr r ON r.vec_id = ea.vec_id
+          WHERE pa.vec_id >= 20 AND pa.vec_id < 30),
+        sl AS (
+          SELECT q_id, neighbor_id, adist FROM (
+            SELECT q_id, neighbor_id, adist,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY adist, neighbor_id) AS srank
+            FROM p) WHERE srank <= $RerankShortlist),
+        ex AS (
+          SELECT sl.q_id, sl.neighbor_id, sl.adist,
+                 list_sum(list_transform(generate_series(1, len(qe.embedding)),
+                   kk -> (CAST(qe.embedding[kk] AS DOUBLE)
+                        - CAST(ne.embedding[kk] AS DOUBLE))
+                       * (CAST(qe.embedding[kk] AS DOUBLE)
+                        - CAST(ne.embedding[kk] AS DOUBLE)))) AS dist2
+          FROM sl
+          JOIN embeddings qe ON qe.vec_id = sl.q_id
+          JOIN embeddings ne ON ne.vec_id = sl.neighbor_id),
+        fr AS (SELECT q_id, neighbor_id, adist, dist2,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY dist2, neighbor_id) AS BIGINT) AS rank
+               FROM ex)
+        SELECT q_id, rank, neighbor_id, dist2, adist
+        FROM fr WHERE rank <= $RerankK
+        ORDER BY q_id, rank""")),
+    QueryDef(
+      // The COMPOSED deployment chain: two-level coarse assignment ->
+      // residuals -> seed residual book -> ONE exact scaled-integer
+      // Lloyd round (empty cells keep their seed slice) -> re-encode
+      // -> ADC shortlist -> exact re-rank. The oracle replays every
+      // stage in the kernels' arithmetic, so a disagreement anywhere
+      // in the hierarchy + train + encode + search + refine chain
+      // surfaces as a hash mismatch.
+      "q_ivf2pq_trained_topk", ivf2PqTrainedTopK, Some(s"""
+        $oracleVecs,
+        $oracleTwoLevelAsg,
+        $oracleResidualRecon,
+        js AS (SELECT unnest(generate_series(1, $PqSubDim)) AS j),
+        trm AS (
+          SELECT cd.m, cd.code, js.j AS j,
+                 CAST(sum(CAST(floor(
+                   r.rv0[cd.m*$PqSubDim+js.j] * 1048576) AS BIGINT))
+                   AS DOUBLE) / count(*) / 1048576.0 AS c_val
+          FROM pcodes cd
+          JOIN res r ON r.vec_id = cd.vec_id
+          CROSS JOIN js
+          GROUP BY 1, 2, 3),
+        tb AS (SELECT m, code, list(c_val ORDER BY j) AS sub
+               FROM trm GROUP BY m, code),
+        seedb AS (
+          SELECT ms.m, rc.vec_id AS code,
+                 list_transform(generate_series(1, $PqSubDim),
+                   j -> rc.rv0[ms.m*$PqSubDim+j]) AS sub
+          FROM ms CROSS JOIN rcb rc),
+        book AS (
+          SELECT s0.m, s0.code, coalesce(t.sub, s0.sub) AS sub
+          FROM seedb s0
+          LEFT JOIN tb t ON t.m = s0.m AND t.code = s0.code),
+        e1 AS (
+          SELECT r.vec_id, b.m, b.code,
+                 row_number() OVER (PARTITION BY r.vec_id, b.m ORDER BY
+                   list_sum(list_transform(generate_series(1, $PqSubDim),
+                     j -> (r.rv0[b.m*$PqSubDim+j] - b.sub[j])
+                        * (r.rv0[b.m*$PqSubDim+j] - b.sub[j]))),
+                   b.code) AS rn
+          FROM res r CROSS JOIN book b),
+        codes1 AS (SELECT vec_id, m, code FROM e1 WHERE rn = 1),
+        recon1 AS (
+          SELECT cd.vec_id, flatten(list(b.sub ORDER BY cd.m)) AS rrv1
+          FROM codes1 cd JOIN book b ON b.m = cd.m AND b.code = cd.code
+          GROUP BY cd.vec_id),
+        p AS (
+          SELECT pa.vec_id AS q_id, ea.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, ${PqM * PqSubDim}),
+                   kk -> (pr.rv0[kk] - r.rrv1[kk])
+                       * (pr.rv0[kk] - r.rrv1[kk]))) AS adist
+          FROM asg2 pa
+          JOIN res pr ON pr.vec_id = pa.vec_id
+          JOIN asg2 ea ON ea.centroid_id = pa.centroid_id
+                      AND ea.vec_id <> pa.vec_id
+          JOIN recon1 r ON r.vec_id = ea.vec_id
           WHERE pa.vec_id >= 20 AND pa.vec_id < 30),
         sl AS (
           SELECT q_id, neighbor_id, adist FROM (

@@ -678,4 +678,44 @@ class SimilaritySpec extends SparkSpecBase {
       assert(kept === best, s"probe $q: kept $kept != exact-best $best")
     }
   }
+
+  test("ivf2PqTrainedTopK composes the trained residual chain: " +
+    "exact re-rank order and dist2, and the one-Lloyd-round book " +
+    "is not the seed book") {
+    import spark.implicits._
+    val tr = Similarity.ivf2PqTrainedTopK(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(tr.nonEmpty)
+    assert(tr.groupBy(_._1).size === 10) // the 10 gate probes
+    val vecs = graft.ops.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val t = a(i).toDouble - b(i).toDouble; acc += t * t; i += 1
+      }
+      acc
+    }
+    tr.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._2)
+      byRank.foreach { case (_, _, n, dist2, _) =>
+        assert(math.abs(d2(vecs(q), vecs(n)) - dist2) < 1e-9,
+          s"probe $q -> $n: dist2 not the exact squared L2")
+      }
+      val keyOf: ((Long, Long, Long, Double, Double)) => (Double, Long) =
+        r => (r._4, r._3)
+      assert(byRank.map(keyOf) === byRank.map(keyOf).sorted)
+    }
+    // training MOVED the book: the trained chain's ADC distances are
+    // not the seed chain's (same probes, same shortlist rule — only
+    // the sub-centroids differ; with 500 members over 4 codes the
+    // one-round means cannot reproduce the 4 seed slices)
+    val seed = Similarity.ivfPqRerankTopK(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(tr.map(r => (r._1, r._3, r._5)).toSet !==
+      seed.map(r => (r._1, r._3, r._5)).toSet,
+      "trained-chain ADC distances identical to the seed chain's — " +
+        "the Lloyd round did not move the book")
+  }
 }
