@@ -189,7 +189,7 @@ object ScaleBench {
       _.subsetOf(Set("salt_vs_aqe", "ann_recall_deploy",
         "semdedup_deploy", "semstream_layout", "ivf2_deploy",
         "ivf2_recall", "ivf2_train", "ivf2_margin", "pq_train",
-        "pq_rerank",
+        "pq_rerank", "ivf2pq_deploy",
         "stats_stream")))
     // shapes that never read embeddings.parquet — a text-only probe
     // (e.g. the 10⁸ pair-family rung) skips the vector table's
@@ -1962,6 +1962,193 @@ object ScaleBench {
         } finally { idxRes.unpersist(false); () }
       }
       indexed.unpersist(false)
+      graft.Release.transients()
+    }
+    // COMPOSED DEPLOYMENT INDEX at deployment K — q_ivf2pq_trained_topk's
+    // chain at scale: two-level coarse assignment (the corpus pass that
+    // stays ~sqrt(K)x below flat) -> per-cell residuals -> trained
+    // residual PQ book -> M-byte codes (the stored facet: 8 code bytes
+    // + cell + id vs 256 raw vector bytes) -> ADC shortlist of R*10 ->
+    // exact re-rank on the shortlist rows only. The flat-coarse lane
+    // (n <= 1e7 — the O(n*K*D) assignment the hierarchy exists to
+    // avoid) prices what the hierarchy gives up END-TO-END at the SAME
+    // K, book training and R sweep: any recall delta is coarse
+    // misassignment (index side) + probe-side routing — the two-level
+    // tax ivf2_recall measured for exact search, here composed with PQ.
+    // Recall@10 is set-based, so the r = 1 row doubles as the ADC-only
+    // figure (the re-rank of a 10-item shortlist can reorder but not
+    // change the set).
+    if (only.forall(_.contains("ivf2pq_deploy"))) {
+      val cellTarget = 4000L
+      val K = math.max(64L, n / cellTarget).toInt
+      val S = math.max(8, math.ceil(math.sqrt(K.toDouble)).toInt)
+      val codebook = (0L until K.toLong).map(c =>
+        (c, Array.tabulate(64)(ivf2Center(c, _))))
+      val tB0 = System.nanoTime()
+      val cb2 = graft.operators.Similarity
+        .twoLevelFromSeq(codebook, S, refineIters = 2)
+      val buildCbSec = (System.nanoTime() - tB0) / 1e9
+      val cbIds = codebook.map(_._1).toArray
+      val cbCents = codebook.map(_._2.map(_.toDouble)).toArray
+      val cbNorms = cbCents.map(c => math.sqrt(c.map(x => x * x).sum))
+      val centDf = broadcast(codebook
+        .map { case (c, v) => (c, v.map(_.toDouble).toSeq) }
+        .toDF("centroid_id", "cvec"))
+      val corpus = spark.range(0, n, 1, 32)
+        .map(i => (i, ivf2Member(i, K)))
+        .toDF("vec_id", "v")
+        .withColumn("nrm", graft.functions.VectorFunctions.l2Norm($"v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpus.count()
+      val probeIds = (0 until 100)
+        .map(i => java.lang.Math.floorMod(mix(i * 15485863L + 11L), n))
+        .distinct
+      val probeRows = probeIds.map(id => (id, ivf2Member(id, K)))
+      val probesDf = probeRows.toDF("q_id", "qv")
+        .withColumn("qn2",
+          graft.functions.VectorExpressions.array_dot($"qv", $"qv"))
+      val tk10 = udaf(
+        new graft.pipeline.Aggregators.TopKCosineAgg(10),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(Long, Double)]())
+      val tT0 = System.nanoTime()
+      val truth: Map[Long, Set[Long]] = corpus
+        .join(broadcast(probesDf), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (-($"qn2" + $"nrm" * $"nrm" - lit(2.0) *
+            graft.functions.VectorExpressions.array_dot($"qv", $"v")))
+            .as("score"))
+        .groupBy($"q_id").agg(tk10($"vec_id", $"score").as("nbrs"))
+        .as[(Long, Seq[Long])].collect()
+        .map { case (q, ns) => q -> ns.toSet }.toMap
+      val truthSec = (System.nanoTime() - tT0) / 1e9
+      def cosTo(qv: Array[Float], qn: Double)(
+          c: Array[Double], cn: Double): Double = {
+        var acc = 0.0; var d = 0
+        while (d < 64) { acc += qv(d) * c(d); d += 1 }
+        acc / (qn * cn)
+      }
+      // probe-side routing: super_probe = 2 (ivf2_recall's guidance for
+      // probes against an sp = 1-assigned index), then nprobe cells
+      def cells2(qv: Array[Float]): Array[Long] = {
+        val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+        val f = cosTo(qv, qn) _
+        cb2.superCents.indices
+          .sortBy(i => (-f(cb2.superCents(i), cb2.superNorms(i)), i))
+          .take(2)
+          .flatMap(sp => (cb2.offs(sp) until cb2.offs(sp + 1)))
+          .sortBy(j => (-f(cb2.cents(j), cb2.norms(j)), cb2.ids(j)))
+          .map(j => cb2.ids(j)).toArray
+      }
+      def cellsFlat(qv: Array[Float]): Array[Long] = {
+        val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+        val f = cosTo(qv, qn) _
+        cbCents.indices
+          .sortBy(i => (-f(cbCents(i), cbNorms(i)), i))
+          .map(_.toLong).toArray
+      }
+      val nprobe = 4
+      def lane(tag: String,
+          assigned: org.apache.spark.sql.DataFrame, assignSec: Double,
+          cellsFor: Array[Float] => Array[Long]): Unit = {
+        val withRes = assigned
+          .join(centDf, Seq("centroid_id"))
+          .select($"vec_id", $"centroid_id", $"v", $"nrm",
+            zip_with($"v", $"cvec", (a, b) => a.cast("double") - b)
+              .as("rv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        withRes.count()
+        val tTr = System.nanoTime()
+        val book = graft.operators.Similarity.trainedPqBook(
+          withRes, "rv", "vec_id", mSub = 8, subDim = 8, k = 256,
+          iters = 5)
+        val trainSec = (System.nanoTime() - tTr) / 1e9
+        // the stored facet a deployed searcher reads: cell + M bytes
+        val tE = System.nanoTime()
+        val idx = withRes.select($"vec_id", $"centroid_id",
+          graft.functions.VectorExpressions.pq_encode($"rv", book)
+            .as("codes"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        idx.count()
+        val encodeSec = (System.nanoTime() - tE) / 1e9
+        withRes.unpersist(false)
+        val probeCells = probeRows.flatMap { case (q, qv) =>
+          val qn2 = qv.map(x => x.toDouble * x).sum
+          cellsFor(qv).take(nprobe).map { c =>
+            (q, c, qv.toSeq, qn2,
+              Array.tabulate(64)(d => qv(d) - ivf2Center(c, d).toDouble)
+                .toSeq)
+          }
+        }.toDF("q_id", "centroid_id", "qv", "qn2", "qres")
+        Seq(1, 5, 10, 25).foreach { r =>
+          val tkR = udaf(
+            new graft.pipeline.Aggregators.TopKCosineAgg(r * 10),
+            org.apache.spark.sql.catalyst.encoders
+              .ExpressionEncoder[(Long, Double)]())
+          val t0 = System.nanoTime()
+          val sl = idx
+            .join(broadcast(probeCells), Seq("centroid_id"))
+            .where($"vec_id" =!= $"q_id")
+            .select($"q_id", $"vec_id",
+              (-graft.functions.VectorExpressions
+                .pq_adc($"qres", $"codes", book)).as("score"))
+            .groupBy($"q_id").agg(tkR($"vec_id", $"score").as("cand"))
+            .select($"q_id", explode($"cand").as("vec_id"))
+          val approx: Map[Long, Set[Long]] = corpus
+            .join(broadcast(sl), Seq("vec_id"))
+            .join(broadcast(probesDf), Seq("q_id"))
+            .select($"q_id", $"vec_id",
+              (-($"qn2" + $"nrm" * $"nrm" - lit(2.0) *
+                graft.functions.VectorExpressions.array_dot($"qv", $"v")))
+                .as("score"))
+            .groupBy($"q_id").agg(tk10($"vec_id", $"score").as("nbrs"))
+            .as[(Long, Seq[Long])].collect()
+            .map { case (q, ns) => q -> ns.toSet }.toMap
+          val sec = (System.nanoTime() - t0) / 1e9
+          val (hit, tot) = truth.toSeq.map { case (q, ts) =>
+            (approx.getOrElse(q, Set.empty).intersect(ts).size, ts.size)
+          }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+          val ppm = hit.toLong * 1000000L / math.max(tot, 1)
+          println(f"""{"shape":"ivf2pq_deploy","n":$n,"k":$K,"s":$S,""" +
+            f""""kernel":"$tag","pq_m":8,"pq_k":256,"nprobe":$nprobe,""" +
+            f""""r":$r,"shortlist":${r * 10},""" +
+            f""""n_probes":${probeIds.size},"n_hit":$hit,"n_true":$tot,""" +
+            f""""recall_ppm":$ppm,"build_codebook_sec":$buildCbSec%.2f,""" +
+            f""""assign_sec":$assignSec%.2f,"train_sec":$trainSec%.2f,""" +
+            f""""encode_sec":$encodeSec%.2f,"truth_sec":$truthSec%.2f,""" +
+            f""""sec":$sec%.2f}""")
+        }
+        idx.unpersist(false)
+      }
+      locally {
+        val tA = System.nanoTime()
+        val asg = corpus
+          .withColumn("_best", graft.functions.VectorExpressions
+            .nearest_centroid2($"v", $"nrm", cb2.superCents,
+              cb2.superNorms, cb2.offs, cb2.ids, cb2.cents, cb2.norms,
+              nprobe = 1))
+          .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
+            $"v", $"nrm")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        asg.count()
+        val assignSec = (System.nanoTime() - tA) / 1e9
+        try lane("two_level", asg, assignSec, cells2)
+        finally { asg.unpersist(false); () }
+      }
+      if (n <= 10000000L) {
+        val tA = System.nanoTime()
+        val asg = corpus
+          .withColumn("_best", graft.functions.VectorExpressions
+            .nearest_centroid($"v", $"nrm", cbIds, cbCents, cbNorms))
+          .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
+            $"v", $"nrm")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        asg.count()
+        val assignSec = (System.nanoTime() - tA) / 1e9
+        try lane("flat", asg, assignSec, cellsFlat)
+        finally { asg.unpersist(false); () }
+      }
+      corpus.unpersist(false)
       graft.Release.transients()
     }
     if (only.forall(_.contains("ann_recall_deploy"))) {
