@@ -343,13 +343,42 @@ object Corpus extends QueryModule {
     * impact-ordered pruning (WAND); the exhaustive form is the oracle-
     * checkable baseline. */
   def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val (tf, dl, dfreq, tot) = bm25Partials(Tables.documents(s, d))
+    serveBm25TopK(tf, dl, dfreq, tot)
+  }
+
+  /** The four standing tables a BM25 deployment stores, built from a
+    * document frame: per-(doc, token) tf, per-doc length, per-token df
+    * and the one-row corpus totals (n docs, Σdl). Each is a sum over
+    * disjoint documents — the decomposability [[takedownBm25On]] and
+    * the streaming maintenance sink
+    * ([[graft.streaming.StreamingPipeline.retrievalMaintenanceSink]])
+    * both ride: a micro-batch's partials merge by union/sum, a
+    * takedown's subtract. */
+  private[graft] def bm25Partials(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("s"))
+    (tf, dl, dfreq, tot)
+  }
+
+  /** Serve [[bm25TopK]]'s exact query from STANDING tables — the ONE
+    * serve form every path runs (the batch gate, the batch takedown,
+    * the streaming maintenance read), so hash parity on any of them
+    * proves the serving chain itself, not a lookalike. Weights derive
+    * at query time from (tf, dl, df, n, s) — nothing here caches a
+    * score a maintenance subtraction would stale. */
+  private[graft] def serveBm25TopK(tf: DataFrame, dl: DataFrame,
+      dfreq: DataFrame, totals: DataFrame): DataFrame = {
+    val s = tf.sparkSession
     import s.implicits._
-    val tok = Tables.documents(s, d)
-      .select($"doc_id", explode(split($"text", " ")).as("token"))
-    val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-    val st = broadcast(dl.agg(count(lit(1)).as("n"), sum($"dl").as("s")))
+    val st = broadcast(totals) // 1 row
     val wt = tf.join(dl, "doc_id").join(dfreq, "token").crossJoin(st)
       .select($"doc_id", $"token",
         expr("""((2*n - 2*df + 1) * 44 * s * tf) * 1000000
@@ -993,32 +1022,10 @@ object Corpus extends QueryModule {
       .select($"token",
         ($"df" - coalesce($"df_rem", lit(0L))).as("df"))
       .where($"df" > 0)
-    val st2 = broadcast(totals.crossJoin(rmTot) // 1 row × 1 row
-      .select(($"n" - $"n_rem").as("n"), ($"s" - $"s_rem").as("s")))
+    val st2 = totals.crossJoin(rmTot) // 1 row × 1 row
+      .select(($"n" - $"n_rem").as("n"), ($"s" - $"s_rem").as("s"))
     // serve: bm25TopK's query, verbatim, over the maintained tables
-    val wt = tf2.join(dl2, "doc_id").join(df2, "token").crossJoin(st2)
-      .select($"doc_id", $"token",
-        expr("""((2*n - 2*df + 1) * 44 * s * tf) * 1000000
-                DIV ((2*df + 1) * (20*s*tf + 6*s + 18*dl*n))""")
-          .as("w_micro"))
-    val q = broadcast(
-      tf2.where($"doc_id" < 10).select($"doc_id".as("q_id"), $"token"))
-    val tk = udaf(new graft.pipeline.Aggregators.TopKScorePayloadAgg(5),
-      org.apache.spark.sql.catalyst.encoders
-        .ExpressionEncoder[(Long, Double, Long)]())
-    q.join(wt, Seq("token"))
-      .where($"doc_id" =!= $"q_id")
-      .groupBy($"q_id", $"doc_id")
-      .agg(sum($"w_micro").as("score_micro"),
-        count(lit(1)).as("n_shared"))
-      .groupBy($"q_id")
-      .agg(tk($"doc_id", $"score_micro".cast("double"), $"n_shared")
-        .as("top"))
-      .select($"q_id", posexplode($"top"))
-      .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
-        $"col._1".as("doc_id"), $"col._2".cast("long").as("score_micro"),
-        $"col._3".as("n_shared"))
-      .orderBy($"q_id", $"rank")
+    serveBm25TopK(tf2, dl2, df2, st2)
   }
 
   /** GATE: [[takedownBm25On]] over standing tables built in-gate (the

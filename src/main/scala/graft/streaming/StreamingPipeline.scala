@@ -1225,8 +1225,27 @@ object StreamingPipeline {
     * table. */
   def compactStats(spark: SparkSession, statsDir: String): Unit = {
     import spark.implicits._
-    recoverStats(spark, statsDir)
-    val root = new org.apache.hadoop.fs.Path(statsDir)
+    compactPartialsWith(spark, statsDir) { dfs =>
+      dfs.reduce(_ unionByName _)
+        .groupBy($"source", $"token")
+        .agg(sum($"tf").as("tf"), sum($"df").as("df"))
+        // fully-cancelled rows (ingest + retraction both folded) drop;
+        // readStats' df > 0 filter stays for unfolded cancellations
+        .where($"tf" =!= 0L || $"df" =!= 0L)
+    }
+  }
+
+  /** The settled-partials fold machinery [[compactStats]] documents,
+    * generalized over the fold arithmetic (the stats table, the
+    * retrieval tables and any future mergeable-partial layout share
+    * the listing/target/stage/manifest protocol verbatim — only the
+    * merge differs): fold every settled `batch_id=` dir through
+    * `foldFn` and commit the result with the crash discipline
+    * [[recoverStats]] heals. */
+  private def compactPartialsWith(spark: SparkSession, dir: String)(
+      foldFn: Seq[DataFrame] => DataFrame): Unit = {
+    recoverStats(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     val ids = fs.listStatus(root).toSeq.map(_.getPath.getName)
@@ -1253,14 +1272,8 @@ object StreamingPipeline {
     }
     val stage = new org.apache.hadoop.fs.Path(root, "_stats_compact_tmp")
     fs.delete(stage, true)
-    val folded = fold.map(i =>
-        spark.read.parquet(s"$statsDir/batch_id=$i"))
-      .reduce(_ unionByName _)
-      .groupBy($"source", $"token")
-      .agg(sum($"tf").as("tf"), sum($"df").as("df"))
-      // fully-cancelled rows (ingest + retraction both folded) drop;
-      // readStats' df > 0 filter stays for unfolded cancellations
-      .where($"tf" =!= 0L || $"df" =!= 0L)
+    val folded = foldFn(fold.map(i =>
+      spark.read.parquet(s"$dir/batch_id=$i")))
     folded.coalesce(1).write.mode("overwrite").parquet(stage.toString)
     // manifest AFTER the data: its presence marks the stage COMPLETE
     // (recovery treats a manifest-less stage as an aborted write).
@@ -1336,6 +1349,175 @@ object StreamingPipeline {
         fs.delete(new org.apache.hadoop.fs.Path(st.getPath, "_manifest"),
           false)
       }
+  }
+
+  /** STANDING BM25-SERVING-TABLE maintenance — the streaming form of
+    * [[graft.operators.Corpus.takedownBm25On]]'s artifact set, keeping
+    * all four tables a BM25 deployment serves from (per-(doc, token)
+    * tf, per-doc length, per-token df, the one-row corpus totals)
+    * CURRENT under ingest and takedown without ever re-tokenizing the
+    * corpus. The tables split into two maintenance classes, each under
+    * the protocol its math allows:
+    *
+    *  - `tf/` and `dl/` are PER-DOC-KEYED: each micro-batch writes its
+    *    docs' rows under `batch_id=<id>` with overwrite (a replayed
+    *    batch rewrites its own dir — exactly-once content, the
+    *    [[statsMaintenanceSink]] discipline), rows merge by plain
+    *    UNION (streaming delivers every doc in exactly one micro-batch
+    *    and ingest ids are never reused), and takedown is a KEYED
+    *    DELETE: [[graft.sources.Ddl.tombstone]] on the dir, readers
+    *    anti-join the set, [[compactRetrieval]] applies it to the
+    *    folded dirs. The tombstone set persists after compaction (the
+    *    kept newest dir may still hold a retracted doc ingested in the
+    *    final pre-takedown batch; re-applying a tombstone is a no-op
+    *    by anti-join semantics) — it grows with takedown history, and
+    *    a quiesced full rewrite reclaims it when that matters.
+    *  - `df/` and `tot/` are SUMMED PARTIALS: disjoint doc sets per
+    *    batch make per-batch df counts mergeable by sum, takedown is a
+    *    NEGATED partial under `batch_id=-(takedownId+1)` (the
+    *    [[retractStats]] math), and [[compactRetrieval]] folds settled
+    *    partials through the [[compactStats]] crash protocol.
+    *
+    * Serving reads [[readRetrieval]] and runs
+    * [[graft.operators.Corpus.serveBm25TopK]] — the EXACT query the
+    * batch gate hashes, so spec parity here proves the maintained
+    * chain end-to-end. Weights derive at query time, which is why
+    * delete + subtract is the whole maintenance even though a removal
+    * changes every document's weights.
+    *
+    * A crash mid-batch can leave the four dirs torn for that batch id
+    * (some written, some not); the replay's overwrite heals all four —
+    * the same at-least-once window every sink here has, wider only by
+    * the intra-batch write order. Readers wanting a torn-free view
+    * read between micro-batches (the compact quiesce discipline). */
+  def retrievalMaintenanceSink(
+      docs: DataFrame, // streaming; columns: doc_id, text
+      retrDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val (tf, dl, dfq, tot) =
+          graft.operators.Corpus.bm25Partials(batch.toDF())
+        tf.coalesce(1).write.mode("overwrite")
+          .parquet(s"$retrDir/tf/batch_id=$id")
+        dl.coalesce(1).write.mode("overwrite")
+          .parquet(s"$retrDir/dl/batch_id=$id")
+        dfq.coalesce(1).write.mode("overwrite")
+          .parquet(s"$retrDir/df/batch_id=$id")
+        tot.coalesce(1).write.mode("overwrite")
+          .parquet(s"$retrDir/tot/batch_id=$id")
+        ()
+      }
+      .start()
+
+  /** The current BM25 serving tables under `retrDir`: (tf, dl, df,
+    * totals), ready for [[graft.operators.Corpus.serveBm25TopK]].
+    * tf/dl are partial UNIONS minus the tombstoned doc_ids; df sums
+    * its partials (negative retraction partials cancel, rows at 0
+    * drop); totals always yields exactly one row (zeros when empty).
+    * Empty-safe on never-written dirs; each read heals any crashed
+    * fold first ([[recoverStats]]). */
+  def readRetrieval(spark: SparkSession, retrDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    def partials(sub: String): Option[DataFrame] = {
+      val d = s"$retrDir/$sub"
+      recoverStats(spark, d)
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasData = fs.exists(p) && fs.listStatus(p).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      if (!hasData) None
+      else Some(spark.read.parquet(d).drop("batch_id"))
+    }
+    def keyed(sub: String, empty: => DataFrame): DataFrame =
+      partials(sub) match {
+        case None => empty
+        case Some(base) =>
+          graft.sources.Ddl.tombstonesOf(spark, s"$retrDir/$sub") match {
+            case Some(ts) =>
+              base.join(broadcast(ts.distinct()), Seq("doc_id"),
+                "left_anti")
+            case None => base
+          }
+      }
+    val tf = keyed("tf",
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "token", "tf"))
+    val dl = keyed("dl", Seq.empty[(Long, Long)].toDF("doc_id", "dl"))
+    val dfq = partials("df") match {
+      case None => Seq.empty[(String, Long)].toDF("token", "df")
+      case Some(base) => base.groupBy($"token")
+        .agg(sum($"df").as("df")).where($"df" > 0)
+    }
+    val tot = partials("tot") match {
+      case None => Seq((0L, 0L)).toDF("n", "s")
+      case Some(base) => base.agg(
+        coalesce(sum($"n"), lit(0L)).as("n"),
+        coalesce(sum($"s"), lit(0L)).as("s"))
+    }
+    (tf, dl, dfq, tot)
+  }
+
+  /** Takedown through the standing retrieval tables: tombstone the
+    * removed doc_ids on `tf/` and `dl/` (keyed deletes) and land
+    * NEGATED df/totals partials under `batch_id=-(takedownId+1)`
+    * (subtraction — 0-rows drop at read). Work ∝ the removed docs'
+    * token mass; the standing corpus is never re-read.
+    *
+    * Contracts, both inherited from the module's takedown discipline:
+    * `removedDocs` must carry the EXACT text the stream ingested (the
+    * negated partial must mirror the ingested contribution — the
+    * [[retractStats]] fidelity rule), and removal sets across takedown
+    * ids must be DISJOINT: the tombstone side is idempotent under
+    * overlap (anti-join), but a doc named in two takedown ids would
+    * have its df/totals contribution subtracted twice. Retry-safe with
+    * the SAME id: the negative dirs overwrite and tombstone appends
+    * are removal facts. */
+  def retractRetrieval(spark: SparkSession, retrDir: String,
+      removedDocs: DataFrame, takedownId: Long): Unit = {
+    require(takedownId >= 0, s"takedownId must be >= 0, got $takedownId")
+    import spark.implicits._
+    val (_, _, dfq, tot) =
+      graft.operators.Corpus.bm25Partials(removedDocs)
+    dfq.select($"token", (-$"df").as("df")).coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$retrDir/df/batch_id=${-(takedownId + 1)}")
+    tot.select((-$"n").as("n"), (-$"s").as("s")).coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$retrDir/tot/batch_id=${-(takedownId + 1)}")
+    val ids = removedDocs.select($"doc_id").distinct()
+    graft.sources.Ddl.tombstone(spark, s"$retrDir/tf", ids)
+    graft.sources.Ddl.tombstone(spark, s"$retrDir/dl", ids)
+  }
+
+  /** Fold each retrieval table's settled partials ([[compactStats]]'s
+    * protocol per dir — each dir folds independently; a crash between
+    * dirs leaves the others' partials intact and every reader
+    * correct): tf/dl fold by UNION with the pending tombstones applied
+    * to the folded rows (the set itself persists — see
+    * [[retrievalMaintenanceSink]]), df by summed groups (0-rows drop),
+    * totals by a one-row sum. Single-maintainer contract as ever. */
+  def compactRetrieval(spark: SparkSession, retrDir: String): Unit = {
+    import spark.implicits._
+    def applyTombstones(sub: String)(df: DataFrame): DataFrame =
+      graft.sources.Ddl.tombstonesOf(spark, s"$retrDir/$sub") match {
+        case Some(ts) =>
+          df.join(broadcast(ts.distinct()), Seq("doc_id"), "left_anti")
+        case None => df
+      }
+    compactPartialsWith(spark, s"$retrDir/tf")(dfs =>
+      applyTombstones("tf")(dfs.reduce(_ unionByName _)))
+    compactPartialsWith(spark, s"$retrDir/dl")(dfs =>
+      applyTombstones("dl")(dfs.reduce(_ unionByName _)))
+    compactPartialsWith(spark, s"$retrDir/df")(dfs =>
+      dfs.reduce(_ unionByName _)
+        .groupBy($"token").agg(sum($"df").as("df"))
+        .where($"df" =!= 0L))
+    compactPartialsWith(spark, s"$retrDir/tot")(dfs =>
+      dfs.reduce(_ unionByName _)
+        .agg(coalesce(sum($"n"), lit(0L)).as("n"),
+          coalesce(sum($"s"), lit(0L)).as("s")))
   }
 
   /** Event-time windowed aggregation with watermark (the event-time

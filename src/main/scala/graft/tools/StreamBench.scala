@@ -290,6 +290,23 @@ object StreamBench {
           (0L until 1000L).map(i => docRow(1000L + b * 1000L + i))))
     }
 
+    // ---- standing retrieval maintenance: the FOUR bm25 serving
+    // tables (tf/dl/df/totals) kept current per micro-batch
+    // (StreamingPipeline.retrievalMaintenanceSink) — the same workload
+    // as stats_maintain with four partial writes per trigger instead
+    // of one; the lane pins that upkeep stays batch-bounded across the
+    // wider write fan-out.
+    val rtFig = {
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamingPipeline.retrievalMaintenanceSink(
+        stream.toDF().toDF("doc_id", "text"),
+        tmp("retr"), tmp("ckpt_retr"))
+      drive(stream, q,
+        warmup = (0L until 1000L).map(doc),
+        batches = (0 until load.sdBatches).map(b =>
+          (0L until 1000L).map(i => doc(1000L + b * 1000L + i))))
+    }
+
     // ---- restart/catch-up (the recovery-time figure): run dual_write
     // to steady state, STOP the query, let a 50k-row backlog accumulate
     // while the consumer is down, restart from the same checkpoint and
@@ -338,6 +355,7 @@ object StreamBench {
       "semantic_dedup_k1024_flat" -> sdFlat1k,
       "semantic_dedup_k1024_2l" -> sdTwo1k,
       "stats_maintain" -> stFig,
+      "retrieval_maintain" -> rtFig,
       "restart_catchup_50k" -> recFig)
   }
 

@@ -1777,6 +1777,85 @@ class StreamingSpec extends SparkSpecBase {
     assert(read() === afterT + (("b", "q", 1L, 1L)))
   }
 
+  test("retrieval maintenance: maintained tables serve bm25TopK " +
+    "exactly; takedown = tombstones + negated partials; " +
+    "crash-recoverable per-dir fold applies tombstones physically") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val retrDir = tmp(); val ckpt = tmp()
+    val stream = MemoryStream[(Long, String)]
+    def serve(): Seq[(Long, Long, Long, Long, Long)] = {
+      val (tf, dl, dfq, tot) =
+        StreamingPipeline.readRetrieval(spark, retrDir)
+      graft.operators.Corpus.serveBm25TopK(tf, dl, dfq, tot)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    }
+    assert(serve() === Seq.empty) // empty-safe before any ingest
+    val q = StreamingPipeline.retrievalMaintenanceSink(
+      stream.toDF().toDF("doc_id", "text"), retrDir, ckpt)
+    try {
+      stream.addData((1L, "x y x"), (2L, "y z"), (11L, "x z q"))
+      q.processAllAvailable()
+      stream.addData((3L, "x q"), (12L, "z z y"))
+      q.processAllAvailable()
+      stream.addData((4L, "y q w"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // parity with the batch operator's serve over the same corpus —
+    // the EXACT query the oracle gate hashes, per serveBm25TopK
+    val docsAll = Seq((1L, "x y x"), (2L, "y z"), (11L, "x z q"),
+      (3L, "x q"), (12L, "z z y"), (4L, "y q w"))
+    def batchServe(docs: Seq[(Long, String)])
+        : Seq[(Long, Long, Long, Long, Long)] = {
+      val (tf, dl, dfq, tot) = graft.operators.Corpus.bm25Partials(
+        docs.toDF("doc_id", "text"))
+      graft.operators.Corpus.serveBm25TopK(tf, dl, dfq, tot)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    }
+    val full = batchServe(docsAll)
+    assert(full.nonEmpty)
+    assert(serve() === full)
+    // takedown docs 2 and 12 — twice with the SAME id: tombstone
+    // appends are removal facts, the negative partials overwrite
+    val rm = Seq((2L, "y z"), (12L, "z z y")).toDF("doc_id", "text")
+    StreamingPipeline.retractRetrieval(spark, retrDir, rm, 0L)
+    StreamingPipeline.retractRetrieval(spark, retrDir, rm, 0L)
+    val afterT =
+      batchServe(docsAll.filterNot(d => d._1 == 2L || d._1 == 12L))
+    assert(afterT !== full)
+    assert(serve() === afterT)
+    // crash-injected compaction: die mid-fold on the FIRST dir (tf) —
+    // the next reader heals it, the other dirs' partials are untouched
+    @volatile var killed = false
+    StreamingPipeline.Faults.statsCompactMidDelete = _ =>
+      if (!killed) { killed = true; throw new RuntimeException("boom") }
+    intercept[RuntimeException] {
+      StreamingPipeline.compactRetrieval(spark, retrDir)
+    }
+    StreamingPipeline.Faults.reset()
+    assert(serve() === afterT)
+    StreamingPipeline.compactRetrieval(spark, retrDir)
+    assert(serve() === afterT)
+    val fs = new org.apache.hadoop.fs.Path(retrDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirs(sub: String): Set[String] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$retrDir/$sub")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
+    // every table folded to {target, newest}; retraction dir folded
+    // away on df/tot, tombstones applied physically on tf/dl
+    Seq("tf", "dl", "df", "tot").foreach { sub =>
+      assert(dirs(sub) === Set("batch_id=0", "batch_id=2"), sub)
+    }
+    val foldedTf = spark.read
+      .parquet(s"$retrDir/tf/batch_id=0")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!foldedTf.contains(2L) && !foldedTf.contains(12L))
+    // the tombstone set PERSISTS (the newest dir was not folded) and
+    // stays idempotent for readers
+    assert(graft.sources.Ddl
+      .tombstonesOf(spark, s"$retrDir/tf").nonEmpty)
+  }
+
   test("compactStats: fold target is an ingest id (a retried takedown " +
     "overwrites only its own dir); retraction-only settled sets wait") {
     import spark.implicits._
