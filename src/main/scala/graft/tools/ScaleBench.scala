@@ -1024,6 +1024,21 @@ object ScaleBench {
     // the retract_derived stats lane's math — measured there at 39×.)
     if (only.forall(_.contains("retract_text"))) {
       import graft.operators.Corpus
+      // the capped-postings aggregate is a typed UDAF (bottom-K), so it
+      // runs as ObjectHashAggregate — which FALLS BACK to sort-based
+      // aggregation past 128 distinct keys per task, and the fallback
+      // sorts the task's ENTIRE posting slice (~2.5·10⁷ rows at 10⁷
+      // docs): at 32 concurrent tasks the fallback sorters exhausted
+      // the execution pool (observed: UNABLE_TO_ACQUIRE_MEMORY at 10⁷).
+      // The hash path's real state is 4,096 tokens × a bounded
+      // bottom-8 buffer — trivially in-memory — so raise the fallback
+      // threshold past the vocab for THIS rung only (restored below;
+      // other rungs' recorded conditions unchanged).
+      val prevFallback = spark.conf.getOption(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+      spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1048576")
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select($"doc_id", $"text")
       val tB = System.nanoTime()
@@ -1078,6 +1093,12 @@ object ScaleBench {
         require(bad == 0L, s"retract_text parity violated: $bad")
         Seq(removed, inc, fPost, fullIdx)
           .foreach(graft.operators.NearDup.freeLocalCheckpoint)
+      }
+      prevFallback match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v)
+        case None => spark.conf.unset(
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
       }
       graft.Release.transients()
     }
@@ -2028,14 +2049,15 @@ object ScaleBench {
         while (d < 64) { acc += qv(d) * c(d); d += 1 }
         acc / (qn * cn)
       }
-      // probe-side routing: super_probe = 2 (ivf2_recall's guidance for
-      // probes against an sp = 1-assigned index), then nprobe cells
-      def cells2(qv: Array[Float]): Array[Long] = {
+      // probe-side routing: rank superProbe supers, then their
+      // children (super_probe = 2 is ivf2_recall's guidance against an
+      // sp = 1-assigned index; the sp4 mitigation lane widens both)
+      def cells2(qv: Array[Float], superProbe: Int): Array[Long] = {
         val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
         val f = cosTo(qv, qn) _
         cb2.superCents.indices
           .sortBy(i => (-f(cb2.superCents(i), cb2.superNorms(i)), i))
-          .take(2)
+          .take(superProbe)
           .flatMap(sp => (cb2.offs(sp) until cb2.offs(sp + 1)))
           .sortBy(j => (-f(cb2.cents(j), cb2.norms(j)), cb2.ids(j)))
           .map(j => cb2.ids(j)).toArray
@@ -2120,20 +2142,26 @@ object ScaleBench {
         }
         idx.unpersist(false)
       }
-      locally {
-        val tA = System.nanoTime()
-        val asg = corpus
-          .withColumn("_best", graft.functions.VectorExpressions
-            .nearest_centroid2($"v", $"nrm", cb2.superCents,
-              cb2.superNorms, cb2.offs, cb2.ids, cb2.cents, cb2.norms,
-              nprobe = 1))
-          .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
-            $"v", $"nrm")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        asg.count()
-        val assignSec = (System.nanoTime() - tA) / 1e9
-        try lane("two_level", asg, assignSec, cells2)
-        finally { asg.unpersist(false); () }
+      // two lanes on the hierarchy: the sp=1/probe-sp=2 floor and the
+      // ivf2_recall-guided mitigation (idxSp=4 assignment, probe sp=4)
+      // — what a deployment actually runs when the build-time margin
+      // statistic reports an isotropic codebook like this one
+      Seq(("two_level", 1, 2), ("two_level_sp4", 4, 4)).foreach {
+        case (tag, idxSp, probeSp) =>
+          val tA = System.nanoTime()
+          val asg = corpus
+            .withColumn("_best", graft.functions.VectorExpressions
+              .nearest_centroid2($"v", $"nrm", cb2.superCents,
+                cb2.superNorms, cb2.offs, cb2.ids, cb2.cents, cb2.norms,
+                nprobe = idxSp))
+            .select($"vec_id", $"_best.centroid_id".as("centroid_id"),
+              $"v", $"nrm")
+            .persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          asg.count()
+          val assignSec = (System.nanoTime() - tA) / 1e9
+          try lane(tag, asg, assignSec, cells2(_, probeSp))
+          finally { asg.unpersist(false); () }
       }
       if (n <= 10000000L) {
         val tA = System.nanoTime()
