@@ -24,7 +24,8 @@ object SparkEntry {
     operators.Corpus,
     operators.Curation,
     operators.Spectral,
-    operators.Profiling
+    operators.Profiling,
+    operators.Retrieval
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

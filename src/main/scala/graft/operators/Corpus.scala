@@ -411,6 +411,43 @@ object Corpus extends QueryModule {
       .orderBy($"q_id", $"rank")
   }
 
+  /** The BM25 ranked-candidate CTE chain (DuckDB), shared by the
+    * q_bm25_topk oracle and the hybrid-fusion oracle
+    * ([[Retrieval.hybridTopK]]): ends in
+    * `rb(q_id, doc_id, score_micro, n_shared, rank)` — every candidate
+    * document per query doc (doc_id < 10), ranked by the exact
+    * micro-scaled BM25 weight of [[serveBm25TopK]] with
+    * (score DESC, doc_id) ties. Callers compose it after `WITH` and
+    * select from `rb`; aliases are suffixed (qb/pb/rb) so dense-side
+    * CTEs can share one WITH list without collision. */
+  private[graft] val oracleBm25Ranked: String = """
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY doc_id, token),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM tok GROUP BY doc_id),
+        df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY token),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(dl) AS BIGINT) AS s FROM dl),
+        wt AS (SELECT tf.doc_id, tf.token,
+                 ((2*st.n - 2*df.df + 1) * 44 * st.s * tf.tf) * 1000000
+                   // ((2*df.df + 1) * (20*st.s*tf.tf + 6*st.s
+                      + 18*dl.dl*st.n)) AS w_micro
+               FROM tf JOIN dl USING (doc_id) JOIN df USING (token)
+               CROSS JOIN st),
+        qb AS (SELECT doc_id AS q_id, token FROM tf WHERE doc_id < 10),
+        pb AS (SELECT qb.q_id, wt.doc_id,
+                     CAST(sum(wt.w_micro) AS BIGINT) AS score_micro,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM qb JOIN wt ON wt.token = qb.token AND wt.doc_id <> qb.q_id
+              GROUP BY qb.q_id, wt.doc_id),
+        rb AS (SELECT q_id, doc_id, score_micro, n_shared,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+              FROM pb)"""
+
   /** Sequence PACKING: greedy in-order bin packing of documents into
     * fixed token-budget bins per source — the "pack documents into
     * training sequences" step of an LLM data pipeline (concatenate docs
@@ -1561,35 +1598,10 @@ object Corpus extends QueryModule {
           FROM documents) t
         WHERE bucket < 26 ORDER BY doc_id""")),
     QueryDef(
-      "q_bm25_topk", bm25TopK, Some("""
-        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-                     FROM documents),
-        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-               FROM tok GROUP BY doc_id, token),
-        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-               FROM tok GROUP BY doc_id),
-        df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
-               FROM tf GROUP BY token),
-        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                      CAST(sum(dl) AS BIGINT) AS s FROM dl),
-        wt AS (SELECT tf.doc_id, tf.token,
-                 ((2*st.n - 2*df.df + 1) * 44 * st.s * tf.tf) * 1000000
-                   // ((2*df.df + 1) * (20*st.s*tf.tf + 6*st.s
-                      + 18*dl.dl*st.n)) AS w_micro
-               FROM tf JOIN dl USING (doc_id) JOIN df USING (token)
-               CROSS JOIN st),
-        q AS (SELECT doc_id AS q_id, token FROM tf WHERE doc_id < 10),
-        p AS (SELECT q.q_id, wt.doc_id,
-                     CAST(sum(wt.w_micro) AS BIGINT) AS score_micro,
-                     CAST(count(*) AS BIGINT) AS n_shared
-              FROM q JOIN wt ON wt.token = q.token AND wt.doc_id <> q.q_id
-              GROUP BY q.q_id, wt.doc_id),
-        r AS (SELECT q_id, doc_id, score_micro, n_shared,
-                     CAST(row_number() OVER (PARTITION BY q_id
-                       ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
-              FROM p)
+      "q_bm25_topk", bm25TopK, Some(s"""
+        WITH $oracleBm25Ranked
         SELECT q_id, rank, doc_id, score_micro, n_shared
-        FROM r WHERE rank <= 5 ORDER BY q_id, rank""")),
+        FROM rb WHERE rank <= 5 ORDER BY q_id, rank""")),
     QueryDef(
       "q_weighted_sample", weightedSample, Some {
         // 6-hex-char md5 prefix as BIGINT, digit by digit (DuckDB has no
