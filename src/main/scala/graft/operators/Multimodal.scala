@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{QueryDef, QueryModule, Tables}
+import graft.ops.{Par, QueryDef, QueryModule, Tables}
 
 /** One decoded image record (the per-batch output row of the decode
   * stage): dimensions, per-channel pixel sums, and a 64-bit average
@@ -51,6 +51,48 @@ object Multimodal extends QueryModule {
   object ImageCodec {
     javax.imageio.ImageIO.setUseCache(false) // no temp-file spooling
 
+    /** Per-thread PNG writer/reader: `ImageIO.write`/`read` consult the
+      * IIORegistry and construct a fresh codec instance PER CALL — a
+      * synchronized registry scan that becomes a lock convoy once the
+      * codec pass runs on every core (measured: the spread-out decode
+      * stages gained far less than cores× until the per-call lookup was
+      * hoisted). Same JDK PNG codec classes, resolved once per thread,
+      * reused via `setOutput`/`setInput` — output bytes are identical
+      * (same writer defaults), so every payload-hash-sensitive gate is
+      * unaffected. */
+    private val pngWriter =
+      ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+    private val pngReader =
+      ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+        javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
+
+    /** `ImageIO.write(img, "png", out)` minus the per-call registry
+      * scan; byte-identical output. */
+    def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      val w = pngWriter.get()
+      w.setOutput(ios)
+      w.write(img)
+      w.setOutput(null)
+      ios.close()
+      bos.toByteArray
+    }
+
+    /** `ImageIO.read` minus the per-call registry scan; pixel-identical
+      * (same reader, same `setInput(_, true, true)` contract). */
+    def readPng(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val r = pngReader.get()
+      r.setInput(iis, true, true)
+      val img = r.read(0)
+      r.setInput(null)
+      iis.close()
+      img
+    }
+
     /** Deterministic per-document test image (the FIXTURE side):
       * w = 16 + id%17 (16..32), h = 16 + id%13 (16..28); channel values
       * at (x,y) are (id·31 + 7x + 13y + {0,85,170}) mod 256. */
@@ -59,6 +101,10 @@ object Multimodal extends QueryModule {
       val h = (16 + docId % 13).toInt
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // fill via the backing int raster: same packed-RGB values setRGB
+      // would store, without a method call + color-model hop per pixel
+      val px = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
       var y = 0
       while (y < h) {
         var x = 0
@@ -67,19 +113,17 @@ object Multimodal extends QueryModule {
           val r = (base % 256L).toInt
           val g = ((base + 85L) % 256L).toInt
           val b = ((base + 170L) % 256L).toInt
-          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          px(y * w + x) = (r << 16) | (g << 8) | b
           x += 1
         }
         y += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      writePng(img)
     }
 
     /** REAL decode: parse the compressed payload back into pixels. */
     def decode(payload: Array[Byte]): java.awt.image.BufferedImage =
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      readPng(payload)
 
     /** Feature extraction over DECODED pixels: exact channel sums plus a
       * 64-bit average hash (8×8 nearest-neighbor grayscale, bit i set iff
@@ -90,23 +134,22 @@ object Multimodal extends QueryModule {
         img: java.awt.image.BufferedImage): ImageFeatures = {
       val w = img.getWidth
       val h = img.getHeight
+      // one bulk getRGB: identical packed-RGB values, one color-model
+      // conversion pass instead of a per-pixel call
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       var rs = 0L; var gs = 0L; var bs = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
-          x += 1
-        }
-        y += 1
+      var pi = 0
+      while (pi < px.length) {
+        val p = px(pi)
+        rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+        pi += 1
       }
       val gray = new Array[Long](64)
       var ty = 0
       while (ty < 8) {
         var tx = 0
         while (tx < 8) {
-          val p = img.getRGB(tx * w / 8, ty * h / 8)
+          val p = px((ty * h / 8) * w + (tx * w / 8))
           gray(ty * 8 + tx) =
             (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3L
           tx += 1
@@ -159,6 +202,35 @@ object Multimodal extends QueryModule {
   object AudioCodec {
     val SampleRate = 8000f
 
+    /** WAV SPI providers resolved ONCE: `AudioSystem.write` /
+      * `getAudioInputStream` go through a SYNCHRONIZED provider lookup
+      * per call (JDK13Services), which turns into a lock convoy when the
+      * codec pass runs on every core (measured 2.3× SLOWER than
+      * single-threaded before this hoist). Same JDK codec objects the
+      * registry would hand back — stateless per the SPI contract, byte-
+      * and sample-identical output. */
+    private val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+      var w: javax.sound.sampled.spi.AudioFileWriter = null
+      while (w == null && it.hasNext) {
+        val c = it.next()
+        if (c.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE)) w = c
+      }
+      require(w != null, "no WAVE AudioFileWriter provider")
+      w
+    }
+    private val wavReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+      val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().forEachRemaining(r => b += r)
+      val rs = b.result()
+      require(rs.nonEmpty, "no AudioFileReader providers")
+      rs
+    }
+
     def sampleCount(docId: Long): Int = (800 + docId % 321).toInt
 
     private def sampleAt(docId: Long, i: Int): Int =
@@ -179,7 +251,7 @@ object Multimodal extends QueryModule {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
       val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
+      wavWriter.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
@@ -187,8 +259,16 @@ object Multimodal extends QueryModule {
     /** REAL decode: parse the WAV container, return (sampleRate,
       * samples). */
     def decodeSamples(payload: Array[Byte]): (Long, Array[Int]) = {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      // first provider that accepts the container — AudioSystem's own
+      // dispatch rule, minus its synchronized registry walk per call
+      val in = wavReaders.iterator.flatMap { r =>
+        try Some(r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        }
+      }.nextOption().getOrElse(throw new IllegalArgumentException(
+        "no provider decodes this payload"))
       val f = in.getFormat
       require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
         !f.isBigEndian, s"unexpected decoded format $f")
@@ -270,22 +350,23 @@ object Multimodal extends QueryModule {
       val (w, h) = frameDims(docId, f)
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // same raster-direct fill as ImageCodec.makePng — identical pixels
+      val px = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
           val base = docId * 31L + f * 997L + x * 7L + y * 13L
-          img.setRGB(x, y,
+          px(y * w + x) =
             (((base % 256L).toInt) << 16) |
               ((((base + 85L) % 256L).toInt) << 8) |
-              ((base + 170L) % 256L).toInt)
+              ((base + 170L) % 256L).toInt
           x += 1
         }
         y += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      ImageCodec.writePng(img)
     }
 
     def makeVideo(docId: Long): Array[Byte] = {
@@ -317,8 +398,7 @@ object Multimodal extends QueryModule {
         if (f % stride == 0) {
           val buf = new Array[Byte](len)
           in.readFully(buf)
-          Some(f -> javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(buf)))
+          Some(f -> ImageCodec.readPng(buf))
         } else {
           in.skipNBytes(len.toLong) // seek past, never decode
           None
@@ -330,8 +410,10 @@ object Multimodal extends QueryModule {
   /** Documents-as-video: a real frame container per document. */
   def videoTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", $"source")
+    // per-row work is 4-8 PNG encodes — the most codec-bound build pass
+    // in the module; spread the 2-column pre-codec rows (no-op at scale)
+    Par.spread(Tables.documents(s, d)
+      .select($"doc_id", $"source"), $"doc_id")
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, src) => (id, VideoCodec.makeVideo(id), src) }
@@ -353,19 +435,17 @@ object Multimodal extends QueryModule {
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
           VideoCodec.decodeStrided(payload, 2).map { case (f, img) =>
+            val w = img.getWidth; val h = img.getHeight
+            // bulk getRGB — identical packed values, one conversion pass
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
             var rs = 0L; var gs = 0L; var bs = 0L
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val p = img.getRGB(x, y)
-                rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
-                x += 1
-              }
-              y += 1
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+              i += 1
             }
-            (id, f.toLong, img.getWidth.toLong, img.getHeight.toLong,
-              rs, gs, bs)
+            (id, f.toLong, w.toLong, h.toLong, rs, gs, bs)
           }
         }
       }
@@ -392,8 +472,10 @@ object Multimodal extends QueryModule {
     * in partition batches so no image bytes ever touch the driver. */
   def imageTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", $"source")
+    // PNG encode per row dominates the 2-column scan it sits over —
+    // spread first so the codec stage uses every core (no-op at scale)
+    Par.spread(Tables.documents(s, d)
+      .select($"doc_id", $"source"), $"doc_id")
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, src) => (id, ImageCodec.makePng(id), src) }
