@@ -30,6 +30,21 @@ object NearDup extends QueryModule {
   private val Perms = Bands * Rows
   private val Tau = 0.8
 
+  /** `jaccard >= Tau` as EXACT integer arithmetic (Tau = 4/5):
+    * n/(A+B−n) >= 4/5 ⟺ 9n >= 4(A+B). Same pair set as the double
+    * form — the IEEE division is correctly rounded and the nearest
+    * candidate ratio to 4/5 at denominator d differs from it by
+    * ≥ 1/(5d) ≫ ulp for every realistic shingle count — but ONE
+    * `intersect_count` evaluation instead of three: predicate pushdown
+    * copies the filter into the verify-join condition and the output
+    * projection recomputes `n_common` (Catalyst does not CSE across
+    * Filter/Project), so the double-division form ran the sorted-merge
+    * intersection kernel 3× per candidate pair (guide §1.2 step 2:
+    * per-task work on the hot path). Keep in sync with [[Tau]]. */
+  private def tauPassExact: org.apache.spark.sql.Column =
+    lit(9) * col("n_common") >=
+      lit(4) * (size(col("sh_a")) + size(col("sh_b"))).cast("long")
+
   /** Shingle sets as sorted distinct 64-bit hashes (native
     * [[graft.functions.TextShinglesExpr]], one pass per document):
     * Jaccard arithmetic over hashes is identical to string shingles
@@ -127,16 +142,16 @@ object NearDup extends QueryModule {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
     verifiedCandidates(docs, candidatesFromBands(bandedOver(docs)))
-      .where($"jaccard" >= Tau)
+      .where(tauPassExact)
       .select($"id_a", $"id_b", $"n_common", $"jaccard")
       .orderBy($"id_a", $"id_b")
   }
 
-  /** One-slot free list for the candidate-pair checkpoint the returned
-    * (lazy) verify plan still reads — same swap discipline as
-    * [[lastLabels]]. */
+  /** One-slot free list for the candidate-pair + bounded-shingle
+    * checkpoints the returned (lazy) verify plan still reads — same swap
+    * discipline as [[lastLabels]]. */
   private val lastCand =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](null)
 
   /** Distinct-id count at or under this → the candidate ids broadcast-
     * semi-filter the shingle side (8 B/id ⇒ ≤ ~40 MB broadcast at the
@@ -159,13 +174,23 @@ object NearDup extends QueryModule {
     * side BEFORE the shingle projection: shingle computation and the
     * verify join then cost work ∝ the candidate set, never ∝ the
     * corpus — at 10⁷ docs the old shape computed and shuffled 10⁷
-    * shingle arrays twice to serve ~2·10⁵ verified pairs. */
+    * shingle arrays twice to serve ~2·10⁵ verified pairs.
+    *
+    * r13 measured and deliberately NOT restructured: materializing the
+    * bounded (doc_id, sh) table once via localCheckpoint (to kill the
+    * per-side duplicate scan+kernel) was A/B'd at the bench SF and LOST
+    * — the extra eager job + block-manager serialization of the shingle
+    * arrays cost more than the duplicate ~10³-doc kernel pass it saved
+    * (focused min-of-5: family sum 34.3 s → 40.0 s). The duplicate
+    * evaluation only matters when the bounded set is large, which is
+    * exactly when checkpointing it is memory-hostile; kept as-is. */
   private[graft] def verifiedCandidates(
       docs: DataFrame, cand0: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val cand = cand0.localCheckpoint(true)
-    Option(lastCand.getAndSet(cand)).foreach(freeLocalCheckpoint)
+    Option(lastCand.getAndSet(Seq(cand)))
+      .foreach(_.foreach(freeLocalCheckpoint))
     val sh = candidateBounded(docs, cand).select($"doc_id",
       graft.functions.VectorExpressions.text_shingles($"text", 3).as("sh"))
     cand
@@ -310,7 +335,7 @@ object NearDup extends QueryModule {
     val s = docs.sparkSession
     import s.implicits._
     verifiedCandidates(docs, candidatesFromBands(bandedOver(docs)))
-      .where($"jaccard" >= Tau)
+      .where(tauPassExact)
       .select($"id_a", $"id_b")
   }
 
@@ -961,12 +986,13 @@ object NearDup extends QueryModule {
   /** Free every transient this module still pins — see
     * [[graft.Release]] for the session-hygiene contract. */
   private[graft] def releaseTransients(): Unit = {
-    Seq(lastCand, lastRank, lastCore, lastLabels).foreach { r =>
+    Seq(lastRank, lastCore, lastLabels).foreach { r =>
       Option(r.getAndSet(null)).foreach(freeLocalCheckpoint)
     }
     Option(lastWinnowFps.getAndSet(null)).foreach(_.unpersist(false))
-    Option(lastTakedown.getAndSet(null))
-      .foreach(_.foreach(freeLocalCheckpoint))
+    Seq(lastCand, lastTakedown).foreach { r =>
+      Option(r.getAndSet(null)).foreach(_.foreach(freeLocalCheckpoint))
+    }
   }
 
   /** The standing-artifact checkpoints (pairs + survivor table) of the
@@ -1242,7 +1268,7 @@ object NearDup extends QueryModule {
       .withColumn("jaccard",
         $"n_common".cast("double") /
           (size($"sh_a") + size($"sh_b") - $"n_common"))
-      .where($"jaccard" >= Tau)
+      .where(tauPassExact)
       .select($"id_a", $"id_b", $"n_common", $"jaccard")
       .orderBy($"id_a", $"id_b")
   }
