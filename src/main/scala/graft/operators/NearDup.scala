@@ -883,12 +883,25 @@ object NearDup extends QueryModule {
     val n = deg.count()
     val init = if (n == 0) 0L else Scale / n
     val base = 15L * init / 100L
+    // r13 (guide §2.4/§3.1): the per-round state tables (contrib and
+    // inflow — both node-sized, n rows) ride capped BROADCASTS; n is
+    // already on the driver, so the decision is free. Both round joins
+    // previously planned SMJ against stats-free checkpoint leaves, so
+    // every round re-exchanged + re-sorted the EDGE stream and the
+    // degree table to move an n-row state; now the edge stream is
+    // joined where it sits and only the inflow aggregate exchanges
+    // rows (the round's fundamental movement). The rounds still chain
+    // in ONE lazy plan — each broadcast subtree is materialized once
+    // by the single final action, never per round. Above the cap:
+    // shuffle fallback, as everywhere else in this module.
+    def hinted(df: DataFrame): DataFrame =
+      if (n <= VerifyIdsBroadcastCap) broadcast(df) else df
     var pr = deg.select($"node", $"deg", lit(init).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = pr.select($"node".as("cnode"), expr("pr div deg").as("c"))
-      val inflow = edges.join(contrib, $"src" === $"cnode")
+      val inflow = edges.join(hinted(contrib), $"src" === $"cnode")
         .groupBy($"dst").agg(sum($"c").as("inflow"))
-      pr = deg.join(inflow, $"node" === $"dst", "left")
+      pr = deg.join(hinted(inflow), $"node" === $"dst", "left")
         .select($"node", $"deg",
           (lit(base) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
     }
@@ -937,20 +950,34 @@ object NearDup extends QueryModule {
     var alive = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
       .where($"deg" >= k).select($"src".as("node"))
       .localCheckpoint(false)
+    // r13 (guide §2.4/§3.1): the per-round survivor set rides a capped
+    // BROADCAST into leftsemi edge filters — alive is a node set (≤ the
+    // touched-node count, orders under the edge stream), and the round's
+    // materialization count is already on the driver, so the decision is
+    // free. The previous inner joins planned SMJ (a checkpoint leaf has
+    // no stats), re-exchanging the edge stream TWICE per round; now the
+    // edge stream is never shuffled for the filters — only the degree
+    // aggregate moves rows. Above the cap: shuffle fallback, as
+    // everywhere else in this module. aliveN's extra count on round 1
+    // replaces the materialization round 2's first action paid anyway.
+    var aliveN = alive.count()
+    def hinted(df: DataFrame): DataFrame =
+      if (aliveN <= VerifyIdsBroadcastCap) broadcast(df) else df
     for (_ <- 2 to rounds) {
       val e = edges
-        .join(alive.select($"node".as("src")), Seq("src"))
-        .join(alive.select($"node".as("dst")), Seq("dst"))
+        .join(hinted(alive.select($"node".as("src"))), Seq("src"), "leftsemi")
+        .join(hinted(alive.select($"node".as("dst"))), Seq("dst"), "leftsemi")
       val next = e.groupBy($"src").agg(count(lit(1)).as("deg"))
         .where($"deg" >= k).select($"src".as("node"))
         .localCheckpoint(false)
-      next.count() // materialize, then the previous round can go
+      val n = next.count() // materialize, then the previous round can go
       freeLocalCheckpoint(alive)
       alive = next
+      aliveN = n
     }
     val out = edges
-      .join(alive.select($"node".as("src")), Seq("src"))
-      .join(alive.select($"node".as("dst")), Seq("dst"))
+      .join(hinted(alive.select($"node".as("src"))), Seq("src"), "leftsemi")
+      .join(hinted(alive.select($"node".as("dst"))), Seq("dst"), "leftsemi")
       .groupBy($"src").agg(count(lit(1)).as("deg"))
       .select($"src".as("doc_id"), $"deg")
       .orderBy($"doc_id")
@@ -1101,16 +1128,26 @@ object NearDup extends QueryModule {
     var labels = sym.select($"src".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("comp"))
       .localCheckpoint(true)
+    // r13 (guide §2.4/§3.1): the label table's cardinality is CONSTANT
+    // across rounds (every touched node, no more), so one census up
+    // front decides capped broadcasts for every round's two joins. The
+    // previous SMJs against stats-free checkpoint leaves re-exchanged
+    // and re-sorted the edge stream AND the label table each round to
+    // move node-sized state; now only the per-round min aggregate
+    // exchanges rows. Above the cap: shuffle fallback.
+    val labelsN = labels.count()
+    def hinted(df: DataFrame): DataFrame =
+      if (labelsN <= VerifyIdsBroadcastCap) broadcast(df) else df
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = sym
-        .join(labels.select($"doc_id".as("dst"), $"comp".as("nbr_comp")),
-          Seq("dst"))
+        .join(hinted(labels.select($"doc_id".as("dst"),
+          $"comp".as("nbr_comp"))), Seq("dst"))
         .groupBy($"src")
         .agg(min($"nbr_comp").as("nbr_min"))
       val updated = labels
-        .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .join(hinted(nbrMin), labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"),
           least($"comp", coalesce($"nbr_min", $"comp")).as("comp"),
           coalesce($"nbr_min" < $"comp", lit(false)).as("chg"))
