@@ -391,10 +391,25 @@ object NearDup extends QueryModule {
     * map-side-combined rollup to a row per source. */
   def effectiveTokens(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val labels = dedupClusters(s, d) // (doc_id, cluster_id)
+    // r13 (guide §2.4): ride the TOUCHED label set directly instead of
+    // [[dedupClusters]]' corpus-wide frame — the previous shape joined
+    // two corpus-grain tables on doc_id (dedupClusters' expanded labels
+    // × the token scan: a full sort-merge shuffle of BOTH at deployment
+    // scale) to re-derive mostly-singleton identities. The touched set
+    // is near-dup-family-bounded and checkpointed; under the cap it
+    // broadcasts into ONE pass over the corpus scan (singletons label
+    // themselves via the same coalesce [[connectedComponents]] applies),
+    // above it the join falls back to shuffle — either way one corpus
+    // pass instead of two plus their join.
+    val labels = touchedLabels(
+      minhashNearDup(s, d).select($"id_a", $"id_b"))
+    val hinted =
+      if (labels.count() <= VerifyIdsBroadcastCap) broadcast(labels)
+      else labels
     Tables.documents(s, d)
       .select($"doc_id", $"source", TextOps.tokenCount($"text").as("t"))
-      .join(labels, Seq("doc_id"))
+      .join(hinted, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce($"comp", $"doc_id"))
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -819,23 +834,39 @@ object NearDup extends QueryModule {
       .foreach(_.foreach(freeLocalCheckpoint))
     val touched = standing.join(broadcast(removed), Seq("doc_id"),
       "leftsemi")
-    def m(name: String, df: DataFrame): DataFrame =
-      df.select(lit(name).as("metric"), $"n")
-    m("clusters_affected",
-        touched.agg(countDistinct($"cluster_id").as("n")))
-      .unionByName(m("clusters_split",
-        cmp.join(broadcast(touched.select(
-            $"cluster_id".as("old_cluster")).distinct()),
-            Seq("old_cluster"), "leftsemi")
-          .groupBy($"old_cluster")
-          .agg(countDistinct($"new_cluster").as("nc"))
-          .where($"nc" > 1).agg(count("*").as("n"))))
-      .unionByName(m("relabeled_docs",
-        cmp.where($"old_cluster" =!= $"new_cluster")
-          .agg(count("*").as("n"))))
-      .unionByName(m("removed_docs", touched.agg(count("*").as("n"))))
-      .unionByName(m("survivor_reassigned",
-        cmp.where($"old_surv" =!= $"new_surv").agg(count("*").as("n"))))
+    // r13 (guide §1.2: don't re-scan what one pass can answer): the
+    // five metrics previously ran five aggregate branches — three
+    // passes over cmp and two over the standing⋈removed semi-join —
+    // unioned row by row. Now ONE pass over `touched` yields
+    // clusters_affected + removed_docs, ONE pass over cmp yields
+    // relabeled_docs + survivor_reassigned (conditional sums in a
+    // shared aggregate), and only clusters_split keeps its own
+    // two-level rollup (it needs a per-old-cluster distinct). The three
+    // 1-row scalars meet in crossJoins (metadata, never data volume)
+    // and unpivot into the same (metric, n) rows.
+    val tAgg = touched.agg(
+      countDistinct($"cluster_id").as("clusters_affected"),
+      count(lit(1)).as("removed_docs"))
+    val cAgg = cmp.agg(
+      coalesce(sum(when($"old_cluster" =!= $"new_cluster", 1L)
+        .otherwise(0L)), lit(0L)).as("relabeled_docs"),
+      coalesce(sum(when($"old_surv" =!= $"new_surv", 1L)
+        .otherwise(0L)), lit(0L)).as("survivor_reassigned"))
+    val splitAgg = cmp.join(broadcast(touched.select(
+          $"cluster_id".as("old_cluster")).distinct()),
+        Seq("old_cluster"), "leftsemi")
+      .groupBy($"old_cluster")
+      .agg(countDistinct($"new_cluster").as("nc"))
+      .where($"nc" > 1).agg(count("*").as("clusters_split"))
+    tAgg.crossJoin(cAgg).crossJoin(splitAgg)
+      .select(expr(
+        "stack(5," +
+          " 'clusters_affected', clusters_affected," +
+          " 'clusters_split', clusters_split," +
+          " 'relabeled_docs', relabeled_docs," +
+          " 'removed_docs', removed_docs," +
+          " 'survivor_reassigned', survivor_reassigned)")
+        .as(Seq("metric", "n")))
       .orderBy($"metric")
   }
 

@@ -710,14 +710,19 @@ object TextOps extends QueryModule {
     lastGrams.set(postings)
     val expanded = postings.select($"h", explode($"ss").as("source"))
     // per-source KMV sketches as SORTED ARRAYS (S rows total) — all
-    // est sides broadcast-consume them, so they are persisted
+    // est sides broadcast-consume them, so they are persisted. r13
+    // (guide §1.2): the sketch and the per-source gram count now come
+    // out of ONE aggregate pass over the expanded postings (previously
+    // two passes + two exchanges over the corpus-grain expansion).
     val bk = udaf(new graft.pipeline.Aggregators.BottomKAgg(k),
       org.apache.spark.sql.Encoders.STRING)
     Option(lastSketch.getAndSet(null)).foreach(_.unpersist(false))
-    val skArr = expanded.groupBy($"source").agg(bk($"h").as("sk"))
+    val perSrc = expanded.groupBy($"source")
+      .agg(bk($"h").as("sk"), count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lastSketch.set(skArr)
-    val perSrcN = expanded.groupBy($"source").agg(count(lit(1)).as("n"))
+    lastSketch.set(perSrc)
+    val skArr = perSrc.select($"source", $"sk")
+    val perSrcN = perSrc.select($"source", $"n")
     val est = kmvEstimates(skArr, k)
     val inter = postings
       .select(explode($"ss").as("src_a"), $"ss")
