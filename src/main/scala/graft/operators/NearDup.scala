@@ -767,8 +767,14 @@ object NearDup extends QueryModule {
     val docs = Tables.documents(s, d)
     val pairs = minhashNearDup(s, d).select($"id_a", $"id_b")
       .localCheckpoint(true)
-    val standing = survivorsFrom(docs, pairs).localCheckpoint(true)
-    val core = kcoreOnPairs(pairs).localCheckpoint(true)
+    // r13 (guide §2.6): the two standing artifacts read only the pairs
+    // checkpoint and swap DIFFERENT one-slot transients (lastLabels vs
+    // lastCore), so their build jobs — each a chain of bounded rounds
+    // with driver sync points — overlap from two driver threads instead
+    // of serializing ~equal wall times end to end.
+    val (standing, core) = graft.ops.Par.concurrently2(
+      survivorsFrom(docs, pairs).localCheckpoint(true),
+      kcoreOnPairs(pairs).localCheckpoint(true))
     Option(lastTakedown.getAndSet(Seq(pairs, standing, core)))
       .foreach(_.foreach(freeLocalCheckpoint))
     val removed = docs.where(TakedownSparkPred).select($"doc_id")

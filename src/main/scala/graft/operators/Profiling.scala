@@ -420,9 +420,8 @@ object Profiling extends QueryModule {
     * orders ≥ 1500 rows at sf ≥ 0.001. */
   def adaptiveJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def onecase(name: String, build: DataFrame, probe: DataFrame)
-        : DataFrame = {
-      val dec = decideJoin(build, probe)
+    def onecase(name: String, build: DataFrame, probe: DataFrame,
+        dec: JoinDecision): DataFrame = {
       executeDecided(build, probe, dec)
         .agg(count(lit(1)).as("join_rows"),
           coalesce(sum($"p" + $"v"), lit(0L)).as("chk"))
@@ -449,9 +448,16 @@ object Profiling extends QueryModule {
       .select(when($"o_orderkey" % 3 === 0, 0L).otherwise($"o_orderkey")
         .cast("long").as("k"))
       .groupBy($"k").agg(count(lit(1)).as("p"))
-    onecase("a_dim", aBuild, aProbe)
-      .unionByName(onecase("b_fact", bBuild, bProbe))
-      .unionByName(onecase("c_skew", cBuild, cProbe))
+    // r13 (guide §2.6): the three census collects are independent
+    // driver round-trips (decideJoin is pure — no shared transients),
+    // so they overlap from three driver threads; the decided joins
+    // still execute through ONE unioned plan as before.
+    val cases = Seq(("a_dim", aBuild, aProbe), ("b_fact", bBuild, bProbe),
+      ("c_skew", cBuild, cProbe))
+    graft.ops.Par.concurrently(cases.map { case (n, b, p) =>
+      () => onecase(n, b, p, decideJoin(b, p))
+    })
+      .reduce(_.unionByName(_))
       .orderBy($"case_name")
   }
 

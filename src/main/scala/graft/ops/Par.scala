@@ -34,4 +34,50 @@ object Par {
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, key)
   }
+
+  /** Run independent Spark actions CONCURRENTLY from driver threads
+    * (guide §2.6: actions are only sequential because driver code calls
+    * them sequentially — overlapping lets the next job's tasks back-fill
+    * executors freed by the current job's straggler tail). Use ONLY for
+    * work with no data or transient-state dependency: one-slot
+    * checkpoint swaps are per-slot atomic, but two tasks touching the
+    * SAME slot would free blocks out from under each other. Exceptions
+    * propagate to the caller; the pool is per-call and bounded by the
+    * task count (2-3 concurrent jobs — enough to fill a tail, not
+    * enough to fight for executors). */
+  def concurrently[A](tasks: Seq[() => A]): Seq[A] = {
+    if (tasks.sizeIs <= 1) tasks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+      try {
+        val fs = tasks.map(t => pool.submit(
+          new java.util.concurrent.Callable[A] { def call(): A = t() }))
+        fs.map { f =>
+          try f.get()
+          catch { // unwrap so callers see the real failure
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
+  }
+
+  /** Two-task form of [[concurrently]], keeping the result types. */
+  def concurrently2[A, B](a: => A, b: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(
+        new java.util.concurrent.Callable[A] { def call(): A = a })
+      val fb = pool.submit(
+        new java.util.concurrent.Callable[B] { def call(): B = b })
+      def unwrap[T](f: java.util.concurrent.Future[T]): T =
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      (unwrap(fa), unwrap(fb))
+    } finally pool.shutdown()
+  }
 }
