@@ -140,7 +140,16 @@ object NearDup extends QueryModule {
     * session contract). */
   def minhashNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    // r13: spread the narrow (doc_id, text) projection across the
+    // session's cores before the shingle/minhash/banding kernel — the
+    // bench fixtures are single-row-group parquet, so the banding pass
+    // (the family's per-row hot kernel: shingles + 128 permutations +
+    // 32 band folds per document) otherwise runs on ONE core; at
+    // deployment scale the scan has thousands of partitions and
+    // Par.spread is a structural no-op. The same spread subtree feeds
+    // banding and verify, so ReuseExchange moves the text once.
+    val docs = graft.ops.Par.spread(
+      Tables.documents(s, d).select($"doc_id", $"text"), $"doc_id")
     verifiedCandidates(docs, candidatesFromBands(bandedOver(docs)))
       .where(tauPassExact)
       .select($"id_a", $"id_b", $"n_common", $"jaccard")
@@ -238,7 +247,16 @@ object NearDup extends QueryModule {
   def editDistance(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
-    minhashNearDup(s, d).select($"id_a", $"id_b")
+    // r13: spread the verified pair list before the text joins — the
+    // O(len²) Levenshtein kernel runs in the join output stage, whose
+    // partitioning is the (single-block) candidate checkpoint's, i.e.
+    // ONE core at the bench SF. An unconditional keyed repartition
+    // (not Par.spread — its partition probe would force the verify
+    // plan's broadcast stages once extra under AQE) is right here at
+    // every scale: the pair list is narrow and family-bounded, and the
+    // per-row kernel behind it is quadratic in text length, so evenly
+    // spreading pairs is the desired layout at 100 TB too.
+    minhashNearDup(s, d).select($"id_a", $"id_b").repartition($"id_a")
       .join(docs.select($"doc_id".as("id_a"), $"text".as("ta")), Seq("id_a"))
       .join(docs.select($"doc_id".as("id_b"), $"text".as("tb")), Seq("id_b"))
       .select($"id_a", $"id_b",
@@ -334,7 +352,9 @@ object NearDup extends QueryModule {
   private[graft] def pairsOver(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    verifiedCandidates(docs, candidatesFromBands(bandedOver(docs)))
+    // same core-spread as [[minhashNearDup]] — see the note there
+    val spread = graft.ops.Par.spread(docs, $"doc_id")
+    verifiedCandidates(spread, candidatesFromBands(bandedOver(spread)))
       .where(tauPassExact)
       .select($"id_a", $"id_b")
   }
