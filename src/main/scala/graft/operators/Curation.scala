@@ -62,7 +62,12 @@ object Curation extends QueryModule {
       lit(" mail u"), $"doc_id", lit("@ex"), $"doc_id" % 7,
       lit(".org tel 555-0"), lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
       lit(" ip 10.2."), $"doc_id" % 256, lit("."), $"doc_id" % 100)
-    val base = Tables.documents(s, d).select($"doc_id", planted.as("aug"))
+    // r13: spread the narrow (doc_id, aug) projection across cores —
+    // six regex traversals per row otherwise run on the single-partition
+    // bench scan (Par.spread: structural no-op at deployment scale)
+    val base = graft.ops.Par.spread(
+      Tables.documents(s, d).select($"doc_id", planted.as("aug")),
+      $"doc_id")
     // DEFAULT: the 6-expression regexp chain. The fused
     // single-expression kernel ([[graft.functions.PiiScan]] — same
     // java.util.regex engine, one string conversion instead of six) was

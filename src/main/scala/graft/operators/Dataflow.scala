@@ -129,7 +129,10 @@ object Dataflow extends QueryModule {
     * extracts the key — stays fully codegen'd, no UDF. */
   def parseProps(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, d)
+    // r13: from_json per row on the single-partition bench scan —
+    // spread first (structural no-op at deployment scale)
+    graft.ops.Par.spread(
+      Tables.events(s, d).select($"event_id", $"props"), $"event_id")
       .select(
         $"event_id",
         element_at(
@@ -156,7 +159,10 @@ object Dataflow extends QueryModule {
     val wireSchema = StructType(Seq(
       StructField("partition", LongType),
       StructField("offset", LongType)))
-    Tables.events(s, d)
+    // r13: to_json/from_json per row on the single-partition bench
+    // scan — spread first (structural no-op at deployment scale)
+    graft.ops.Par.spread(
+      Tables.events(s, d).select($"event_id", $"user_id"), $"event_id")
       .select(
         $"event_id",
         to_json(struct($"user_id".as("partition"), $"event_id".as("offset")))

@@ -123,7 +123,10 @@ object TextOps extends QueryModule {
     val nTokens = tokenCount(t)
     val nStop = stopwordCount(t)
     val nPunct = length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
-    Tables.documents(s, d)
+    // r13: regex/token counting per row on the single-partition bench
+    // scan — spread first (structural no-op at deployment scale)
+    graft.ops.Par.spread(
+      Tables.documents(s, d).select($"doc_id", $"text"), $"doc_id")
       .select(
         $"doc_id",
         length(t).cast("long").as("n_chars"),
