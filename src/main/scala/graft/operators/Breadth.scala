@@ -44,7 +44,11 @@ object Breadth extends QueryModule {
   /** Rollup over two grouping levels with subtotal rows. */
   def rollupAgg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, d)
+    // r13: the Expand(x3)+partial-agg otherwise runs on the
+    // single-partition bench scan (Par.spread: no-op at scale)
+    graft.ops.Par.spread(Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_returnflag", $"l_linestatus",
+        $"l_quantity"), $"l_orderkey")
       .rollup($"l_returnflag", $"l_linestatus")
       .agg(count(lit(1)).as("n_rows"),
         sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
@@ -60,7 +64,11 @@ object Breadth extends QueryModule {
     * both engines (1 bit per cubed column, MSB = first). */
   def cubeAgg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, d)
+    // r13: the Expand(x4)+partial-agg otherwise runs on the
+    // single-partition bench scan (Par.spread: no-op at scale)
+    graft.ops.Par.spread(Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_returnflag", $"l_linestatus",
+        $"l_quantity"), $"l_orderkey")
       .cube($"l_returnflag", $"l_linestatus")
       .agg(
         grouping_id().as("gid"),
