@@ -1234,13 +1234,23 @@ object Corpus extends QueryModule {
       depth: Int = 4): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // r13 (guide §1.2 step 2: per-task work): aggregate the token
+    // stream to per-token counts FIRST, then hash each DISTINCT token
+    // `depth` times and sum counts into cells — the previous shape ran
+    // `depth` md5 computations per token OCCURRENCE (4× the corpus
+    // token mass) and shuffled the ×depth-exploded occurrence stream;
+    // linearity of the sketch makes the cells identical (a cell's count
+    // is the sum of its tokens' occurrence counts either way), and the
+    // md5 work drops to vocabulary grain.
     docs.select(explode(split($"text", " ")).as("token"))
-      .select($"token", explode(array(
+      .groupBy($"token").agg(count(lit(1)).as("tc"))
+      .select($"token", $"tc", explode(array(
         (0 until depth).map(d => lit(d.toLong)): _*)).as("depth"))
       .select($"depth",
         conv(substring(md5(concat($"depth".cast("string"), lit(":"),
-          $"token")), 1, 2), 16, 10).cast("long").as("col"))
-      .groupBy($"depth", $"col").agg(count(lit(1)).as("cnt"))
+          $"token")), 1, 2), 16, 10).cast("long").as("col"),
+        $"tc")
+      .groupBy($"depth", $"col").agg(sum($"tc").as("cnt"))
   }
 
   /** The previous [[takedownSketch]] standing checkpoint — one-slot. */
