@@ -54,7 +54,10 @@ object NearDup extends QueryModule {
     * dominate any pairwise stage at scale. */
   private def hashedShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
+    // r13: the shingle kernel otherwise runs on the single-partition
+    // bench scan (Par.spread: structural no-op at deployment scale)
+    graft.ops.Par.spread(
+      Tables.documents(s, d).select($"doc_id", $"text"), $"doc_id")
       .select($"doc_id",
         graft.functions.VectorExpressions.text_shingles($"text", 3).as("sh"))
   }
@@ -1499,7 +1502,9 @@ object NearDup extends QueryModule {
     * [[minhashNearDup]]. */
   def ngramJaccardTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, d)
+    val sh = graft.ops.Par.spread(
+      Tables.documents(s, d).select($"doc_id", $"source", $"text"),
+      $"doc_id") // r13: shingle kernel off the single-partition scan
       .select($"doc_id", $"source",
         graft.functions.VectorExpressions.text_shingles($"text", 3).as("sh"))
     val sizes = sh.select($"source", $"doc_id", size($"sh").as("n"))

@@ -486,7 +486,8 @@ object TextOps extends QueryModule {
     import s.implicits._
     val n = 8
     val docs = Tables.documents(s, d)
-    val positions = docs
+    val positions = graft.ops.Par.spread(
+      docs.select($"doc_id", $"text"), $"doc_id") // r13: kernel spread
       .select($"doc_id",
         graft.functions.VectorExpressions.ngram_hashes($"text", n).as("ghs"))
       .select($"doc_id", posexplode($"ghs").as(Seq("p", "gh")))
