@@ -143,16 +143,13 @@ object NearDup extends QueryModule {
     * session contract). */
   def minhashNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // r13: spread the narrow (doc_id, text) projection across the
-    // session's cores before the shingle/minhash/banding kernel — the
-    // bench fixtures are single-row-group parquet, so the banding pass
-    // (the family's per-row hot kernel: shingles + 128 permutations +
-    // 32 band folds per document) otherwise runs on ONE core; at
-    // deployment scale the scan has thousands of partitions and
-    // Par.spread is a structural no-op. The same spread subtree feeds
-    // banding and verify, so ReuseExchange moves the text once.
-    val docs = graft.ops.Par.spread(
-      Tables.documents(s, d).select($"doc_id", $"text"), $"doc_id")
+    // r13 measured and NOT spread: Par.spread over this projection was
+    // A/B'd and REVERTED — the verify plan is re-evaluated by
+    // multi-consumer riders (graphStats evaluates the pair subtree ~6x;
+    // q_graph_stats 1.5 -> 1.9 s with the spread in), and each
+    // evaluation re-pays the spread's exchange stages, costing more
+    // than the parallel banding kernel saves at the bench SF.
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
     verifiedCandidates(docs, candidatesFromBands(bandedOver(docs)))
       .where(tauPassExact)
       .select($"id_a", $"id_b", $"n_common", $"jaccard")
@@ -355,9 +352,8 @@ object NearDup extends QueryModule {
   private[graft] def pairsOver(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // same core-spread as [[minhashNearDup]] — see the note there
-    val spread = graft.ops.Par.spread(docs, $"doc_id")
-    verifiedCandidates(spread, candidatesFromBands(bandedOver(spread)))
+    // deliberately NOT Par.spread — see [[minhashNearDup]]'s note
+    verifiedCandidates(docs, candidatesFromBands(bandedOver(docs)))
       .where(tauPassExact)
       .select($"id_a", $"id_b")
   }
