@@ -663,7 +663,10 @@ object TextOps extends QueryModule {
     val s = docs.sparkSession
     import s.implicits._
     val n = 5
-    docs
+    // r13: the 5-gram concat+md5 kernel otherwise runs on the
+    // single-partition bench scan (Par.spread: no-op at scale)
+    graft.ops.Par.spread(docs.select($"doc_id", $"source", $"text"),
+      $"doc_id") // doc_id: high-cardinality spread key (guide §2.5)
       .select($"source", split($"text", " ").as("t"))
       .where(size($"t") >= n)
       .select($"source", explode(
