@@ -12,6 +12,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output straight through instead of re-logging it with an
+// "[info] " prefix: the driver parses graft.Bench's one-line JSON from the
+// captured stdout tail, and a logger prefix in front of "{" breaks any
+// line-oriented JSON parse (r14 measurement-reporting fix; timing path
+// untouched).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

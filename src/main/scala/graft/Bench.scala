@@ -74,9 +74,26 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val totalMed = medians.collect { case (_, v) if v >= 0 => v }.sum
     val failures = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""failures":$failures,"iters":$iters,"queries":${obj(results)},""" +
       s""""total_median":$totalMed,"queries_median":${obj(medians)},""" +
+      s""""sf":"$sfDir"}"""
+    println(fullLine)
+    // Measurement-reporting fix (r14, disclosed in OPTIMIZATION_r14.md):
+    // the full line above is ~11 KB for 170 queries and has outlived the
+    // driver's 2000-char stdout tail every round (BENCH_r01..r13 all carry
+    // parsed:null), so no optimization round has earned driver-verified
+    // perf credit. Additions only: the full line stays (same keys, same
+    // numbers), the complete object is ALSO written to bench_out.json, and
+    // a compact line with the totals is printed LAST so it fits inside the
+    // tail window even after sbt's trailing "[success]" line.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""failures":$failures,"iters":$iters,"total_median":$totalMed,""" +
+      s""""n_queries":${results.size},"queries_file":"bench_out.json",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }
