@@ -773,7 +773,12 @@ object NearDup extends QueryModule {
       .join(hinted(removed.select($"doc_id".as("id_b"))),
         Seq("id_b"), "left_anti")
       .select($"id_a", $"id_b")
-    pageRankOnPairs(subPairs)
+    // r14: per-round broadcast hints OFF for the takedown form — the
+    // r13 full-bench regression (1.62→2.68 s) reproduced under
+    // JobProfile and the hint-free form measured faster in the same
+    // window (see pageRankOnPairs); q_pagerank keeps its hinted static
+    // 0-SMJ shape.
+    pageRankOnPairs(subPairs, hintBroadcasts = false)
   }
 
   /** GATE: [[takedownKcoreOn]] end-to-end — standing pairs, component
@@ -926,7 +931,8 @@ object NearDup extends QueryModule {
     * node-count scalar is a bounded driver aggregate (same class as the
     * convergence counts in [[propagateLabels]]). */
   private[graft] def pageRankOnPairs(
-      pairs0: DataFrame, iters: Int = 5): DataFrame = {
+      pairs0: DataFrame, iters: Int = 5,
+      hintBroadcasts: Boolean = true): DataFrame = {
     import pairs0.sparkSession.implicits._
     val Scale = 1000000000000L
     val pairs = pairs0.toDF("id_a", "id_b")
@@ -948,10 +954,25 @@ object NearDup extends QueryModule {
     // joined where it sits and only the inflow aggregate exchanges
     // rows (the round's fundamental movement). The rounds still chain
     // in ONE lazy plan — each broadcast subtree is materialized once
-    // by the single final action, never per round. Above the cap:
-    // shuffle fallback, as everywhere else in this module.
+    // by the single final action, never per round.
+    // r14 adjustments, both measured (JobProfile best-of-3 + focused
+    // min-of-7, see OPTIMIZATION_r14.md):
+    //  - the cap divides by 2·iters: this ONE chained plan keeps
+    //    2·iters broadcast relations alive until the final action, so
+    //    the per-broadcast budget the cap was sized for must be shared
+    //    across all of them (above the tighter cap: shuffle fallback,
+    //    as everywhere else in this module — AQE still localizes tiny
+    //    joins at runtime).
+    //  - `hintBroadcasts` lets the takedown path OPT OUT: r13 measured
+    //    q_takedown_pagerank regressing 1.62→2.68 s with the hints on
+    //    while q_pagerank stayed neutral; the r14 A/B (same window,
+    //    JobProfile) reads takedown 3282→2842 ms wall / jobSum
+    //    1588→1285 ms with hints off, because the anti-join preamble
+    //    already forces AQE replanning per round and the 10 forced
+    //    broadcast materializations serialize on the driver.
     def hinted(df: DataFrame): DataFrame =
-      if (n <= VerifyIdsBroadcastCap) broadcast(df) else df
+      if (hintBroadcasts && n <= VerifyIdsBroadcastCap / (2L * iters))
+        broadcast(df) else df
     var pr = deg.select($"node", $"deg", lit(init).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = pr.select($"node".as("cnode"), expr("pr div deg").as("c"))
