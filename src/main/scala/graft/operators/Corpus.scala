@@ -379,12 +379,29 @@ object Corpus extends QueryModule {
     val s = tf.sparkSession
     import s.implicits._
     val st = broadcast(totals) // 1 row
-    val wt = tf.join(dl, "doc_id").join(dfreq, "token").crossJoin(st)
-      .select($"doc_id", $"token",
-        expr("""((2*n - 2*df + 1) * 44 * s * tf) * 1000000
-                DIV ((2*df + 1) * (20*s*tf + 6*s + 18*dl*n))""").as("w_micro"))
     val q = broadcast(
       tf.where($"doc_id" < 10).select($"doc_id".as("q_id"), $"token"))
+    // r14 (guide §3.2/§1.2): scope the WEIGHT DERIVATION to candidates
+    // by pure inner-join reordering — the probe⋈tf join runs FIRST, so
+    // dl/df/totals attach (and the weight expression evaluates) only on
+    // postings of the query's tokens instead of every posting in the
+    // corpus. Join multiplicity is unchanged (dl is unique per doc_id,
+    // df per token, totals is one row), so the result is identical.
+    // Deliberately NOT a semi-filter below the tf aggregate (the r13
+    // attempt, measured negative; the r14 retry with df scoped too was
+    // ALSO slower): Catalyst pushes such a semi below the aggregate
+    // onto the corpus scan, and the serve's top-level orderBy makes the
+    // range partitioner SAMPLE the child — narrow stages re-run in the
+    // sample pass, while shuffle map stages are reused, so trading the
+    // (reused) full-tf exchange for (re-run) narrow filtered explodes
+    // pays twice at any scale. This form keeps every original exchange
+    // in place and just moves the join that shrinks the stream to the
+    // front.
+    val cand = q.join(tf, Seq("token")).where($"doc_id" =!= $"q_id")
+    val wt = cand.join(dl, "doc_id").join(dfreq, "token").crossJoin(st)
+      .select($"q_id", $"doc_id", $"token",
+        expr("""((2*n - 2*df + 1) * 44 * s * tf) * 1000000
+                DIV ((2*df + 1) * (20*s*tf + 6*s + 18*dl*n))""").as("w_micro"))
     // bounded top-K aggregate, not a row_number window: the candidate
     // set is every document sharing a query term — corpus-scaling —
     // and the window form's partial phase sorts each task's full
@@ -396,9 +413,7 @@ object Corpus extends QueryModule {
     val tk = udaf(new graft.pipeline.Aggregators.TopKScorePayloadAgg(5),
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[(Long, Double, Long)]())
-    q.join(wt, Seq("token"))
-      .where($"doc_id" =!= $"q_id")
-      .groupBy($"q_id", $"doc_id")
+    wt.groupBy($"q_id", $"doc_id")
       .agg(sum($"w_micro").as("score_micro"),
         count(lit(1)).as("n_shared"))
       .groupBy($"q_id")
