@@ -156,9 +156,11 @@ object NearDup extends QueryModule {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** One-slot free list for the candidate-pair + bounded-shingle
-    * checkpoints the returned (lazy) verify plan still reads — same swap
-    * discipline as [[lastLabels]]. */
+  /** One-slot free list for the transients the returned (lazy) verify
+    * plan still reads: the candidate-pair checkpoint, plus (above the
+    * broadcast cap, r14) the DISK_ONLY-persisted shingle table — same
+    * swap discipline as [[lastLabels]], freed via [[freeTransient]]
+    * which handles both kinds. */
   private val lastCand =
     new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](null)
 
@@ -185,23 +187,44 @@ object NearDup extends QueryModule {
     * corpus — at 10⁷ docs the old shape computed and shuffled 10⁷
     * shingle arrays twice to serve ~2·10⁵ verified pairs.
     *
-    * r13 measured and deliberately NOT restructured: materializing the
-    * bounded (doc_id, sh) table once via localCheckpoint (to kill the
-    * per-side duplicate scan+kernel) was A/B'd at the bench SF and LOST
-    * — the extra eager job + block-manager serialization of the shingle
-    * arrays cost more than the duplicate ~10³-doc kernel pass it saved
-    * (focused min-of-5: family sum 34.3 s → 40.0 s). The duplicate
-    * evaluation only matters when the bounded set is large, which is
-    * exactly when checkpointing it is memory-hostile; kept as-is. */
+    * r13 measured and deliberately NOT restructured BELOW the cap:
+    * materializing the bounded (doc_id, sh) table once via
+    * localCheckpoint (to kill the per-side duplicate scan+kernel) was
+    * A/B'd at the bench SF and LOST — the extra eager job +
+    * block-manager serialization of the shingle arrays cost more than
+    * the duplicate ~10³-doc kernel pass it saved (focused min-of-5:
+    * family sum 34.3 s → 40.0 s). Below the cap the dual-compute is
+    * kept (the bench path, byte-identical plans to r13).
+    *
+    * r14, ABOVE the cap only: the unfiltered corpus-sized shingle
+    * table persists DISK_ONLY before the two verify-side joins, so the
+    * shingle kernel runs ONCE over the corpus instead of once per
+    * verify side. Disk-backed, not in-memory — the corpus-sized array
+    * table must not compete with execution memory (the r13 in-memory
+    * form's failure mode); at that size a second full kernel pass
+    * dwarfs the block write+read it replaces. Probe:
+    * `SPARK_GRAFT_VERIFY_IDS_CAP=0 SPARK_GRAFT_SCALE_ONLY=minhash_neardup
+    * runMain graft.tools.ScaleBench 1000000` forces this path on any
+    * corpus (figures in OPTIMIZATION_r14.md). */
   private[graft] def verifiedCandidates(
-      docs: DataFrame, cand0: DataFrame): DataFrame = {
+      docs: DataFrame, cand0: DataFrame,
+      cap: Long = VerifyIdsBroadcastCap): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val cand = cand0.localCheckpoint(true)
-    Option(lastCand.getAndSet(Seq(cand)))
-      .foreach(_.foreach(freeLocalCheckpoint))
-    val sh = candidateBounded(docs, cand).select($"doc_id",
+    val ids = cand.select($"id_a".as("doc_id"))
+      .union(cand.select($"id_b".as("doc_id"))).distinct()
+    val belowCap = ids.count() <= cap
+    val bounded =
+      if (belowCap) docs.join(broadcast(ids), Seq("doc_id"), "leftsemi")
+      else docs
+    val shBase = bounded.select($"doc_id",
       graft.functions.VectorExpressions.text_shingles($"text", 3).as("sh"))
+    val sh =
+      if (belowCap) shBase
+      else shBase.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    Option(lastCand.getAndSet(Seq(cand, sh)))
+      .foreach(_.foreach(freeTransient))
     cand
       .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
       .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
@@ -1087,6 +1110,17 @@ object NearDup extends QueryModule {
       case _ => ()
     }
 
+  /** Free a one-slot transient that may be EITHER a localCheckpoint or
+    * a persisted frame (r14: [[verifiedCandidates]]' above-cap shingle
+    * table is a DISK_ONLY persist): `unpersist` is a no-op on frames
+    * that were never persisted, and the checkpoint-RDD sweep is a no-op
+    * on plans without [[org.apache.spark.sql.execution.LogicalRDD]]
+    * leaves, so applying both is safe on every slot. */
+  private[graft] def freeTransient(ds: DataFrame): Unit = {
+    ds.unpersist(blocking = false)
+    freeLocalCheckpoint(ds)
+  }
+
   /** Free every transient this module still pins — see
     * [[graft.Release]] for the session-hygiene contract. */
   private[graft] def releaseTransients(): Unit = {
@@ -1095,7 +1129,7 @@ object NearDup extends QueryModule {
     }
     Option(lastWinnowFps.getAndSet(null)).foreach(_.unpersist(false))
     Seq(lastCand, lastTakedown).foreach { r =>
-      Option(r.getAndSet(null)).foreach(_.foreach(freeLocalCheckpoint))
+      Option(r.getAndSet(null)).foreach(_.foreach(freeTransient))
     }
   }
 

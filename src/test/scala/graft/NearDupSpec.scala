@@ -700,6 +700,36 @@ class NearDupSpec extends SparkSpecBase {
     assert(viaPairs === full)
   }
 
+  test("above-cap verify: the disk-backed single shingle materialization " +
+      "returns the same verified pairs and pins exactly one DISK_ONLY table") {
+    import spark.implicits._
+    graft.Release.transients()
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    def verified(cap: Long): Set[(Long, Long, Long)] =
+      NearDup.verifiedCandidates(docs,
+          NearDup.candidatesFromBands(NearDup.bandedOver(docs)), cap = cap)
+        .where($"jaccard" >= 0.8)
+        .select($"id_a", $"id_b", $"n_common")
+        .as[(Long, Long, Long)].collect().toSet
+    val below = verified(cap = Long.MaxValue) // r13 dual-compute path
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val above = verified(cap = 0L) // r14 disk-backed single pass
+    assert(above === below)
+    // among the newly pinned blocks (the cand localCheckpoint is
+    // MEMORY_AND_DISK) exactly the shingle table is DISK_ONLY: the
+    // corpus-sized array table must never compete for executor memory
+    // (the failure mode that killed the r13 in-memory form)
+    val diskOnly = (sc.getPersistentRDDs -- before).values
+      .filter(r => r.getStorageLevel.useDisk && !r.getStorageLevel.useMemory)
+    assert(diskOnly.size === 1,
+      s"expected exactly the DISK_ONLY shingle table, got ${diskOnly.size}")
+    graft.Release.transients()
+    assert(sc.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "release must also free the above-cap shingle table")
+  }
+
   test("touched labels: exactly the nodes with a verified edge, matching " +
       "connectedComponents on that subgraph") {
     import spark.implicits._
