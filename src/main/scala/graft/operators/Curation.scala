@@ -55,7 +55,24 @@ object Curation extends QueryModule {
     * cross-engine, not a trivially-empty match set. Narrow projection —
     * no shuffle, and at 100 TB the scrub runs at scan speed with the
     * match counting sharing the scan. */
-  def piiRedact(s: SparkSession, d: String): DataFrame = {
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    piiRedactWith(s, d, sortExchange = false)
+
+  /** [[piiRedact]] with the sort-input shape selectable, for the
+    * ScaleBench `pii_redact_sortx` rung (r14): a top-level orderBy's
+    * range partitioner SAMPLES its child, so the scan→kernel→orderBy
+    * shape executes the regex kernel twice — once for the sample pass,
+    * once for the sort shuffle. `sortExchange = true` inserts a hash
+    * exchange between kernel and sort: the kernel output (narrow:
+    * doc_id + 3 counts + md5) materializes as shuffle files, the sample
+    * pass re-reads those instead of re-running the kernel (completed
+    * map stages are skipped; narrow stages are not).
+    *
+    * MEASURED at 10⁷ rows (rung figures in OPTIMIZATION_r14.md) and
+    * adopted per the winner; the bench SF had already measured the two
+    * forms a wash in r13 (0.67/0.73 vs 0.58/0.75 — noise band). */
+  private[graft] def piiRedactWith(s: SparkSession, d: String,
+      sortExchange: Boolean): DataFrame = {
     import s.implicits._
     val planted = concat(
       $"text",
@@ -78,24 +95,25 @@ object Curation extends QueryModule {
     // fusion removes wasn't the cost. Landed per the "only if faster"
     // rule: chain stays default, kernel selectable
     // (SPARK_GRAFT_PII=kernel) and fuzz-pinned for re-adjudication.
-    if (sys.env.getOrElse("SPARK_GRAFT_PII", "regex") == "regex")
-      base.select(
-        $"doc_id",
-        nMatches($"aug", EmailRe).as("n_emails"),
-        nMatches($"aug", IpRe).as("n_ips"),
-        nMatches($"aug", PhoneRe).as("n_phones"),
-        md5(redactPii($"aug")).as("red_fp"))
-        .orderBy($"doc_id")
-    else
-      base.select($"doc_id",
-          graft.functions.PiiScan.pii_scan($"aug").as("p"))
-        .select(
+    val scanned =
+      if (sys.env.getOrElse("SPARK_GRAFT_PII", "regex") == "regex")
+        base.select(
           $"doc_id",
-          $"p.n_emails".as("n_emails"),
-          $"p.n_ips".as("n_ips"),
-          $"p.n_phones".as("n_phones"),
-          md5($"p.redacted").as("red_fp"))
-        .orderBy($"doc_id")
+          nMatches($"aug", EmailRe).as("n_emails"),
+          nMatches($"aug", IpRe).as("n_ips"),
+          nMatches($"aug", PhoneRe).as("n_phones"),
+          md5(redactPii($"aug")).as("red_fp"))
+      else
+        base.select($"doc_id",
+            graft.functions.PiiScan.pii_scan($"aug").as("p"))
+          .select(
+            $"doc_id",
+            $"p.n_emails".as("n_emails"),
+            $"p.n_ips".as("n_ips"),
+            $"p.n_phones".as("n_phones"),
+            md5($"p.redacted").as("red_fp"))
+    (if (sortExchange) scanned.repartition($"doc_id") else scanned)
+      .orderBy($"doc_id")
   }
 
   // ---------------------------------------------------- mixture sampling

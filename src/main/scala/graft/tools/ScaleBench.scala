@@ -297,6 +297,16 @@ object ScaleBench {
     time("pii_redact") {
       graft.operators.Curation.piiRedact(spark, dir)
     }
+    // r14: the range-sort double-execution rung — same kernel, but a
+    // hash exchange materializes the kernel output before the orderBy,
+    // so the range partitioner's sample pass re-reads shuffle files
+    // instead of re-running the regex kernel. Compare against the
+    // pii_redact figure from the SAME run; the winner at ≥10⁷ is what
+    // the gate operator adopts (see Curation.piiRedactWith).
+    time("pii_redact_sortx") {
+      graft.operators.Curation.piiRedactWith(spark, dir,
+        sortExchange = true)
+    }
     time("dedup_survivor") {
       graft.operators.NearDup.dedupSurvivor(spark, dir)
     }
